@@ -1,0 +1,209 @@
+"""LinkGraph — the engine's graph abstraction over a Spark edge DataFrame.
+
+Semantics mirror GraphIt's graph construction (reference
+src/runtime_lib/infra_gapbs/builder.h):
+
+- vertex universe is ``[0, max_id + 1)`` — ``FindMaxNodeID(el) + 1``
+  (builder.h:210-211); isolated ids below the max exist and get default
+  property values;
+- ``squish``: per-source neighbor lists sorted, deduplicated, self-loops
+  removed (builder.h:147-149), so kernels always run on a simple directed
+  graph;
+- ``out_degrees`` counts distinct non-self-loop out-neighbors *after*
+  squish (intrinsics.h:424-430) — PageRank divides by this degree;
+- ``transpose`` flips edge direction (intrinsics.h:525-529) — zero-cost
+  column swap here;
+- ``relabel`` renumbers vertices by decreasing degree
+  (intrinsics.h:237-264, builder.h RelabelByDegree) — used by triangle
+  counting.
+
+Physically the edge table is hash-partitioned by ``src`` and persisted so
+every superstep join reuses the partitioning (the analogue of GraphIt's
+cache/NUMA segmentation schedules, schedule.h:92-125). The CSR analogue is
+``adjacency()``: ``(src, nbrs: array<long> sorted)`` blocks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.storagelevel import StorageLevel
+
+SRC, DST, WEIGHT = "src", "dst", "weight"
+
+
+class LinkGraph:
+    """A simple directed graph backed by a squished Spark edge DataFrame."""
+
+    def __init__(
+        self,
+        edges: DataFrame,
+        *,
+        squished: bool = False,
+        num_partitions: int | None = None,
+        persist: bool = True,
+    ):
+        self.spark: SparkSession = edges.sparkSession
+        self.weighted = WEIGHT in edges.columns
+        cols = [SRC, DST] + ([WEIGHT] if self.weighted else [])
+        edges = edges.select(
+            F.col(SRC).cast("long").alias(SRC),
+            F.col(DST).cast("long").alias(DST),
+            *([F.col(WEIGHT).cast("long").alias(WEIGHT)] if self.weighted else []),
+        )
+        if not squished:
+            edges = self._squish(edges)
+        if num_partitions is None:
+            num_partitions = int(
+                self.spark.conf.get("spark.sql.shuffle.partitions", "32")
+            )
+        self.num_partitions = num_partitions
+        # Hash-partition by src once; every per-superstep join on src then
+        # shuffles only the (small) vertex-state side, not the edge table.
+        self.edges = edges.repartition(num_partitions, SRC)
+        self._persisted = persist
+        if persist:
+            self.edges = self.edges.persist(StorageLevel.MEMORY_AND_DISK)
+        self._num_vertices: int | None = None
+        self._num_edges: int | None = None
+        self._out_degrees: DataFrame | None = None
+        self._adjacency: DataFrame | None = None
+        self._vertices: DataFrame | None = None
+
+    # -- construction -----------------------------------------------------
+
+    @staticmethod
+    def _squish(edges: DataFrame) -> DataFrame:
+        """GAPBS SquishGraph: drop self-loops, dedup (builder.h:147-149).
+
+        Weighted graphs keep the MIN weight per (src,dst) — the reference's
+        weighted dedup keeps an arbitrary duplicate (std::unique compares
+        dest id only); min is the deterministic choice and is what every
+        shortest-path semantics wants."""
+        e = edges.filter(F.col(SRC) != F.col(DST))
+        if WEIGHT in edges.columns:
+            return e.groupBy(SRC, DST).agg(F.min(WEIGHT).alias(WEIGHT))
+        return e.dropDuplicates([SRC, DST])
+
+    @classmethod
+    def from_pairs(cls, spark: SparkSession, pairs, **kw) -> "LinkGraph":
+        """Small-graph constructor for tests: list of (src, dst[, weight])."""
+        weighted = bool(pairs) and len(pairs[0]) == 3
+        schema = "src long, dst long" + (", weight long" if weighted else "")
+        return cls(spark.createDataFrame(pairs, schema=schema), **kw)
+
+    # -- cardinalities -----------------------------------------------------
+
+    @property
+    def num_vertices(self) -> int:
+        if self._num_vertices is None:
+            row = self.edges.agg(
+                F.greatest(F.max(SRC), F.max(DST)).alias("m")
+            ).collect()[0]
+            self._num_vertices = int(row["m"]) + 1 if row["m"] is not None else 0
+        return self._num_vertices
+
+    @property
+    def num_edges(self) -> int:
+        if self._num_edges is None:
+            self._num_edges = self.edges.count()
+        return self._num_edges
+
+    # -- derived tables ----------------------------------------------------
+
+    def vertices(self) -> DataFrame:
+        """All vertex ids ``[0, n)`` including isolated ones (builder.h:210)."""
+        if self._vertices is None:
+            self._vertices = self.spark.range(self.num_vertices).select(
+                F.col("id").cast("long").alias("id")
+            )
+        return self._vertices
+
+    def out_degrees(self) -> DataFrame:
+        """(id, out_degree) for every vertex; 0 for sinks/isolated.
+
+        Degree = distinct non-self-loop out-neighbors, post-squish
+        (reference intrinsics.h:424-430).
+        """
+        if self._out_degrees is None:
+            deg = self.edges.groupBy(F.col(SRC).alias("id")).agg(
+                F.count("*").alias("out_degree")
+            )
+            self._out_degrees = (
+                self.vertices()
+                .join(deg, "id", "left")
+                .select("id", F.coalesce("out_degree", F.lit(0)).alias("out_degree"))
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
+        return self._out_degrees
+
+    def adjacency(self) -> DataFrame:
+        """CSR-like blocks ``(src, nbrs: array<long>)``, sorted ascending —
+        the Spark analogue of GAPBS CSR with sorted neighbor lists
+        (builder.h:147); sorted arrays make ``array_intersect`` a merge."""
+        if self._adjacency is None:
+            self._adjacency = (
+                self.edges.groupBy(SRC)
+                .agg(F.sort_array(F.collect_list(DST)).alias("nbrs"))
+                .repartition(self.num_partitions, SRC)
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
+        return self._adjacency
+
+    # -- transforms --------------------------------------------------------
+
+    def transpose(self) -> "LinkGraph":
+        """Reverse edges (intrinsics.h:525-529); already-squished input."""
+        cols = [F.col(DST).alias(SRC), F.col(SRC).alias(DST)]
+        if self.weighted:
+            cols.append(F.col(WEIGHT))
+        return LinkGraph(
+            self.edges.select(*cols),
+            squished=True,
+            num_partitions=self.num_partitions,
+            persist=self._persisted,
+        )
+
+    def symmetrize(self) -> "LinkGraph":
+        """Undirected view: E ∪ Eᵀ, re-deduplicated (GAPBS ``-s`` flag —
+        CC/LPA/TC semantics are defined on the symmetrized graph)."""
+        back = [F.col(DST).alias(SRC), F.col(SRC).alias(DST)]
+        if self.weighted:
+            back.append(F.col(WEIGHT))
+        both = self.edges.unionByName(self.edges.select(*back))
+        return LinkGraph(
+            both, squished=False, num_partitions=self.num_partitions,
+            persist=self._persisted,
+        )
+
+    def relabel_by_degree(self) -> "LinkGraph":
+        """Renumber vertices by decreasing out-degree (ties: old id asc) —
+        GraphIt ``edges.relabel()`` (intrinsics.h:237-264). New id 0 is the
+        highest-degree vertex. Scale note: the mapping is V-sized (small
+        relative to E) and is broadcast when under the broadcast threshold;
+        Catalyst/AQE picks the strategy."""
+        from pyspark.sql import Window
+
+        w = Window.orderBy(F.desc("out_degree"), F.asc("id"))
+        mapping = self.out_degrees().select(
+            "id", (F.row_number().over(w) - 1).cast("long").alias("new_id")
+        )
+        e = (
+            self.edges.join(mapping.withColumnRenamed("id", SRC), SRC)
+            .select(F.col("new_id").alias(SRC), DST,
+                    *([WEIGHT] if self.weighted else []))
+            .join(mapping.withColumnRenamed("id", DST), DST)
+            .select(SRC, F.col("new_id").alias(DST),
+                    *([WEIGHT] if self.weighted else []))
+        )
+        return LinkGraph(
+            e, squished=True, num_partitions=self.num_partitions,
+            persist=self._persisted,
+        )
+
+    def unpersist(self) -> None:
+        for df in (self.edges, self._out_degrees, self._adjacency):
+            if df is not None:
+                try:
+                    df.unpersist()
+                except Exception:
+                    pass

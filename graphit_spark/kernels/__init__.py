@@ -1,0 +1,16 @@
+from graphit_spark.kernels.pagerank import pagerank, pagerank_delta
+from graphit_spark.kernels.components import connected_components
+from graphit_spark.kernels.labelprop import label_propagation
+from graphit_spark.kernels.triangles import triangle_count, triangle_count_per_vertex
+from graphit_spark.kernels.paths import bfs, sssp
+
+__all__ = [
+    "pagerank",
+    "pagerank_delta",
+    "connected_components",
+    "label_propagation",
+    "triangle_count",
+    "triangle_count_per_vertex",
+    "bfs",
+    "sssp",
+]

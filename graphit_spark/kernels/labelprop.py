@@ -1,0 +1,63 @@
+"""Label-propagation community detection (synchronous, deterministic).
+
+The reference has no separate LPA app — apps/cc.gt IS min-label
+propagation; community LPA is the most-frequent-neighbor-label variant of
+the same ``edges.apply`` traversal (SURVEY.md §2.10). Semantics here:
+
+    init:   label[v] = v
+    round:  label'[v] = argmax_label count(neighbors with that label),
+            ties broken by the SMALLEST label (deterministic);
+            vertices with no neighbors keep their label.
+    run a fixed number of synchronous rounds (synchronous LPA may
+    oscillate on bipartite structures, so fixed-round semantics are the
+    deterministic, testable contract).
+
+Spark plan per round: edge⋈labels gather, two-level aggregation —
+groupBy(dst, label).count (map-side combined, skew-safe) then a max_by
+over (count, -label) per dst. The (count, -label) ordering is encoded as
+a sortable struct so the whole round stays in native aggregation (no
+window over the full vertex set needed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.storagelevel import StorageLevel
+
+from graphit_spark.graph import LinkGraph
+
+
+def label_propagation(
+    graph: LinkGraph,
+    *,
+    rounds: int = 5,
+    symmetrize: bool = True,
+) -> DataFrame:
+    """Returns (id, label) after `rounds` synchronous LPA rounds."""
+    g = graph.symmetrize() if symmetrize else graph
+
+    labels = graph.vertices().select("id", F.col("id").alias("label"))
+    labels = labels.localCheckpoint(eager=True)
+
+    for _ in range(rounds):
+        counts = (
+            g.edges.join(
+                labels.select(F.col("id").alias("src"), "label"), "src"
+            )
+            .groupBy(F.col("dst").alias("id"), "label")
+            .agg(F.count("*").alias("cnt"))
+        )
+        # argmax by (cnt desc, label asc): max_by over struct(cnt, -label)
+        best = counts.groupBy("id").agg(
+            F.max_by("label", F.struct(F.col("cnt"), (-F.col("label")).alias("neg"))).alias(
+                "best_label"
+            )
+        )
+        new_labels = (
+            labels.join(best, "id", "left")
+            .select("id", F.coalesce("best_label", "label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        labels = new_labels
+
+    return labels

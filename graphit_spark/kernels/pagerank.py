@@ -1,0 +1,200 @@
+"""PageRank — the flagship gather-scatter kernel.
+
+Semantics match reference apps/pagerank.gt:1-54 exactly:
+
+    contrib[v]  = old_rank[v] / out_degree[v]        (computeContrib, :14)
+    new_rank[d] = Σ_{(s,d)∈E} contrib[s]             (updateEdge, :17-19)
+    rank'[v]    = beta + damp * new_rank[v]          (updateVertex, :22-27)
+
+with damp = 0.85, beta = (1-damp)/n. NO dangling-mass redistribution —
+vertices with out_degree 0 simply contribute nothing (the reference
+formula, not the textbook variant). Division by zero cannot occur: contrib
+is only ever read through an edge join, and every edge src has degree ≥ 1.
+
+Spark plan per superstep (one shuffle pair):
+    edges(partitioned by src) ⋈ state ON src  →  groupBy(dst).sum
+Map-side partial aggregation collapses hub destinations before the final
+shuffle — the analogue of GraphIt's NUMA merge-reduce
+(src/midend/merge_reduce_lower.cpp) and atomics, for free.
+
+The rank/degree state is V-sized; the edge table is never re-shuffled
+(partitioned once by src at graph build). Lineage is truncated every
+iteration via localCheckpoint, or durably via a SnapshotStore (which also
+makes the run resumable mid-algorithm).
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.storagelevel import StorageLevel
+
+from graphit_spark.graph import LinkGraph
+from graphit_spark.checkpoint import SnapshotStore
+
+
+def _truncate(df: DataFrame, store: SnapshotStore | None, iteration: int,
+              metrics: dict | None = None) -> DataFrame:
+    if store is not None:
+        return store.write(df, iteration, metrics)
+    return df.localCheckpoint(eager=True)
+
+
+def pagerank(
+    graph: LinkGraph,
+    *,
+    damp: float = 0.85,
+    max_iters: int = 20,
+    tol: float | None = None,
+    store: SnapshotStore | None = None,
+    resume: bool = False,
+    use_adjacency: bool = False,
+) -> DataFrame:
+    """Returns (id, rank) for every vertex in [0, n).
+
+    tol: stop early when sum_v |rank'[v] - rank[v]| <= tol (the error
+    vector of pagerank.gt:24 reduced with the global-sum intrinsic);
+    None = fixed max_iters like the reference benchmark (20 iterations,
+    graphit_eval/eval/table7/benchmark.py PR_ITERATIONS).
+    resume: continue from the latest complete snapshot in `store`.
+    use_adjacency: scatter from CSR-like adjacency blocks (explode) rather
+    than the flat edge table.
+    """
+    n = graph.num_vertices
+    beta = (1.0 - damp) / n
+
+    start_iter = 0
+    if resume and store is not None and store.latest() is not None:
+        start_iter = store.latest() + 1
+        state = store.read(graph.spark, store.latest())
+    else:
+        state = graph.out_degrees().withColumn("rank", F.lit(1.0 / n))
+    state = state.localCheckpoint(eager=True)
+
+    if use_adjacency:
+        adj = graph.adjacency()
+
+    for i in range(start_iter, max_iters):
+        t0 = time.time()
+        contrib_state = state.filter(F.col("out_degree") > 0).select(
+            F.col("id").alias("src"),
+            (F.col("rank") / F.col("out_degree")).alias("contrib"),
+        )
+        if use_adjacency:
+            # CSR-like scatter: join V-sized blocks, explode neighbors.
+            sums = (
+                adj.join(contrib_state, "src")
+                .select(F.explode("nbrs").alias("id"), "contrib")
+                .groupBy("id")
+                .agg(F.sum("contrib").alias("gathered"))
+            )
+        else:
+            sums = (
+                graph.edges.join(contrib_state, "src")
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.sum("contrib").alias("gathered"))
+            )
+        new_state = (
+            state.join(sums, "id", "left")
+            .select(
+                "id",
+                "out_degree",
+                F.col("rank").alias("old_rank"),
+                (F.lit(beta) + F.lit(damp) * F.coalesce("gathered", F.lit(0.0))).alias("rank"),
+            )
+        )
+        # Materialize once (truncates lineage); the error norm then reads
+        # the in-memory RDD instead of recomputing the superstep — the
+        # PR+error fusion GraphIt gets from fuseApplyFunctions.
+        new_state = new_state.localCheckpoint(eager=True)
+        if tol is not None:
+            err = new_state.agg(
+                F.sum(F.abs(F.col("rank") - F.col("old_rank"))).alias("e")
+            ).collect()[0]["e"]
+        else:
+            err = None
+        state = new_state.select("id", "out_degree", "rank")
+        if store is not None:
+            state = store.write(
+                state, i,
+                {"kernel": "pagerank", "elapsed_sec": time.time() - t0,
+                 "l1_error": err},
+            )
+        if tol is not None and err is not None and err <= tol:
+            break
+
+    result = state.select("id", "rank")
+    return result
+
+
+def pagerank_delta(
+    graph: LinkGraph,
+    *,
+    damp: float = 0.85,
+    max_iters: int = 10,
+    epsilon2: float = 0.1,
+    store: SnapshotStore | None = None,
+) -> DataFrame:
+    """PageRankDelta — frontier-pruned PR (reference apps/pagerankdelta.gt).
+
+    Only vertices whose |delta| > epsilon2 * cur_rank stay in the frontier
+    and propagate next round; matches updateVertexFirstRound/updateVertex
+    (pagerankdelta.gt:15-31). Returns (id, rank) = cur_rank after
+    max_iters rounds (reference runs a fixed 10, main loop :50-58).
+    """
+    n = graph.num_vertices
+    beta = (1.0 - damp) / n
+    one_over_n = 1.0 / n
+
+    # state: id, out_degree, cur_rank, delta, in_frontier
+    state = (
+        graph.out_degrees()
+        .withColumn("cur_rank", F.lit(0.0))
+        .withColumn("delta", F.lit(one_over_n))
+        .withColumn("in_frontier", F.lit(True))
+    ).localCheckpoint(eager=True)
+
+    for i in range(1, max_iters + 1):
+        t0 = time.time()
+        contribs = state.filter(
+            F.col("in_frontier") & (F.col("out_degree") > 0)
+        ).select(
+            F.col("id").alias("src"),
+            (F.col("delta") / F.col("out_degree")).alias("contrib"),
+        )
+        sums = (
+            graph.edges.join(contribs, "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("contrib").alias("ngh_sum"))
+        )
+        joined = state.join(sums, "id", "left").withColumn(
+            "ngh_sum", F.coalesce("ngh_sum", F.lit(0.0))
+        )
+        if i == 1:
+            # delta = damp*ngh_sum + beta; cur += delta; delta -= 1/n
+            joined = (
+                joined.withColumn("new_delta0", F.lit(damp) * F.col("ngh_sum") + F.lit(beta))
+                .withColumn("new_rank", F.col("cur_rank") + F.col("new_delta0"))
+                .withColumn("new_delta", F.col("new_delta0") - F.lit(one_over_n))
+            )
+        else:
+            joined = joined.withColumn(
+                "new_delta", F.col("ngh_sum") * F.lit(damp)
+            ).withColumn("new_rank", F.col("cur_rank") + F.col("new_delta"))
+        new_state = joined.select(
+            "id",
+            "out_degree",
+            F.col("new_rank").alias("cur_rank"),
+            F.col("new_delta").alias("delta"),
+            (F.abs("new_delta") > F.lit(epsilon2) * F.col("new_rank")).alias(
+                "in_frontier"
+            ),
+        )
+        new_state = _truncate(
+            new_state, store, i, {"kernel": "pagerank_delta",
+                                  "elapsed_sec": time.time() - t0},
+        )
+        state = new_state
+
+    return state.select("id", F.col("cur_rank").alias("rank"))

@@ -1,0 +1,116 @@
+"""The gather-scatter traversal core.
+
+GraphIt's central operator family is ``edges.from(F).to(p).applyModified(f)``
+— generated per call site by the backend (reference
+src/backend/gen_edge_apply_func_decl.cpp). Here it is ONE declarative plan:
+
+    messages = edges ⋈ vertex_state ON src      (property lookup by src)
+    gathered = messages.groupBy(dst).agg(...)   (the reduction — shuffle
+                                                 aggregation replaces
+                                                 GraphIt's atomics,
+                                                 atomics_op_lower.cpp)
+
+Direction (push vs pull vs hybrid, apply_expr_lower.cpp:39-148) dissolves
+into Spark join-strategy choice; what remains meaningful at scale is the
+*frontier representation* decision (sparse broadcast semi-join vs dense
+full-edge scan), which we make per superstep with Ligra's threshold:
+switch to the dense plan when ``frontier_size + frontier_out_degree_sum >
+num_edges / 20`` (reference gen_edge_apply_func_decl.cpp:722,888).
+
+Skew: map-side partial aggregation already collapses hub destinations to
+≤ num_partitions partial rows; for extreme hubs ``salted_sum`` does an
+explicit two-level (salt → partial → final) aggregation, mirroring
+GraphIt's edge-aware load balancing (gen_edge_apply_func_decl.cpp:619-690).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Ligra/Beamer direction-switch denominator (gen_edge_apply_func_decl.cpp:722)
+DIRECTION_THRESHOLD_FRACTION = 20
+
+
+def choose_direction(
+    frontier_size: int, frontier_out_degree_sum: int, num_edges: int
+) -> str:
+    """'sparse' (broadcast frontier semi-join, push-like) or 'dense'
+    (full edge scan, pull-like). Same threshold as the reference."""
+    if frontier_size + frontier_out_degree_sum > num_edges / DIRECTION_THRESHOLD_FRACTION:
+        return "dense"
+    return "sparse"
+
+
+def gather_scatter(
+    edges: DataFrame,
+    vertex_state: DataFrame,
+    message: Column,
+    agg: Column,
+    *,
+    frontier: DataFrame | None = None,
+    direction: str = "auto",
+    num_edges: int | None = None,
+    frontier_size: int | None = None,
+    frontier_degree_sum: int | None = None,
+) -> DataFrame:
+    """One superstep: for each (active) edge, send ``message`` (an
+    expression over the src vertex's state columns and edge columns) to
+    ``dst`` and reduce with ``agg``. Returns (id, gathered).
+
+    vertex_state must have an ``id`` column; its other columns are
+    available to ``message`` (e.g. ``F.col("rank") / F.col("out_degree")``).
+    frontier, if given, is a DataFrame of active source ids (GraphIt
+    ``edges.from(frontier)``, fir.h:1770).
+    """
+    state = vertex_state.withColumnRenamed("id", "__src_id")
+    if frontier is not None:
+        if direction == "auto":
+            if None in (num_edges, frontier_size, frontier_degree_sum):
+                direction = "dense"
+            else:
+                direction = choose_direction(
+                    frontier_size, frontier_degree_sum, num_edges
+                )
+        active = frontier.select(F.col(frontier.columns[0]).alias("__src_id"))
+        if direction == "sparse":
+            # push-like: broadcast the small frontier, semi-join prunes the
+            # edge scan before the big join.
+            edges = edges.join(
+                F.broadcast(active), edges["src"] == active["__src_id"], "left_semi"
+            )
+        else:
+            # dense: restrict state instead (frontier may be large).
+            state = state.join(active, "__src_id", "left_semi")
+    msgs = edges.join(state, edges["src"] == state["__src_id"]).select(
+        F.col("dst").alias("id"), message.alias("__msg")
+    )
+    return msgs.groupBy("id").agg(agg.alias("gathered"))
+
+
+def salted_sum(
+    df: DataFrame, key: str, value: str, num_salts: int = 32
+) -> DataFrame:
+    """Two-level sum aggregation with explicit key salting for hub skew:
+    groupBy(key, salt) partial-sums, then groupBy(key) finishes. Returns
+    (key, sum_value)."""
+    salted = df.withColumn(
+        "__salt", F.pmod(F.monotonically_increasing_id(), F.lit(num_salts))
+    )
+    partial = salted.groupBy(key, "__salt").agg(F.sum(value).alias("__partial"))
+    return partial.groupBy(key).agg(F.sum("__partial").alias(f"sum_{value}"))
+
+
+def track_changes(
+    old_state: DataFrame, new_state: DataFrame, column: str
+) -> DataFrame:
+    """GraphIt change-tracking (src/midend/change_tracking_lower.cpp:38-75):
+    the next frontier = vertices whose ``column`` differs between old and
+    new state. Both inputs keyed by ``id``. Dedup is inherent (one row per
+    id), matching the reference's CAS-dedup flag (mir.h:972)."""
+    o = old_state.select("id", F.col(column).alias("__old"))
+    n = new_state.select("id", F.col(column).alias("__new"))
+    return (
+        n.join(o, "id")
+        .filter(F.col("__new") != F.col("__old"))
+        .select("id")
+    )

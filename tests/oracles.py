@@ -1,0 +1,152 @@
+"""Pure-Python/numpy oracles mirroring the reference verifiers
+(/root/reference/test/verifiers/): cc_verifier.cpp, tc_verifier.cpp, and a
+numpy Jacobi PageRank matching apps/pagerank.gt exactly."""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def squish(edges):
+    """GAPBS SquishGraph semantics: drop self loops, dedup (builder.h:147-149)."""
+    return sorted({(s, d) for s, d in edges if s != d})
+
+
+def num_vertices(edges):
+    return max(max(s, d) for s, d in edges) + 1 if edges else 0
+
+
+def pagerank_oracle(edges, damp=0.85, iters=20):
+    """Dense Jacobi iteration matching apps/pagerank.gt:13-27 (no dangling
+    redistribution). edges: raw (pre-squish) pairs."""
+    es = squish(edges)
+    n = num_vertices(es)
+    out_deg = np.zeros(n, dtype=np.int64)
+    for s, _ in es:
+        out_deg[s] += 1
+    rank = np.full(n, 1.0 / n)
+    beta = (1.0 - damp) / n
+    for _ in range(iters):
+        contrib = np.where(out_deg > 0, rank / np.maximum(out_deg, 1), 0.0)
+        new = np.zeros(n)
+        for s, d in es:
+            new[d] += contrib[s]
+        rank = beta + damp * new
+    return rank
+
+
+def cc_oracle(edges):
+    """Union-find over the symmetrized squished graph; component label =
+    min vertex id in the component (cc.gt fixpoint; cc_verifier.cpp)."""
+    es = squish(edges)
+    n = num_vertices(es)
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for s, d in es:
+        rs, rd = find(s), find(d)
+        if rs != rd:
+            parent[max(rs, rd)] = min(rs, rd)
+    # normalize: label = min id in component
+    comp = {}
+    labels = np.zeros(n, dtype=np.int64)
+    for v in range(n):
+        r = find(v)
+        if r not in comp:
+            comp[r] = r  # roots are minimal by union rule (min wins)
+        labels[v] = comp[r]
+    return labels
+
+
+def lpa_oracle(edges, rounds=5):
+    """Synchronous mode-label propagation, min tie-break, over the
+    symmetrized squished graph. Vertices w/o neighbors keep their label."""
+    es = squish(edges)
+    n = num_vertices(es)
+    nbrs = [set() for _ in range(n)]
+    for s, d in es:
+        nbrs[s].add(d)
+        nbrs[d].add(s)
+    labels = list(range(n))
+    for _ in range(rounds):
+        new = list(labels)
+        for v in range(n):
+            if not nbrs[v]:
+                continue
+            counts = {}
+            for u in nbrs[v]:
+                counts[labels[u]] = counts.get(labels[u], 0) + 1
+            best = max(counts.items(), key=lambda kv: (kv[1], -kv[0]))
+            new[v] = best[0]
+        labels = new
+    return np.array(labels, dtype=np.int64)
+
+
+def triangle_oracle(edges):
+    """Brute-force triangle count on the symmetrized squished simple graph
+    (tc_verifier.cpp:13-32: closed-triple count / 6 == oriented count)."""
+    es = squish(edges)
+    n = num_vertices(es)
+    nbrs = [set() for _ in range(n)]
+    for s, d in es:
+        nbrs[s].add(d)
+        nbrs[d].add(s)
+    count = 0
+    for v in range(n):
+        for u in nbrs[v]:
+            if u > v:
+                count += len(nbrs[v] & nbrs[u] & set(range(u + 1, n)))
+    # count only triples v<u<w
+    return count
+
+
+def bfs_oracle(edges, source=0):
+    """Hop distances on the DIRECTED squished graph; -1 = unreachable."""
+    from collections import deque
+
+    es = squish(edges)
+    n = num_vertices(es)
+    adj = [[] for _ in range(n)]
+    for s, d in es:
+        adj[s].append(d)
+    dist = [-1] * n
+    dist[source] = 0
+    q = deque([source])
+    while q:
+        v = q.popleft()
+        for u in adj[v]:
+            if dist[u] == -1:
+                dist[u] = dist[v] + 1
+                q.append(u)
+    return np.array(dist, dtype=np.int64)
+
+
+def sssp_oracle(weighted_edges, source=0):
+    """Bellman-Ford on directed weighted edges (first-wins dedup NOT
+    applied — caller must pre-dedup consistently); -1 = unreachable."""
+    # squish keeping min weight per (s,d) to be deterministic
+    best = {}
+    for s, d, w in weighted_edges:
+        if s == d:
+            continue
+        k = (s, d)
+        if k not in best or w < best[k]:
+            best[k] = w
+    n = max(max(s, d) for s, d in best) + 1
+    INF = float("inf")
+    dist = [INF] * n
+    dist[source] = 0
+    for _ in range(n):
+        changed = False
+        for (s, d), w in best.items():
+            if dist[s] + w < dist[d]:
+                dist[d] = dist[s] + w
+                changed = True
+        if not changed:
+            break
+    return np.array([-1 if x == INF else int(x) for x in dist], dtype=np.int64)

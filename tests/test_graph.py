@@ -1,0 +1,69 @@
+import numpy as np
+from pyspark.sql import functions as F
+
+from graphit_spark import LinkGraph
+from tests.oracles import squish, num_vertices
+
+
+def test_squish_semantics(spark, golden_edges):
+    g = LinkGraph.from_pairs(spark, golden_edges, persist=False)
+    got = sorted((r["src"], r["dst"]) for r in g.edges.collect())
+    assert got == squish(golden_edges)
+
+
+def test_num_vertices_includes_isolated(spark):
+    # max id defines the universe (builder.h:210-211 FindMaxNodeID+1)
+    g = LinkGraph.from_pairs(spark, [(0, 9)], persist=False)
+    assert g.num_vertices == 10
+    assert g.vertices().count() == 10
+
+
+def test_out_degrees_post_squish(spark, golden_edges):
+    g = LinkGraph.from_pairs(spark, golden_edges, persist=False)
+    es = squish(golden_edges)
+    n = num_vertices(es)
+    exp = np.zeros(n, dtype=np.int64)
+    for s, _ in es:
+        exp[s] += 1
+    got = {r["id"]: r["out_degree"] for r in g.out_degrees().collect()}
+    assert len(got) == n
+    for v in range(n):
+        assert got[v] == exp[v], v
+
+
+def test_adjacency_sorted_dedup(spark, golden_edges):
+    g = LinkGraph.from_pairs(spark, golden_edges, persist=False)
+    adj = {r["src"]: r["nbrs"] for r in g.adjacency().collect()}
+    es = squish(golden_edges)
+    exp = {}
+    for s, d in es:
+        exp.setdefault(s, []).append(d)
+    for s in exp:
+        assert adj[s] == sorted(exp[s])
+
+
+def test_transpose_and_symmetrize(spark):
+    g = LinkGraph.from_pairs(spark, [(0, 1), (1, 2)], persist=False)
+    t = sorted((r["src"], r["dst"]) for r in g.transpose().edges.collect())
+    assert t == [(1, 0), (2, 1)]
+    s = sorted((r["src"], r["dst"]) for r in g.symmetrize().edges.collect())
+    assert s == [(0, 1), (1, 0), (1, 2), (2, 1)]
+
+
+def test_relabel_by_degree(spark):
+    # vertex 2 has out-degree 3 -> new id 0; ties broken by old id asc
+    g = LinkGraph.from_pairs(
+        spark, [(2, 0), (2, 1), (2, 3), (0, 1), (1, 0)], persist=False
+    )
+    rl = g.relabel_by_degree()
+    # degrees: v2:3, v0:1, v1:1, v3:0 -> new ids: 2->0, 0->1, 1->2, 3->3
+    got = sorted((r["src"], r["dst"]) for r in rl.edges.collect())
+    assert got == sorted([(0, 1), (0, 2), (0, 3), (1, 2), (2, 1)])
+
+
+def test_weighted_squish_min_weight(spark):
+    g = LinkGraph.from_pairs(
+        spark, [(0, 1, 5), (0, 1, 3), (1, 1, 9), (1, 2, 7)], persist=False
+    )
+    got = sorted(tuple(r) for r in g.edges.select("src", "dst", "weight").collect())
+    assert got == [(0, 1, 3), (1, 2, 7)]

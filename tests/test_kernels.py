@@ -1,0 +1,186 @@
+import random
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from graphit_spark import LinkGraph
+from graphit_spark.kernels import (
+    bfs,
+    connected_components,
+    label_propagation,
+    pagerank,
+    pagerank_delta,
+    sssp,
+    triangle_count,
+    triangle_count_per_vertex,
+)
+from tests.oracles import (
+    bfs_oracle,
+    cc_oracle,
+    lpa_oracle,
+    pagerank_oracle,
+    sssp_oracle,
+    triangle_oracle,
+)
+
+
+def _rand_graph(n, m, seed):
+    rng = random.Random(seed)
+    return [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+
+
+def _multi_component_graph():
+    """Two components + isolated vertices + hub skew."""
+    edges = [(0, v) for v in range(1, 20)]  # hub component
+    edges += [(v, v + 1) for v in range(1, 19)]
+    edges += [(30, 31), (31, 32), (32, 30)]  # triangle component
+    edges += [(40, 40)]  # isolated with self loop -> squished away but id 40 exists
+    return edges
+
+
+def _ranks_array(df, n):
+    got = np.zeros(n)
+    for r in df.collect():
+        got[r["id"]] = r["rank"]
+    return got
+
+
+class TestPageRank:
+    @pytest.mark.parametrize("seed", [1, 7])
+    def test_matches_numpy_oracle(self, spark, seed):
+        edges = _rand_graph(50, 300, seed)
+        g = LinkGraph.from_pairs(spark, edges, persist=False)
+        res = _ranks_array(pagerank(g, max_iters=20), g.num_vertices)
+        exp = pagerank_oracle(edges, iters=20)
+        assert np.allclose(res, exp, atol=1e-6)
+
+    def test_golden_graph(self, spark, golden_edges):
+        g = LinkGraph.from_pairs(spark, golden_edges, persist=False)
+        res = _ranks_array(pagerank(g, max_iters=20), g.num_vertices)
+        exp = pagerank_oracle(golden_edges, iters=20)
+        assert np.allclose(res, exp, atol=1e-6)
+
+    def test_adjacency_plan_identical(self, spark, golden_edges):
+        g = LinkGraph.from_pairs(spark, golden_edges, persist=False)
+        a = _ranks_array(pagerank(g, max_iters=5), g.num_vertices)
+        b = _ranks_array(pagerank(g, max_iters=5, use_adjacency=True), g.num_vertices)
+        assert np.allclose(a, b, atol=1e-12)
+
+    def test_dangling_mass_not_redistributed(self, spark):
+        # 0->1, 1 is a sink: reference formula lets rank mass vanish
+        g = LinkGraph.from_pairs(spark, [(0, 1)], persist=False)
+        res = _ranks_array(pagerank(g, max_iters=20), 2)
+        exp = pagerank_oracle([(0, 1)], iters=20)
+        assert np.allclose(res, exp, atol=1e-9)
+        assert res.sum() < 1.0  # mass leaked — matches reference, not textbook
+
+    def test_convergence_tol(self, spark, golden_edges):
+        g = LinkGraph.from_pairs(spark, golden_edges, persist=False)
+        res = _ranks_array(
+            pagerank(g, max_iters=100, tol=1e-10), g.num_vertices
+        )
+        exp = pagerank_oracle(golden_edges, iters=100)
+        assert np.allclose(res, exp, atol=1e-6)
+
+
+class TestPageRankDelta:
+    def test_close_to_plain_pagerank(self, spark, golden_edges):
+        # PRDelta approximates PR (it prunes small deltas); with epsilon2
+        # tiny it reproduces plain PR after the same number of rounds.
+        g = LinkGraph.from_pairs(spark, golden_edges, persist=False)
+        prd = _ranks_array(
+            pagerank_delta(g, max_iters=20, epsilon2=0.0), g.num_vertices
+        )
+        exp = pagerank_oracle(golden_edges, iters=20)
+        assert np.allclose(prd, exp, atol=1e-6)
+
+
+class TestConnectedComponents:
+    @pytest.mark.parametrize("pj", [True, False])
+    def test_multi_component(self, spark, pj):
+        edges = _multi_component_graph()
+        g = LinkGraph.from_pairs(spark, edges, persist=False)
+        got = {r["id"]: r["comp"] for r in connected_components(g, pointer_jump=pj).collect()}
+        exp = cc_oracle(edges)
+        assert len(got) == len(exp)
+        for v, c in enumerate(exp):
+            assert got[v] == c, f"vertex {v}"
+
+    @pytest.mark.parametrize("seed", [3, 11])
+    def test_random(self, spark, seed):
+        edges = _rand_graph(80, 120, seed)
+        g = LinkGraph.from_pairs(spark, edges, persist=False)
+        got = {r["id"]: r["comp"] for r in connected_components(g).collect()}
+        exp = cc_oracle(edges)
+        for v, c in enumerate(exp):
+            assert got[v] == c
+
+    def test_long_chain_pointer_jump(self, spark):
+        # path graph: diameter 199; pointer jumping must converge fast
+        edges = [(v, v + 1) for v in range(199)]
+        g = LinkGraph.from_pairs(spark, edges, persist=False)
+        got = connected_components(g, max_iters=30).collect()
+        assert all(r["comp"] == 0 for r in got)
+
+
+class TestLabelPropagation:
+    @pytest.mark.parametrize("seed", [5])
+    def test_fixed_rounds_match_oracle(self, spark, seed):
+        edges = _rand_graph(40, 100, seed)
+        g = LinkGraph.from_pairs(spark, edges, persist=False)
+        got = {r["id"]: r["label"] for r in label_propagation(g, rounds=4).collect()}
+        exp = lpa_oracle(edges, rounds=4)
+        for v, l in enumerate(exp):
+            assert got[v] == l, f"vertex {v}"
+
+    def test_golden(self, spark, golden_edges):
+        g = LinkGraph.from_pairs(spark, golden_edges, persist=False)
+        got = {r["id"]: r["label"] for r in label_propagation(g, rounds=3).collect()}
+        exp = lpa_oracle(golden_edges, rounds=3)
+        for v, l in enumerate(exp):
+            assert got[v] == l
+
+
+class TestTriangles:
+    @pytest.mark.parametrize("seed,n,m", [(2, 30, 150), (9, 60, 400)])
+    def test_count_matches_bruteforce(self, spark, seed, n, m):
+        edges = _rand_graph(n, m, seed)
+        g = LinkGraph.from_pairs(spark, edges, persist=False)
+        got = triangle_count(g).collect()[0]["triangles"]
+        assert got == triangle_oracle(edges)
+
+    @pytest.mark.parametrize("relabel", [True, False])
+    def test_golden(self, spark, golden_edges, relabel):
+        g = LinkGraph.from_pairs(spark, golden_edges, persist=False)
+        got = triangle_count(g, relabel=relabel).collect()[0]["triangles"]
+        assert got == triangle_oracle(golden_edges)
+
+    def test_per_vertex_sums_to_3x(self, spark, golden_edges):
+        g = LinkGraph.from_pairs(spark, golden_edges, persist=False)
+        pv = triangle_count_per_vertex(g)
+        total = pv.agg(F.sum("tri_count")).collect()[0][0]
+        assert total == 3 * triangle_oracle(golden_edges)
+
+
+class TestPaths:
+    @pytest.mark.parametrize("seed", [4])
+    def test_bfs(self, spark, seed):
+        edges = _rand_graph(60, 150, seed) + [(0, 1)]
+        g = LinkGraph.from_pairs(spark, edges, persist=False)
+        got = {r["id"]: r["dist"] for r in bfs(g, 0).collect()}
+        exp = bfs_oracle(edges, 0)
+        for v, d in enumerate(exp):
+            assert (got[v] if got[v] is not None else -1) == d, f"vertex {v}"
+
+    def test_sssp(self, spark):
+        rng = random.Random(8)
+        wedges = [
+            (rng.randrange(40), rng.randrange(40), rng.randrange(1, 10))
+            for _ in range(200)
+        ] + [(0, 1, 1)]
+        g = LinkGraph.from_pairs(spark, wedges, persist=False)
+        got = {r["id"]: r["dist"] for r in sssp(g, 0).collect()}
+        exp = sssp_oracle(wedges, 0)
+        for v, d in enumerate(exp):
+            assert (got[v] if got[v] is not None else -1) == d, f"vertex {v}"
