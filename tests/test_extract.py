@@ -1,0 +1,127 @@
+"""Extractor + generator + ingest-pipeline tests.
+
+The core invariant (BASELINE.json input_hint): vectorized Arrow UDF text
+is byte-identical to the per-row pure-Python reference extractor for
+every url; and the distributed Spark pages generator is byte-identical to
+the pure-Python one."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from graphit_spark import LinkGraph
+from graphit_spark.datagen import (
+    gen_pages,
+    gen_pages_python,
+    golden_pages_edges,
+    page_html,
+)
+from graphit_spark.extract import (
+    build_url_ids,
+    extract_pages,
+    pages_to_edges,
+    reference_extract,
+)
+from tests.oracles import squish
+
+N = 120  # small but has hubs (i < N/200 -> none; use >=200 for hub boost)
+N_HUBBY = 400
+
+
+EDGE_CASES = [
+    b"",
+    b"<html></html>",
+    b"no tags at all",
+    b"<p>a&amp;b &lt;c&gt; &quot;d&quot; &amp;amp;</p>",
+    b'<a href="x">t</a><a href=\'single\'>u</a>',  # single quotes NOT matched
+    b"\xff\xfe invalid utf8 <b>bold</b>",
+    b"<p>multi\n\nline\t text  </p>",
+    b'<a href="">empty</a>',
+]
+
+
+def test_reference_extract_contract():
+    text, links = reference_extract(
+        b'<p>a&amp;b</p> <a href="http://x/1">one</a>'
+    )
+    assert text == "a&b one"
+    assert links == ["http://x/1"]
+    # double-escape decodes ONE level
+    text, _ = reference_extract(b"&amp;lt;")
+    assert text == "&lt;"
+
+
+@pytest.mark.parametrize("html", EDGE_CASES)
+def test_vectorized_matches_reference_edge_cases(spark, html):
+    ref_text, ref_links = reference_extract(html)
+    df = (
+        spark.createDataFrame([(html,)], "html binary")
+        .withColumn("url", F.lit("u"))
+        .withColumn("warc_ts", F.current_timestamp())
+        .withColumn("text", F.lit(""))
+        .withColumn("lang", F.lit("en"))
+    )
+    out = extract_pages(df).collect()[0]
+    assert out["text"] == ref_text
+    assert list(out["links"]) == ref_links
+
+
+def test_generator_spark_matches_python(spark):
+    got = {
+        r["url"]: r
+        for r in gen_pages(spark, N, num_partitions=4).collect()
+    }
+    exp = gen_pages_python(N)
+    assert len(got) == len(exp)
+    for e in exp:
+        g = got[e["url"]]
+        assert bytes(g["html"]) == e["html"], e["url"]
+        assert g["text"] == e["text"], e["url"]
+        assert g["lang"] == e["lang"]
+        assert g["warc_ts"] == e["warc_ts"]
+
+
+def test_stored_text_is_extractor_output(spark):
+    pages = gen_pages(spark, N, num_partitions=4)
+    ex = extract_pages(pages).withColumnRenamed("text", "re_text")
+    joined = pages.join(ex, "url").select("text", "re_text").collect()
+    for r in joined:
+        assert r["text"] == r["re_text"]
+
+
+def test_url_ids_dense_and_ordered(spark):
+    pages = gen_pages(spark, N, num_partitions=4)
+    ids = build_url_ids(extract_pages(pages)).collect()
+    by_url = sorted(ids, key=lambda r: r["url"])
+    assert [r["id"] for r in by_url] == list(range(len(ids)))
+
+
+def test_pipeline_edges_match_formula(spark):
+    """pages → extract → ids → edges reproduces the generator's edge list
+    mapped through the url→id dictionary permutation."""
+    from graphit_spark.datagen import golden_pages_edge_ids
+
+    pages = gen_pages(spark, N_HUBBY, num_partitions=8)
+    edges_df, url_ids = pages_to_edges(pages)
+    assert url_ids.count() == N_HUBBY  # every target is an existing page
+    got = sorted((r["src"], r["dst"]) for r in edges_df.collect())
+    exp = sorted(golden_pages_edge_ids(N_HUBBY))
+    assert got == exp
+
+
+def test_pipeline_graph_kernels_run(spark):
+    from graphit_spark.kernels import pagerank
+    from tests.oracles import pagerank_oracle
+    import numpy as np
+
+    from graphit_spark.datagen import golden_pages_edge_ids
+
+    pages = gen_pages(spark, N_HUBBY, num_partitions=8)
+    edges_df, _ = pages_to_edges(pages)
+    g = LinkGraph(edges_df, persist=False)
+    ranks = pagerank(g, max_iters=10)
+    exp = pagerank_oracle(golden_pages_edge_ids(N_HUBBY), iters=10)
+    got = np.zeros(len(exp))
+    for r in ranks.collect():
+        got[r["id"]] = r["rank"]
+    assert np.allclose(got, exp, atol=1e-6)

@@ -67,3 +67,11 @@ def test_weighted_squish_min_weight(spark):
     )
     got = sorted(tuple(r) for r in g.edges.select("src", "dst", "weight").collect())
     assert got == [(0, 1, 3), (1, 2, 7)]
+
+
+def test_vertex_universe_from_raw_edges(spark):
+    # FindMaxNodeID runs on the RAW edge list before squish
+    # (builder.h:210): a self-loop at the max id defines the universe.
+    g = LinkGraph.from_pairs(spark, [(5, 5), (3, 3), (0, 1)], persist=False)
+    assert g.num_vertices == 6
+    assert g.num_edges == 1  # only (0,1) survives squish
