@@ -1,0 +1,412 @@
+"""Driver-contract queries: Spark callables + DuckDB oracle SQL twins.
+
+Each query exists twice: an idiomatic-Spark implementation (these are the
+engine's public operators running on an edge table derived
+DETERMINISTICALLY from the driver's testdata parquet) and an ANSI-SQL
+string DuckDB runs on the same parquet views. The driver compares
+row-count + schema + order-insensitive value hash at sf=0.01
+(CORRECTNESS_r{N}.json); tests/test_entry.py runs the same comparison
+locally first.
+
+Derived graphs (identical arithmetic in both languages):
+  raw edges    : src = o_custkey, dst = o_orderkey % |customer|
+  blocked edges: dst confined to src's block of 100 ids (multiple
+                 components — exercises CC/LPA non-trivially)
+  weighted     : weight = 1 + o_orderkey % 7
+
+Floats are rounded (ROUND_RANK decimals) on BOTH sides before hashing —
+double arithmetic is associative-order-dependent and Spark/DuckDB sum in
+different orders; rank magnitudes (~1e-3) make 1e-18 absolute error
+invisible at 6 decimals of rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from graphit_spark.graph import LinkGraph
+
+PR_ITERS = 10
+CC_ROUNDS = 8
+LPA_ROUNDS = 4
+BFS_ROUNDS = 10
+SSSP_ROUNDS = 10
+BLOCK = 100
+ROUND_RANK = 6
+
+_TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _num_customers(spark: SparkSession, sf_dir: str) -> int:
+    return load(spark, sf_dir, "customer").count()
+
+
+def raw_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _num_customers(spark, sf_dir)
+    return load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("src"),
+        (F.col("o_orderkey") % F.lit(c)).alias("dst"),
+    )
+
+
+def blocked_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _num_customers(spark, sf_dir)
+    src = F.col("o_custkey")
+    return load(spark, sf_dir, "orders").select(
+        src.alias("src"),
+        ((src - src % BLOCK + F.col("o_orderkey") % BLOCK) % F.lit(c)).alias("dst"),
+    )
+
+
+def weighted_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _num_customers(spark, sf_dir)
+    return load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("src"),
+        (F.col("o_orderkey") % F.lit(c)).alias("dst"),
+        (F.lit(1) + F.col("o_orderkey") % F.lit(7)).alias("weight"),
+    )
+
+
+def graph(spark: SparkSession, sf_dir: str, variant: str = "raw") -> LinkGraph:
+    builders = {
+        "raw": raw_edges,
+        "blocked": blocked_edges,
+        "weighted": weighted_edges,
+    }
+    return LinkGraph(builders[variant](spark, sf_dir), persist=False)
+
+
+# ---------------------------------------------------------------------------
+# SQL building blocks (DuckDB dialect = plain ANSI here)
+# ---------------------------------------------------------------------------
+
+# Vertex universe [0, max raw id + 1): customer keys are dense [0, C), so
+# filtering them by the raw max reproduces spark.range(max+1) exactly.
+_SQL_COMMON = """
+params AS (SELECT count(*) AS c FROM customer),
+raw AS (SELECT o_custkey AS src, o_orderkey % (SELECT c FROM params) AS dst
+        FROM orders),
+edges AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+nv AS (SELECT max(greatest(src, dst)) + 1 AS n FROM raw),
+verts AS (SELECT c_custkey AS id FROM customer
+          WHERE c_custkey < (SELECT n FROM nv)),
+deg AS (SELECT v.id, CAST(coalesce(d.d, 0) AS BIGINT) AS out_degree
+        FROM verts v LEFT JOIN
+             (SELECT src AS id, count(*) AS d FROM edges GROUP BY src) d
+        USING (id)),
+sym AS (SELECT src, dst FROM edges
+        UNION
+        SELECT dst AS src, src AS dst FROM edges)
+"""
+
+_SQL_BLOCKED = f"""
+params AS (SELECT count(*) AS c FROM customer),
+raw AS (SELECT o_custkey AS src,
+               (o_custkey - o_custkey % {BLOCK} + o_orderkey % {BLOCK})
+                 % (SELECT c FROM params) AS dst
+        FROM orders),
+edges AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+nv AS (SELECT max(greatest(src, dst)) + 1 AS n FROM raw),
+verts AS (SELECT c_custkey AS id FROM customer
+          WHERE c_custkey < (SELECT n FROM nv)),
+sym AS (SELECT src, dst FROM edges
+        UNION
+        SELECT dst AS src, src AS dst FROM edges)
+"""
+
+
+def pagerank_sql(iters: int = PR_ITERS) -> str:
+    ctes = [_SQL_COMMON.strip().rstrip(","),
+            f"r0 AS (SELECT id, 1e0 / (SELECT n FROM nv) AS rank FROM verts)"]
+    for k in range(1, iters + 1):
+        p = f"r{k - 1}"
+        ctes.append(
+            f"""r{k} AS (
+  SELECT v.id,
+         (1e0 - 0.85e0) / (SELECT n FROM nv)
+           + 0.85e0 * coalesce(s.acc, 0e0) AS rank
+  FROM verts v LEFT JOIN (
+    SELECT e.dst AS id, sum(r.rank / d.out_degree) AS acc
+    FROM edges e
+    JOIN {p} r ON e.src = r.id
+    JOIN deg d ON e.src = d.id
+    GROUP BY e.dst
+  ) s USING (id)
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id, round(rank, {ROUND_RANK}) AS rank FROM r{iters} ORDER BY id"
+    )
+
+
+def out_degrees_sql() -> str:
+    return (
+        "WITH " + _SQL_COMMON.strip()
+        + "\nSELECT id, out_degree FROM deg ORDER BY id"
+    )
+
+
+def cc_sql(rounds: int = CC_ROUNDS) -> str:
+    ctes = [_SQL_BLOCKED.strip(),
+            "l0 AS (SELECT id, id AS comp FROM verts)"]
+    for k in range(1, rounds + 1):
+        p = f"l{k - 1}"
+        ctes.append(
+            f"""l{k} AS (
+  SELECT v.id, least(v.comp, coalesce(m.mn, v.comp)) AS comp
+  FROM {p} v LEFT JOIN (
+    SELECT e.dst AS id, min(l.comp) AS mn
+    FROM sym e JOIN {p} l ON e.src = l.id
+    GROUP BY e.dst
+  ) m USING (id)
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id, comp FROM l{rounds} ORDER BY id"
+    )
+
+
+def lpa_sql(rounds: int = LPA_ROUNDS) -> str:
+    ctes = [_SQL_BLOCKED.strip(),
+            "l0 AS (SELECT id, id AS label FROM verts)"]
+    for k in range(1, rounds + 1):
+        p = f"l{k - 1}"
+        ctes.append(
+            f"""l{k} AS (
+  SELECT v.id, coalesce(b.label, v.label) AS label
+  FROM {p} v LEFT JOIN (
+    SELECT id, label FROM (
+      SELECT c.id, c.label,
+             row_number() OVER (PARTITION BY c.id
+                                ORDER BY c.cnt DESC, c.label ASC) AS rn
+      FROM (SELECT e.dst AS id, l.label, count(*) AS cnt
+            FROM sym e JOIN {p} l ON e.src = l.id
+            GROUP BY e.dst, l.label) c
+    ) x WHERE rn = 1
+  ) b USING (id)
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id, label FROM l{rounds} ORDER BY id"
+    )
+
+
+def triangle_count_sql() -> str:
+    return (
+        "WITH " + _SQL_COMMON.strip()
+        + """,
+und AS (SELECT src, dst FROM sym WHERE src < dst)
+SELECT count(*) AS triangles
+FROM und a
+JOIN und b ON a.dst = b.src
+JOIN und c ON a.src = c.src AND b.dst = c.dst"""
+    )
+
+
+def tc_per_vertex_sql() -> str:
+    return (
+        "WITH " + _SQL_COMMON.strip()
+        + """,
+und AS (SELECT src, dst FROM sym WHERE src < dst),
+tris AS (
+  SELECT a.src AS x, a.dst AS y, b.dst AS z
+  FROM und a
+  JOIN und b ON a.dst = b.src
+  JOIN und c ON a.src = c.src AND b.dst = c.dst
+),
+corners AS (
+  SELECT x AS id FROM tris
+  UNION ALL SELECT y FROM tris
+  UNION ALL SELECT z FROM tris
+)
+SELECT v.id, coalesce(t.cnt, 0) AS tri_count
+FROM verts v LEFT JOIN
+     (SELECT id, count(*) AS cnt FROM corners GROUP BY id) t USING (id)
+ORDER BY v.id"""
+    )
+
+
+def bfs_sql(rounds: int = BFS_ROUNDS, source: int = 0) -> str:
+    ctes = [_SQL_COMMON.strip(),
+            f"d0 AS (SELECT id, CASE WHEN id = {source} THEN CAST(0 AS BIGINT) END AS dist FROM verts)"]
+    for k in range(1, rounds + 1):
+        p = f"d{k - 1}"
+        ctes.append(
+            f"""d{k} AS (
+  SELECT v.id, least(v.dist, m.mn) AS dist
+  FROM {p} v LEFT JOIN (
+    SELECT e.dst AS id, min(l.dist) + 1 AS mn
+    FROM edges e JOIN {p} l ON e.src = l.id
+    WHERE l.dist IS NOT NULL
+    GROUP BY e.dst
+  ) m USING (id)
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id, dist FROM d{rounds} ORDER BY id"
+    )
+
+
+def sssp_sql(rounds: int = SSSP_ROUNDS, source: int = 0) -> str:
+    prefix = """
+params AS (SELECT count(*) AS c FROM customer),
+raww AS (SELECT o_custkey AS src, o_orderkey % (SELECT c FROM params) AS dst,
+               1 + o_orderkey % 7 AS w
+        FROM orders),
+wedges AS (SELECT src, dst, min(w) AS w FROM raww WHERE src <> dst
+           GROUP BY src, dst),
+nv AS (SELECT max(greatest(src, dst)) + 1 AS n FROM raww),
+verts AS (SELECT c_custkey AS id FROM customer
+          WHERE c_custkey < (SELECT n FROM nv))
+"""
+    ctes = [prefix.strip(),
+            f"d0 AS (SELECT id, CASE WHEN id = {source} THEN CAST(0 AS BIGINT) END AS dist FROM verts)"]
+    for k in range(1, rounds + 1):
+        p = f"d{k - 1}"
+        ctes.append(
+            f"""d{k} AS (
+  SELECT v.id, least(v.dist, m.mn) AS dist
+  FROM {p} v LEFT JOIN (
+    SELECT e.dst AS id, min(l.dist + e.w) AS mn
+    FROM wedges e JOIN {p} l ON e.src = l.id
+    WHERE l.dist IS NOT NULL
+    GROUP BY e.dst
+  ) m USING (id)
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id, dist FROM d{rounds} ORDER BY id"
+    )
+
+
+def relabel_sql() -> str:
+    return (
+        "WITH " + _SQL_COMMON.strip()
+        + """
+SELECT id, CAST(row_number() OVER (ORDER BY out_degree DESC, id ASC) - 1
+           AS BIGINT) AS new_id
+FROM deg ORDER BY id"""
+    )
+
+
+def adjacency_sql() -> str:
+    return (
+        "WITH " + _SQL_COMMON.strip()
+        + """
+SELECT src, array_to_string(list_sort(list(dst)), ',') AS nbrs_csv
+FROM edges GROUP BY src ORDER BY src"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spark callables (the engine side)
+# ---------------------------------------------------------------------------
+
+
+def q_pagerank(spark, sf_dir):
+    from graphit_spark.kernels import pagerank
+
+    g = graph(spark, sf_dir, "raw")
+    return pagerank(g, max_iters=PR_ITERS).select(
+        "id", F.round("rank", ROUND_RANK).alias("rank")
+    )
+
+
+def q_out_degrees(spark, sf_dir):
+    return graph(spark, sf_dir, "raw").out_degrees()
+
+
+def q_cc(spark, sf_dir):
+    from graphit_spark.kernels import connected_components
+
+    g = graph(spark, sf_dir, "blocked")
+    return connected_components(g)
+
+
+def q_lpa(spark, sf_dir):
+    from graphit_spark.kernels import label_propagation
+
+    g = graph(spark, sf_dir, "blocked")
+    return label_propagation(g, rounds=LPA_ROUNDS)
+
+
+def q_triangle_count(spark, sf_dir):
+    from graphit_spark.kernels import triangle_count
+
+    return triangle_count(graph(spark, sf_dir, "raw"))
+
+
+def q_tc_per_vertex(spark, sf_dir):
+    from graphit_spark.kernels import triangle_count_per_vertex
+
+    return triangle_count_per_vertex(graph(spark, sf_dir, "raw"))
+
+
+def q_bfs(spark, sf_dir):
+    from graphit_spark.kernels import bfs
+
+    return bfs(graph(spark, sf_dir, "raw"), 0, max_iters=BFS_ROUNDS)
+
+
+def q_sssp(spark, sf_dir):
+    from graphit_spark.kernels import sssp
+
+    return sssp(graph(spark, sf_dir, "weighted"), 0, max_iters=SSSP_ROUNDS)
+
+
+def q_relabel(spark, sf_dir):
+    from pyspark.sql import Window
+
+    g = graph(spark, sf_dir, "raw")
+    w = Window.orderBy(F.desc("out_degree"), F.asc("id"))
+    return g.out_degrees().select(
+        "id", (F.row_number().over(w) - 1).cast("long").alias("new_id")
+    )
+
+
+def q_adjacency(spark, sf_dir):
+    g = graph(spark, sf_dir, "raw")
+    return g.adjacency().select(
+        "src",
+        F.array_join(
+            F.transform("nbrs", lambda x: x.cast("string")), ","
+        ).alias("nbrs_csv"),
+    )
+
+
+def q_pagerank_delta(spark, sf_dir):
+    """No SQL oracle (float-threshold frontier pruning) — rows-only check."""
+    from graphit_spark.kernels import pagerank_delta
+
+    g = graph(spark, sf_dir, "raw")
+    return pagerank_delta(g, max_iters=PR_ITERS).select(
+        "id", F.round("rank", 4).alias("rank")
+    )
+
+
+GRAPH_QUERIES: dict[str, tuple] = {
+    # name: (spark_callable, oracle_sql_or_None)
+    "pagerank": (q_pagerank, pagerank_sql()),
+    "out_degrees": (q_out_degrees, out_degrees_sql()),
+    "connected_components": (q_cc, cc_sql()),
+    "label_propagation": (q_lpa, lpa_sql()),
+    "triangle_count": (q_triangle_count, triangle_count_sql()),
+    "triangle_per_vertex": (q_tc_per_vertex, tc_per_vertex_sql()),
+    "bfs": (q_bfs, bfs_sql()),
+    "sssp": (q_sssp, sssp_sql()),
+    "degree_relabel": (q_relabel, relabel_sql()),
+    "adjacency_blocks": (q_adjacency, adjacency_sql()),
+    "pagerank_delta": (q_pagerank_delta, None),
+}

@@ -1,0 +1,80 @@
+"""Local mirror of the driver's CORRECTNESS gate: run every queries()
+entry on Spark AND its oracle_sql() on DuckDB over the same parquet,
+compare row count + column names + (column-name-sorted, row-sorted)
+values exactly. Queries without an oracle get the rows-only check."""
+
+import math
+import os
+import sys
+
+import duckdb
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod
+
+SF_DIR = os.environ.get("ENTRY_TEST_SF", "/root/testdata/sf0.001")
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _duck(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(
+        drop=True
+    )
+
+
+QUERY_NAMES = sorted(entrymod.queries().keys())
+
+
+@pytest.mark.parametrize("name", QUERY_NAMES)
+def test_query_matches_oracle(spark, name):
+    q = entrymod.queries()[name]
+    oracles = entrymod.oracle_sql()
+    sdf = q(spark, SF_DIR)
+    spdf = sdf.toPandas()
+    if name not in oracles:
+        assert len(spdf) >= 0  # rows-only check (driver's weak path)
+        return
+    con = _duck(SF_DIR)
+    opdf = con.execute(oracles[name]).df()
+    assert len(spdf) == len(opdf), f"{name}: rows {len(spdf)} vs {len(opdf)}"
+    assert sorted(spdf.columns) == sorted(opdf.columns), (
+        f"{name}: cols {sorted(spdf.columns)} vs {sorted(opdf.columns)}"
+    )
+    a, b = _normalize(spdf), _normalize(opdf)
+    for c in a.columns:
+        av, bv = a[c].tolist(), b[c].tolist()
+        for i, (x, y) in enumerate(zip(av, bv)):
+            if isinstance(x, float) and isinstance(y, float):
+                if math.isnan(x) and math.isnan(y):
+                    continue
+                assert x == y, f"{name}.{c}[{i}]: {x!r} != {y!r}"
+            else:
+                assert (pd.isna(x) and pd.isna(y)) or x == y, (
+                    f"{name}.{c}[{i}]: {x!r} != {y!r}"
+                )
+
+
+def test_entry_runs(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
+    assert set(df.columns) == {"id", "rank"}
