@@ -1,0 +1,110 @@
+#!/usr/bin/env python
+"""Benchmark harness. Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>, "throughput": {...}}
+
+Inputs: $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) for the
+testdata-derived queries; the headline PageRank runs on a JVM-generated
+synthetic power-law graph (graphit_spark/synth.py) sized by
+$BENCH_SYNTH_V vertices (default 300k → ~5.6M edges), reporting
+edges/sec — the BASELINE.json metric. local[$SPARK_GRAFT_CPUS].
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from graphit_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    synth_v = int(os.environ.get("BENCH_SYNTH_V", "300000"))
+    pr_iters = int(os.environ.get("BENCH_PR_ITERS", "10"))
+
+    spark = get_spark(
+        app_name="graphit-spark-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+
+    from graphit_spark import LinkGraph
+    from graphit_spark.benchqueries import (
+        q_bfs,
+        q_cc,
+        q_lpa,
+        q_pagerank,
+        q_triangle_count,
+    )
+    from graphit_spark.datagen import gen_pages
+    from graphit_spark.extract import pages_to_edges
+    from graphit_spark.kernels import pagerank
+    from graphit_spark.synth import synth_edges
+
+    times: dict[str, float] = {}
+    throughput: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        times[name] = round(time.time() - t0, 3)
+        return out
+
+    # testdata-derived kernel queries (the driver's correctness queries at bench sf)
+    timed("pagerank_sf", lambda: q_pagerank(spark, sf_dir).count())
+    timed("connected_components_sf", lambda: q_cc(spark, sf_dir).count())
+    timed("label_propagation_sf", lambda: q_lpa(spark, sf_dir).count())
+    timed("triangle_count_sf", lambda: q_triangle_count(spark, sf_dir).collect())
+    timed("bfs_sf", lambda: q_bfs(spark, sf_dir).count())
+
+    # ingest throughput: synthetic crawl -> Arrow extraction -> edges
+    n_pages = int(os.environ.get("BENCH_PAGES", "20000"))
+
+    def ingest():
+        pages = gen_pages(spark, n_pages)
+        edges, _ids = pages_to_edges(pages)
+        return edges.count()
+
+    n_links = timed("extract_pages", ingest)
+    throughput["extract_pages_per_sec"] = round(n_pages / times["extract_pages"], 1)
+    throughput["extract_links"] = n_links
+
+    # headline: PageRank on the synthetic power-law graph (BASELINE metric)
+    g = LinkGraph(synth_edges(spark, synth_v), squished=False)
+    num_edges = g.num_edges  # also forces edge materialization + cache
+    t0 = time.time()
+    pagerank(g, max_iters=pr_iters).count()
+    pr_time = time.time() - t0
+    times["pagerank_synth"] = round(pr_time, 3)
+    throughput["pagerank_edges_per_sec"] = round(num_edges * pr_iters / pr_time, 1)
+    throughput["synth_edges"] = num_edges
+    throughput["synth_vertices"] = synth_v
+    throughput["pr_iters"] = pr_iters
+
+    total = round(sum(times.values()), 3)
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "graphit_spark_bench_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "cpus": cpus,
+                "throughput": throughput,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,179 @@
+"""Deduplication operators for training-data pipelines.
+
+Four families, all shuffle-aware and UDF-free (native expressions only,
+so they survive crawl scale inside whole-stage codegen):
+
+- exact:   hash-groupBy on the text bytes (md5) — one shuffle of
+           (hash, doc_id), dup groups are tiny.
+- minhash: char-shingles → k permutation-hashes → min per doc → LSH
+           banding → bucket join. The shingle explosion is the big
+           intermediate; it is generated and partially aggregated in the
+           same stage (groupBy doc_id), so the shuffle carries only
+           (doc_id, k mins).
+- simhash: 16-bit sign-aggregated token-hash fingerprint; near-dups
+           share the fingerprint (or differ by few bits).
+- ngram-jaccard: exact pairwise similarity over shingle sets; quadratic,
+           so use it only on LSH candidate pairs (or tiny corpora).
+
+Hash parity contract with the DuckDB oracles (textqueries.py): the base
+string hash is the first 8 hex digits of md5, read as an integer —
+Spark `conv(substr(md5(x),1,8),16,10)` == DuckDB
+`('0x'||substr(md5(x),1,8))::BIGINT`. Permutations are
+(A_t * h + B_t) mod MERSENNE31.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+MERSENNE31 = (1 << 31) - 1
+# deterministic permutation constants (t-th minhash): odd multipliers
+MINHASH_A = [1299721, 15485863, 32452843, 49979687, 67867967, 86028121]
+MINHASH_B = [7, 101, 997, 10007, 100003, 1000003]
+SHINGLE_LEN = 8
+SHINGLE_STRIDE = 4
+
+
+def md5_int(col: Column) -> Column:
+    """First 32 bits of md5 as a non-negative BIGINT (parity with the
+    SQL oracle twin)."""
+    return F.conv(F.substring(F.md5(col.cast("binary")), 1, 8), 16, 10).cast(
+        "long"
+    )
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(text_hash, copies, canonical_id) per distinct text; canonical =
+    min doc_id. The groupBy shuffles one short row per document."""
+    return (
+        df.select(F.md5(F.col(text_col).cast("binary")).alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(
+            F.count("*").alias("copies"),
+            F.min("doc_id").alias("canonical_id"),
+        )
+    )
+
+
+def _shingles(df: DataFrame, text_col: str) -> DataFrame:
+    """(doc_id, shingle): char n-grams, stride SHINGLE_STRIDE, from the
+    lower-trimmed text; empty/short docs get the whole text as the one
+    shingle. posexplode over a sequence keeps this JVM-side."""
+    t = F.lower(F.trim(F.col(text_col)))
+    n = F.greatest(
+        F.floor((F.length(t) - F.lit(SHINGLE_LEN)) / F.lit(SHINGLE_STRIDE))
+        .cast("long") + 1,
+        F.lit(1),
+    )
+    return (
+        df.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), n - 1)).alias("k"),
+            t.alias("__t"),
+        )
+        .select(
+            "doc_id",
+            F.substring(
+                F.col("__t"),
+                (F.col("k") * SHINGLE_STRIDE + 1).cast("int"),
+                SHINGLE_LEN,
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", k: int = 4
+) -> DataFrame:
+    """(doc_id, mh_0..mh_{k-1}): min over shingles of k permutation
+    hashes. One wide aggregation — the shingle blow-up never shuffles raw."""
+    sh = _shingles(df, text_col)
+    h = md5_int(F.col("shingle"))
+    aggs = [
+        F.min(
+            F.pmod(F.lit(MINHASH_A[t]) * F.pmod(h, F.lit(MERSENNE31)) + F.lit(MINHASH_B[t]), F.lit(MERSENNE31))
+        ).alias(f"mh_{t}")
+        for t in range(k)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    df: DataFrame, text_col: str = "text", k: int = 4, rows_per_band: int = 2
+) -> DataFrame:
+    """(doc_a, doc_b) candidate near-dup pairs: documents sharing any
+    LSH band (band = md5 of rows_per_band concatenated minhashes).
+    Bucket join, doc_a < doc_b, distinct."""
+    sig = minhash_signatures(df, text_col, k)
+    n_bands = k // rows_per_band
+    bands = []
+    for b in range(n_bands):
+        cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        key = F.md5(F.concat_ws("_", *[c.cast("string") for c in cols]).cast("binary"))
+        bands.append(sig.select("doc_id", F.lit(b).alias("band"), key.alias("bkey")))
+    allb = bands[0]
+    for b in bands[1:]:
+        allb = allb.unionByName(b)
+    left = allb.select("band", "bkey", F.col("doc_id").alias("doc_a"))
+    right = allb.select("band", "bkey", F.col("doc_id").alias("doc_b"))
+    return (
+        left.join(right, ["band", "bkey"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, text_col: str = "text", max_doc_id: int | None = None
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard) over distinct char-shingle sets — exact,
+    quadratic; restrict with max_doc_id or feed LSH candidates."""
+    d = df if max_doc_id is None else df.filter(F.col("doc_id") < max_doc_id)
+    sh = _shingles(d, text_col)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a")
+                   .withColumnRenamed("n", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("n", "nb"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6
+            ).alias("jaccard"),
+        )
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", bits: int = 16) -> DataFrame:
+    """(doc_id, simhash): sign-aggregated token-hash fingerprint.
+    bit b of the fingerprint = 1 iff sum over distinct tokens of
+    (2*bit_b(token_hash) - 1) > 0. Near-duplicate docs agree on most bits."""
+    toks = df.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
+    ).filter(F.length("tok") > 0).distinct()
+    h = md5_int(F.col("tok"))
+    votes = [
+        F.sum(
+            (F.floor(h / F.lit(1 << b)) % 2 * 2 - 1)
+        ).alias(f"v_{b}")
+        for b in range(bits)
+    ]
+    agg = toks.groupBy("doc_id").agg(*votes)
+    sh = None
+    for b in range(bits):
+        bit = F.when(F.col(f"v_{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sh = bit if sh is None else sh + bit
+    return agg.select("doc_id", sh.cast("long").alias("simhash"))

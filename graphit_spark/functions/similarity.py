@@ -1,0 +1,133 @@
+"""Similarity search over an embedding column (array<float>).
+
+- brute_force_topk: exact cosine top-k per query — the correctness
+  baseline. Dot products run JVM-side via F.aggregate/zip_with (no
+  Python). Quadratic in candidates: right for |queries| × |corpus| that
+  fits a shuffle, i.e. re-ranking and evaluation, not the full crawl.
+- lsh_topk: the scale path — random-hyperplane LSH buckets (signs of
+  dot(v, h_i) for fixed deterministic hyperplanes), candidates =
+  same-bucket rows, exact cosine re-rank inside the bucket. Buckets cap
+  the join fan-out, so the plan is bucket-join + per-bucket top-k
+  instead of a cross join.
+
+All arithmetic in double; scores rounded for oracle comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+ROUND_SCORE = 4
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, vec_id, score) — exact top-k by cosine; deterministic
+    order (rounded score desc, vec_id asc); self-matches excluded."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = embeddings.select(id_col, F.col(vec_col).alias("cv"))
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col(id_col))
+        .select(
+            "query_id",
+            id_col,
+            F.round(cosine(F.col("qv"), F.col("cv")), ROUND_SCORE).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", id_col, "score")
+    )
+
+
+# deterministic pseudo-random hyperplanes: component j of plane i is
+# ((A*(i*DIM+j)+B) % 1000003) / 1000003 - 0.5  (same formula usable in SQL)
+_A, _B, _P = 2654435761, 1013904223, 1_000_003
+
+
+def _hyperplane(i: int, dim: int) -> list[float]:
+    return [
+        ((_A * (i * dim + j) + _B) % _P) / _P - 0.5 for j in range(dim)
+    ]
+
+
+def lsh_bucket(vec: Column, dim: int, n_planes: int = 8) -> Column:
+    """Random-hyperplane signature: bit i = sign(dot(v, plane_i))."""
+    sig = F.lit(0)
+    for i in range(n_planes):
+        plane = F.array(*[F.lit(x) for x in _hyperplane(i, dim)])
+        bit = F.when(_dot(vec, plane) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sig = sig + bit
+    return sig.cast("int")
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's LSH bucket; exact
+    cosine re-rank within bucket. Recall < 1 by design; scale path."""
+    emb_b = embeddings.select(
+        id_col,
+        F.col(vec_col).alias("cv"),
+        lsh_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
+    )
+    q_b = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        lsh_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
+    )
+    scored = (
+        q_b.join(emb_b, "bucket")
+        .filter(F.col("query_id") != F.col(id_col))
+        .select(
+            "query_id",
+            id_col,
+            F.round(cosine(F.col("qv"), F.col("cv")), ROUND_SCORE).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", id_col, "score")
+    )

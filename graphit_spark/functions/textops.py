@@ -1,0 +1,104 @@
+"""Text-analysis operators for a training-data pipeline, JVM-side only.
+
+Everything here is built from native Column expressions (no Python UDFs)
+so the hot path stays inside whole-stage codegen — these run over the
+document corpus at crawl scale. The reference DSL has no string surface
+at all (SURVEY.md §2.7); these extend the engine for webtext payloads.
+
+Every function has an exactly-equivalent ANSI-SQL twin in
+graphit_spark/textqueries.py (the DuckDB oracle); keep them in lockstep.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# language-ID marker substrings: (lang, [markers]) — order = tie-break
+# priority (first wins on equal score). Pure substring counting, so the
+# SQL twin is exact.
+LANG_MARKERS: list[tuple[str, list[str]]] = [
+    ("en", [" the ", " and ", " of "]),
+    ("de", [" der ", " und ", " die "]),
+    ("es", [" el ", " que ", " los "]),
+    ("fr", [" le ", " et ", " les "]),
+    ("ja", ["。", "の"]),
+]
+
+
+def _occurrences(s: Column, needle: str) -> Column:
+    """Non-overlapping occurrence count of a literal substring."""
+    return (
+        (F.length(s) - F.length(F.replace(s, F.lit(needle), F.lit(""))))
+        / len(needle)
+    ).cast("long")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (empty/blank text counts 1 — the split
+    contract shared with the SQL twin)."""
+    return F.size(F.split(F.trim(text), r"\s+")).cast("long")
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality scoring: length, token count, alpha ratio,
+    punctuation density, mean token length. All integer/rounded-double."""
+    t = F.col(text_col)
+    n_chars = F.length(t).cast("long")
+    alpha = F.length(F.regexp_replace(t, "[^a-zA-Z]", "")).cast("long")
+    punct = (
+        _occurrences(t, ".") + _occurrences(t, ",") + _occurrences(t, "!")
+        + _occurrences(t, "?")
+    )
+    toks = token_count(t)
+    return df.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        toks.alias("n_tokens"),
+        F.round(alpha / F.greatest(n_chars, F.lit(1)), 6).alias("alpha_ratio"),
+        F.round(punct / F.greatest(toks, F.lit(1)), 6).alias("punct_per_token"),
+        F.round(n_chars / F.greatest(toks, F.lit(1)), 6).alias("mean_token_len"),
+    )
+
+
+def lang_scores(text: Column) -> list[tuple[str, Column]]:
+    low = F.lower(text)
+    out = []
+    for lang, markers in LANG_MARKERS:
+        score = None
+        for m in markers:
+            c = _occurrences(low, m)
+            score = c if score is None else score + c
+        out.append((lang, score))
+    return out
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """n-gram-marker language guess: argmax marker count, ties resolved
+    by LANG_MARKERS order; 'und' (undetermined) when all scores are 0."""
+    scores = lang_scores(F.col(text_col))
+    # build the argmax as a when-chain: lang_i wins if its score is
+    # strictly greater than every earlier lang and >= every later one.
+    best_lang = F.lit("und")
+    best_score = F.lit(0).cast("long")
+    # fold right-to-left so earlier langs win ties
+    for lang, score in reversed(scores):
+        beats = score >= best_score if lang != scores[-1][0] else score > F.lit(0)
+        best_lang = F.when((score > F.lit(0)) & (score >= best_score), F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(score >= best_score, score).otherwise(best_score)
+    return df.select("doc_id", best_lang.alias("lang_guess"))
+
+
+def fingerprint(text: Column, bits_hex: int = 15) -> Column:
+    """Deterministic 60-bit document fingerprint: md5 of the
+    lower-trimmed text, first 15 hex digits as a BIGINT. Used for exact
+    near-canonical dedup keys; the SQL twin is
+    ('0x' || substr(md5(...),1,15))::BIGINT."""
+    return F.conv(
+        F.substring(F.md5(F.lower(F.trim(text)).cast("binary")), 1, bits_hex),
+        16,
+        10,
+    ).cast("long")
+
+
+def fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.select("doc_id", fingerprint(F.col(text_col)).alias("fp"))

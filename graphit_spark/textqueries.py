@@ -1,0 +1,342 @@
+"""Training-data-pipeline queries over documents/embeddings/events, with
+DuckDB oracle twins (same contract as benchqueries.GRAPH_QUERIES).
+
+Hash parity: Spark conv(substr(md5(x),1,N),16,10) == DuckDB
+('0x'||substr(md5(x),1,N))::BIGINT. Integer arithmetic only inside the
+minhash/simhash pipelines; doubles are rounded before comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from graphit_spark.benchqueries import load
+from graphit_spark.functions import dedup as D
+from graphit_spark.functions import similarity as S
+from graphit_spark.functions import textops as T
+
+MINHASH_K = 4
+JACCARD_MAX_DOC = 40
+TOPK_QUERIES = 5
+TOPK_K = 10
+EMB_DIM = 64  # validated at runtime
+
+
+# ---------------------------------------------------------------------------
+# Spark callables
+# ---------------------------------------------------------------------------
+
+
+def q_token_counts(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.token_count(F.col("text")).alias("n_tokens"))
+
+
+def q_quality(spark, sf_dir):
+    return T.quality_features(load(spark, sf_dir, "documents"))
+
+
+def q_lang_id(spark, sf_dir):
+    return T.lang_id(load(spark, sf_dir, "documents"))
+
+
+def q_fingerprints(spark, sf_dir):
+    return T.fingerprints(load(spark, sf_dir, "documents"))
+
+
+def q_exact_dedup(spark, sf_dir):
+    return D.exact_duplicates(load(spark, sf_dir, "documents"))
+
+
+def q_minhash(spark, sf_dir):
+    return D.minhash_signatures(load(spark, sf_dir, "documents"), k=MINHASH_K)
+
+
+def q_lsh_pairs(spark, sf_dir):
+    return D.lsh_candidate_pairs(load(spark, sf_dir, "documents"), k=MINHASH_K)
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    return D.ngram_jaccard_pairs(
+        load(spark, sf_dir, "documents"), max_doc_id=JACCARD_MAX_DOC
+    )
+
+
+def q_simhash(spark, sf_dir):
+    return D.simhash(load(spark, sf_dir, "documents"))
+
+
+def q_cosine_topk(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < TOPK_QUERIES)
+    return S.brute_force_topk(emb, queries, k=TOPK_K)
+
+
+def q_lsh_topk(spark, sf_dir):
+    """ANN variant — approximate by design, rows-only check (no oracle)."""
+    emb = load(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    queries = emb.filter(F.col("vec_id") < TOPK_QUERIES)
+    return S.lsh_topk(emb, queries, dim=dim, k=TOPK_K)
+
+
+def q_events_hourly(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_value")
+    )
+
+
+def q_events_sessions(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ: no direct double cast; go through timestamp
+    # (session TZ pinned to UTC, so this matches DuckDB's epoch())
+    sec = F.col("ts").cast("timestamp").cast("double")
+    gap = sec - F.lag(sec).over(w)
+    brk = F.when(gap.isNull() | (gap > 1800.0), 1).otherwise(0)
+    marked = ev.select("user_id", "ts", "event_id", brk.alias("brk"))
+    wc = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sess = marked.withColumn("session_id", F.sum("brk").over(wc))
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"), F.min("ts").alias("start_ts")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SQL twins
+# ---------------------------------------------------------------------------
+
+SQL_TOKEN_COUNTS = r"""
+SELECT doc_id,
+       CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+FROM documents ORDER BY doc_id
+"""
+
+
+def _occ_sql(expr: str, needle: str) -> str:
+    esc = needle.replace("'", "''")
+    return (
+        f"CAST((length({expr}) - length(replace({expr}, '{esc}', ''))) "
+        f"/ {len(needle)} AS BIGINT)"
+    )
+
+
+SQL_QUALITY = f"""
+WITH base AS (
+  SELECT doc_id, text,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+         CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS alpha,
+         {_occ_sql('text', '.')} + {_occ_sql('text', ',')}
+           + {_occ_sql('text', '!')} + {_occ_sql('text', '?')} AS punct
+  FROM documents
+)
+SELECT doc_id, n_chars, n_tokens,
+       round(alpha * 1e0 / greatest(n_chars, 1), 6) AS alpha_ratio,
+       round(punct * 1e0 / greatest(n_tokens, 1), 6) AS punct_per_token,
+       round(n_chars * 1e0 / greatest(n_tokens, 1), 6) AS mean_token_len
+FROM base ORDER BY doc_id
+"""
+
+
+def _lang_sql() -> str:
+    score_cols = []
+    for lang, markers in T.LANG_MARKERS:
+        parts = [_occ_sql("lower(text)", m) for m in markers]
+        score_cols.append(f"({' + '.join(parts)}) AS s_{lang}")
+    langs = [lang for lang, _ in T.LANG_MARKERS]
+    m = "greatest(" + ", ".join(f"s_{l}" for l in langs) + ")"
+    case = f"CASE WHEN {m} = 0 THEN 'und' "
+    for l in langs:
+        case += f"WHEN s_{l} = {m} THEN '{l}' "
+    case += "END"
+    return f"""
+WITH sc AS (SELECT doc_id, {', '.join(score_cols)} FROM documents)
+SELECT doc_id, {case} AS lang_guess FROM sc ORDER BY doc_id
+"""
+
+
+SQL_FINGERPRINTS = """
+SELECT doc_id,
+       CAST(('0x' || substr(md5(lower(trim(text))), 1, 15)) AS BIGINT) AS fp
+FROM documents ORDER BY doc_id
+"""
+
+SQL_EXACT_DEDUP = """
+SELECT md5(text) AS text_hash, count(*) AS copies,
+       min(doc_id) AS canonical_id
+FROM documents GROUP BY md5(text) ORDER BY text_hash
+"""
+
+_SQL_SHINGLES = f"""
+sh AS (
+  SELECT DISTINCT d.doc_id,
+         substr(lower(trim(d.text)),
+                CAST(g.k * {D.SHINGLE_STRIDE} + 1 AS INT),
+                {D.SHINGLE_LEN}) AS shingle
+  FROM documents d,
+       LATERAL (
+         SELECT unnest(range(0,
+           greatest(CAST((length(lower(trim(d.text))) - {D.SHINGLE_LEN}) AS BIGINT)
+                      // {D.SHINGLE_STRIDE} + 1, 1))) AS k
+       ) g
+),
+hashed AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(shingle), 1, 8))::BIGINT % {D.MERSENNE31} AS h
+  FROM sh
+)
+"""
+
+
+def _minhash_sql(k: int = MINHASH_K) -> str:
+    mins = ", ".join(
+        f"min(({D.MINHASH_A[t]} * h + {D.MINHASH_B[t]}) % {D.MERSENNE31}) AS mh_{t}"
+        for t in range(k)
+    )
+    return (
+        "WITH " + _SQL_SHINGLES
+        + f"\nSELECT doc_id, {mins} FROM hashed GROUP BY doc_id ORDER BY doc_id"
+    )
+
+
+def _lsh_pairs_sql(k: int = MINHASH_K, rows_per_band: int = 2) -> str:
+    mins = ", ".join(
+        f"min(({D.MINHASH_A[t]} * h + {D.MINHASH_B[t]}) % {D.MERSENNE31}) AS mh_{t}"
+        for t in range(k)
+    )
+    n_bands = k // rows_per_band
+    band_selects = []
+    for b in range(n_bands):
+        cols = [f"mh_{b * rows_per_band + r}" for r in range(rows_per_band)]
+        key = "md5(" + " || '_' || ".join(f"CAST({c} AS VARCHAR)" for c in cols) + ")"
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, {key} AS bkey FROM sig"
+        )
+    return (
+        "WITH " + _SQL_SHINGLES
+        + f""",
+sig AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id),
+bands AS ({' UNION ALL '.join(band_selects)})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+WHERE a.doc_id < b.doc_id
+ORDER BY doc_a, doc_b"""
+    )
+
+
+def _jaccard_sql(max_doc: int = JACCARD_MAX_DOC) -> str:
+    return (
+        "WITH "
+        + _SQL_SHINGLES.replace("FROM documents d,", f"FROM (SELECT * FROM documents WHERE doc_id < {max_doc}) d,")
+        + """,
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.doc_a, i.doc_b,
+       round(i.i * 1e0 / (sa.n + sb.n - i.i), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON i.doc_a = sa.doc_id
+JOIN sizes sb ON i.doc_b = sb.doc_id
+ORDER BY doc_a, doc_b"""
+    )
+
+
+def _simhash_sql(bits: int = 16) -> str:
+    votes = ", ".join(
+        f"sum((h // {1 << b}) % 2 * 2 - 1) AS v_{b}" for b in range(bits)
+    )
+    fp = " + ".join(
+        f"CASE WHEN v_{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(bits)
+    )
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT d.doc_id, t.tok
+  FROM documents d,
+       LATERAL (SELECT unnest(string_split_regex(lower(trim(d.text)), '\\s+')) AS tok) t
+  WHERE length(t.tok) > 0
+),
+hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM toks
+),
+agg AS (SELECT doc_id, {votes} FROM hashed GROUP BY doc_id)
+SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM agg ORDER BY doc_id
+"""
+
+
+SQL_COSINE_TOPK = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < {TOPK_QUERIES}
+),
+c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+scored AS (
+  SELECT q.query_id, c.vec_id,
+         round(list_dot_product(q.qv, c.cv)
+               / (sqrt(list_dot_product(q.qv, q.qv))
+                  * sqrt(list_dot_product(c.cv, c.cv))), {S.ROUND_SCORE}) AS score
+  FROM q CROSS JOIN c WHERE q.query_id <> c.vec_id
+),
+ranked AS (
+  SELECT query_id, vec_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, vec_id ASC) AS rn
+  FROM scored
+)
+SELECT query_id, vec_id, score FROM ranked WHERE rn <= {TOPK_K}
+ORDER BY query_id, vec_id
+"""
+
+SQL_EVENTS_HOURLY = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS n, round(sum(value), 6) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+SQL_EVENTS_SESSIONS = """
+WITH marked AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(epoch(ts)) OVER w IS NULL
+                   OR epoch(ts) - lag(epoch(ts)) OVER w > 1800.0
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+)
+SELECT user_id, session_id, count(*) AS n_events, min(ts) AS start_ts
+FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id
+"""
+
+
+TEXT_QUERIES: dict[str, tuple] = {
+    "doc_token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
+    "doc_quality": (q_quality, SQL_QUALITY),
+    "doc_lang_id": (q_lang_id, _lang_sql()),
+    "doc_fingerprints": (q_fingerprints, SQL_FINGERPRINTS),
+    "dedup_exact": (q_exact_dedup, SQL_EXACT_DEDUP),
+    "dedup_minhash": (q_minhash, _minhash_sql()),
+    "dedup_lsh_pairs": (q_lsh_pairs, _lsh_pairs_sql()),
+    "dedup_ngram_jaccard": (q_ngram_jaccard, _jaccard_sql()),
+    "dedup_simhash": (q_simhash, _simhash_sql()),
+    "sim_cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
+    "sim_lsh_topk": (q_lsh_topk, None),
+    "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
+    "events_sessions": (q_events_sessions, SQL_EVENTS_SESSIONS),
+}
