@@ -75,12 +75,22 @@ def pagerank(
     if use_adjacency:
         adj = graph.adjacency()
 
+    # Join-strategy choice for edges ⋈ contrib (the GraphIt "schedule"):
+    # small vertex sets broadcast cheaply; big ones must NOT broadcast —
+    # broadcast build is single-threaded driver work and is the one
+    # non-scaling component (measured; see BENCH/BASELINE.md). Merge join
+    # lets the cached, pre-partitioned edge side stream.
+    big_v = graph.num_vertices > 500_000
+    prev_ck: DataFrame | None = state
+
     for i in range(start_iter, max_iters):
         t0 = time.time()
         contrib_state = state.filter(F.col("out_degree") > 0).select(
             F.col("id").alias("src"),
             (F.col("rank") / F.col("out_degree")).alias("contrib"),
         )
+        if big_v:
+            contrib_state = contrib_state.hint("merge")
         if use_adjacency:
             # CSR-like scatter: join V-sized blocks, explode neighbors.
             sums = (
@@ -114,6 +124,11 @@ def pagerank(
             ).collect()[0]["e"]
         else:
             err = None
+        # the superseded checkpoint's blocks are dead — release them so
+        # long runs don't accumulate V-sized cached RDDs
+        if prev_ck is not None:
+            prev_ck.unpersist()
+        prev_ck = new_state
         state = new_state.select("id", "out_degree", "rank")
         if store is not None:
             state = store.write(
