@@ -28,11 +28,17 @@ def main() -> None:
     synth_v = int(os.environ.get("BENCH_SYNTH_V", "300000"))
     pr_iters = int(os.environ.get("BENCH_PR_ITERS", "10"))
 
+    # tmpfs shuffle dirs: the sandbox block device stalls under shuffle
+    # I/O (cluster analogue: local NVMe shuffle volumes)
+    local_dir = os.environ.get("SPARK_LOCAL_DIRS", "/dev/shm/graphit-bench")
     spark = get_spark(
         app_name="graphit-spark-bench",
         master=f"local[{cpus}]",
         shuffle_partitions=cpus,
-        extra_conf={"spark.ui.showConsoleProgress": "false"},
+        extra_conf={
+            "spark.ui.showConsoleProgress": "false",
+            "spark.local.dir": local_dir,
+        },
     )
 
     from graphit_spark import LinkGraph

@@ -91,32 +91,32 @@ def graph(spark: SparkSession, sf_dir: str, variant: str = "raw") -> LinkGraph:
 # filtering them by the raw max reproduces spark.range(max+1) exactly.
 _SQL_COMMON = """
 params AS (SELECT count(*) AS c FROM customer),
-raw AS (SELECT o_custkey AS src, o_orderkey % (SELECT c FROM params) AS dst
+raw AS MATERIALIZED (SELECT o_custkey AS src, o_orderkey % (SELECT c FROM params) AS dst
         FROM orders),
-edges AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
-nv AS (SELECT max(greatest(src, dst)) + 1 AS n FROM raw),
-verts AS (SELECT c_custkey AS id FROM customer
+edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+nv AS MATERIALIZED (SELECT max(greatest(src, dst)) + 1 AS n FROM raw),
+verts AS MATERIALIZED (SELECT c_custkey AS id FROM customer
           WHERE c_custkey < (SELECT n FROM nv)),
-deg AS (SELECT v.id, CAST(coalesce(d.d, 0) AS BIGINT) AS out_degree
+deg AS MATERIALIZED (SELECT v.id, CAST(coalesce(d.d, 0) AS BIGINT) AS out_degree
         FROM verts v LEFT JOIN
              (SELECT src AS id, count(*) AS d FROM edges GROUP BY src) d
         USING (id)),
-sym AS (SELECT src, dst FROM edges
+sym AS MATERIALIZED (SELECT src, dst FROM edges
         UNION
         SELECT dst AS src, src AS dst FROM edges)
 """
 
 _SQL_BLOCKED = f"""
 params AS (SELECT count(*) AS c FROM customer),
-raw AS (SELECT o_custkey AS src,
+raw AS MATERIALIZED (SELECT o_custkey AS src,
                (o_custkey - o_custkey % {BLOCK} + o_orderkey % {BLOCK})
                  % (SELECT c FROM params) AS dst
         FROM orders),
-edges AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
-nv AS (SELECT max(greatest(src, dst)) + 1 AS n FROM raw),
-verts AS (SELECT c_custkey AS id FROM customer
+edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+nv AS MATERIALIZED (SELECT max(greatest(src, dst)) + 1 AS n FROM raw),
+verts AS MATERIALIZED (SELECT c_custkey AS id FROM customer
           WHERE c_custkey < (SELECT n FROM nv)),
-sym AS (SELECT src, dst FROM edges
+sym AS MATERIALIZED (SELECT src, dst FROM edges
         UNION
         SELECT dst AS src, src AS dst FROM edges)
 """
@@ -261,13 +261,13 @@ def bfs_sql(rounds: int = BFS_ROUNDS, source: int = 0) -> str:
 def sssp_sql(rounds: int = SSSP_ROUNDS, source: int = 0) -> str:
     prefix = """
 params AS (SELECT count(*) AS c FROM customer),
-raww AS (SELECT o_custkey AS src, o_orderkey % (SELECT c FROM params) AS dst,
+raww AS MATERIALIZED (SELECT o_custkey AS src, o_orderkey % (SELECT c FROM params) AS dst,
                1 + o_orderkey % 7 AS w
         FROM orders),
-wedges AS (SELECT src, dst, min(w) AS w FROM raww WHERE src <> dst
+wedges AS MATERIALIZED (SELECT src, dst, min(w) AS w FROM raww WHERE src <> dst
            GROUP BY src, dst),
-nv AS (SELECT max(greatest(src, dst)) + 1 AS n FROM raww),
-verts AS (SELECT c_custkey AS id FROM customer
+nv AS MATERIALIZED (SELECT max(greatest(src, dst)) + 1 AS n FROM raww),
+verts AS MATERIALIZED (SELECT c_custkey AS id FROM customer
           WHERE c_custkey < (SELECT n FROM nv))
 """
     ctes = [prefix.strip(),
@@ -386,6 +386,35 @@ def q_adjacency(spark, sf_dir):
     )
 
 
+KCORE_K = 15
+KCORE_ROUNDS = 12
+
+
+def kcore_sql(k: int = KCORE_K, rounds: int = KCORE_ROUNDS) -> str:
+    ctes = [_SQL_COMMON.strip(),
+            "k0 AS (SELECT id FROM verts)"]
+    for r in range(1, rounds + 1):
+        p = f"k{r - 1}"
+        ctes.append(
+            f"""k{r} AS (
+  SELECT d.id FROM (
+    SELECT e.src AS id, count(*) AS d
+    FROM sym e
+    JOIN {p} a ON e.src = a.id
+    JOIN {p} b ON e.dst = b.id
+    GROUP BY e.src
+  ) d WHERE d.d >= {k}
+)"""
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT id FROM k{rounds} ORDER BY id"
+
+
+def q_kcore(spark, sf_dir):
+    from graphit_spark.kernels import k_core
+
+    return k_core(graph(spark, sf_dir, "raw"), KCORE_K)
+
+
 def q_pagerank_delta(spark, sf_dir):
     """No SQL oracle (float-threshold frontier pruning) — rows-only check."""
     from graphit_spark.kernels import pagerank_delta
@@ -409,4 +438,5 @@ GRAPH_QUERIES: dict[str, tuple] = {
     "degree_relabel": (q_relabel, relabel_sql()),
     "adjacency_blocks": (q_adjacency, adjacency_sql()),
     "pagerank_delta": (q_pagerank_delta, None),
+    "k_core": (q_kcore, kcore_sql()),
 }

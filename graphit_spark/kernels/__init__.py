@@ -3,8 +3,10 @@ from graphit_spark.kernels.components import connected_components
 from graphit_spark.kernels.labelprop import label_propagation
 from graphit_spark.kernels.triangles import triangle_count, triangle_count_per_vertex
 from graphit_spark.kernels.paths import bfs, sssp
+from graphit_spark.kernels.kcore import k_core
 
 __all__ = [
+    "k_core",
     "pagerank",
     "pagerank_delta",
     "connected_components",

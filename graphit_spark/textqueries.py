@@ -178,7 +178,7 @@ FROM documents GROUP BY md5(text) ORDER BY text_hash
 """
 
 _SQL_SHINGLES = f"""
-sh AS (
+sh AS MATERIALIZED (
   SELECT DISTINCT d.doc_id,
          substr(lower(trim(d.text)),
                 CAST(g.k * {D.SHINGLE_STRIDE} + 1 AS INT),
@@ -190,7 +190,7 @@ sh AS (
                       // {D.SHINGLE_STRIDE} + 1, 1))) AS k
        ) g
 ),
-hashed AS (
+hashed AS MATERIALIZED (
   SELECT doc_id,
          ('0x' || substr(md5(shingle), 1, 8))::BIGINT % {D.MERSENNE31} AS h
   FROM sh
@@ -225,7 +225,7 @@ def _lsh_pairs_sql(k: int = MINHASH_K, rows_per_band: int = 2) -> str:
     return (
         "WITH " + _SQL_SHINGLES
         + f""",
-sig AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id),
+sig AS MATERIALIZED (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id),
 bands AS ({' UNION ALL '.join(band_selects)})
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
@@ -262,16 +262,16 @@ def _simhash_sql(bits: int = 16) -> str:
         f"CASE WHEN v_{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(bits)
     )
     return f"""
-WITH toks AS (
+WITH toks AS MATERIALIZED (
   SELECT DISTINCT d.doc_id, t.tok
   FROM documents d,
        LATERAL (SELECT unnest(string_split_regex(lower(trim(d.text)), '\\s+')) AS tok) t
   WHERE length(t.tok) > 0
 ),
-hashed AS (
+hashed AS MATERIALIZED (
   SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM toks
 ),
-agg AS (SELECT doc_id, {votes} FROM hashed GROUP BY doc_id)
+agg AS MATERIALIZED (SELECT doc_id, {votes} FROM hashed GROUP BY doc_id)
 SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM agg ORDER BY doc_id
 """
 

@@ -1,0 +1,115 @@
+#!/usr/bin/env python
+"""spark-submit entry point: run a kernel over an edge/pages table.
+
+Cluster usage (the north-rule submission path):
+    python jobs/package.py                       # builds dist/graphit_spark.zip
+    spark-submit --py-files dist/graphit_spark.zip \\
+        jobs/run_kernel.py --kernel pagerank \\
+        --edges s3://bucket/edges/ --output s3://bucket/ranks/ \\
+        --snapshots s3://bucket/snapshots/ --resume
+
+Local smoke:
+    python jobs/run_kernel.py --kernel pagerank --synth-vertices 100000 \\
+        --output /tmp/ranks
+
+Inputs: --edges (parquet with src,dst[,weight]) or --pages (parquet with
+url,warc_ts,html,text,lang — extracted first), or --synth-vertices.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--kernel", required=True,
+                   choices=["pagerank", "pagerank_delta", "cc", "lpa",
+                            "triangle_count", "bfs", "sssp"])
+    p.add_argument("--edges", help="parquet edge table (src,dst[,weight])")
+    p.add_argument("--pages", help="parquet pages table (extracted first)")
+    p.add_argument("--synth-vertices", type=int, help="synthetic graph size")
+    p.add_argument("--output", required=True)
+    p.add_argument("--snapshots", help="SnapshotStore root for checkpoints")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--max-iters", type=int, default=20)
+    p.add_argument("--tol", type=float, default=None)
+    p.add_argument("--source", type=int, default=0, help="bfs/sssp source")
+    p.add_argument("--rounds", type=int, default=5, help="lpa rounds")
+    args = p.parse_args()
+
+    from graphit_spark import LinkGraph, SnapshotStore
+    from graphit_spark.session import get_spark
+
+    spark = get_spark(app_name=f"graphit-{args.kernel}")
+
+    if args.pages:
+        from graphit_spark.extract import pages_to_edges
+
+        edges, url_ids = pages_to_edges(spark.read.parquet(args.pages))
+        url_ids.write.mode("overwrite").parquet(args.output + "_url_ids")
+    elif args.edges:
+        edges = spark.read.parquet(args.edges)
+    elif args.synth_vertices:
+        from graphit_spark.synth import synth_edges
+
+        edges = synth_edges(spark, args.synth_vertices)
+    else:
+        p.error("one of --edges/--pages/--synth-vertices required")
+
+    g = LinkGraph(edges)
+    store = (
+        SnapshotStore(args.snapshots, args.kernel) if args.snapshots else None
+    )
+
+    t0 = time.time()
+    if args.kernel == "pagerank":
+        from graphit_spark.kernels import pagerank
+
+        out = pagerank(g, max_iters=args.max_iters, tol=args.tol,
+                       store=store, resume=args.resume)
+    elif args.kernel == "pagerank_delta":
+        from graphit_spark.kernels import pagerank_delta
+
+        out = pagerank_delta(g, max_iters=args.max_iters, store=store)
+    elif args.kernel == "cc":
+        from graphit_spark.kernels import connected_components
+
+        out = connected_components(g, store=store, resume=args.resume)
+    elif args.kernel == "lpa":
+        from graphit_spark.kernels import label_propagation
+
+        out = label_propagation(g, rounds=args.rounds)
+    elif args.kernel == "triangle_count":
+        from graphit_spark.kernels import triangle_count
+
+        out = triangle_count(g)
+    elif args.kernel == "bfs":
+        from graphit_spark.kernels import bfs
+
+        out = bfs(g, args.source, max_iters=args.max_iters)
+    else:
+        from graphit_spark.kernels import sssp
+
+        out = sssp(g, args.source, max_iters=args.max_iters)
+
+    out.write.mode("overwrite").parquet(args.output)
+    rows = spark.read.parquet(args.output).count()
+    print(json.dumps({
+        "kernel": args.kernel,
+        "vertices": g.num_vertices,
+        "edges": g.num_edges,
+        "output_rows": rows,
+        "elapsed_sec": round(time.time() - t0, 2),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

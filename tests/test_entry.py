@@ -56,6 +56,7 @@ def test_query_matches_oracle(spark, name):
         return
     con = _duck(SF_DIR)
     opdf = con.execute(oracles[name]).df()
+    con.close()
     assert len(spdf) == len(opdf), f"{name}: rows {len(spdf)} vs {len(opdf)}"
     assert sorted(spdf.columns) == sorted(opdf.columns), (
         f"{name}: cols {sorted(spdf.columns)} vs {sorted(opdf.columns)}"

@@ -184,3 +184,28 @@ class TestPaths:
         exp = sssp_oracle(wedges, 0)
         for v, d in enumerate(exp):
             assert (got[v] if got[v] is not None else -1) == d, f"vertex {v}"
+
+
+class TestKCore:
+    def test_matches_bruteforce_peeling(self, spark):
+        edges = _rand_graph(50, 260, seed=13)
+        from graphit_spark.kernels import k_core
+        from tests.oracles import squish
+
+        g = LinkGraph.from_pairs(spark, edges, persist=False)
+        for k in (2, 4):
+            got = sorted(r["id"] for r in k_core(g, k).collect())
+            # oracle: iterative peeling on python sets
+            es = squish(edges)
+            sym = {}
+            for a, b in es:
+                sym.setdefault(a, set()).add(b)
+                sym.setdefault(b, set()).add(a)
+            n = max(max(a, b) for a, b in es) + 1
+            keep = set(range(n))
+            while True:
+                drop = {v for v in keep if len(sym.get(v, set()) & keep) < k}
+                if not drop:
+                    break
+                keep -= drop
+            assert got == sorted(keep), f"k={k}"
