@@ -425,6 +425,27 @@ def q_pagerank_delta(spark, sf_dir):
     )
 
 
+def q_betweenness(spark, sf_dir):
+    """Single-source Brandes (float dependency sums — rows-only check)."""
+    from graphit_spark.kernels import betweenness_centrality
+
+    g = graph(spark, sf_dir, "raw")
+    return betweenness_centrality(g, 0).select(
+        "id", F.round("bc", 6).alias("bc")
+    )
+
+
+def q_cf(spark, sf_dir):
+    """Matrix-factorization GD over the weighted graph (rows-only)."""
+    from graphit_spark.kernels import collaborative_filtering
+
+    g = graph(spark, sf_dir, "weighted")
+    lat = collaborative_filtering(g, iters=3)
+    return lat.select(
+        "id", F.round(F.element_at("latent", 1), 6).alias("latent_0")
+    )
+
+
 GRAPH_QUERIES: dict[str, tuple] = {
     # name: (spark_callable, oracle_sql_or_None)
     "pagerank": (q_pagerank, pagerank_sql()),
@@ -439,4 +460,6 @@ GRAPH_QUERIES: dict[str, tuple] = {
     "adjacency_blocks": (q_adjacency, adjacency_sql()),
     "pagerank_delta": (q_pagerank_delta, None),
     "k_core": (q_kcore, kcore_sql()),
+    "betweenness": (q_betweenness, None),
+    "collab_filtering": (q_cf, None),
 }

@@ -4,9 +4,13 @@ from graphit_spark.kernels.labelprop import label_propagation
 from graphit_spark.kernels.triangles import triangle_count, triangle_count_per_vertex
 from graphit_spark.kernels.paths import bfs, sssp
 from graphit_spark.kernels.kcore import k_core
+from graphit_spark.kernels.bc import betweenness_centrality
+from graphit_spark.kernels.cf import collaborative_filtering
 
 __all__ = [
     "k_core",
+    "betweenness_centrality",
+    "collaborative_filtering",
     "pagerank",
     "pagerank_delta",
     "connected_components",

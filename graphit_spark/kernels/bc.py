@@ -1,0 +1,105 @@
+"""Betweenness centrality (single-source Brandes) — reference apps/bc.gt.
+
+The reference keeps a *list of frontiers* (list{vertexset}, SURVEY.md §1)
+and walks it backwards using the transposed edge set (bc.gt:74). The
+Spark formulation is the same two-phase plan:
+
+  forward:  BFS levels; num_paths σ[v] = Σ σ[u] over same-level-minus-one
+            in-neighbors (one join+sum per level; each level DataFrame is
+            checkpointed and kept — the driver-side frontier stack);
+  backward: dependency δ[v] = Σ (σ[v]/σ[w]) · (1 + δ[w]) over successors
+            w one level deeper — the same join against the transposed
+            direction, walked from the deepest level.
+
+bc[v] = δ[v] for v ≠ source (unnormalized, like the reference verifier).
+Levels are O(diameter) — small on web graphs; every per-level DataFrame
+is V-sized or smaller.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from graphit_spark.graph import LinkGraph
+
+
+def betweenness_centrality(
+    graph: LinkGraph, source: int = 0, *, max_levels: int = 200
+) -> DataFrame:
+    """(id, bc) for every vertex; 0.0 for vertices off any shortest path."""
+    spark = graph.spark
+    edges = graph.edges
+
+    # ---- forward phase: levels + path counts --------------------------
+    frontier = spark.createDataFrame(
+        [(source, 1.0)], "id long, sigma double"
+    ).localCheckpoint(eager=True)
+    levels: list[DataFrame] = [frontier]
+    visited = frontier.select("id")
+
+    for _ in range(max_levels):
+        nxt = (
+            edges.join(
+                frontier.select(F.col("id").alias("src"), "sigma"), "src"
+            )
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("sigma").alias("sigma"))
+            .join(visited, "id", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        levels.append(nxt)
+        visited = visited.unionByName(nxt.select("id")).localCheckpoint(
+            eager=True
+        )
+        frontier = nxt
+
+    # ---- backward phase: dependency accumulation ----------------------
+    # delta of the deepest level = 0
+    delta = levels[-1].select("id", "sigma", F.lit(0.0).alias("delta"))
+    acc = [delta]
+    for lvl in range(len(levels) - 2, -1, -1):
+        cur = levels[lvl]
+        # successors = next-level vertices reachable by one edge
+        succ = delta.select(
+            F.col("id").alias("dst"),
+            (F.lit(1.0) + F.col("delta")).alias("w_term"),
+            F.col("sigma").alias("sigma_w"),
+        )
+        contrib = (
+            edges.join(succ, "dst")
+            .join(cur.select(F.col("id").alias("src"), "sigma"), "src")
+            .select(
+                F.col("src").alias("id"),
+                (F.col("sigma") / F.col("sigma_w") * F.col("w_term")).alias(
+                    "part"
+                ),
+            )
+            .groupBy("id")
+            .agg(F.sum("part").alias("delta"))
+        )
+        delta = (
+            cur.join(contrib, "id", "left")
+            .select(
+                "id",
+                "sigma",
+                F.coalesce("delta", F.lit(0.0)).alias("delta"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        acc.append(delta)
+
+    all_delta = acc[0].select("id", "delta")
+    for d in acc[1:]:
+        all_delta = all_delta.unionByName(d.select("id", "delta"))
+    return (
+        graph.vertices()
+        .join(all_delta, "id", "left")
+        .select(
+            "id",
+            F.when(F.col("id") == source, F.lit(0.0))
+            .otherwise(F.coalesce("delta", F.lit(0.0)))
+            .alias("bc"),
+        )
+    )

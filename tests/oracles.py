@@ -150,3 +150,59 @@ def sssp_oracle(weighted_edges, source=0):
         if not changed:
             break
     return np.array([-1 if x == INF else int(x) for x in dist], dtype=np.int64)
+
+
+def bc_oracle(edges, source=0):
+    """Single-source Brandes dependency accumulation (unweighted,
+    directed squished graph) — reference apps/bc.gt semantics."""
+    from collections import deque
+
+    es = squish(edges)
+    n = num_vertices(es)
+    adj = [[] for _ in range(n)]
+    for s, d in es:
+        adj[s].append(d)
+    sigma = [0.0] * n
+    dist = [-1] * n
+    sigma[source] = 1.0
+    dist[source] = 0
+    order = []
+    q = deque([source])
+    while q:
+        v = q.popleft()
+        order.append(v)
+        for u in adj[v]:
+            if dist[u] == -1:
+                dist[u] = dist[v] + 1
+                q.append(u)
+            if dist[u] == dist[v] + 1:
+                sigma[u] += sigma[v]
+    delta = [0.0] * n
+    for v in reversed(order):
+        for u in adj[v]:
+            if dist[u] == dist[v] + 1:
+                delta[v] += sigma[v] / sigma[u] * (1.0 + delta[u])
+    delta[source] = 0.0
+    return np.array(delta)
+
+
+def cf_oracle(weighted_edges, iters=10, k=20, step=0.00000035, lam=0.001):
+    """numpy twin of apps/cf.gt synchronous GD (min-weight dedup like
+    LinkGraph weighted squish)."""
+    best = {}
+    for s, d, w in weighted_edges:
+        if s == d:
+            continue
+        kk = (s, d)
+        if kk not in best or w < best[kk]:
+            best[kk] = w
+    n = max(max(s, d) for s, d in best) + 1
+    lat = np.full((n, k), 0.5)
+    for _ in range(iters):
+        err_v = np.zeros((n, k))
+        for (s, d), w in best.items():
+            est = float(lat[s] @ lat[d])
+            err = w - est
+            err_v[d] += lat[s] * err
+        lat = lat + step * (-lam * lat + err_v)
+    return lat

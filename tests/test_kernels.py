@@ -209,3 +209,49 @@ class TestKCore:
                     break
                 keep -= drop
             assert got == sorted(keep), f"k={k}"
+
+
+class TestBetweenness:
+    @pytest.mark.parametrize("seed", [6, 21])
+    def test_matches_brandes_oracle(self, spark, seed):
+        from graphit_spark.kernels.bc import betweenness_centrality
+        from tests.oracles import bc_oracle
+
+        edges = _rand_graph(40, 110, seed) + [(0, 1)]
+        g = LinkGraph.from_pairs(spark, edges, persist=False)
+        got = {r["id"]: r["bc"] for r in betweenness_centrality(g, 0).collect()}
+        exp = bc_oracle(edges, 0)
+        assert len(got) == len(exp)
+        for v in range(len(exp)):
+            assert abs(got[v] - exp[v]) < 1e-9, f"vertex {v}"
+
+    def test_star_graph(self, spark):
+        from graphit_spark.kernels.bc import betweenness_centrality
+
+        # 0 -> 1 -> {2,3,4}: all paths from 0 go through 1
+        g = LinkGraph.from_pairs(
+            spark, [(0, 1), (1, 2), (1, 3), (1, 4)], persist=False
+        )
+        got = {r["id"]: r["bc"] for r in betweenness_centrality(g, 0).collect()}
+        assert got[1] == 3.0 and got[0] == 0.0
+        assert got[2] == got[3] == got[4] == 0.0
+
+
+class TestCollaborativeFiltering:
+    def test_matches_numpy_gd(self, spark):
+        from graphit_spark.kernels.cf import collaborative_filtering
+        from tests.oracles import cf_oracle
+
+        rng = random.Random(12)
+        wedges = [
+            (rng.randrange(30), rng.randrange(30), rng.randrange(1, 6))
+            for _ in range(150)
+        ]
+        g = LinkGraph.from_pairs(spark, wedges, persist=False)
+        got = {
+            r["id"]: list(r["latent"])
+            for r in collaborative_filtering(g, iters=5).collect()
+        }
+        exp = cf_oracle(wedges, iters=5)
+        for v in range(len(exp)):
+            assert np.allclose(got[v], exp[v], atol=1e-9), f"vertex {v}"
