@@ -13,6 +13,9 @@ def squish(edges):
 
 
 def num_vertices(edges):
+    """GAPBS FindMaxNodeID(el)+1 on the RAW edge list (builder.h:210-211) —
+    computed BEFORE squish, so a vertex appearing only in a self-loop still
+    exists in the universe."""
     return max(max(s, d) for s, d in edges) + 1 if edges else 0
 
 
@@ -20,7 +23,7 @@ def pagerank_oracle(edges, damp=0.85, iters=20):
     """Dense Jacobi iteration matching apps/pagerank.gt:13-27 (no dangling
     redistribution). edges: raw (pre-squish) pairs."""
     es = squish(edges)
-    n = num_vertices(es)
+    n = num_vertices(edges)
     out_deg = np.zeros(n, dtype=np.int64)
     for s, _ in es:
         out_deg[s] += 1
@@ -39,7 +42,7 @@ def cc_oracle(edges):
     """Union-find over the symmetrized squished graph; component label =
     min vertex id in the component (cc.gt fixpoint; cc_verifier.cpp)."""
     es = squish(edges)
-    n = num_vertices(es)
+    n = num_vertices(edges)
     parent = list(range(n))
 
     def find(x):
@@ -67,7 +70,7 @@ def lpa_oracle(edges, rounds=5):
     """Synchronous mode-label propagation, min tie-break, over the
     symmetrized squished graph. Vertices w/o neighbors keep their label."""
     es = squish(edges)
-    n = num_vertices(es)
+    n = num_vertices(edges)
     nbrs = [set() for _ in range(n)]
     for s, d in es:
         nbrs[s].add(d)
@@ -91,7 +94,7 @@ def triangle_oracle(edges):
     """Brute-force triangle count on the symmetrized squished simple graph
     (tc_verifier.cpp:13-32: closed-triple count / 6 == oriented count)."""
     es = squish(edges)
-    n = num_vertices(es)
+    n = num_vertices(edges)
     nbrs = [set() for _ in range(n)]
     for s, d in es:
         nbrs[s].add(d)
@@ -110,7 +113,7 @@ def bfs_oracle(edges, source=0):
     from collections import deque
 
     es = squish(edges)
-    n = num_vertices(es)
+    n = num_vertices(edges)
     adj = [[] for _ in range(n)]
     for s, d in es:
         adj[s].append(d)
@@ -158,7 +161,7 @@ def bc_oracle(edges, source=0):
     from collections import deque
 
     es = squish(edges)
-    n = num_vertices(es)
+    n = num_vertices(edges)
     adj = [[] for _ in range(n)]
     for s, d in es:
         adj[s].append(d)
