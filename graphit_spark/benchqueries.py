@@ -291,6 +291,44 @@ verts AS MATERIALIZED (SELECT c_custkey AS id FROM customer
     )
 
 
+EC_ROUNDS = 6
+
+
+def eigenvector_sql(rounds: int = EC_ROUNDS) -> str:
+    """Un-normalized power iteration (test/input/eigenvector_centrality.gt):
+    ec'[dst] = Σ ec[src] over all edges, fixed round count."""
+    ctes = [_SQL_COMMON.strip().rstrip(","),
+            "e0 AS (SELECT id, 1e0 / (SELECT n FROM nv) AS ec FROM verts)"]
+    for k in range(1, rounds + 1):
+        p = f"e{k - 1}"
+        ctes.append(
+            f"""e{k} AS (
+  SELECT v.id, coalesce(s.acc, 0e0) AS ec
+  FROM verts v LEFT JOIN (
+    SELECT e.dst AS id, sum(r.ec) AS acc
+    FROM edges e JOIN {p} r ON e.src = r.id
+    GROUP BY e.dst
+  ) s USING (id)
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id, round(ec, {ROUND_RANK}) AS ec FROM e{rounds} ORDER BY id"
+    )
+
+
+def closeness_sql(rounds: int = SSSP_ROUNDS, source: int = 0) -> str:
+    """Weighted closeness per apps/closeness_centrality_weighted.gt:
+    SSSP distances with unreached mapped to 0 (final_vertex_f)."""
+    inner = sssp_sql(rounds, source)
+    head, _, tail = inner.rpartition("\nSELECT id, dist FROM ")
+    last = tail.split(" ")[0]
+    return (
+        head
+        + f"\nSELECT id, coalesce(dist, CAST(0 AS BIGINT)) AS dist FROM {last} ORDER BY id"
+    )
+
+
 def relabel_sql() -> str:
     return (
         "WITH " + _SQL_COMMON.strip()
@@ -446,6 +484,32 @@ def q_cf(spark, sf_dir):
     )
 
 
+def q_eigenvector(spark, sf_dir):
+    from graphit_spark.kernels import eigenvector_centrality
+
+    g = graph(spark, sf_dir, "raw")
+    return eigenvector_centrality(g, rounds=EC_ROUNDS).select(
+        "id", F.round("ec", ROUND_RANK).alias("ec")
+    )
+
+
+def q_closeness(spark, sf_dir):
+    from graphit_spark.kernels import closeness_centrality
+
+    g = graph(spark, sf_dir, "weighted")
+    return closeness_centrality(g, 0, max_iters=SSSP_ROUNDS)
+
+
+def q_sssp_delta(spark, sf_dir):
+    """Delta-stepping SSSP runs to the exact fixpoint (bucket count is
+    data-dependent), so no fixed-round SQL twin — the Bellman-Ford
+    fixpoint equality is asserted in tests/test_kernels.py instead."""
+    from graphit_spark.kernels import sssp_delta_stepping
+
+    g = graph(spark, sf_dir, "weighted")
+    return sssp_delta_stepping(g, 0, delta=4)
+
+
 GRAPH_QUERIES: dict[str, tuple] = {
     # name: (spark_callable, oracle_sql_or_None)
     "pagerank": (q_pagerank, pagerank_sql()),
@@ -462,4 +526,7 @@ GRAPH_QUERIES: dict[str, tuple] = {
     "k_core": (q_kcore, kcore_sql()),
     "betweenness": (q_betweenness, None),
     "collab_filtering": (q_cf, None),
+    "eigenvector": (q_eigenvector, eigenvector_sql()),
+    "closeness": (q_closeness, closeness_sql()),
+    "sssp_delta_stepping": (q_sssp_delta, None),
 }

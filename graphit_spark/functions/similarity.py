@@ -95,6 +95,111 @@ def lsh_bucket(vec: Column, dim: int, n_planes: int = 8) -> Column:
     return sig.cast("int")
 
 
+def embedding_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (a, b, score) with a < b and
+    rounded cosine ≥ threshold. The all-pairs form is the correctness
+    baseline; at crawl scale the same re-rank runs over lsh_bucket-joined
+    candidates instead of the cross join (swap the join, keep the filter).
+    """
+    l = embeddings.select(F.col(id_col).alias("a"), F.col(vec_col).alias("av"))
+    r = embeddings.select(F.col(id_col).alias("b"), F.col(vec_col).alias("bv"))
+    return (
+        l.join(r, F.col("a") < F.col("b"))
+        .select(
+            "a",
+            "b",
+            F.round(cosine(F.col("av"), F.col("bv")), ROUND_SCORE).alias("score"),
+        )
+        .filter(F.col("score") >= threshold)
+    )
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "cell",
+    rank_limit: int = 1,
+    centroid_source: DataFrame | None = None,
+) -> DataFrame:
+    """IVF coarse quantization with deterministic centroids: centroid c
+    (c < n_cells) is the embedding of vec_id c in `centroid_source`
+    (defaults to `embeddings` — pass the full corpus when assigning a
+    query subset). Assign every vector to its `rank_limit` highest-cosine
+    centroid(s). The centroid table is tiny → broadcast join; assignment
+    is one scan of the corpus."""
+    if centroid_source is None:
+        centroid_source = embeddings
+    cents = centroid_source.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias(out_col), F.col(vec_col).alias("centv")
+    )
+    scored = embeddings.select(id_col, F.col(vec_col).alias("v")).join(
+        F.broadcast(cents)
+    ).select(
+        id_col,
+        "v",
+        out_col,
+        F.round(cosine(F.col("v"), F.col("centv")), ROUND_SCORE).alias("cscore"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("cscore"), F.asc(out_col))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= rank_limit)
+        .select(id_col, out_col, "cscore")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors live in their nearest cell's
+    inverted list; a query probes its n_probe nearest cells and re-ranks
+    exactly inside them. Join fan-out ≈ |corpus|·n_probe/n_cells instead
+    of |corpus| — the scale path when LSH bucket skew is a concern, and
+    fully deterministic (centroids are fixed rows, ties broken by id)."""
+    corpus = embeddings.select(id_col, F.col(vec_col).alias("cv")).join(
+        ivf_assign(embeddings, n_cells, id_col, vec_col).select(id_col, "cell"),
+        id_col,
+    )
+    probes = (
+        ivf_assign(
+            queries, n_cells, id_col, vec_col,
+            rank_limit=n_probe, centroid_source=embeddings,
+        )
+        .select(F.col(id_col).alias("query_id"), "cell")
+    )
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    scored = (
+        probes.join(qv, "query_id")
+        .join(corpus, "cell")
+        .filter(F.col("query_id") != F.col(id_col))
+        .select(
+            "query_id",
+            id_col,
+            F.round(cosine(F.col("qv"), F.col("cv")), ROUND_SCORE).alias("score"),
+        )
+        .dropDuplicates(["query_id", id_col])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", id_col, "score")
+    )
+
+
 def lsh_topk(
     embeddings: DataFrame,
     queries: DataFrame,

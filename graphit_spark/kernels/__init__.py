@@ -6,11 +6,20 @@ from graphit_spark.kernels.paths import bfs, sssp
 from graphit_spark.kernels.kcore import k_core
 from graphit_spark.kernels.bc import betweenness_centrality
 from graphit_spark.kernels.cf import collaborative_filtering
+from graphit_spark.kernels.centrality import (
+    closeness_centrality,
+    closeness_score,
+    eigenvector_centrality,
+)
+from graphit_spark.kernels.delta_stepping import sssp_delta_stepping
 
 __all__ = [
     "k_core",
     "betweenness_centrality",
     "collaborative_filtering",
+    "closeness_centrality",
+    "closeness_score",
+    "eigenvector_centrality",
     "pagerank",
     "pagerank_delta",
     "connected_components",
@@ -19,4 +28,5 @@ __all__ = [
     "triangle_count_per_vertex",
     "bfs",
     "sssp",
+    "sssp_delta_stepping",
 ]

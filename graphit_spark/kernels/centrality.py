@@ -1,0 +1,89 @@
+"""Eigenvector and closeness centrality.
+
+Reference semantics:
+
+- Eigenvector centrality (test/input/eigenvector_centrality.gt): plain
+  un-normalized power iteration —
+      new_ec[dst] += old_ec[src]  over ALL edges   (updateEdgeEigenVector)
+      old_ec <- new_ec; new_ec <- 0                (updateECVertex)
+  run a fixed number of rounds (the reference main loop `for i in 1:10`
+  runs 9). No damping, no dangling handling, no normalization — scores
+  can grow/shrink geometrically; parity requires the same round count.
+
+- Closeness centrality (apps/closeness_centrality_weighted.gt): SSSP from
+  a starting node (`distance_from_start[dst] min= distance_from_start[src]
+  + weight` via applyModified); after convergence unreached vertices get
+  distance 0 (final_vertex_f) and the score is `distance_from_start.sum()`.
+  The unweighted variant (test/input_with_schedules/
+  closeness_centrality_unweighted_*.gt) uses hop counts (BFS).
+
+Spark plan: eigenvector is the same one-shuffle-pair gather-scatter as
+PageRank (edges ⋈ state on src → groupBy(dst).sum); closeness reuses the
+frontier-driven min-distance fixpoint from kernels/paths.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from graphit_spark.graph import LinkGraph
+from graphit_spark.kernels.paths import bfs, sssp
+
+
+def eigenvector_centrality(
+    graph: LinkGraph, *, rounds: int = 9
+) -> DataFrame:
+    """Returns (id, ec) after `rounds` un-normalized power iterations,
+    init ec = 1/n (eigenvector_centrality.gt:6)."""
+    n = graph.num_vertices
+    state = graph.vertices().withColumn("ec", F.lit(1.0 / n))
+    state = state.localCheckpoint(eager=True)
+    prev = state
+    for _ in range(rounds):
+        sums = (
+            graph.edges.join(
+                state.select(F.col("id").alias("src"), "ec"), "src"
+            )
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("ec").alias("s"))
+        )
+        state = (
+            graph.vertices()
+            .join(sums, "id", "left")
+            .select("id", F.coalesce("s", F.lit(0.0)).alias("ec"))
+            .localCheckpoint(eager=True)
+        )
+        prev.unpersist()
+        prev = state
+    return state
+
+
+def closeness_centrality(
+    graph: LinkGraph,
+    source: int = 0,
+    *,
+    weighted: bool | None = None,
+    max_iters: int = 500,
+) -> DataFrame:
+    """(id, dist) from `source` with unreached mapped to 0
+    (closeness_centrality_weighted.gt final_vertex_f); the scalar
+    closeness score is `agg(sum(dist))` — left to the caller so the
+    per-vertex vector stays inspectable/verifiable."""
+    if weighted is None:
+        weighted = graph.weighted
+    d = (
+        sssp(graph, source, max_iters=max_iters)
+        if weighted
+        else bfs(graph, source, max_iters=max_iters)
+    )
+    return d.select("id", F.coalesce("dist", F.lit(0).cast("long")).alias("dist"))
+
+
+def closeness_score(graph: LinkGraph, source: int = 0, **kw) -> int:
+    """The reference's printed scalar: sum of distances from source."""
+    row = (
+        closeness_centrality(graph, source, **kw)
+        .agg(F.sum("dist").alias("score"))
+        .collect()[0]
+    )
+    return int(row["score"])

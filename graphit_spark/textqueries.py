@@ -80,6 +80,28 @@ def q_lsh_topk(spark, sf_dir):
     return S.lsh_topk(emb, queries, dim=dim, k=TOPK_K)
 
 
+DUP_THRESHOLD = 0.9
+IVF_CELLS = 16
+IVF_PROBE = 4
+
+
+def q_embedding_dups(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (all-pairs baseline)."""
+    return S.embedding_dup_pairs(
+        load(spark, sf_dir, "embeddings"), threshold=DUP_THRESHOLD
+    ).select("a", "b", "score")
+
+
+def q_ivf_topk(spark, sf_dir):
+    """IVF ANN: deterministic coarse centroids -> probe nearest cells ->
+    exact re-rank. Fully deterministic, so it gets a real SQL oracle."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < TOPK_QUERIES)
+    return S.ivf_topk(
+        emb, queries, k=TOPK_K, n_cells=IVF_CELLS, n_probe=IVF_PROBE
+    )
+
+
 def q_events_hourly(spark, sf_dir):
     ev = load(spark, sf_dir, "events")
     return ev.groupBy(
@@ -299,6 +321,65 @@ SELECT query_id, vec_id, score FROM ranked WHERE rn <= {TOPK_K}
 ORDER BY query_id, vec_id
 """
 
+_SQL_COS = (
+    "round(list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+    " * sqrt(list_dot_product({b}, {b}))), " + str(S.ROUND_SCORE) + ")"
+)
+
+SQL_EMBEDDING_DUPS = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+scored AS (
+  SELECT a.vec_id AS a, b.vec_id AS b,
+         {_SQL_COS.format(a='a.ev', b='b.ev')} AS score
+  FROM v a JOIN v b ON a.vec_id < b.vec_id
+)
+SELECT a, b, score FROM scored WHERE score >= {DUP_THRESHOLD}
+ORDER BY a, b
+"""
+
+SQL_IVF_TOPK = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+cents AS (SELECT vec_id AS cell, ev AS centv FROM v WHERE vec_id < {IVF_CELLS}),
+ascore AS (
+  SELECT v.vec_id, c.cell,
+         {_SQL_COS.format(a='v.ev', b='c.centv')} AS cscore
+  FROM v CROSS JOIN cents c
+),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cscore DESC, cell ASC) AS rn
+    FROM ascore
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cscore DESC, cell ASC) AS rn
+    FROM ascore WHERE vec_id < {TOPK_QUERIES}
+  ) WHERE rn <= {IVF_PROBE}
+),
+corpus AS (SELECT v.vec_id, v.ev, a.cell FROM v JOIN assign a USING (vec_id)),
+scored AS (
+  SELECT DISTINCT p.query_id, c.vec_id,
+         {_SQL_COS.format(a='q.ev', b='c.ev')} AS score
+  FROM probes p
+  JOIN v q ON q.vec_id = p.query_id
+  JOIN corpus c ON c.cell = p.cell
+  WHERE p.query_id <> c.vec_id
+),
+ranked AS (
+  SELECT query_id, vec_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, vec_id ASC) AS rn
+  FROM scored
+)
+SELECT query_id, vec_id, score FROM ranked WHERE rn <= {TOPK_K}
+ORDER BY query_id, vec_id
+"""
+
 SQL_EVENTS_HOURLY = """
 SELECT date_trunc('hour', ts) AS hour, event_type,
        count(*) AS n, round(sum(value), 6) AS sum_value
@@ -337,6 +418,8 @@ TEXT_QUERIES: dict[str, tuple] = {
     "dedup_simhash": (q_simhash, _simhash_sql()),
     "sim_cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "sim_lsh_topk": (q_lsh_topk, None),
+    "sim_ivf_topk": (q_ivf_topk, SQL_IVF_TOPK),
+    "dedup_embedding": (q_embedding_dups, SQL_EMBEDDING_DUPS),
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
     "events_sessions": (q_events_sessions, SQL_EVENTS_SESSIONS),
 }

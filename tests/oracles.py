@@ -189,6 +189,27 @@ def bc_oracle(edges, source=0):
     return np.array(delta)
 
 
+def eigenvector_oracle(edges, rounds=9):
+    """Un-normalized power iteration matching
+    test/input/eigenvector_centrality.gt (init 1/n, ec'[dst] = Σ ec[src])."""
+    es = squish(edges)
+    n = num_vertices(edges)
+    ec = np.full(n, 1.0 / n)
+    for _ in range(rounds):
+        new = np.zeros(n)
+        for s, d in es:
+            new[d] += ec[s]
+        ec = new
+    return ec
+
+
+def closeness_oracle(weighted_edges, source=0):
+    """SSSP distances with unreached -> 0
+    (apps/closeness_centrality_weighted.gt final_vertex_f)."""
+    d = sssp_oracle(weighted_edges, source)
+    return np.where(d < 0, 0, d)
+
+
 def cf_oracle(weighted_edges, iters=10, k=20, step=0.00000035, lam=0.001):
     """numpy twin of apps/cf.gt synchronous GD (min-weight dedup like
     LinkGraph weighted squish)."""

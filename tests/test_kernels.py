@@ -255,3 +255,53 @@ class TestCollaborativeFiltering:
         exp = cf_oracle(wedges, iters=5)
         for v in range(len(exp)):
             assert np.allclose(got[v], exp[v], atol=1e-9), f"vertex {v}"
+
+
+class TestCentrality:
+    @pytest.mark.parametrize("seed", [2])
+    def test_eigenvector_matches_power_iteration(self, spark, seed):
+        from graphit_spark.kernels import eigenvector_centrality
+        from tests.oracles import eigenvector_oracle
+
+        edges = _rand_graph(40, 160, seed)
+        g = LinkGraph.from_pairs(spark, edges, persist=False)
+        got = {r["id"]: r["ec"] for r in eigenvector_centrality(g, rounds=9).collect()}
+        exp = eigenvector_oracle(edges, rounds=9)
+        assert len(got) == len(exp)
+        for v in range(len(exp)):
+            assert abs(got[v] - exp[v]) < 1e-9, f"vertex {v}"
+
+    def test_closeness_weighted(self, spark):
+        from graphit_spark.kernels import closeness_centrality, closeness_score
+        from tests.oracles import closeness_oracle
+
+        rng = random.Random(9)
+        wedges = [
+            (rng.randrange(30), rng.randrange(30), rng.randrange(1, 8))
+            for _ in range(90)
+        ]
+        g = LinkGraph.from_pairs(spark, wedges, persist=False)
+        got = {r["id"]: r["dist"] for r in closeness_centrality(g, 0).collect()}
+        exp = closeness_oracle(wedges, 0)
+        for v in range(len(exp)):
+            assert got[v] == exp[v], f"vertex {v}"
+        assert closeness_score(g, 0) == int(exp.sum())
+
+
+class TestDeltaStepping:
+    @pytest.mark.parametrize("seed,delta", [(4, 1), (4, 4), (13, 3)])
+    def test_matches_bellman_ford_fixpoint(self, spark, seed, delta):
+        from graphit_spark.kernels import sssp_delta_stepping
+        from tests.oracles import sssp_oracle
+
+        rng = random.Random(seed)
+        wedges = [
+            (rng.randrange(40), rng.randrange(40), rng.randrange(1, 10))
+            for _ in range(140)
+        ]
+        g = LinkGraph.from_pairs(spark, wedges, persist=False)
+        got = {r["id"]: r["dist"] for r in sssp_delta_stepping(g, 0, delta=delta).collect()}
+        exp = sssp_oracle(wedges, 0)
+        for v in range(len(exp)):
+            want = None if exp[v] == -1 else exp[v]
+            assert got[v] == want, f"vertex {v}"
