@@ -405,13 +405,12 @@ def q_sssp(spark, sf_dir):
 
 
 def q_relabel(spark, sf_dir):
-    from pyspark.sql import Window
+    from graphit_spark.plans.ranking import dense_rank_ids
 
     g = graph(spark, sf_dir, "raw")
-    w = Window.orderBy(F.desc("out_degree"), F.asc("id"))
-    return g.out_degrees().select(
-        "id", (F.row_number().over(w) - 1).cast("long").alias("new_id")
-    )
+    return dense_rank_ids(
+        g.out_degrees(), [F.desc("out_degree"), F.asc("id")], out_col="new_id"
+    ).select("id", "new_id")
 
 
 def q_adjacency(spark, sf_dir):

@@ -88,21 +88,17 @@ def build_url_ids(extracted: DataFrame) -> DataFrame:
     SURVEY.md §7 step 2). The universe includes every url seen as either a
     page or a link target, so dangling targets get ids too.
 
-    Scale note: a global row_number needs a total order; Spark implements
-    it as a range-partitioned sort (no single-task bottleneck until the
-    final dense numbering — for 10^12 urls switch to zipWithIndex-style
-    per-partition offsets, same ordering)."""
-    from pyspark.sql import Window
+    Scale: dense numbering runs as a range-partitioned sort with
+    per-partition offsets (plans/ranking.py) — no single-task global
+    Window, so the dictionary build scales to 10^12 urls."""
+    from graphit_spark.plans.ranking import dense_rank_ids
 
     urls = (
         extracted.select(F.col("url"))
         .unionByName(extracted.select(F.explode("links").alias("url")))
         .distinct()
     )
-    w = Window.orderBy("url")
-    return urls.select(
-        "url", (F.row_number().over(w) - 1).cast("long").alias("id")
-    )
+    return dense_rank_ids(urls, [F.asc("url")], out_col="id").select("url", "id")
 
 
 def pages_to_edges(pages: DataFrame, url_ids: DataFrame | None = None):

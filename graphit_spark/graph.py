@@ -182,15 +182,17 @@ class LinkGraph:
     def relabel_by_degree(self) -> "LinkGraph":
         """Renumber vertices by decreasing out-degree (ties: old id asc) —
         GraphIt ``edges.relabel()`` (intrinsics.h:237-264). New id 0 is the
-        highest-degree vertex. Scale note: the mapping is V-sized (small
-        relative to E) and is broadcast when under the broadcast threshold;
-        Catalyst/AQE picks the strategy."""
-        from pyspark.sql import Window
+        highest-degree vertex. Scale notes: the rank is computed as a
+        range-partitioned distributed sort (plans/ranking.py), not a
+        single-partition global Window; the V-sized mapping then joins the
+        edge table with Catalyst/AQE picking broadcast vs shuffle."""
+        from graphit_spark.plans.ranking import dense_rank_ids
 
-        w = Window.orderBy(F.desc("out_degree"), F.asc("id"))
-        mapping = self.out_degrees().select(
-            "id", (F.row_number().over(w) - 1).cast("long").alias("new_id")
-        )
+        mapping = dense_rank_ids(
+            self.out_degrees(),
+            [F.desc("out_degree"), F.asc("id")],
+            out_col="new_id",
+        ).select("id", "new_id")
         e = (
             self.edges.join(mapping.withColumnRenamed("id", SRC), SRC)
             .select(F.col("new_id").alias(SRC), DST,
