@@ -509,6 +509,16 @@ def q_sssp_delta(spark, sf_dir):
     return sssp_delta_stepping(g, 0, delta=4)
 
 
+def q_astar(spark, sf_dir):
+    """Point-to-point A* (h=0 -> Dijkstra semantics); bucket count is
+    data-dependent, so rows-only check (exactness vs Bellman-Ford is
+    asserted in tests/test_kernels.py::TestAStar)."""
+    from graphit_spark.kernels import astar
+
+    g = graph(spark, sf_dir, "weighted")
+    return astar(g, 0, 42, delta=4)
+
+
 GRAPH_QUERIES: dict[str, tuple] = {
     # name: (spark_callable, oracle_sql_or_None)
     "pagerank": (q_pagerank, pagerank_sql()),
@@ -528,4 +538,5 @@ GRAPH_QUERIES: dict[str, tuple] = {
     "eigenvector": (q_eigenvector, eigenvector_sql()),
     "closeness": (q_closeness, closeness_sql()),
     "sssp_delta_stepping": (q_sssp_delta, None),
+    "astar": (q_astar, None),
 }

@@ -12,8 +12,10 @@ from graphit_spark.kernels.centrality import (
     eigenvector_centrality,
 )
 from graphit_spark.kernels.delta_stepping import sssp_delta_stepping
+from graphit_spark.kernels.astar import astar
 
 __all__ = [
+    "astar",
     "k_core",
     "betweenness_centrality",
     "collaborative_filtering",

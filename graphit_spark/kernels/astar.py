@@ -1,0 +1,122 @@
+"""A* point-to-point shortest path over priority buckets.
+
+Reference: apps/astar.gt — `f_score` is the tentative distance from the
+source, the priority is `f_score[dst] + h(dst, target)` (g_score), and
+the bucket queue dequeues lowest-priority vertices until the target's
+bucket is finished (`pq.finishedNode(dst_vertex)`).
+
+Spark realization: identical bucket loop to kernels/delta_stepping.py,
+but bucketed on priority = dist + h instead of dist. The heuristic is a
+caller-supplied `(id, h)` DataFrame of admissible lower bounds on the
+remaining distance to `target` (the reference computes haversine from
+loaded coordinates via an extern func — coordinates are input data, not
+engine logic). h = 0 everywhere degenerates to Dijkstra/delta-stepping.
+
+Termination: once the current bucket's lower bound exceeds the target's
+tentative distance, no remaining path can improve it (priority is an
+admissible lower bound on any completion through that vertex), so
+dist[target] is exact — vertices beyond the goal region are never
+relaxed, which is the entire point of A*.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from graphit_spark.graph import LinkGraph
+
+
+def astar(
+    graph: LinkGraph,
+    source: int,
+    target: int,
+    heuristic: DataFrame | None = None,
+    *,
+    delta: int = 4,
+    max_rounds: int = 10_000,
+) -> DataFrame:
+    """(id, dist) tentative distances when the target settled; exact for
+    `target` (NULL everywhere unreached/pruned). `heuristic` is (id, h)
+    with admissible long lower bounds; missing ids get h = 0."""
+    if not graph.weighted:
+        raise ValueError("astar requires a weighted graph")
+    verts = graph.vertices()
+    if heuristic is None:
+        h = verts.select("id", F.lit(0).cast("long").alias("h"))
+    else:
+        h = (
+            verts.join(heuristic.select("id", "h"), "id", "left")
+            .select("id", F.coalesce(F.col("h").cast("long"), F.lit(0)).alias("h"))
+        )
+
+    state = (
+        h.withColumn(
+            "dist",
+            F.when(F.col("id") == source, F.lit(0).cast("long")),
+        )
+        .select("id", "h", "dist")
+        .localCheckpoint(eager=True)
+    )
+    prio = F.col("dist") + F.col("h")
+
+    bucket = 0
+    rounds = 0
+    while rounds < max_rounds:
+        tgt = state.filter(F.col("id") == target).select("dist").collect()[0]["dist"]
+        if tgt is not None and bucket * delta > tgt:
+            break  # finishedNode(target): no remaining priority can beat it
+        frontier = state.filter(
+            F.col("dist").isNotNull() & (F.floor(prio / delta) == bucket)
+        ).select(F.col("id").alias("src"), F.col("dist").alias("sdist"))
+        if frontier.limit(1).count() == 0:
+            nxt = (
+                state.filter(
+                    F.col("dist").isNotNull() & (F.floor(prio / delta) > bucket)
+                )
+                .agg(F.min(F.floor(prio / delta)).alias("b"))
+                .collect()[0]["b"]
+            )
+            if nxt is None:
+                break  # queue exhausted — target unreachable
+            bucket = int(nxt)
+            continue
+        rounds += 1
+        cand = (
+            graph.edges.join(frontier, "src")
+            .select(
+                F.col("dst").alias("id"),
+                (F.col("sdist") + F.col("weight")).alias("cand"),
+            )
+            .groupBy("id")
+            .agg(F.min("cand").alias("cand"))
+        )
+        new_state = (
+            state.join(cand, "id", "left")
+            .select(
+                "id",
+                "h",
+                F.when(
+                    F.col("cand").isNotNull()
+                    & (F.col("dist").isNull() | (F.col("cand") < F.col("dist"))),
+                    F.col("cand"),
+                )
+                .otherwise(F.col("dist"))
+                .alias("dist"),
+                F.col("dist").alias("old"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        improved_in_bucket = (
+            new_state.filter(
+                (F.col("old").isNull() | (F.col("dist") < F.col("old")))
+                & (F.floor((F.col("dist") + F.col("h")) / delta) == bucket)
+            )
+            .limit(1)
+            .count()
+        )
+        prev = state
+        state = new_state.select("id", "h", "dist")
+        prev.unpersist()
+        if improved_in_bucket == 0:
+            bucket += 1
+    return state.select("id", "dist")

@@ -305,3 +305,36 @@ class TestDeltaStepping:
         for v in range(len(exp)):
             want = None if exp[v] == -1 else exp[v]
             assert got[v] == want, f"vertex {v}"
+
+
+class TestAStar:
+    def test_zero_heuristic_equals_dijkstra(self, spark):
+        from graphit_spark.kernels import astar
+        from tests.oracles import sssp_oracle
+
+        rng = random.Random(21)
+        wedges = [
+            (rng.randrange(30), rng.randrange(30), rng.randrange(1, 9))
+            for _ in range(100)
+        ]
+        g = LinkGraph.from_pairs(spark, wedges, persist=False)
+        exp = sssp_oracle(wedges, 0)
+        target = 17
+        got = {r["id"]: r["dist"] for r in astar(g, 0, target, delta=3).collect()}
+        want = None if exp[target] == -1 else exp[target]
+        assert got[target] == want
+
+    def test_admissible_heuristic_prunes_but_exact(self, spark):
+        from pyspark.sql import functions as F
+        from graphit_spark.kernels import astar
+
+        # path 0-1-2-...-19 (weight 2 each) plus a decoy branch; heuristic
+        # h(v) = 2*(19 - v) for v <= 19 is the exact remaining distance.
+        wedges = [(v, v + 1, 2) for v in range(19)]
+        wedges += [(0, 25, 1), (25, 26, 1)]  # decoy away from target
+        g = LinkGraph.from_pairs(spark, wedges, persist=False)
+        h = g.spark.createDataFrame(
+            [(v, 2 * (19 - v)) for v in range(20)], "id long, h long"
+        )
+        res = {r["id"]: r["dist"] for r in astar(g, 0, 19, h, delta=4).collect()}
+        assert res[19] == 38
