@@ -128,7 +128,7 @@ def pagerank_sql(iters: int = PR_ITERS) -> str:
     for k in range(1, iters + 1):
         p = f"r{k - 1}"
         ctes.append(
-            f"""r{k} AS (
+            f"""r{k} AS MATERIALIZED (
   SELECT v.id,
          (1e0 - 0.85e0) / (SELECT n FROM nv)
            + 0.85e0 * coalesce(s.acc, 0e0) AS rank
@@ -160,7 +160,7 @@ def cc_sql(rounds: int = CC_ROUNDS) -> str:
     for k in range(1, rounds + 1):
         p = f"l{k - 1}"
         ctes.append(
-            f"""l{k} AS (
+            f"""l{k} AS MATERIALIZED (
   SELECT v.id, least(v.comp, coalesce(m.mn, v.comp)) AS comp
   FROM {p} v LEFT JOIN (
     SELECT e.dst AS id, min(l.comp) AS mn
@@ -181,7 +181,7 @@ def lpa_sql(rounds: int = LPA_ROUNDS) -> str:
     for k in range(1, rounds + 1):
         p = f"l{k - 1}"
         ctes.append(
-            f"""l{k} AS (
+            f"""l{k} AS MATERIALIZED (
   SELECT v.id, coalesce(b.label, v.label) AS label
   FROM {p} v LEFT JOIN (
     SELECT id, label FROM (
@@ -242,7 +242,7 @@ def bfs_sql(rounds: int = BFS_ROUNDS, source: int = 0) -> str:
     for k in range(1, rounds + 1):
         p = f"d{k - 1}"
         ctes.append(
-            f"""d{k} AS (
+            f"""d{k} AS MATERIALIZED (
   SELECT v.id, least(v.dist, m.mn) AS dist
   FROM {p} v LEFT JOIN (
     SELECT e.dst AS id, min(l.dist) + 1 AS mn
@@ -275,7 +275,7 @@ verts AS MATERIALIZED (SELECT c_custkey AS id FROM customer
     for k in range(1, rounds + 1):
         p = f"d{k - 1}"
         ctes.append(
-            f"""d{k} AS (
+            f"""d{k} AS MATERIALIZED (
   SELECT v.id, least(v.dist, m.mn) AS dist
   FROM {p} v LEFT JOIN (
     SELECT e.dst AS id, min(l.dist + e.w) AS mn
@@ -302,7 +302,7 @@ def eigenvector_sql(rounds: int = EC_ROUNDS) -> str:
     for k in range(1, rounds + 1):
         p = f"e{k - 1}"
         ctes.append(
-            f"""e{k} AS (
+            f"""e{k} AS MATERIALIZED (
   SELECT v.id, coalesce(s.acc, 0e0) AS ec
   FROM verts v LEFT JOIN (
     SELECT e.dst AS id, sum(r.ec) AS acc
@@ -433,7 +433,7 @@ def kcore_sql(k: int = KCORE_K, rounds: int = KCORE_ROUNDS) -> str:
     for r in range(1, rounds + 1):
         p = f"k{r - 1}"
         ctes.append(
-            f"""k{r} AS (
+            f"""k{r} AS MATERIALIZED (
   SELECT d.id FROM (
     SELECT e.src AS id, count(*) AS d
     FROM sym e
@@ -463,7 +463,8 @@ def q_pagerank_delta(spark, sf_dir):
 
 
 def q_betweenness(spark, sf_dir):
-    """Single-source Brandes (float dependency sums — rows-only check)."""
+    """Single-source Brandes vs the fixed-level CTE twin
+    (betweenness_sql)."""
     from graphit_spark.kernels import betweenness_centrality
 
     g = graph(spark, sf_dir, "raw")
@@ -500,23 +501,155 @@ def q_closeness(spark, sf_dir):
 
 
 def q_sssp_delta(spark, sf_dir):
-    """Delta-stepping SSSP runs to the exact fixpoint (bucket count is
-    data-dependent), so no fixed-round SQL twin — the Bellman-Ford
-    fixpoint equality is asserted in tests/test_kernels.py instead."""
+    """Delta-stepping SSSP runs to the exact fixpoint, which equals
+    converged Bellman-Ford — oracle = sssp_fixpoint_sql (fixed rounds
+    far past convergence at the oracle sf)."""
     from graphit_spark.kernels import sssp_delta_stepping
 
     g = graph(spark, sf_dir, "weighted")
     return sssp_delta_stepping(g, 0, delta=4)
 
 
+SSSP_FIXPOINT_ROUNDS = 40  # >> weighted diameter at oracle sf (converged
+# by round 20 at sf0.01; margin for testdata drift). Delta-stepping and
+# A* run to the exact fixpoint, which equals Bellman-Ford's.
+BC_LEVELS = 12  # >> BFS depth at oracle sf (4 at sf0.01)
+
+
+def sssp_fixpoint_sql(rounds: int = SSSP_FIXPOINT_ROUNDS) -> str:
+    return sssp_sql(rounds)
+
+
+def astar_sql(target: int = 42, rounds: int = SSSP_FIXPOINT_ROUNDS) -> str:
+    """A* with h=0 settles the target at the Dijkstra distance — the
+    converged Bellman-Ford value at `target`."""
+    inner = sssp_sql(rounds)
+    head, _, tail = inner.rpartition("\nSELECT id, dist FROM ")
+    last = tail.split(" ")[0]
+    return (
+        head
+        + f"\nSELECT id, dist FROM {last} WHERE id = {target} ORDER BY id"
+    )
+
+
+def betweenness_sql(levels: int = BC_LEVELS, source: int = 0) -> str:
+    """Single-source Brandes as fixed-level CTEs: forward BFS depth +
+    path counts, then backward dependency accumulation. Mirrors
+    kernels/bc.py (reference apps/bc.gt: forward frontier stack, backward
+    over the transpose). `levels` must exceed the BFS depth; deeper CTE
+    rounds are no-ops on a converged depth table."""
+    ctes = [
+        _SQL_COMMON.strip(),
+        f"dep0 AS (SELECT id, CASE WHEN id = {source} THEN 0 END AS depth FROM verts)",
+    ]
+    # forward: BFS depth (fixed-round min-propagation, converges <= levels)
+    for k in range(1, levels + 1):
+        p = f"dep{k - 1}"
+        ctes.append(
+            f"""dep{k} AS MATERIALIZED (
+  SELECT v.id, least(v.depth, m.mn) AS depth
+  FROM {p} v LEFT JOIN (
+    SELECT e.dst AS id, min(l.depth) + 1 AS mn
+    FROM edges e JOIN {p} l ON e.src = l.id
+    WHERE l.depth IS NOT NULL
+    GROUP BY e.dst
+  ) m USING (id)
+)"""
+        )
+    ctes.append(
+        f"depth AS MATERIALIZED (SELECT id, depth FROM dep{levels})"
+    )
+    # forward: sigma (number of shortest paths), level by level
+    ctes.append(
+        f"sig0 AS (SELECT id, CASE WHEN id = {source} THEN 1e0 END AS sigma FROM verts)"
+    )
+    for k in range(1, levels + 1):
+        p = f"sig{k - 1}"
+        ctes.append(
+            f"""sig{k} AS MATERIALIZED (
+  SELECT v.id,
+         CASE WHEN d.depth = {k} THEN s.acc ELSE v.sigma END AS sigma
+  FROM {p} v
+  JOIN depth d USING (id)
+  LEFT JOIN (
+    SELECT e.dst AS id, sum(l.sigma) AS acc
+    FROM edges e
+    JOIN {p} l ON e.src = l.id
+    JOIN depth du ON e.src = du.id AND du.depth = {k - 1}
+    WHERE l.sigma IS NOT NULL
+    GROUP BY e.dst
+  ) s USING (id)
+)"""
+        )
+    ctes.append(f"sigma AS MATERIALIZED (SELECT id, sigma FROM sig{levels})")
+    # backward: delta, from the deepest level down
+    ctes.append(f"del{levels} AS (SELECT id, 0e0 AS delta FROM verts)")
+    for k in range(levels - 1, -1, -1):
+        p = f"del{k + 1}"
+        ctes.append(
+            f"""del{k} AS MATERIALIZED (
+  SELECT v.id,
+         CASE WHEN d.depth = {k} THEN coalesce(c.acc, 0e0)
+              ELSE v.delta END AS delta
+  FROM {p} v
+  JOIN depth d USING (id)
+  LEFT JOIN (
+    SELECT e.src AS id,
+           sum(sv.sigma / sw.sigma * (1e0 + dl.delta)) AS acc
+    FROM edges e
+    JOIN depth dw ON e.dst = dw.id AND dw.depth = {k + 1}
+    JOIN sigma sw ON e.dst = sw.id
+    JOIN sigma sv ON e.src = sv.id
+    JOIN {p} dl ON e.dst = dl.id
+    GROUP BY e.src
+  ) c USING (id)
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT v.id,
+       round(CASE WHEN v.id = {source} THEN 0e0
+                  WHEN d.depth IS NULL THEN 0e0
+                  ELSE l.delta END, 6) AS bc
+FROM verts v
+JOIN depth d USING (id)
+JOIN del0 l ON v.id = l.id
+ORDER BY v.id"""
+    )
+
+
+def q_msf(spark, sf_dir):
+    """Boruvka minimum spanning forest (serialMinimumSpanningTree
+    intrinsic). Round count is data-dependent and SQL cannot express
+    union-find, so rows-only check; exact edge-set parity vs Kruskal is
+    asserted in tests/test_kernels.py::TestMinimumSpanningForest."""
+    from graphit_spark.kernels import minimum_spanning_forest
+
+    g = graph(spark, sf_dir, "weighted")
+    return minimum_spanning_forest(g)
+
+
+def q_set_cover(spark, sf_dir):
+    """Julienne bucketed greedy set cover (apps/set_cover.gt). Bucket
+    count is data-dependent -> rows-only check; exact parity vs the
+    pure-Python mirror is asserted in tests (TestSetCover)."""
+    from graphit_spark.kernels import set_cover
+
+    g = graph(spark, sf_dir, "raw")
+    return set_cover(g)
+
+
 def q_astar(spark, sf_dir):
-    """Point-to-point A* (h=0 -> Dijkstra semantics); bucket count is
-    data-dependent, so rows-only check (exactness vs Bellman-Ford is
-    asserted in tests/test_kernels.py::TestAStar)."""
+    """Point-to-point A* (h=0 -> Dijkstra). Only the target's distance
+    is guaranteed settled at termination, so the query returns the
+    target row; oracle = converged Bellman-Ford at the target."""
     from graphit_spark.kernels import astar
 
     g = graph(spark, sf_dir, "weighted")
-    return astar(g, 0, 42, delta=4)
+    return astar(g, 0, 42, delta=4).filter(F.col("id") == 42).select(
+        "id", "dist"
+    )
 
 
 GRAPH_QUERIES: dict[str, tuple] = {
@@ -533,10 +666,12 @@ GRAPH_QUERIES: dict[str, tuple] = {
     "adjacency_blocks": (q_adjacency, adjacency_sql()),
     "pagerank_delta": (q_pagerank_delta, None),
     "k_core": (q_kcore, kcore_sql()),
-    "betweenness": (q_betweenness, None),
+    "betweenness": (q_betweenness, betweenness_sql()),
     "collab_filtering": (q_cf, None),
     "eigenvector": (q_eigenvector, eigenvector_sql()),
     "closeness": (q_closeness, closeness_sql()),
-    "sssp_delta_stepping": (q_sssp_delta, None),
-    "astar": (q_astar, None),
+    "sssp_delta_stepping": (q_sssp_delta, sssp_fixpoint_sql()),
+    "astar": (q_astar, astar_sql()),
+    "min_spanning_forest": (q_msf, None),
+    "set_cover": (q_set_cover, None),
 }

@@ -13,9 +13,13 @@ from graphit_spark.kernels.centrality import (
 )
 from graphit_spark.kernels.delta_stepping import sssp_delta_stepping
 from graphit_spark.kernels.astar import astar
+from graphit_spark.kernels.mst import minimum_spanning_forest
+from graphit_spark.kernels.setcover import set_cover
 
 __all__ = [
     "astar",
+    "minimum_spanning_forest",
+    "set_cover",
     "k_core",
     "betweenness_centrality",
     "collaborative_filtering",

@@ -73,7 +73,9 @@ def q_cosine_topk(spark, sf_dir):
 
 
 def q_lsh_topk(spark, sf_dir):
-    """ANN variant — approximate by design, rows-only check (no oracle)."""
+    """Hyperplane-LSH ANN. Approximate vs brute force, but fully
+    deterministic (integer-arithmetic planes) — SQL twin reproduces the
+    buckets and the in-bucket exact re-rank bit for bit."""
     emb = load(spark, sf_dir, "embeddings")
     dim = len(emb.select("embedding").first()[0])
     queries = emb.filter(F.col("vec_id") < TOPK_QUERIES)
@@ -337,6 +339,43 @@ SELECT a, b, score FROM scored WHERE score >= {DUP_THRESHOLD}
 ORDER BY a, b
 """
 
+_SQL_LSH_BUCKET = """
+  CAST((SELECT sum(CASE WHEN list_dot_product({v},
+      list_transform(range(0, {d}),
+        j -> ((2654435761 * (i * {d} + j) + 1013904223) % 1000003)
+             / 1000003.0 - 0.5)) > 0
+    THEN 1 << i ELSE 0 END) FROM range(0, 8) t(i)) AS INT)
+"""
+
+# Deterministic hyperplane LSH (functions/similarity.py lsh_bucket uses
+# the same integer-arithmetic plane formula), so the "approximate" ANN is
+# exactly reproducible: same buckets, same in-bucket exact re-rank.
+SQL_LSH_TOPK = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev,
+                  len(embedding) AS d FROM embeddings),
+b AS (
+  SELECT vec_id, ev,
+         {_SQL_LSH_BUCKET.format(v='v.ev', d='v.d')} AS bucket
+  FROM v
+),
+q AS (SELECT vec_id AS query_id, ev AS qv, bucket FROM b
+      WHERE vec_id < {TOPK_QUERIES}),
+scored AS (
+  SELECT q.query_id, c.vec_id,
+         {_SQL_COS.format(a='q.qv', b='c.ev')} AS score
+  FROM q JOIN b c USING (bucket)
+  WHERE q.query_id <> c.vec_id
+),
+ranked AS (
+  SELECT query_id, vec_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, vec_id ASC) AS rn
+  FROM scored
+)
+SELECT query_id, vec_id, score FROM ranked WHERE rn <= {TOPK_K}
+ORDER BY query_id, vec_id
+"""
+
 SQL_IVF_TOPK = f"""
 WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
 cents AS (SELECT vec_id AS cell, ev AS centv FROM v WHERE vec_id < {IVF_CELLS}),
@@ -417,7 +456,7 @@ TEXT_QUERIES: dict[str, tuple] = {
     "dedup_ngram_jaccard": (q_ngram_jaccard, _jaccard_sql()),
     "dedup_simhash": (q_simhash, _simhash_sql()),
     "sim_cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
-    "sim_lsh_topk": (q_lsh_topk, None),
+    "sim_lsh_topk": (q_lsh_topk, SQL_LSH_TOPK),
     "sim_ivf_topk": (q_ivf_topk, SQL_IVF_TOPK),
     "dedup_embedding": (q_embedding_dups, SQL_EMBEDDING_DUPS),
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),

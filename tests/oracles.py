@@ -230,3 +230,98 @@ def cf_oracle(weighted_edges, iters=10, k=20, step=0.00000035, lam=0.001):
             err_v[d] += lat[s] * err
         lat = lat + step * (-lam * lat + err_v)
     return lat
+
+
+def msf_oracle(weighted_edges):
+    """Kruskal under the strict total order (w, u, v) on canonical
+    undirected edges — the unique MSF for that order (reference intrinsic:
+    serialMinimumSpanningTree, infra_gapbs/minimum_spanning_tree.h:22)."""
+    canon = {}
+    for s, d, w in weighted_edges:
+        if s == d:
+            continue
+        u, v = (s, d) if s < d else (d, s)
+        if (u, v) not in canon or w < canon[(u, v)]:
+            canon[(u, v)] = w
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    forest = set()
+    for (u, v), w in sorted(canon.items(), key=lambda kv: (kv[1], kv[0])):
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+            forest.add((u, v, w))
+    return forest
+
+
+def prim_total_weight(weighted_edges, start):
+    """Reference-style lazy Prim (minimum_spanning_tree.h:22-52) from
+    `start`; returns the tree's total weight over start's component."""
+    import heapq
+
+    adj = {}
+    for s, d, w in weighted_edges:
+        if s == d:
+            continue
+        adj.setdefault(s, []).append((w, d))
+        adj.setdefault(d, []).append((w, s))
+    seen = {start}
+    heap = list(adj.get(start, []))
+    heapq.heapify(heap)
+    total = 0
+    while heap:
+        w, v = heapq.heappop(heap)
+        if v in seen:
+            continue
+        seen.add(v)
+        total += w
+        for wn in adj.get(v, []):
+            if wn[1] not in seen:
+                heapq.heappush(heap, wn)
+    return total
+
+
+def set_cover_oracle(edges, epsilon=0.01):
+    """Pure-Python mirror of the Julienne bucketed greedy MaxCover
+    (test/input_with_schedules/set_cover_extern.cpp:25-75)."""
+    import math
+
+    sets = {}
+    for s, d in squish(edges):
+        sets.setdefault(s, set()).add(d)
+    x = 1.0 / math.log1p(epsilon)
+    covered = set()
+    out = []
+    rounds = 0
+    while True:
+        rounds += 1
+        rdeg = {s: len(elms - covered) for s, elms in sets.items()}
+        rdeg = {s: d for s, d in rdeg.items() if d > 0}
+        if not rdeg:
+            break
+        p = max(int(math.floor(x * math.log(d))) for d in rdeg.values())
+        threshold = math.ceil((1.0 + epsilon) ** p)
+        low = max(math.ceil((1.0 + epsilon) ** (p - 1)), 1)
+        active = sorted(s for s, d in rdeg.items() if d >= threshold)
+        winner = {}
+        for s in active:
+            for e in sets[s] - covered:
+                if e not in winner or s < winner[e]:
+                    winner[e] = s
+        wins = {}
+        for e, s in winner.items():
+            wins[s] = wins.get(s, 0) + 1
+        admitted = sorted(s for s, n in wins.items() if n >= low)
+        if not admitted:
+            break
+        for s in admitted:
+            out.append((s, rounds))
+        covered |= {e for e, s in winner.items() if s in set(admitted)}
+    return out

@@ -338,3 +338,81 @@ class TestAStar:
         )
         res = {r["id"]: r["dist"] for r in astar(g, 0, 19, h, delta=4).collect()}
         assert res[19] == 38
+
+
+class TestMinimumSpanningForest:
+    @pytest.mark.parametrize("seed,n,m", [(7, 30, 90), (11, 50, 200)])
+    def test_matches_kruskal_unique_msf(self, spark, seed, n, m):
+        from graphit_spark.kernels import minimum_spanning_forest
+        from tests.oracles import msf_oracle
+
+        rng = random.Random(seed)
+        wedges = [
+            (rng.randrange(n), rng.randrange(n), rng.randrange(1, 12))
+            for _ in range(m)
+        ]
+        g = LinkGraph.from_pairs(spark, wedges, persist=False)
+        got = {
+            (r["u"], r["v"], r["weight"])
+            for r in minimum_spanning_forest(g).collect()
+        }
+        assert got == msf_oracle(wedges)
+
+    def test_total_weight_matches_reference_prim(self, spark):
+        """Cross-algorithm check mirroring the reference intrinsic: the
+        forest restricted to one component weighs exactly what lazy Prim
+        (minimum_spanning_tree.h) computes from a start in it."""
+        from graphit_spark.kernels import minimum_spanning_forest
+        from tests.oracles import cc_oracle, prim_total_weight
+
+        rng = random.Random(3)
+        # two clusters, no cross edges -> a forest with 2 trees
+        wedges = [(rng.randrange(20), rng.randrange(20), rng.randrange(1, 9))
+                  for _ in range(70)]
+        wedges += [(20 + rng.randrange(15), 20 + rng.randrange(15),
+                    rng.randrange(1, 9)) for _ in range(40)]
+        g = LinkGraph.from_pairs(spark, wedges, persist=False)
+        rows = minimum_spanning_forest(g).collect()
+        comp = cc_oracle([(s, d) for s, d, _ in wedges])
+        for start in (0, 20):
+            mine = sum(r["weight"] for r in rows if comp[r["u"]] == comp[start])
+            assert mine == prim_total_weight(wedges, start)
+
+    def test_disconnected_and_isolated(self, spark):
+        from graphit_spark.kernels import minimum_spanning_forest
+
+        wedges = [(0, 1, 5), (1, 0, 3), (2, 2, 9), (3, 4, 1)]
+        g = LinkGraph.from_pairs(spark, wedges, persist=False)
+        got = {(r["u"], r["v"], r["weight"])
+               for r in minimum_spanning_forest(g).collect()}
+        # (0,1) keeps min weight 3; self-loop at 2 squished; isolated 2 absent
+        assert got == {(0, 1, 3), (3, 4, 1)}
+
+
+class TestSetCover:
+    @pytest.mark.parametrize("seed,n,m", [(5, 25, 120), (9, 40, 160)])
+    def test_matches_bucketed_greedy_oracle(self, spark, seed, n, m):
+        from graphit_spark.kernels import set_cover
+        from tests.oracles import set_cover_oracle, squish
+
+        rng = random.Random(seed)
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        g = LinkGraph.from_pairs(spark, edges, persist=False)
+        got = sorted(
+            (r["set_id"], r["round"]) for r in set_cover(g).collect()
+        )
+        assert got == sorted(set_cover_oracle(edges))
+        # the chosen sets must cover every element (dst) of the universe
+        chosen = {s for s, _ in got}
+        universe = {d for _, d in squish(edges)}
+        covered = {d for s, d in squish(edges) if s in chosen}
+        assert covered == universe
+
+    def test_star_picks_hub_first(self, spark):
+        from graphit_spark.kernels import set_cover
+
+        edges = [(0, v) for v in range(1, 12)] + [(5, 1), (6, 2)]
+        g = LinkGraph.from_pairs(spark, edges, persist=False)
+        rows = sorted((r["set_id"], r["round"]) for r in set_cover(g).collect())
+        assert rows[0] == (0, 1)  # hub admitted in round 1, covers all
+        assert {s for s, _ in rows} == {0}
