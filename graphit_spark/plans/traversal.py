@@ -109,8 +109,10 @@ def track_changes(
     id), matching the reference's CAS-dedup flag (mir.h:972)."""
     o = old_state.select("id", F.col(column).alias("__old"))
     n = new_state.select("id", F.col(column).alias("__new"))
+    # null-safe inequality: NULL = "unvisited" in distance-style states,
+    # and a NULL -> value transition IS a modification
     return (
         n.join(o, "id")
-        .filter(F.col("__new") != F.col("__old"))
+        .filter(~F.col("__new").eqNullSafe(F.col("__old")))
         .select("id")
     )

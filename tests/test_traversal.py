@@ -78,3 +78,18 @@ def test_track_changes(spark):
     new = spark.createDataFrame([(0, 5), (1, 6), (2, 8)], "id long, x long")
     changed = sorted(r["id"] for r in track_changes(old, new, "x").collect())
     assert changed == [1, 2]
+
+
+def test_track_changes_null_transitions(spark):
+    from pyspark.sql import functions as F
+
+    old = spark.createDataFrame(
+        [(0, None), (1, 5), (2, None), (3, 7)], "id long, x long"
+    )
+    new = spark.createDataFrame(
+        [(0, 3), (1, 5), (2, None), (3, 6)], "id long, x long"
+    )
+    changed = sorted(
+        r["id"] for r in track_changes(old, new, "x").collect()
+    )
+    assert changed == [0, 3]  # NULL->3 counts; NULL->NULL and 5->5 don't
