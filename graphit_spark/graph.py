@@ -63,7 +63,13 @@ class LinkGraph:
         self.num_partitions = num_partitions
         # Hash-partition by src once; every per-superstep join on src then
         # shuffles only the (small) vertex-state side, not the edge table.
-        self.edges = edges.repartition(num_partitions, SRC)
+        # sortWithinPartitions pins a canonical row order so float
+        # reductions (rank sums) add in the same order on every run and
+        # every re-materialization of the cache — resume-from-snapshot
+        # stays byte-identical, not just allclose.
+        self.edges = edges.repartition(num_partitions, SRC).sortWithinPartitions(
+            SRC, DST
+        )
         self._persisted = persist
         if persist:
             self.edges = self.edges.persist(StorageLevel.MEMORY_AND_DISK)
@@ -206,6 +212,18 @@ class LinkGraph:
             persist=self._persisted,
         )
 
+    def ensure_persisted(self) -> bool:
+        """Persist the edge table if the constructor didn't. Iterative
+        kernels call this so a persist=False graph is not re-derived from
+        source (+ re-squished) on every superstep; they unpersist at the
+        end iff this returned True (their results are checkpointed, so
+        releasing the cache is safe)."""
+        if self._persisted:
+            return False
+        self.edges = self.edges.persist(StorageLevel.MEMORY_AND_DISK)
+        self._persisted = True
+        return True
+
     def unpersist(self) -> None:
         for df in (self.edges, self._out_degrees, self._adjacency):
             if df is not None:
@@ -213,3 +231,6 @@ class LinkGraph:
                     df.unpersist()
                 except Exception:
                     pass
+        # let a later ensure_persisted() re-cache (the DataFrames stay
+        # valid — only their cached blocks are dropped)
+        self._persisted = False

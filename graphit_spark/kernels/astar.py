@@ -40,6 +40,7 @@ def astar(
     with admissible long lower bounds; missing ids get h = 0."""
     if not graph.weighted:
         raise ValueError("astar requires a weighted graph")
+    own_cache = graph.ensure_persisted()
     verts = graph.vertices()
     if heuristic is None:
         h = verts.select("id", F.lit(0).cast("long").alias("h"))
@@ -119,4 +120,6 @@ def astar(
         prev.unpersist()
         if improved_in_bucket == 0:
             bucket += 1
+    if own_cache:
+        graph.unpersist()
     return state.select("id", "dist")

@@ -28,6 +28,7 @@ def betweenness_centrality(
 ) -> DataFrame:
     """(id, bc) for every vertex; 0.0 for vertices off any shortest path."""
     spark = graph.spark
+    own_cache = graph.ensure_persisted()
     edges = graph.edges
 
     # ---- forward phase: levels + path counts --------------------------
@@ -93,6 +94,8 @@ def betweenness_centrality(
     all_delta = acc[0].select("id", "delta")
     for d in acc[1:]:
         all_delta = all_delta.unionByName(d.select("id", "delta"))
+    if own_cache:
+        graph.unpersist()
     return (
         graph.vertices()
         .join(all_delta, "id", "left")

@@ -35,6 +35,7 @@ def eigenvector_centrality(
 ) -> DataFrame:
     """Returns (id, ec) after `rounds` un-normalized power iterations,
     init ec = 1/n (eigenvector_centrality.gt:6)."""
+    own_cache = graph.ensure_persisted()
     n = graph.num_vertices
     state = graph.vertices().withColumn("ec", F.lit(1.0 / n))
     state = state.localCheckpoint(eager=True)
@@ -55,6 +56,8 @@ def eigenvector_centrality(
         )
         prev.unpersist()
         prev = state
+    if own_cache:
+        graph.unpersist()
     return state
 
 

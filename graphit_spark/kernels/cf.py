@@ -33,6 +33,7 @@ def collaborative_filtering(
     """(id, latent: array<double>) after `iters` synchronous GD rounds."""
     if not graph.weighted:
         raise ValueError("cf requires a weighted (rating) edge table")
+    own_cache = graph.ensure_persisted()
     edges = graph.edges  # (src, dst, weight)
 
     latent = graph.vertices().select(
@@ -82,4 +83,6 @@ def collaborative_filtering(
             )
             .localCheckpoint(eager=True)
         )
+    if own_cache:
+        graph.unpersist()
     return latent

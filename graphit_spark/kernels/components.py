@@ -30,6 +30,10 @@ from graphit_spark.graph import LinkGraph
 from graphit_spark.checkpoint import SnapshotStore
 from graphit_spark.plans.traversal import choose_direction
 
+# pointer-jump parent maps up to this many distinct labels are broadcast;
+# above it the jump is skipped for the round (propagation still converges)
+_PJ_BROADCAST_LIMIT = 1_000_000
+
 
 def connected_components(
     graph: LinkGraph,
@@ -48,6 +52,7 @@ def connected_components(
     bounds rounds by O(log n) instead of O(diameter).
     """
     g = graph.symmetrize() if symmetrize else graph
+    own_cache = g.ensure_persisted()
     num_edges = g.num_edges
 
     start_iter = 0
@@ -63,21 +68,34 @@ def connected_components(
     # degree sum of full frontier = num_edges (dense round 0)
     frontier_deg_sum = num_edges
 
+    # same strategy choice as kernels/pagerank.py: the V-sized label side
+    # joins the cached edge partitioning via per-partition hash build
+    # (no E-sized sort, no driver broadcast build)
+    big_v = graph.num_vertices > 500_000
+    prev_ck = labels
+
     for i in range(start_iter, max_iters):
         t0 = time.time()
         direction = choose_direction(frontier_size, frontier_deg_sum, num_edges)
         src_labels = labels.select(F.col("id").alias("src"), "comp")
+        # Frontier restriction lives on the V-sized LABEL side, never as a
+        # separate E-sized semi-join: the inner gather join below already
+        # drops every edge whose src carries no label row, so one E-scan
+        # per round suffices.
         if direction == "sparse":
-            # push-like: only frontier sources propagate.
-            active_edges = g.edges.join(
-                F.broadcast(frontier.select(F.col("id").alias("src"))),
-                "src",
-                "left_semi",
-            )
+            # push-like: broadcast-prune the edge scan with the small
+            # frontier, and broadcast the (equally small) label rows.
+            fr = frontier.select(F.col("id").alias("src"))
+            active_edges = g.edges.join(F.broadcast(fr), "src", "left_semi")
+            src_labels = F.broadcast(src_labels.join(F.broadcast(fr), "src"))
         else:
-            active_edges = g.edges.join(
-                frontier.select(F.col("id").alias("src")), "src", "left_semi"
-            )
+            active_edges = g.edges
+            if frontier_size < graph.num_vertices:
+                src_labels = src_labels.join(
+                    frontier.select(F.col("id").alias("src")), "src", "left_semi"
+                )
+            if big_v:
+                src_labels = src_labels.hint("shuffle_hash")
         mins = (
             active_edges.join(src_labels, "src")
             .groupBy(F.col("dst").alias("id"))
@@ -93,22 +111,47 @@ def connected_components(
                 F.col("comp").alias("old_comp"),
             )
         )
-        if pointer_jump:
-            # Path-halving: comp[v] <- comp[comp[v]], repeated. Each Spark
-            # round is one hop; a handful of rounds collapses chains.
-            for _ in range(2):
-                left = new_labels.alias("l")
-                parent = new_labels.select(
-                    F.col("id").alias("pid"), F.col("comp").alias("pcomp")
-                ).alias("p")
-                new_labels = left.join(
-                    parent, F.col("l.comp") == F.col("p.pid"), "left"
-                ).select(
-                    F.col("l.id").alias("id"),
-                    F.coalesce(F.col("p.pcomp"), F.col("l.comp")).alias("comp"),
-                    F.col("l.old_comp").alias("old_comp"),
-                )
+        # materialize the gather ONCE before pointer jumping: each jump
+        # hop references new_labels twice (as parent map and as left
+        # side), so a lazy chain would recompute the E-sized gather
+        # several times per round
         new_labels = new_labels.localCheckpoint(eager=True)
+        round_cks = [new_labels]
+        if pointer_jump:
+            # Path-halving: comp[v] <- comp[comp[v]], repeated. A naive
+            # self-join on comp shuffles the whole table keyed by the
+            # giant component's label — maximal key skew. Instead the
+            # parent mapping is restricted to the DISTINCT label values
+            # (they collapse geometrically) and broadcast, so each hop is
+            # one narrow V-scan: no shuffle, no skewed key.
+            dcomp = (
+                new_labels.select(F.col("comp").alias("pid"))
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            if dcomp.count() <= _PJ_BROADCAST_LIMIT:
+                for _ in range(2):
+                    parent = F.broadcast(
+                        new_labels.join(
+                            F.broadcast(dcomp),
+                            new_labels["id"] == dcomp["pid"],
+                        ).select("pid", F.col("comp").alias("pcomp"))
+                    )
+                    left = new_labels.alias("l")
+                    new_labels = left.join(
+                        parent, F.col("l.comp") == F.col("pid"), "left"
+                    ).select(
+                        F.col("l.id").alias("id"),
+                        F.coalesce(F.col("pcomp"), F.col("l.comp")).alias("comp"),
+                        F.col("l.old_comp").alias("old_comp"),
+                    ).localCheckpoint(eager=True)
+                    round_cks.append(new_labels)
+            # else: labels haven't consolidated yet — plain propagation
+            # continues and PJ kicks in once distinct labels fit a
+            # broadcast (power-law graphs get there in 1-2 rounds).
+            dcomp.unpersist()
+        for ck in round_cks[:-1]:
+            ck.unpersist()
         changed = new_labels.filter(F.col("comp") != F.col("old_comp")).select("id")
         # next frontier = changed vertices (applyModified contract)
         stats = (
@@ -131,9 +174,16 @@ def connected_components(
                     "direction": direction,
                 },
             )
+        # release the superseded V-sized checkpoint (bounded memory over
+        # O(log n) rounds; same discipline as kernels/pagerank.py)
+        if prev_ck is not None:
+            prev_ck.unpersist()
+        prev_ck = new_labels
         labels = new_labels.select("id", "comp")
         frontier = changed
         if frontier_size == 0:
             break
 
+    if own_cache:
+        g.unpersist()
     return labels.select("id", "comp")

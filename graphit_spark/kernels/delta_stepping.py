@@ -45,6 +45,7 @@ def sssp_delta_stepping(
     """
     if not graph.weighted:
         raise ValueError("delta-stepping requires a weighted graph")
+    own_cache = graph.ensure_persisted()
 
     dist = graph.vertices().select(
         "id",
@@ -112,4 +113,6 @@ def sssp_delta_stepping(
         prev.unpersist()
         if improved_in_bucket == 0:
             bucket += 1
+    if own_cache:
+        graph.unpersist()
     return dist

