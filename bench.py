@@ -87,14 +87,42 @@ def main() -> None:
     throughput["extract_pages_per_sec"] = round(n_pages / times["extract_pages"], 1)
     throughput["extract_links"] = n_links
 
-    # headline: PageRank on the synthetic power-law graph (BASELINE metric)
+    # headline: PageRank on the synthetic power-law graph (BASELINE
+    # metric). Best-of-N trials like the reference harness (10 trials,
+    # graphit_eval/eval/table7/benchmark.py) — the sandbox host's
+    # capacity swings several-fold minute to minute, so a single trial
+    # measures the host, not the engine.
+    trials = int(os.environ.get("BENCH_PR_TRIALS", "2"))
     g = LinkGraph(synth_edges(spark, synth_v), squished=False)
     num_edges = g.num_edges  # also forces edge materialization + cache
-    t0 = time.time()
-    pagerank(g, max_iters=pr_iters).count()
-    pr_time = time.time() - t0
+    trial_times = []
+    for _ in range(trials):
+        t0 = time.time()
+        pagerank(g, max_iters=pr_iters).count()
+        trial_times.append(time.time() - t0)
+    pr_time = min(trial_times)
     times["pagerank_synth"] = round(pr_time, 3)
+    throughput["pagerank_synth_trials"] = [round(t, 3) for t in trial_times]
     throughput["pagerank_edges_per_sec"] = round(num_edges * pr_iters / pr_time, 1)
+
+    # the BASELINE.json metric verbatim: edges/sec (iterations/hour) to
+    # 1e-6 convergence (L1). The hub-heavy synthetic mixes fast
+    # (~10-15 supersteps to 1e-6), so this adds modest wall time.
+    if os.environ.get("BENCH_CONVERGE", "1") == "1":
+        conv: dict = {}
+        t0 = time.time()
+        pagerank(g, tol=1e-6, max_iters=200, metrics_out=conv).count()
+        conv_time = time.time() - t0
+        iters = conv.get("iterations", 0)
+        times["pagerank_converge_1e6"] = round(conv_time, 3)
+        throughput["pagerank_converge_iterations"] = iters
+        throughput["pagerank_converge_final_l1"] = conv.get("final_err")
+        throughput["pagerank_converge_edges_per_sec"] = round(
+            num_edges * iters / conv_time, 1
+        )
+        throughput["pagerank_iterations_per_hour"] = round(
+            3600.0 * iters / conv_time, 1
+        )
     throughput["synth_edges"] = num_edges
     throughput["synth_vertices"] = synth_v
     throughput["pr_iters"] = pr_iters

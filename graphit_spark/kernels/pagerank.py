@@ -50,6 +50,7 @@ def pagerank(
     store: SnapshotStore | None = None,
     resume: bool = False,
     use_adjacency: bool = False,
+    metrics_out: dict | None = None,
 ) -> DataFrame:
     """Returns (id, rank) for every vertex in [0, n).
 
@@ -60,6 +61,8 @@ def pagerank(
     resume: continue from the latest complete snapshot in `store`.
     use_adjacency: scatter from CSR-like adjacency blocks (explode) rather
     than the flat edge table.
+    metrics_out: if given, filled with {"iterations", "final_err"} — the
+    bench harness reads these for the convergence metric.
     """
     own_cache = graph.ensure_persisted()
     n = graph.num_vertices
@@ -140,6 +143,9 @@ def pagerank(
                 {"kernel": "pagerank", "elapsed_sec": time.time() - t0,
                  "l1_error": err},
             )
+        if metrics_out is not None:
+            metrics_out["iterations"] = i + 1 - start_iter
+            metrics_out["final_err"] = err
         if tol is not None and err is not None and err <= tol:
             break
 
