@@ -6,7 +6,7 @@
 Inputs: $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) for the
 testdata-derived queries; the headline PageRank runs on a JVM-generated
 synthetic power-law graph (graphit_spark/synth.py) sized by
-$BENCH_SYNTH_V vertices (default 300k → ~5.6M edges), reporting
+$BENCH_SYNTH_V vertices (default 1M → ~17M edges), reporting
 edges/sec — the BASELINE.json metric. local[$SPARK_GRAFT_CPUS].
 """
 
@@ -25,7 +25,7 @@ from graphit_spark.session import get_spark  # noqa: E402
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
-    synth_v = int(os.environ.get("BENCH_SYNTH_V", "300000"))
+    synth_v = int(os.environ.get("BENCH_SYNTH_V", "1000000"))
     pr_iters = int(os.environ.get("BENCH_PR_ITERS", "10"))
 
     # tmpfs shuffle dirs: the sandbox block device stalls under shuffle

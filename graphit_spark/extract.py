@@ -70,16 +70,37 @@ def extract_links_udf(html: pd.Series) -> pd.Series:
     return s.str.findall(HREF_RE)
 
 
+_BOTH_TYPE = T.StructType(
+    [
+        T.StructField("text", T.StringType()),
+        T.StructField("links", T.ArrayType(T.StringType())),
+    ]
+)
+
+
+@F.pandas_udf(_BOTH_TYPE)
+def extract_both_udf(html: pd.Series) -> pd.DataFrame:
+    """text + links in ONE Arrow pass — html is decoded once instead of
+    once per UDF (same operations as the two single-column UDFs, so the
+    byte-identical contract is unchanged; tests assert all three agree
+    with reference_extract)."""
+    s = _decode_series(html)
+    links = s.str.findall(HREF_RE)
+    text = s.str.replace(TAG_RE, " ", regex=True)
+    for pat, rep in ENTITIES:
+        text = text.str.replace(pat, rep, regex=False)
+    text = text.str.replace(WS_RE, " ", regex=True).str.strip()
+    return pd.DataFrame({"text": text, "links": links})
+
+
 def extract_pages(pages: DataFrame) -> DataFrame:
     """pages(url, warc_ts, html, text, lang) → (url, text, links).
 
     ``text`` is recomputed from html with the vectorized UDF — writers can
     cross-check it against the stored column (byte-identical invariant)."""
     return pages.select(
-        "url",
-        extract_text_udf("html").alias("text"),
-        extract_links_udf("html").alias("links"),
-    )
+        "url", extract_both_udf("html").alias("e")
+    ).select("url", F.col("e.text").alias("text"), F.col("e.links").alias("links"))
 
 
 def build_url_ids(extracted: DataFrame) -> DataFrame:
@@ -103,11 +124,29 @@ def build_url_ids(extracted: DataFrame) -> DataFrame:
 
 def pages_to_edges(pages: DataFrame, url_ids: DataFrame | None = None):
     """The full ingest: pages → squish-ready edge list (src, dst) plus the
-    url↔id dictionary. Returns (edges_df, url_ids_df)."""
-    extracted = extract_pages(pages)
+    url↔id dictionary. Returns (edges_df, url_ids_df).
+
+    Edge derivation needs only the LINKS half of the extraction (text is
+    recomputed/validated separately via extract_pages), so this runs the
+    links UDF alone — no tag-strip/entity/whitespace regex chain — and
+    persists the exploded (url, target) pairs so the Arrow extraction
+    executes once, not once per downstream consumer (the url universe
+    and the edge join both read it; page urls come straight from the
+    source column, no UDF)."""
+    flat = pages.select(
+        "url", F.explode(extract_links_udf("html")).alias("target")
+    ).persist()
     if url_ids is None:
-        url_ids = build_url_ids(extracted)
-    flat = extracted.select("url", F.explode("links").alias("target"))
+        from graphit_spark.plans.ranking import dense_rank_ids
+
+        urls = (
+            pages.select("url")
+            .unionByName(flat.select(F.col("target").alias("url")))
+            .distinct()
+        )
+        url_ids = dense_rank_ids(urls, [F.asc("url")], out_col="id").select(
+            "url", "id"
+        )
     src_ids = url_ids.withColumnRenamed("id", "src")
     dst_ids = url_ids.select(
         F.col("url").alias("target"), F.col("id").alias("dst")
