@@ -62,3 +62,50 @@ def write_edge_list(edges: DataFrame, path: str) -> None:
     edges.select(F.concat_ws(" ", *cols).alias("value")).write.mode(
         "overwrite"
     ).text(path)
+
+
+def read_gr(spark: SparkSession, path: str) -> DataFrame:
+    """DIMACS shortest-path ``.gr`` → (src, dst, weight): arc lines are
+    "a u v w"; every other line (comments 'c', problem line 'p') is
+    skipped. Ids are kept AS READ — the reference's ReadInGR
+    (reader.h:70-85) does not re-index, so neither do we."""
+    lines = spark.read.text(path).filter(F.trim("value").startswith("a "))
+    toks = lines.select(F.split(F.trim("value"), r"\s+").alias("t"))
+    return toks.select(
+        F.element_at("t", 2).cast("long").alias("src"),
+        F.element_at("t", 3).cast("long").alias("dst"),
+        F.element_at("t", 4).cast("long").alias("weight"),
+    )
+
+
+def read_metis(spark: SparkSession, path: str) -> DataFrame:
+    """Metis ``.graph`` → (src, dst): header "n m [fmt]", then line k
+    holds the (1-indexed) neighbors of vertex k-1; converted to
+    0-indexed like the reference (reader.h:88-145 ReadInMetis).
+    Weighted fmt codes are rejected. Line numbering uses a global
+    Window — a small-test-graph format, never the at-scale path
+    (BENCH/PLANS.md)."""
+    from pyspark.sql import Window
+
+    # keep empty lines: a vertex with no neighbors is an empty line and
+    # must still advance the vertex numbering (only '%' comments skip)
+    lines = spark.read.text(path).filter(~F.trim("value").startswith("%"))
+    w = Window.orderBy(F.monotonically_increasing_id())
+    numbered = lines.withColumn("rn", F.row_number().over(w))
+    header = numbered.filter(F.col("rn") == 1).select(
+        F.split(F.trim("value"), r"\s+").alias("t")
+    ).collect()[0]["t"]
+    if len(header) > 2 and int(header[2]) != 0:
+        raise ValueError(f"weighted metis fmt {header[2]} not supported")
+    return (
+        numbered.filter(F.col("rn") > 1)
+        .select(
+            (F.col("rn") - 2).alias("src"),
+            F.explode(
+                F.filter(
+                    F.split(F.trim("value"), r"\s+"), lambda x: x != ""
+                )
+            ).alias("nbr"),
+        )
+        .select("src", (F.col("nbr").cast("long") - 1).alias("dst"))
+    )

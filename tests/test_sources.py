@@ -36,3 +36,52 @@ def test_mtx_one_indexed(spark, tmp_path):
     p.write_text("%%MatrixMarket matrix coordinate\n% c\n3 3 2\n1 2\n3 1\n")
     df = read_mtx(spark, str(p))
     assert sorted(map(tuple, df.collect())) == [(0, 1), (2, 0)]
+
+
+def test_read_gr(spark, tmp_path):
+    from graphit_spark.sources.edgelist import read_gr
+
+    p = tmp_path / "g.gr"
+    p.write_text(
+        "c DIMACS comment\np sp 4 3\na 1 2 7\na 2 3 1\n\na 3 1 5\n"
+    )
+    rows = sorted(
+        (r["src"], r["dst"], r["weight"])
+        for r in read_gr(spark, str(p)).collect()
+    )
+    # ids as-read, no re-index (reader.h:70-85)
+    assert rows == [(1, 2, 7), (2, 3, 1), (3, 1, 5)]
+
+
+def test_read_metis(spark, tmp_path):
+    from graphit_spark.sources.edgelist import read_metis
+
+    p = tmp_path / "g.graph"
+    # 3 vertices: 0-{1,2}, 1-{0}, 2-{0}; metis is 1-indexed
+    p.write_text("% comment\n3 3\n2 3\n1\n1\n")
+    rows = sorted(
+        (r["src"], r["dst"]) for r in read_metis(spark, str(p)).collect()
+    )
+    assert rows == [(0, 1), (0, 2), (1, 0), (2, 0)]
+
+
+def test_read_metis_rejects_weighted(spark, tmp_path):
+    import pytest as _pytest
+    from graphit_spark.sources.edgelist import read_metis
+
+    p = tmp_path / "g.graph"
+    p.write_text("2 1 1\n2 5\n1 5\n")
+    with _pytest.raises(ValueError):
+        read_metis(spark, str(p))
+
+
+def test_read_metis_isolated_vertex_keeps_numbering(spark, tmp_path):
+    from graphit_spark.sources.edgelist import read_metis
+
+    p = tmp_path / "g.graph"
+    # vertex 1 isolated (empty line) — vertex 2's line must still map to id 2
+    p.write_text("3 1\n3\n\n1\n")
+    rows = sorted(
+        (r["src"], r["dst"]) for r in read_metis(spark, str(p)).collect()
+    )
+    assert rows == [(0, 2), (2, 0)]
