@@ -1,0 +1,104 @@
+"""Parity against the REFERENCE RUNTIME ITSELF (the strongest oracle):
+tests/ref_outputs/reference_kernel_outputs.json holds per-vertex outputs
+produced by a harness compiled against the reference's header-only
+runtime (GAPBS loader — exact SquishGraph semantics) executing the
+pagerank.gt / cc.gt / sssp.gt / tc.gt formulas on the reference's own
+test graphs (test/graphs/4.el, 4_sym.el, 4.wel, rmat10.el). Our engine
+reads the SAME files through its own .el/.wel readers and must
+reproduce them: PR allclose 1e-6 (north rule), CC/SSSP/TC exact."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphit_spark import LinkGraph
+from graphit_spark.kernels import (
+    connected_components,
+    pagerank,
+    sssp,
+    triangle_count,
+)
+from graphit_spark.sources.edgelist import (
+    read_edge_list,
+    read_weighted_edge_list,
+)
+
+GRAPH_DIR = "/root/reference/test/graphs"
+FIXTURE = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)),
+    "ref_outputs",
+    "reference_kernel_outputs.json",
+)
+
+needs_reference = pytest.mark.skipif(
+    not os.path.isdir(GRAPH_DIR), reason="reference graphs not available"
+)
+
+
+@pytest.fixture(scope="module")
+def fix():
+    with open(FIXTURE) as f:
+        return json.load(f)
+
+
+def _graph(spark, name):
+    reader = read_weighted_edge_list if name.endswith(".wel") else read_edge_list
+    return LinkGraph(reader(spark, f"{GRAPH_DIR}/{name}"), persist=False)
+
+
+@needs_reference
+@pytest.mark.parametrize("graph_name", ["4.el", "4_sym.el", "rmat10.el"])
+def test_pagerank_matches_reference_runtime(spark, fix, graph_name):
+    g = _graph(spark, graph_name)
+    want = {int(k): v for k, v in fix[graph_name]["pr"].items()}
+    got = {r["id"]: r["rank"]
+           for r in pagerank(g, max_iters=fix[graph_name]["pr_iters"]).collect()}
+    assert set(got) == set(want)
+    worst = max(abs(got[v] - want[v]) for v in want)
+    assert worst <= 1e-6, f"max |d_rank| = {worst}"  # north-rule tolerance
+    assert worst <= 1e-12, f"max |d_rank| = {worst}"  # actual precision
+
+
+@needs_reference
+def test_cc_directed_matches_reference_runtime(spark, fix):
+    """cc.gt semantics verbatim: min-label propagation over the edges AS
+    STORED (no symmetrize) — fixpoint is min-id-that-reaches-v."""
+    for graph_name in ["4.el", "rmat10.el"]:
+        g = _graph(spark, graph_name)
+        want = {int(k): v for k, v in fix[graph_name]["cc_directed"].items()}
+        got = {r["id"]: r["comp"]
+               for r in connected_components(g, symmetrize=False).collect()}
+        assert got == want, graph_name
+
+
+@needs_reference
+def test_cc_symmetric_matches_reference_runtime(spark, fix):
+    """The reference's own CC verification input (4_sym.el, GAPBS -s)."""
+    g = _graph(spark, "4_sym.el")
+    want = {int(k): v for k, v in fix["4_sym.el"]["cc"].items()}
+    got = {r["id"]: r["comp"] for r in connected_components(g).collect()}
+    assert got == want
+
+
+@needs_reference
+def test_tc_matches_reference_runtime(spark, fix):
+    """tc_verifier.cpp ground truth on 4_sym.el; our kernel symmetrizes
+    internally, so the raw 4.el must give the same count."""
+    want = fix["4_sym.el"]["tc"]
+    for graph_name in ["4_sym.el", "4.el"]:
+        g = _graph(spark, graph_name)
+        got = triangle_count(g).collect()[0]["triangles"]
+        assert got == want, graph_name
+
+
+@needs_reference
+def test_sssp_matches_reference_runtime(spark, fix):
+    g = _graph(spark, "4.wel")
+    inf = fix["4.wel"]["sssp_inf"]
+    want = {int(k): (None if v == inf else v)
+            for k, v in fix["4.wel"]["sssp"].items()}
+    got = {r["id"]: r["dist"]
+           for r in sssp(g, fix["4.wel"]["sssp_source"], max_iters=100).collect()}
+    assert got == want
