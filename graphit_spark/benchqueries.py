@@ -640,6 +640,16 @@ def q_set_cover(spark, sf_dir):
     return set_cover(g)
 
 
+def q_core_numbers(spark, sf_dir):
+    """Full core decomposition (apps/k_core.gt bucket peeling). Round
+    count is data-dependent -> rows-only check; exact parity vs the
+    pure-Python peeling oracle is asserted in tests
+    (TestCoreDecomposition)."""
+    from graphit_spark.kernels import core_decomposition
+
+    return core_decomposition(graph(spark, sf_dir, "raw"))
+
+
 def q_astar(spark, sf_dir):
     """Point-to-point A* (h=0 -> Dijkstra). Only the target's distance
     is guaranteed settled at termination, so the query returns the
@@ -674,4 +684,5 @@ GRAPH_QUERIES: dict[str, tuple] = {
     "astar": (q_astar, astar_sql()),
     "min_spanning_forest": (q_msf, None),
     "set_cover": (q_set_cover, None),
+    "core_numbers": (q_core_numbers, None),
 }

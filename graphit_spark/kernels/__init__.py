@@ -3,7 +3,7 @@ from graphit_spark.kernels.components import connected_components
 from graphit_spark.kernels.labelprop import label_propagation
 from graphit_spark.kernels.triangles import triangle_count, triangle_count_per_vertex
 from graphit_spark.kernels.paths import bfs, sssp
-from graphit_spark.kernels.kcore import k_core
+from graphit_spark.kernels.kcore import k_core, core_decomposition
 from graphit_spark.kernels.bc import betweenness_centrality
 from graphit_spark.kernels.cf import collaborative_filtering
 from graphit_spark.kernels.centrality import (
@@ -21,6 +21,7 @@ __all__ = [
     "minimum_spanning_forest",
     "set_cover",
     "k_core",
+    "core_decomposition",
     "betweenness_centrality",
     "collaborative_filtering",
     "closeness_centrality",

@@ -325,3 +325,31 @@ def set_cover_oracle(edges, epsilon=0.01):
             out.append((s, rounds))
         covered |= {e for e, s in winner.items() if s in set(admitted)}
     return out
+
+
+def coreness_oracle(edges):
+    """Textbook peeling on the symmetrized squished graph — mirrors the
+    reference's bucket-queue semantics (apps/k_core.gt)."""
+    und = {(min(s, d), max(s, d)) for s, d in squish(edges)}
+    und |= {(b, a) for a, b in und}
+    n = num_vertices(edges)
+    adj = {v: set() for v in range(n)}
+    for a, b in und:
+        adj[a].add(b)
+    deg = {v: len(adj[v]) for v in range(n)}
+    core = {}
+    remaining = set(range(n))
+    while remaining:
+        k = min(deg[v] for v in remaining)
+        while True:
+            bucket = [v for v in remaining if deg[v] <= k]
+            if not bucket:
+                break
+            for v in bucket:
+                core[v] = k
+                remaining.discard(v)
+            for v in bucket:
+                for u in adj[v]:
+                    if u in remaining:
+                        deg[u] -= 1
+    return core

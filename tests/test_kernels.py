@@ -416,3 +416,38 @@ class TestSetCover:
         rows = sorted((r["set_id"], r["round"]) for r in set_cover(g).collect())
         assert rows[0] == (0, 1)  # hub admitted in round 1, covers all
         assert {s for s, _ in rows} == {0}
+
+
+class TestCoreDecomposition:
+    @pytest.mark.parametrize("seed,n,m", [(3, 25, 90), (8, 40, 220)])
+    def test_matches_peeling_oracle(self, spark, seed, n, m):
+        from graphit_spark.kernels import core_decomposition
+        from tests.oracles import coreness_oracle
+
+        rng = random.Random(seed)
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        g = LinkGraph.from_pairs(spark, edges, persist=False)
+        got = {r["id"]: r["core"] for r in core_decomposition(g).collect()}
+        assert got == coreness_oracle(edges)
+
+    def test_kcore_membership_consistent(self, spark):
+        """k_core(k) must equal {v : core(v) >= k}."""
+        from graphit_spark.kernels import core_decomposition, k_core
+
+        rng = random.Random(6)
+        edges = [(rng.randrange(30), rng.randrange(30)) for _ in range(150)]
+        g = LinkGraph.from_pairs(spark, edges, persist=False)
+        cores = {r["id"]: r["core"] for r in core_decomposition(g).collect()}
+        for k in (1, 2, 3):
+            member = {r["id"] for r in k_core(g, k).collect()}
+            assert member == {v for v, c in cores.items() if c >= k}, k
+
+    def test_selfloop_max_id_universe(self, spark):
+        """A self-loop at the max raw id still defines the vertex
+        universe (FindMaxNodeID pre-squish); isolated ids get core 0."""
+        from graphit_spark.kernels import core_decomposition
+
+        edges = [(0, 1), (1, 2), (2, 0), (7, 7)]
+        g = LinkGraph.from_pairs(spark, edges, persist=False)
+        got = {r["id"]: r["core"] for r in core_decomposition(g).collect()}
+        assert got == {0: 2, 1: 2, 2: 2, 3: 0, 4: 0, 5: 0, 6: 0, 7: 0}
