@@ -102,3 +102,34 @@ def test_sssp_matches_reference_runtime(spark, fix):
     got = {r["id"]: r["dist"]
            for r in sssp(g, fix["4.wel"]["sssp_source"], max_iters=100).collect()}
     assert got == want
+
+
+@needs_reference
+@pytest.mark.parametrize("graph_name", ["4.el", "rmat10.el"])
+def test_bfs_matches_reference_runtime(spark, fix, graph_name):
+    from graphit_spark.kernels import bfs
+
+    g = _graph(spark, graph_name)
+    want = {int(k): (None if v == -1 else v)
+            for k, v in fix[graph_name]["bfs"].items()}
+    got = {r["id"]: r["dist"]
+           for r in bfs(g, fix[graph_name]["bfs_source"], max_iters=100).collect()}
+    assert got == want
+
+
+@needs_reference
+@pytest.mark.parametrize("graph_name", ["4.el", "rmat10.el"])
+def test_pagerank_delta_matches_reference_runtime(spark, fix, graph_name):
+    """pagerankdelta.gt verbatim, INCLUDING the epsilon2 frontier
+    threshold — the float comparison that decides frontier membership
+    agrees because both sides compute the same per-vertex arithmetic."""
+    from graphit_spark.kernels import pagerank_delta
+
+    g = _graph(spark, graph_name)
+    want = {int(k): v for k, v in fix[graph_name]["prd"].items()}
+    got = {r["id"]: r["rank"]
+           for r in pagerank_delta(
+               g, max_iters=fix[graph_name]["prd_rounds"]).collect()}
+    assert set(got) == set(want)
+    worst = max(abs(got[v] - want[v]) for v in want)
+    assert worst <= 1e-6, f"max |d_rank| = {worst}"
