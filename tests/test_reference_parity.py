@@ -133,3 +133,21 @@ def test_pagerank_delta_matches_reference_runtime(spark, fix, graph_name):
     assert set(got) == set(want)
     worst = max(abs(got[v] - want[v]) for v in want)
     assert worst <= 1e-6, f"max |d_rank| = {worst}"
+
+
+@needs_reference
+@pytest.mark.parametrize("graph_name,source", [("4.el", 0), ("rmat10.el", 3)])
+def test_bc_matches_reference_runtime(spark, fix, graph_name, source):
+    """bc.gt verbatim (inverse-sigma backward accumulation). The
+    reference leaves the source's own total dependency on the source;
+    this kernel reports 0 there (verifier convention) — every other
+    vertex must match."""
+    from graphit_spark.kernels import betweenness_centrality
+
+    g = _graph(spark, graph_name)
+    want = {int(k): v for k, v in fix[graph_name][f"bc_source_{source}"].items()}
+    got = {r["id"]: r["bc"]
+           for r in betweenness_centrality(g, source).collect()}
+    assert set(got) == set(want)
+    worst = max(abs(got[v] - want[v]) for v in want if v != source)
+    assert worst <= 1e-9, f"max |d_bc| = {worst}"
