@@ -151,3 +151,34 @@ def test_bc_matches_reference_runtime(spark, fix, graph_name, source):
     assert set(got) == set(want)
     worst = max(abs(got[v] - want[v]) for v in want if v != source)
     assert worst <= 1e-9, f"max |d_bc| = {worst}"
+
+
+@needs_reference
+def test_delta_stepping_matches_reference_runtime(spark, fix):
+    """Ordered schedule changes work order, not the fixpoint (CGO 2020
+    claim) — delta-stepping must land on the same Bellman-Ford
+    distances the reference runtime computed."""
+    from graphit_spark.kernels import sssp_delta_stepping
+
+    g = _graph(spark, "4.wel")
+    inf = fix["4.wel"]["sssp_inf"]
+    want = {int(k): (None if v == inf else v)
+            for k, v in fix["4.wel"]["sssp"].items()}
+    got = {r["id"]: r["dist"]
+           for r in sssp_delta_stepping(
+               g, fix["4.wel"]["sssp_source"], delta=3).collect()}
+    assert got == want
+
+
+@needs_reference
+@pytest.mark.parametrize("target", [5, 11])
+def test_astar_target_matches_reference_runtime(spark, fix, target):
+    from graphit_spark.kernels import astar
+
+    g = _graph(spark, "4.wel")
+    inf = fix["4.wel"]["sssp_inf"]
+    want = fix["4.wel"]["sssp"][str(target)]
+    want = None if want == inf else want
+    got = {r["id"]: r["dist"]
+           for r in astar(g, fix["4.wel"]["sssp_source"], target, delta=3).collect()}
+    assert got[target] == want
