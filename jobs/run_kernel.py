@@ -31,7 +31,10 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--kernel", required=True,
                    choices=["pagerank", "pagerank_delta", "cc", "lpa",
-                            "triangle_count", "bfs", "sssp"])
+                            "triangle_count", "bfs", "sssp",
+                            "sssp_delta", "k_core", "core_numbers",
+                            "betweenness", "eigenvector", "msf",
+                            "set_cover"])
     p.add_argument("--edges", help="parquet edge table (src,dst[,weight])")
     p.add_argument("--pages", help="parquet pages table (extracted first)")
     p.add_argument("--synth-vertices", type=int, help="synthetic graph size")
@@ -42,6 +45,8 @@ def main() -> None:
     p.add_argument("--tol", type=float, default=None)
     p.add_argument("--source", type=int, default=0, help="bfs/sssp source")
     p.add_argument("--rounds", type=int, default=5, help="lpa rounds")
+    p.add_argument("--k", type=int, default=3, help="k_core k")
+    p.add_argument("--delta", type=int, default=4, help="delta-stepping width")
     args = p.parse_args()
 
     from graphit_spark import LinkGraph, SnapshotStore
@@ -62,6 +67,16 @@ def main() -> None:
         edges = synth_edges(spark, args.synth_vertices)
     else:
         p.error("one of --edges/--pages/--synth-vertices required")
+
+    weighted_kernels = {"sssp", "sssp_delta", "msf"}
+    if args.kernel in weighted_kernels and "weight" not in edges.columns:
+        from pyspark.sql import functions as F
+
+        # deterministic synthetic weights for weighted kernels on
+        # unweighted inputs (matches the test-fixture formula)
+        edges = edges.withColumn(
+            "weight", F.lit(1) + F.pmod(F.col("src") + F.col("dst"), F.lit(7))
+        )
 
     g = LinkGraph(edges)
     store = (
@@ -94,10 +109,38 @@ def main() -> None:
         from graphit_spark.kernels import bfs
 
         out = bfs(g, args.source, max_iters=args.max_iters)
-    else:
+    elif args.kernel == "sssp":
         from graphit_spark.kernels import sssp
 
         out = sssp(g, args.source, max_iters=args.max_iters)
+    elif args.kernel == "sssp_delta":
+        from graphit_spark.kernels import sssp_delta_stepping
+
+        out = sssp_delta_stepping(g, args.source, delta=args.delta)
+    elif args.kernel == "k_core":
+        from graphit_spark.kernels import k_core
+
+        out = k_core(g, args.k)
+    elif args.kernel == "core_numbers":
+        from graphit_spark.kernels import core_decomposition
+
+        out = core_decomposition(g)
+    elif args.kernel == "betweenness":
+        from graphit_spark.kernels import betweenness_centrality
+
+        out = betweenness_centrality(g, args.source)
+    elif args.kernel == "eigenvector":
+        from graphit_spark.kernels import eigenvector_centrality
+
+        out = eigenvector_centrality(g)
+    elif args.kernel == "msf":
+        from graphit_spark.kernels import minimum_spanning_forest
+
+        out = minimum_spanning_forest(g)
+    else:
+        from graphit_spark.kernels import set_cover
+
+        out = set_cover(g)
 
     out.write.mode("overwrite").parquet(args.output)
     rows = spark.read.parquet(args.output).count()
