@@ -38,7 +38,12 @@ def dense_rank_ids(
     spark = df.sparkSession
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    ranged = df.repartitionByRange(num_partitions, *order_cols)
+    # Materialize the range shuffle ONCE: the counts action and the
+    # returned plan must observe the SAME partitioning (range boundaries
+    # come from sampling — re-executing could re-sample, and then the
+    # prefix-sum offsets would not match partition contents), and a
+    # second global sort of a crawl-scale table would double the cost.
+    ranged = df.repartitionByRange(num_partitions, *order_cols).persist()
     with_pid = ranged.withColumn("__pid", F.spark_partition_id())
     counts = {
         r["__pid"]: r["n"]
