@@ -105,16 +105,22 @@ def lsh_candidate_pairs(
     """(doc_a, doc_b) candidate near-dup pairs: documents sharing any
     LSH band (band = md5 of rows_per_band concatenated minhashes).
     Bucket join, doc_a < doc_b, distinct."""
+    # one scan of the signatures: every band key comes out of a single
+    # explode, and the persisted band table feeds both join sides — the
+    # shingle explosion + minhash aggregation run exactly once, not once
+    # per band per side
     sig = minhash_signatures(df, text_col, k)
     n_bands = k // rows_per_band
-    bands = []
+    band_structs = []
     for b in range(n_bands):
         cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
         key = F.md5(F.concat_ws("_", *[c.cast("string") for c in cols]).cast("binary"))
-        bands.append(sig.select("doc_id", F.lit(b).alias("band"), key.alias("bkey")))
-    allb = bands[0]
-    for b in bands[1:]:
-        allb = allb.unionByName(b)
+        band_structs.append(F.struct(F.lit(b).alias("band"), key.alias("bkey")))
+    allb = (
+        sig.select("doc_id", F.explode(F.array(*band_structs)).alias("bb"))
+        .select("doc_id", "bb.band", "bb.bkey")
+        .persist()
+    )
     left = allb.select("band", "bkey", F.col("doc_id").alias("doc_a"))
     right = allb.select("band", "bkey", F.col("doc_id").alias("doc_b"))
     return (
@@ -131,7 +137,9 @@ def ngram_jaccard_pairs(
     """(doc_a, doc_b, jaccard) over distinct char-shingle sets — exact,
     quadratic; restrict with max_doc_id or feed LSH candidates."""
     d = df if max_doc_id is None else df.filter(F.col("doc_id") < max_doc_id)
-    sh = _shingles(d, text_col)
+    # persisted: consumed three times (sizes + both sides of the
+    # intersection self-join) — the explosion must run once
+    sh = _shingles(d, text_col).persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
