@@ -149,7 +149,13 @@ class LinkGraph:
     def adjacency(self) -> DataFrame:
         """CSR-like blocks ``(src, nbrs: array<long>)``, sorted ascending —
         the Spark analogue of GAPBS CSR with sorted neighbor lists
-        (builder.h:147); sorted arrays make ``array_intersect`` a merge."""
+        (builder.h:147); sorted arrays make ``array_intersect`` a merge.
+
+        Scale note: a crawl-scale hub's neighbor array lives in one row,
+        so this representation is for degree-BOUNDED graphs (triangle
+        counting builds it on the degree-ORIENTED DAG, whose forward
+        degree is O(sqrt(E))); the flat edge table is the primary
+        representation for unbounded-degree traversals."""
         if self._adjacency is None:
             self._adjacency = (
                 self.edges.groupBy(SRC)
