@@ -92,7 +92,7 @@ def main() -> None:
     # graphit_eval/eval/table7/benchmark.py) — the sandbox host's
     # capacity swings several-fold minute to minute, so a single trial
     # measures the host, not the engine.
-    trials = int(os.environ.get("BENCH_PR_TRIALS", "2"))
+    trials = int(os.environ.get("BENCH_PR_TRIALS", "3"))
     g = LinkGraph(synth_edges(spark, synth_v), squished=False)
     num_edges = g.num_edges  # also forces edge materialization + cache
     trial_times = []
