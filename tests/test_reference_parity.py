@@ -182,3 +182,40 @@ def test_astar_target_matches_reference_runtime(spark, fix, target):
     got = {r["id"]: r["dist"]
            for r in astar(g, fix["4.wel"]["sssp_source"], target, delta=3).collect()}
     assert got[target] == want
+
+
+@needs_reference
+@pytest.mark.parametrize("graph_name", ["4.el", "rmat10.el"])
+def test_eigenvector_matches_reference_runtime(spark, fix, graph_name):
+    """eigenvector_centrality.gt: 9 un-normalized power iterations.
+    (Fixture computed in double; the reference declares float32 vectors,
+    a codegen type choice — the formula is what parity checks.)"""
+    from graphit_spark.kernels import eigenvector_centrality
+
+    g = _graph(spark, graph_name)
+    want = {int(k): v for k, v in fix[graph_name]["ec"].items()}
+    got = {r["id"]: r["ec"]
+           for r in eigenvector_centrality(
+               g, rounds=fix[graph_name]["ec_rounds"]).collect()}
+    assert set(got) == set(want)
+    worst = max(
+        abs(got[v] - want[v]) / max(abs(want[v]), 1e-30) for v in want
+    )
+    assert worst <= 1e-9, f"max rel err = {worst}"
+
+
+@needs_reference
+def test_closeness_matches_reference_runtime(spark, fix):
+    """closeness_centrality_weighted.gt on its dedicated graph
+    (test_closeness_sssp.wel, source 3): per-vertex distances with
+    unreached mapped to 0, and the printed sum-of-distances scalar."""
+    from graphit_spark.kernels import closeness_centrality, closeness_score
+
+    g = _graph(spark, "test_closeness_sssp.wel")
+    spec = fix["test_closeness_sssp.wel"]
+    want = {int(k): (0 if v == spec["inf"] else v)
+            for k, v in spec["sssp"].items()}
+    got = {r["id"]: r["dist"]
+           for r in closeness_centrality(g, spec["source"]).collect()}
+    assert got == want
+    assert closeness_score(g, spec["source"]) == spec["closeness_sum"]
