@@ -137,6 +137,49 @@ def image_features(df: DataFrame, bin_col: str = "image") -> DataFrame:
     )
 
 
+def image_resize(
+    df: DataFrame, width: int, height: int, bin_col: str = "image"
+) -> DataFrame:
+    """Resize to (width, height) — nearest-neighbor sampling over the
+    FAKEIMG1 container (deterministic, so the Spark-side plumbing,
+    schema, and batch shape are fully tested); real formats raise
+    NotImplementedError until a codec library is present. Output keeps
+    the container format, so resized images feed back into
+    image_metadata/image_features."""
+    id_cols = [c for c in df.columns if c != bin_col]
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out_bytes = []
+            for b in pdf[bin_col]:
+                raw = bytes(b)
+                if raw[:8] != IMG_MAGIC:
+                    raise NotImplementedError(
+                        "real image decode needs PIL/ffmpeg — not in this "
+                        "container; only the FAKEIMG1 container is supported"
+                    )
+                w, h = struct.unpack(">ii", raw[8:16])
+                arr = np.frombuffer(raw[16:16 + w * h], dtype=np.uint8)
+                arr = arr.reshape(h, w)
+                ys = (np.arange(height) * h // height).clip(0, h - 1)
+                xs = (np.arange(width) * w // width).clip(0, w - 1)
+                resized = arr[np.ix_(ys, xs)]
+                out_bytes.append(
+                    IMG_MAGIC
+                    + struct.pack(">ii", width, height)
+                    + resized.tobytes()
+                )
+            out = pdf[id_cols].copy()
+            out[bin_col] = out_bytes
+            yield out
+
+    base = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                     for f in df.schema.fields if f.name != bin_col)
+    return df.mapInPandas(resize, schema=base + f", {bin_col} binary")
+
+
 def frame_sample(df: DataFrame, bin_col: str = "video", every_n: int = 2) -> DataFrame:
     """Explode a video binary into sampled frame rows (one binary per
     kept frame) — the fan-out shape of real frame extraction; partitions

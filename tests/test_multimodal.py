@@ -46,3 +46,30 @@ def test_frame_sample_fanout(spark):
     assert sorted(r["frame_idx"] for r in f0) == [0, 2, 4]
     w, h = 8 + 3 % 24, 8 + 9 % 24
     assert all(len(bytes(r["frame"])) == w * h for r in f0)
+
+
+def test_image_resize_roundtrips_through_metadata(spark):
+    from graphit_spark.functions.multimodal import (
+        attach_fake_images, image_metadata, image_resize, image_features,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    imgs = attach_fake_images(docs)
+    resized = image_resize(imgs, 8, 10)
+    meta = {r["doc_id"]: (r["width"], r["height"])
+            for r in image_metadata(resized).collect()}
+    assert all(v == (8, 10) for v in meta.values())
+    # resized container still feeds the feature extractor
+    feats = image_features(resized).collect()
+    assert len(feats) == 6 and all(0 <= r["px_mean"] <= 255 for r in feats)
+
+
+def test_image_resize_deterministic(spark):
+    from graphit_spark.functions.multimodal import attach_fake_images, image_resize
+
+    docs = spark.createDataFrame([(i,) for i in range(4)], "doc_id long")
+    a = {r["doc_id"]: bytes(r["image"])
+         for r in image_resize(attach_fake_images(docs), 5, 5).collect()}
+    b = {r["doc_id"]: bytes(r["image"])
+         for r in image_resize(attach_fake_images(docs), 5, 5).collect()}
+    assert a == b
