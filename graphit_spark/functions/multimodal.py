@@ -137,6 +137,62 @@ def image_features(df: DataFrame, bin_col: str = "image") -> DataFrame:
     )
 
 
+def fake_audio(seed: int) -> bytes:
+    rate = 8000 + 4000 * (seed % 3)
+    n = 256 + (seed * 13) % 512
+    return AUD_MAGIC + struct.pack(">ii", rate, n) + _payload(seed, n)
+
+
+def attach_fake_audio(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic binary audio column (FAKEAUD1: sample_rate,
+    n_samples, u8 samples) — same mapInPandas batch shape a real
+    WARC/audio payload loader would use."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            out["audio"] = [fake_audio(int(i)) for i in pdf[id_col]]
+            yield out
+
+    base = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                     for f in df.schema.fields)
+    return df.mapInPandas(gen, schema=base + ", audio binary")
+
+
+def audio_features(df: DataFrame, bin_col: str = "audio") -> DataFrame:
+    """Decode + per-clip features: sample rate, duration, RMS level.
+    Stub decode over FAKEAUD1 (real formats raise NotImplementedError
+    until an audio library is present)."""
+    id_cols = [c for c in df.columns if c != bin_col]
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rate, dur, rms = [], [], []
+            for b in pdf[bin_col]:
+                raw = bytes(b)
+                if raw[:8] != AUD_MAGIC:
+                    raise NotImplementedError(
+                        "real audio decode needs an audio library — not "
+                        "in this container; only FAKEAUD1 is supported"
+                    )
+                r, n = struct.unpack(">ii", raw[8:16])
+                arr = np.frombuffer(raw[16:16 + n], dtype=np.uint8).astype("float64")
+                rate.append(r)
+                dur.append(n / r)
+                rms.append(float(np.sqrt((arr ** 2).mean())) if n else 0.0)
+            out = pdf[id_cols].copy()
+            out["sample_rate"], out["duration_sec"], out["rms"] = rate, dur, rms
+            yield out
+
+    base = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                     for f in df.schema.fields if f.name != bin_col)
+    return df.mapInPandas(
+        feats, schema=base + ", sample_rate int, duration_sec double, rms double"
+    )
+
+
 def image_resize(
     df: DataFrame, width: int, height: int, bin_col: str = "image"
 ) -> DataFrame:

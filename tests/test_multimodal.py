@@ -73,3 +73,14 @@ def test_image_resize_deterministic(spark):
     b = {r["doc_id"]: bytes(r["image"])
          for r in image_resize(attach_fake_images(docs), 5, 5).collect()}
     assert a == b
+
+
+def test_audio_features(spark):
+    from graphit_spark.functions.multimodal import attach_fake_audio, audio_features
+
+    docs = spark.createDataFrame([(i,) for i in range(5)], "doc_id long")
+    rows = audio_features(attach_fake_audio(docs)).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["sample_rate"] in (8000, 12000, 16000)
+        assert r["duration_sec"] > 0 and 0 <= r["rms"] <= 255
