@@ -125,3 +125,42 @@ def test_pipeline_graph_kernels_run(spark):
     for r in ranks.collect():
         got[r["id"]] = r["rank"]
     assert np.allclose(got, exp, atol=1e-6)
+
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _frag = st.one_of(
+        st.binary(max_size=24),
+        st.sampled_from([
+            b"<a href=\"", b"\">", b"</a>", b"<p>", b"</p>", b"&amp;",
+            b"&lt;", b"&gt;", b"&quot;", b"  ", b"\n", b"\t", b"<",
+            b">", b'"', b"&", b"\xff", b"\xc3\xa9", b"<b", b"href=",
+        ]),
+    )
+    _html = st.lists(_frag, max_size=12).map(b"".join)
+
+    @settings(
+        max_examples=12, deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(st.lists(_html, min_size=1, max_size=8))
+    def test_vectorized_matches_reference_fuzz(spark, payloads):
+        """Property: for ARBITRARY byte soup (entity fragments, broken
+        tags, invalid UTF-8), the Arrow UDF path is byte-identical to
+        reference_extract, row for row."""
+        df = (
+            spark.createDataFrame([(i, p) for i, p in enumerate(payloads)],
+                                  "i long, html binary")
+            .withColumn("url", F.col("i").cast("string"))
+            .withColumn("warc_ts", F.current_timestamp())
+            .withColumn("text", F.lit(""))
+            .withColumn("lang", F.lit("en"))
+        )
+        got = {int(r["url"]): (r["text"], list(r["links"]))
+               for r in extract_pages(df).collect()}
+        for i, p in enumerate(payloads):
+            assert got[i] == reference_extract(p), p
+except ImportError:  # pragma: no cover
+    pass
