@@ -153,16 +153,20 @@ def connected_components(
         for ck in round_cks[:-1]:
             ck.unpersist()
         changed = new_labels.filter(F.col("comp") != F.col("old_comp")).select("id")
-        # next frontier = changed vertices (applyModified contract)
-        stats = (
-            changed.join(g.out_degrees(), "id", "left")
-            .agg(
-                F.count("*").alias("n"),
-                F.coalesce(F.sum("out_degree"), F.lit(0)).alias("degsum"),
+        # next frontier = changed vertices (applyModified contract).
+        # The degree sum only decides sparse-vs-dense when the frontier
+        # SIZE alone is below the Ligra threshold — compute the V-sized
+        # degree join only then (the frontier is small, so the join is
+        # too); a big frontier is dense regardless.
+        frontier_size = changed.count()
+        if frontier_size > num_edges / 20:
+            frontier_deg_sum = num_edges  # dense either way
+        else:
+            frontier_deg_sum = int(
+                changed.join(g.out_degrees(), "id", "left")
+                .agg(F.coalesce(F.sum("out_degree"), F.lit(0)).alias("d"))
+                .collect()[0]["d"]
             )
-            .collect()[0]
-        )
-        frontier_size, frontier_deg_sum = int(stats["n"]), int(stats["degsum"])
         if store is not None:
             store.write(
                 new_labels.select("id", "comp"),
