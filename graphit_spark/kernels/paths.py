@@ -78,13 +78,18 @@ def _min_distance_fixpoint(
             F.col("dist").isNotNull()
             & (F.col("old").isNull() | (F.col("dist") < F.col("old")))
         ).select("id")
-        stats = (
-            changed.join(graph.out_degrees(), "id", "left")
-            .agg(F.count("*").alias("n"),
-                 F.coalesce(F.sum("out_degree"), F.lit(0)).alias("d"))
-            .collect()[0]
-        )
-        frontier_size, frontier_deg = int(stats["n"]), int(stats["d"])
+        # degree sum only matters below the Ligra size threshold — the
+        # V-sized degree join is skipped on dense rounds (same rule as
+        # kernels/components.py)
+        frontier_size = changed.count()
+        if frontier_size > num_edges / 20:
+            frontier_deg = num_edges
+        else:
+            frontier_deg = int(
+                changed.join(graph.out_degrees(), "id", "left")
+                .agg(F.coalesce(F.sum("out_degree"), F.lit(0)).alias("d"))
+                .collect()[0]["d"]
+            )
         dist = new_dist.select("id", "dist")
         frontier = changed
         if frontier_size == 0:
