@@ -129,13 +129,15 @@ def pages_to_edges(pages: DataFrame, url_ids: DataFrame | None = None):
     Edge derivation needs only the LINKS half of the extraction (text is
     recomputed/validated separately via extract_pages), so this runs the
     links UDF alone — no tag-strip/entity/whitespace regex chain — and
-    persists the exploded (url, target) pairs so the Arrow extraction
+    materializes the exploded (url, target) pairs so the Arrow extraction
     executes once, not once per downstream consumer (the url universe
     and the edge join both read it; page urls come straight from the
-    source column, no UDF)."""
+    source column, no UDF). localCheckpoint instead of persist(): the
+    blocks are freed by the ContextCleaner once the caller drops the
+    result, so repeated one-shot calls don't accumulate cached RDDs."""
     flat = pages.select(
         "url", F.explode(extract_links_udf("html")).alias("target")
-    ).persist()
+    ).localCheckpoint(eager=True)
     if url_ids is None:
         from graphit_spark.plans.ranking import dense_rank_ids
 

@@ -106,9 +106,10 @@ def lsh_candidate_pairs(
     LSH band (band = md5 of rows_per_band concatenated minhashes).
     Bucket join, doc_a < doc_b, distinct."""
     # one scan of the signatures: every band key comes out of a single
-    # explode, and the persisted band table feeds both join sides — the
-    # shingle explosion + minhash aggregation run exactly once, not once
-    # per band per side
+    # explode, and the materialized band table feeds both join sides —
+    # the shingle explosion + minhash aggregation run exactly once, not
+    # once per band per side. localCheckpoint (not persist): blocks are
+    # GC-freed with the result, so one-shot calls don't leak cache.
     sig = minhash_signatures(df, text_col, k)
     n_bands = k // rows_per_band
     band_structs = []
@@ -119,7 +120,7 @@ def lsh_candidate_pairs(
     allb = (
         sig.select("doc_id", F.explode(F.array(*band_structs)).alias("bb"))
         .select("doc_id", "bb.band", "bb.bkey")
-        .persist()
+        .localCheckpoint(eager=True)
     )
     left = allb.select("band", "bkey", F.col("doc_id").alias("doc_a"))
     right = allb.select("band", "bkey", F.col("doc_id").alias("doc_b"))
@@ -137,9 +138,10 @@ def ngram_jaccard_pairs(
     """(doc_a, doc_b, jaccard) over distinct char-shingle sets — exact,
     quadratic; restrict with max_doc_id or feed LSH candidates."""
     d = df if max_doc_id is None else df.filter(F.col("doc_id") < max_doc_id)
-    # persisted: consumed three times (sizes + both sides of the
-    # intersection self-join) — the explosion must run once
-    sh = _shingles(d, text_col).persist()
+    # materialized: consumed three times (sizes + both sides of the
+    # intersection self-join) — the explosion must run once.
+    # localCheckpoint (not persist): freed with the result, no cache leak.
+    sh = _shingles(d, text_col).localCheckpoint(eager=True)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")

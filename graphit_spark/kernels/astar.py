@@ -59,28 +59,30 @@ def astar(
         .localCheckpoint(eager=True)
     )
     prio = F.col("dist") + F.col("h")
+    bucket_of = F.floor(prio / delta)
 
-    bucket = 0
+    # Driver-tracked scalars (tgt = target's tentative distance, bucket =
+    # current priority bucket): ONE bootstrap aggregate, then exactly one
+    # action per relaxation round — the combined aggregate below reads the
+    # just-checkpointed state, so there is no per-round O(V) scan job for
+    # the target scalar (that was a full extra Spark job per round).
+    row = state.agg(
+        F.max(F.when(F.col("id") == target, F.col("dist"))).alias("tgt"),
+        F.min(F.when(F.col("dist").isNotNull(), bucket_of)).alias("nxt"),
+    ).collect()[0]
+    tgt, bucket = row["tgt"], row["nxt"]
+
     rounds = 0
     while rounds < max_rounds:
-        tgt = state.filter(F.col("id") == target).select("dist").collect()[0]["dist"]
+        if bucket is None:
+            break  # queue exhausted — target unreachable
         if tgt is not None and bucket * delta > tgt:
             break  # finishedNode(target): no remaining priority can beat it
+        # bucket is always chosen as a non-empty bucket (min over actual
+        # priorities), so the frontier is never empty here
         frontier = state.filter(
-            F.col("dist").isNotNull() & (F.floor(prio / delta) == bucket)
+            F.col("dist").isNotNull() & (bucket_of == bucket)
         ).select(F.col("id").alias("src"), F.col("dist").alias("sdist"))
-        if frontier.limit(1).count() == 0:
-            nxt = (
-                state.filter(
-                    F.col("dist").isNotNull() & (F.floor(prio / delta) > bucket)
-                )
-                .agg(F.min(F.floor(prio / delta)).alias("b"))
-                .collect()[0]["b"]
-            )
-            if nxt is None:
-                break  # queue exhausted — target unreachable
-            bucket = int(nxt)
-            continue
         rounds += 1
         cand = (
             graph.edges.join(frontier, "src")
@@ -107,19 +109,22 @@ def astar(
             )
             .localCheckpoint(eager=True)
         )
-        improved_in_bucket = (
-            new_state.filter(
-                (F.col("old").isNull() | (F.col("dist") < F.col("old")))
-                & (F.floor((F.col("dist") + F.col("h")) / delta) == bucket)
-            )
-            .limit(1)
-            .count()
-        )
+        improved = F.col("old").isNull() | (F.col("dist") < F.col("old"))
+        row = new_state.agg(
+            F.sum(
+                F.when(improved & (bucket_of == bucket), 1).otherwise(0)
+            ).alias("imp"),
+            F.max(F.when(F.col("id") == target, F.col("dist"))).alias("tgt"),
+            F.min(
+                F.when(F.col("dist").isNotNull() & (bucket_of > bucket), bucket_of)
+            ).alias("nxt"),
+        ).collect()[0]
+        tgt = row["tgt"]
         prev = state
         state = new_state.select("id", "h", "dist")
         prev.unpersist()
-        if improved_in_bucket == 0:
-            bucket += 1
+        if not row["imp"]:
+            bucket = row["nxt"]  # drained: jump straight past empty buckets
     if own_cache:
         graph.unpersist()
     return state.select("id", "dist")

@@ -22,6 +22,7 @@ def k_core(graph: LinkGraph, k: int, *, max_rounds: int = 100) -> DataFrame:
     own_cache = g.ensure_persisted()
     keep = graph.vertices()
     keep = keep.localCheckpoint(eager=True)
+    n_old = keep.count()
 
     for _ in range(max_rounds):
         alive = g.edges.join(
@@ -37,10 +38,11 @@ def k_core(graph: LinkGraph, k: int, *, max_rounds: int = 100) -> DataFrame:
             .localCheckpoint(eager=True)
         )
         n_new = new_keep.count()
-        n_old = keep.count()
+        keep.unpersist()
         keep = new_keep
         if n_new == n_old:
             break
+        n_old = n_new
     if own_cache:
         g.unpersist()
     return keep
