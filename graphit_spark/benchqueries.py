@@ -147,6 +147,120 @@ def pagerank_sql(iters: int = PR_ITERS) -> str:
     )
 
 
+def pagerank_delta_sql(
+    iters: int = PR_ITERS, damp: float = 0.85, eps2: float = 0.1
+) -> str:
+    """Exact SQL twin of kernels/pagerank.py::pagerank_delta (reference
+    apps/pagerankdelta.gt:15-31): per round, frontier members scatter
+    delta/out_degree; round 1 applies the beta shift and the 1/n delta
+    correction; frontier = |delta| > eps2 * cur_rank.
+
+    Float safety: both engines run the identical recurrence in double;
+    sum-order differences are ~1e-14 while the frontier-test margin is
+    ~rank-magnitude (1e-3), so the boolean branch is stable and the
+    4-decimal output rounding absorbs the residue."""
+    ctes = [
+        _SQL_COMMON.strip().rstrip(","),
+        "p0 AS (SELECT id, out_degree, 0e0 AS cur_rank,"
+        " 1e0 / (SELECT n FROM nv) AS delta, TRUE AS in_frontier FROM deg)",
+    ]
+    beta = f"(1e0 - {damp}e0) / (SELECT n FROM nv)"
+    for k in range(1, iters + 1):
+        p = f"p{k - 1}"
+        if k == 1:
+            # nd0 = damp*ngh + beta; rank = cur + nd0; delta = nd0 - 1/n
+            outer = f"""
+  SELECT id, out_degree,
+         cur_rank + nd0 AS cur_rank,
+         nd0 - 1e0 / (SELECT n FROM nv) AS delta,
+         abs(nd0 - 1e0 / (SELECT n FROM nv))
+           > {eps2}e0 * (cur_rank + nd0) AS in_frontier
+  FROM inner_{k}"""
+            nd = f"{damp}e0 * coalesce(s.ngh, 0e0) + {beta} AS nd0"
+        else:
+            outer = f"""
+  SELECT id, out_degree,
+         cur_rank + nd0 AS cur_rank,
+         nd0 AS delta,
+         abs(nd0) > {eps2}e0 * (cur_rank + nd0) AS in_frontier
+  FROM inner_{k}"""
+            nd = f"{damp}e0 * coalesce(s.ngh, 0e0) AS nd0"
+        ctes.append(
+            f"""inner_{k} AS MATERIALIZED (
+  SELECT v.id, v.out_degree, v.cur_rank, {nd}
+  FROM {p} v LEFT JOIN (
+    SELECT e.dst AS id, sum(s.delta / s.out_degree) AS ngh
+    FROM edges e JOIN {p} s ON e.src = s.id
+    WHERE s.in_frontier AND s.out_degree > 0
+    GROUP BY e.dst
+  ) s USING (id)
+)"""
+        )
+        ctes.append(f"p{k} AS MATERIALIZED ({outer}\n)")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id, round(cur_rank, 4) AS rank FROM p{iters} ORDER BY id"
+    )
+
+
+def cf_sql(iters: int = 3, k: int = 20,
+           step: float = 0.00000035, lam: float = 0.001) -> str:
+    """Exact SQL twin of kernels/cf.py (reference apps/cf.gt:1-49):
+    per round, per weighted edge err = w - <latent[src], latent[dst]>,
+    errv[dst] += latent[src]*err componentwise, then the GD vertex update.
+    DuckDB DOUBLE[] lists mirror the array<double> column; both engines
+    left-fold the dot product in index order, and the only sum-order
+    noise (errv groupBy) enters scaled by step=3.5e-7 — invisible at the
+    6-decimal output rounding. No float-conditioned branches (the errv
+    NULL check is structural)."""
+    prefix = """
+params AS (SELECT count(*) AS c FROM customer),
+raww AS MATERIALIZED (SELECT o_custkey AS src, o_orderkey % (SELECT c FROM params) AS dst,
+               1 + o_orderkey % 7 AS w
+        FROM orders),
+wedges AS MATERIALIZED (SELECT src, dst, min(w) AS w FROM raww WHERE src <> dst
+           GROUP BY src, dst),
+nv AS MATERIALIZED (SELECT max(greatest(src, dst)) + 1 AS n FROM raww),
+verts AS MATERIALIZED (SELECT c_custkey AS id FROM customer
+          WHERE c_custkey < (SELECT n FROM nv))
+"""
+    init = "[" + ", ".join(["0.5e0"] * k) + "]"
+    ctes = [prefix.strip(),
+            f"c0 AS (SELECT id, {init}::DOUBLE[] AS latent FROM verts)"]
+    for r in range(1, iters + 1):
+        p = f"c{r - 1}"
+        sums = ", ".join(
+            f"sum(ls.latent[{i + 1}]"
+            f" * (e.w - list_dot_product(ls.latent, ld.latent)))"
+            for i in range(k)
+        )
+        ctes.append(
+            f"""m{r} AS MATERIALIZED (
+  SELECT e.dst AS id, [{sums}]::DOUBLE[] AS errv
+  FROM wedges e
+  JOIN {p} ls ON e.src = ls.id
+  JOIN {p} ld ON e.dst = ld.id
+  GROUP BY e.dst
+)"""
+        )
+        ctes.append(
+            f"""c{r} AS MATERIALIZED (
+  SELECT v.id,
+         CASE WHEN m.errv IS NULL THEN
+           list_transform(v.latent, x -> x + {step!r} * (-{lam!r} * x))
+         ELSE
+           list_transform(list_zip(v.latent, m.errv),
+             z -> z[1] + {step!r} * (-{lam!r} * z[1] + z[2]))
+         END AS latent
+  FROM {p} v LEFT JOIN m{r} m USING (id)
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id, round(latent[1], 6) AS latent_0 FROM c{iters} ORDER BY id"
+    )
+
+
 def out_degrees_sql() -> str:
     return (
         "WITH " + _SQL_COMMON.strip()
@@ -452,8 +566,51 @@ def q_kcore(spark, sf_dir):
     return k_core(graph(spark, sf_dir, "raw"), KCORE_K)
 
 
+CORE_KMAX = 32  # 2x the observed max coreness at oracle sf (15)
+CORE_ROUNDS = 10  # 2x the observed incremental sync-peel depth (6)
+
+
+def core_numbers_sql(kmax: int = CORE_KMAX, rounds: int = CORE_ROUNDS) -> str:
+    """Coreness oracle: core(v) = max k with v in the k-core. Iterates the
+    kcore_sql peel for k = 1..kmax, each k starting from the (k-1)-core
+    (k-cores are nested, so the peel converges in a handful of rounds);
+    converged rounds and empty higher-k cores are no-ops. kmax/rounds
+    carry 2x margin over the measured values at sf0.01 (max core 15,
+    incremental peel depth 6) to tolerate testdata drift."""
+    ctes = [_SQL_COMMON.strip(),
+            "kc0 AS (SELECT id FROM verts)"]
+    for k in range(1, kmax + 1):
+        prev = f"kc{k - 1}"
+        for r in range(1, rounds + 1):
+            cur = f"kc{k}_r{r}" if r < rounds else f"kc{k}"
+            ctes.append(
+                f"""{cur} AS MATERIALIZED (
+  SELECT d.id FROM (
+    SELECT e.src AS id, count(*) AS d
+    FROM sym e
+    JOIN {prev} a ON e.src = a.id
+    JOIN {prev} b ON e.dst = b.id
+    GROUP BY e.src
+  ) d WHERE d.d >= {k}
+)"""
+            )
+            prev = cur
+    allk = " UNION ALL ".join(
+        f"SELECT id, {k} AS k FROM kc{k}" for k in range(1, kmax + 1)
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f""",
+allk AS ({allk})
+SELECT v.id, CAST(coalesce(max(a.k), 0) AS BIGINT) AS core
+FROM verts v LEFT JOIN allk a USING (id)
+GROUP BY v.id ORDER BY v.id"""
+    )
+
+
 def q_pagerank_delta(spark, sf_dir):
-    """No SQL oracle (float-threshold frontier pruning) — rows-only check."""
+    """Frontier-pruned PR vs the exact recurrence twin
+    (pagerank_delta_sql)."""
     from graphit_spark.kernels import pagerank_delta
 
     g = graph(spark, sf_dir, "raw")
@@ -474,7 +631,8 @@ def q_betweenness(spark, sf_dir):
 
 
 def q_cf(spark, sf_dir):
-    """Matrix-factorization GD over the weighted graph (rows-only)."""
+    """Matrix-factorization GD over the weighted graph vs the unrolled
+    K-column recurrence twin (cf_sql)."""
     from graphit_spark.kernels import collaborative_filtering
 
     g = graph(spark, sf_dir, "weighted")
@@ -619,21 +777,179 @@ ORDER BY v.id"""
     )
 
 
+MSF_ROUNDS = 12  # >= ceil(log2(V)) at oracle sf — Boruvka halves comps
+MSF_JUMPS = 12  # pointer-doubling covers pseudo-tree depth 2^12
+
+
+def msf_sql(rounds: int = MSF_ROUNDS, jumps: int = MSF_JUMPS) -> str:
+    """Exact SQL twin of kernels/mst.py::minimum_spanning_forest —
+    unrolled Boruvka: every component nominates its (w,u,v)-minimum
+    outgoing edge (strict total order => unique MSF), nominated edges
+    join the forest, and components contract via the same 2-cycle-broken
+    pointer-doubling the kernel runs. Converged rounds are no-ops."""
+    prefix = """
+params AS (SELECT count(*) AS c FROM customer),
+raww AS MATERIALIZED (SELECT o_custkey AS src, o_orderkey % (SELECT c FROM params) AS dst,
+               1 + o_orderkey % 7 AS w
+        FROM orders),
+und AS MATERIALIZED (SELECT least(src, dst) AS u, greatest(src, dst) AS v, min(w) AS w
+       FROM raww WHERE src <> dst GROUP BY 1, 2),
+nv AS MATERIALIZED (SELECT max(greatest(src, dst)) + 1 AS n FROM raww),
+verts AS MATERIALIZED (SELECT c_custkey AS id FROM customer
+          WHERE c_custkey < (SELECT n FROM nv))
+"""
+    ctes = [prefix.strip(),
+            "comp0 AS (SELECT id, id AS comp FROM verts)"]
+    for r in range(1, rounds + 1):
+        p = f"comp{r - 1}"
+        ctes.append(
+            f"""cross{r} AS MATERIALIZED (
+  SELECT e.u, e.v, e.w, a.comp AS cu, b.comp AS cv
+  FROM und e
+  JOIN {p} a ON e.u = a.id
+  JOIN {p} b ON e.v = b.id
+  WHERE a.comp <> b.comp
+)"""
+        )
+        ctes.append(
+            f"""nom{r} AS MATERIALIZED (
+  SELECT c, u, v, w, cu, cv FROM (
+    SELECT c, u, v, w, cu, cv,
+           row_number() OVER (PARTITION BY c ORDER BY w, u, v) AS rn
+    FROM (SELECT cu AS c, u, v, w, cu, cv FROM cross{r}
+          UNION ALL
+          SELECT cv AS c, u, v, w, cu, cv FROM cross{r})
+  ) WHERE rn = 1
+)"""
+        )
+        ctes.append(
+            f"chosen{r} AS MATERIALIZED (SELECT DISTINCT u, v, w FROM nom{r})"
+        )
+        # hook: every component points along its nominated edge (self if none)
+        ctes.append(
+            f"""ptrA{r} AS MATERIALIZED (
+  SELECT m.c, coalesce(CASE WHEN n.cu = m.c THEN n.cv ELSE n.cu END, m.c) AS p
+  FROM (SELECT DISTINCT comp AS c FROM {p}) m
+  LEFT JOIN nom{r} n ON m.c = n.c
+)"""
+        )
+        # break 2-cycles toward the smaller id
+        ctes.append(
+            f"""j{r}_0 AS MATERIALIZED (
+  SELECT a.c, CASE WHEN b.p = a.c AND a.p > a.c THEN a.c ELSE a.p END AS p
+  FROM ptrA{r} a JOIN ptrA{r} b ON a.p = b.c
+)"""
+        )
+        for t in range(1, jumps + 1):
+            q = f"j{r}_{t - 1}"
+            ctes.append(
+                f"""j{r}_{t} AS MATERIALIZED (
+  SELECT a.c, b.p FROM {q} a JOIN {q} b ON a.p = b.c
+)"""
+            )
+        ctes.append(
+            f"""comp{r} AS MATERIALIZED (
+  SELECT m.id, j.p AS comp FROM {p} m JOIN j{r}_{jumps} j ON m.comp = j.c
+)"""
+        )
+    forest = " UNION ALL ".join(
+        f"SELECT u, v, w FROM chosen{r}" for r in range(1, rounds + 1)
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT u, v, CAST(w AS BIGINT) AS weight FROM ({forest})
+ORDER BY u, v"""
+    )
+
+
 def q_msf(spark, sf_dir):
     """Boruvka minimum spanning forest (serialMinimumSpanningTree
-    intrinsic). Round count is data-dependent and SQL cannot express
-    union-find, so rows-only check; exact edge-set parity vs Kruskal is
-    asserted in tests/test_kernels.py::TestMinimumSpanningForest."""
+    intrinsic) vs the unrolled-Boruvka twin (msf_sql; the strict
+    (w,u,v) total order makes the forest unique); exact edge-set parity
+    vs Kruskal is additionally asserted in
+    tests/test_kernels.py::TestMinimumSpanningForest."""
     from graphit_spark.kernels import minimum_spanning_forest
 
     g = graph(spark, sf_dir, "weighted")
     return minimum_spanning_forest(g)
 
 
+SETCOVER_ROUNDS = 72  # 2x the measured 36 rounds at sf0.01
+SETCOVER_EPS = 0.01
+
+
+def set_cover_sql(rounds: int = SETCOVER_ROUNDS,
+                  eps: float = SETCOVER_EPS) -> str:
+    """Exact SQL twin of kernels/setcover.py — the Julienne bucketed
+    greedy MaxCover unrolled to a fixed round count (exhausted rounds
+    admit nothing: the top-bucket scalar goes NULL and every filter
+    downstream of it drops out). min-set-id wins each element race, so
+    the cover is deterministic. Float parity: the bucket index
+    floor(x*ln(d)) and threshold ceil((1+eps)^p) use libm pow/log on
+    both sides over small-integer inputs — validated at both SFs."""
+    import math
+
+    x = 1.0 / math.log1p(eps)
+    one_eps = 1.0 + eps
+    ctes = [
+        _SQL_COMMON.strip(),
+        "cov0 AS (SELECT CAST(NULL AS BIGINT) AS e WHERE FALSE)",
+    ]
+    outs = []
+    for r in range(1, rounds + 1):
+        pc = f"(SELECT p FROM p{r})"
+        ctes.append(
+            f"""live{r} AS MATERIALIZED (
+  SELECT ed.src AS s, ed.dst AS e FROM edges ed
+  LEFT JOIN cov{r - 1} c ON ed.dst = c.e WHERE c.e IS NULL
+)"""
+        )
+        ctes.append(
+            f"rdeg{r} AS MATERIALIZED (SELECT s, count(*) AS d "
+            f"FROM live{r} GROUP BY s)"
+        )
+        ctes.append(
+            f"p{r} AS MATERIALIZED (SELECT max(floor({x!r} * ln(d))) AS p "
+            f"FROM rdeg{r})"
+        )
+        ctes.append(
+            f"""win{r} AS MATERIALIZED (
+  SELECT l.e, min(l.s) AS s FROM live{r} l
+  JOIN (SELECT s FROM rdeg{r}
+        WHERE d >= ceil(power({one_eps!r}, {pc}))) a USING (s)
+  GROUP BY l.e
+)"""
+        )
+        ctes.append(
+            f"""adm{r} AS MATERIALIZED (
+  SELECT s FROM (SELECT s, count(*) AS won FROM win{r} GROUP BY s)
+  WHERE won >= greatest(ceil(power({one_eps!r}, {pc} - 1)), 1)
+)"""
+        )
+        ctes.append(
+            f"""cov{r} AS MATERIALIZED (
+  SELECT e FROM cov{r - 1}
+  UNION ALL
+  SELECT w.e FROM win{r} w JOIN adm{r} a USING (s)
+)"""
+        )
+        outs.append(
+            f"SELECT CAST(s AS BIGINT) AS set_id, CAST({r} AS INT) AS round "
+            f"FROM adm{r}"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + "\n" + " UNION ALL ".join(outs).join(["SELECT * FROM (", ")"])
+        + " ORDER BY round, set_id"
+    )
+
+
 def q_set_cover(spark, sf_dir):
-    """Julienne bucketed greedy set cover (apps/set_cover.gt). Bucket
-    count is data-dependent -> rows-only check; exact parity vs the
-    pure-Python mirror is asserted in tests (TestSetCover)."""
+    """Julienne bucketed greedy set cover (apps/set_cover.gt) vs the
+    fixed-round unrolled twin (set_cover_sql); exact parity vs the
+    pure-Python mirror is additionally asserted in tests
+    (TestSetCover)."""
     from graphit_spark.kernels import set_cover
 
     g = graph(spark, sf_dir, "raw")
@@ -641,10 +957,10 @@ def q_set_cover(spark, sf_dir):
 
 
 def q_core_numbers(spark, sf_dir):
-    """Full core decomposition (apps/k_core.gt bucket peeling). Round
-    count is data-dependent -> rows-only check; exact parity vs the
-    pure-Python peeling oracle is asserted in tests
-    (TestCoreDecomposition)."""
+    """Full core decomposition (apps/k_core.gt bucket peeling) vs the
+    iterated-kcore twin (core_numbers_sql: core = max k with membership
+    in the k-core); exact parity vs the pure-Python peeling oracle is
+    additionally asserted in tests (TestCoreDecomposition)."""
     from graphit_spark.kernels import core_decomposition
 
     return core_decomposition(graph(spark, sf_dir, "raw"))
@@ -674,15 +990,15 @@ GRAPH_QUERIES: dict[str, tuple] = {
     "sssp": (q_sssp, sssp_sql()),
     "degree_relabel": (q_relabel, relabel_sql()),
     "adjacency_blocks": (q_adjacency, adjacency_sql()),
-    "pagerank_delta": (q_pagerank_delta, None),
+    "pagerank_delta": (q_pagerank_delta, pagerank_delta_sql()),
     "k_core": (q_kcore, kcore_sql()),
     "betweenness": (q_betweenness, betweenness_sql()),
-    "collab_filtering": (q_cf, None),
+    "collab_filtering": (q_cf, cf_sql()),
     "eigenvector": (q_eigenvector, eigenvector_sql()),
     "closeness": (q_closeness, closeness_sql()),
     "sssp_delta_stepping": (q_sssp_delta, sssp_fixpoint_sql()),
     "astar": (q_astar, astar_sql()),
-    "min_spanning_forest": (q_msf, None),
-    "set_cover": (q_set_cover, None),
-    "core_numbers": (q_core_numbers, None),
+    "min_spanning_forest": (q_msf, msf_sql()),
+    "set_cover": (q_set_cover, set_cover_sql()),
+    "core_numbers": (q_core_numbers, core_numbers_sql()),
 }
