@@ -119,6 +119,43 @@ def embedding_dup_pairs(
     )
 
 
+def embedding_dup_pairs_lsh(
+    embeddings: DataFrame,
+    dim: int,
+    threshold: float = 0.9,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The SCALE path for embedding near-dup detection: candidates are
+    pairs sharing a random-hyperplane LSH bucket (cosine-similar vectors
+    agree on most hyperplane signs, so true near-dups co-bucket with
+    high probability); the exact rounded-cosine >= threshold re-rank
+    runs only inside buckets. Join fan-out is sum of squared bucket
+    sizes ~ |corpus|^2 / 2^n_planes instead of the all-pairs cross join
+    of embedding_dup_pairs — the plan is a bucket-key equi-join, and
+    raising n_planes shrinks buckets for bigger corpora. Deterministic
+    (integer-arithmetic planes), so the DuckDB twin reproduces the
+    buckets bit for bit."""
+    b = embeddings.select(
+        F.col(id_col),
+        F.col(vec_col).alias("v"),
+        lsh_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
+    )
+    l = b.select("bucket", F.col(id_col).alias("a"), F.col("v").alias("av"))
+    r = b.select("bucket", F.col(id_col).alias("b"), F.col("v").alias("bv"))
+    return (
+        l.join(r, "bucket")
+        .filter(F.col("a") < F.col("b"))
+        .select(
+            "a",
+            "b",
+            F.round(cosine(F.col("av"), F.col("bv")), ROUND_SCORE).alias("score"),
+        )
+        .filter(F.col("score") >= threshold)
+    )
+
+
 def ivf_assign(
     embeddings: DataFrame,
     n_cells: int = 16,

@@ -94,6 +94,23 @@ def q_embedding_dups(spark, sf_dir):
     ).select("a", "b", "score")
 
 
+LSH_DUP_THRESHOLD = 0.35  # synthetic embeddings are near-orthogonal
+# (max pairwise cosine ~0.51 at sf0.01); 0.35 yields a non-trivial
+# result set so the bucketed plan is exercised end to end
+
+
+def q_embedding_dups_lsh(spark, sf_dir):
+    """Embedding near-dup pairs via the SCALE path: hyperplane-LSH
+    bucket join + in-bucket exact re-rank — no cross join anywhere in
+    the plan. The all-pairs q_embedding_dups stays as the tiny-sf
+    cross-check of the same threshold semantics."""
+    emb = load(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    return S.embedding_dup_pairs_lsh(
+        emb, dim=dim, threshold=LSH_DUP_THRESHOLD
+    ).select("a", "b", "score")
+
+
 def q_ivf_topk(spark, sf_dir):
     """IVF ANN: deterministic coarse centroids -> probe nearest cells ->
     exact re-rank. Fully deterministic, so it gets a real SQL oracle."""
@@ -419,6 +436,23 @@ SELECT query_id, vec_id, score FROM ranked WHERE rn <= {TOPK_K}
 ORDER BY query_id, vec_id
 """
 
+SQL_EMBEDDING_DUPS_LSH = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev,
+                  len(embedding) AS d FROM embeddings),
+b AS (
+  SELECT vec_id, ev,
+         {_SQL_LSH_BUCKET.format(v='v.ev', d='v.d')} AS bucket
+  FROM v
+),
+scored AS (
+  SELECT a.vec_id AS a, b.vec_id AS b,
+         {_SQL_COS.format(a='a.ev', b='b.ev')} AS score
+  FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT a, b, score FROM scored WHERE score >= {LSH_DUP_THRESHOLD}
+ORDER BY a, b
+"""
+
 SQL_EVENTS_HOURLY = """
 SELECT date_trunc('hour', ts) AS hour, event_type,
        count(*) AS n, round(sum(value), 6) AS sum_value
@@ -459,6 +493,7 @@ TEXT_QUERIES: dict[str, tuple] = {
     "sim_lsh_topk": (q_lsh_topk, SQL_LSH_TOPK),
     "sim_ivf_topk": (q_ivf_topk, SQL_IVF_TOPK),
     "dedup_embedding": (q_embedding_dups, SQL_EMBEDDING_DUPS),
+    "dedup_embedding_lsh": (q_embedding_dups_lsh, SQL_EMBEDDING_DUPS_LSH),
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
     "events_sessions": (q_events_sessions, SQL_EVENTS_SESSIONS),
 }
