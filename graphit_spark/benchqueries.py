@@ -978,6 +978,51 @@ def q_astar(spark, sf_dir):
     )
 
 
+WALK_LEN = 4
+WALK_SEED = 7
+
+
+def walks_sql(walk_len: int = WALK_LEN, seed: int = WALK_SEED) -> str:
+    """Exact twin of kernels/walks.py::random_walks — the seeded-hash
+    neighbor draw is md5-prefix arithmetic over the sorted adjacency
+    list, reproducible bit for bit in SQL."""
+    ctes = [
+        _SQL_COMMON.strip(),
+        "adj AS MATERIALIZED (SELECT src, list_sort(list(dst)) AS nbrs "
+        "FROM edges GROUP BY src)",
+        "w0 AS (SELECT id AS walk_id, id AS v FROM verts)",
+    ]
+    for t in range(1, walk_len + 1):
+        h = (
+            f"('0x' || substr(md5(CAST(w.walk_id AS VARCHAR) "
+            f"|| '_{t}_{seed}'), 1, 8))::BIGINT"
+        )
+        ctes.append(
+            f"""w{t} AS MATERIALIZED (
+  SELECT w.walk_id,
+         a.nbrs[CAST({h} % len(a.nbrs) AS INT) + 1] AS v
+  FROM w{t - 1} w JOIN adj a ON w.v = a.src
+)"""
+        )
+    outs = " UNION ALL ".join(
+        f"SELECT walk_id, CAST({t} AS INT) AS step, v AS vertex FROM w{t}"
+        for t in range(0, walk_len + 1)
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT * FROM ({outs}) ORDER BY walk_id, step"
+    )
+
+
+def q_random_walks(spark, sf_dir):
+    """Seeded deterministic random walks (getRandomOutNgh analogue +
+    node2vec-style corpus sampling) vs the md5-draw twin (walks_sql)."""
+    from graphit_spark.kernels import random_walks
+
+    g = graph(spark, sf_dir, "raw")
+    return random_walks(g, WALK_LEN, seed=WALK_SEED)
+
+
 GRAPH_QUERIES: dict[str, tuple] = {
     # name: (spark_callable, oracle_sql_or_None)
     "pagerank": (q_pagerank, pagerank_sql()),
@@ -1001,4 +1046,5 @@ GRAPH_QUERIES: dict[str, tuple] = {
     "min_spanning_forest": (q_msf, msf_sql()),
     "set_cover": (q_set_cover, set_cover_sql()),
     "core_numbers": (q_core_numbers, core_numbers_sql()),
+    "random_walks": (q_random_walks, walks_sql()),
 }

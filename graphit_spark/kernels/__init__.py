@@ -15,8 +15,16 @@ from graphit_spark.kernels.delta_stepping import sssp_delta_stepping
 from graphit_spark.kernels.astar import astar
 from graphit_spark.kernels.mst import minimum_spanning_forest
 from graphit_spark.kernels.setcover import set_cover
+from graphit_spark.kernels.walks import (
+    random_in_neighbor,
+    random_out_neighbor,
+    random_walks,
+)
 
 __all__ = [
+    "random_in_neighbor",
+    "random_out_neighbor",
+    "random_walks",
     "astar",
     "minimum_spanning_forest",
     "set_cover",

@@ -1,0 +1,128 @@
+"""Random-neighbor sampling and random walks.
+
+Reference: `getRandomOutNgh` / `getRandomInNgh` (reference
+src/runtime_lib/infra_ligra/ligra/graph.h random-neighbor accessors;
+exposed to the DSL in src/frontend/parser.cpp:2800-2813). The reference
+draws with rand(); a distributed engine needs the draw to be
+REPRODUCIBLE across cluster sizes, retries, and resumes, so the choice
+here is a seeded hash: neighbor index = H(entity, step, seed) mod degree
+over the SORTED adjacency block. Same-seed runs pick identical
+neighbors on any partitioning — and the arithmetic (md5 prefix read as
+an integer) is reproducible in ANSI SQL, so the walk queries get real
+DuckDB oracles instead of rows-only checks.
+
+This is also the LLM-pipeline graph-sampling primitive (node2vec-style
+corpus walks): `random_walks` emits (walk_id, step, vertex) trajectories
+with one adjacency join per step — the frontier is V-sized, each hop is
+the same state ⋈ adjacency-block shape as every other kernel, and hub
+vertices cost one wide array row rather than a degree-sized explosion.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from graphit_spark.graph import LinkGraph
+
+
+def _hash_mod(entity, step: int, seed: int, size) -> F.Column:
+    """H(entity, step, seed) mod size — first 32 md5 bits of the
+    canonical string "{entity}_{step}_{seed}" (parity contract with the
+    DuckDB twin: ('0x'||substr(md5(s),1,8))::BIGINT % size)."""
+    s = F.concat_ws(
+        "_", entity.cast("string"), F.lit(step).cast("string"),
+        F.lit(seed).cast("string"),
+    )
+    h = F.conv(F.substring(F.md5(s.cast("binary")), 1, 8), 16, 10).cast("long")
+    return F.pmod(h, size)
+
+
+def random_out_neighbor(
+    graph: LinkGraph,
+    vertices: DataFrame | None = None,
+    *,
+    seed: int = 0,
+    step: int = 0,
+) -> DataFrame:
+    """(id, nbr) — one deterministic pseudo-random out-neighbor per
+    vertex (getRandomOutNgh). Vertices without out-neighbors get no row
+    (degree-0 draw is undefined in the reference too). `step` varies the
+    draw so repeated calls sample fresh neighbors under one seed."""
+    adj = graph.adjacency()
+    base = adj if vertices is None else adj.join(
+        vertices.select(F.col(vertices.columns[0]).alias("src")), "src",
+        "left_semi",
+    )
+    idx = _hash_mod(F.col("src"), step, seed, F.size("nbrs"))
+    return base.select(
+        F.col("src").alias("id"),
+        F.element_at("nbrs", (idx + 1).cast("int")).alias("nbr"),
+    )
+
+
+def random_in_neighbor(
+    graph: LinkGraph,
+    vertices: DataFrame | None = None,
+    *,
+    seed: int = 0,
+    step: int = 0,
+) -> DataFrame:
+    """(id, nbr) over the transpose (getRandomInNgh)."""
+    return random_out_neighbor(
+        graph.transpose(), vertices, seed=seed, step=step
+    )
+
+
+def random_walks(
+    graph: LinkGraph,
+    walk_len: int,
+    *,
+    seed: int = 0,
+    starts: DataFrame | None = None,
+) -> DataFrame:
+    """(walk_id, step, vertex) — one walk per start vertex (walk_id =
+    start id), steps 0..walk_len; a walk ends early at a sink (no
+    out-neighbors). The draw hashes (walk_id, step, seed), NOT the
+    current vertex alone, so two walks crossing the same vertex diverge
+    independently.
+
+    Per step: frontier ⋈ adjacency on the current vertex, pick
+    nbrs[H mod degree]. walk_len joins total; each materialized step is
+    walk-count-sized, never edge-sized."""
+    own_cache = graph.ensure_persisted()
+    adj = graph.adjacency()
+    if starts is None:
+        cur = graph.vertices().select(
+            F.col("id").alias("walk_id"), F.col("id").alias("v")
+        )
+    else:
+        cur = starts.select(
+            F.col(starts.columns[0]).alias("walk_id"),
+            F.col(starts.columns[0]).alias("v"),
+        )
+    cur = cur.localCheckpoint(eager=True)
+    parts = [cur.select("walk_id", F.lit(0).alias("step"),
+                        F.col("v").alias("vertex"))]
+    for t in range(1, walk_len + 1):
+        idx = _hash_mod(F.col("walk_id"), t, seed, F.size("nbrs"))
+        nxt = (
+            cur.join(adj, cur["v"] == adj["src"])
+            .select(
+                "walk_id",
+                F.element_at("nbrs", (idx + 1).cast("int")).alias("v"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        # every step's checkpoint feeds the final union — none can be
+        # unpersisted here; ContextCleaner frees them with the result
+        cur = nxt
+        parts.append(
+            cur.select("walk_id", F.lit(t).alias("step"),
+                       F.col("v").alias("vertex"))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    if own_cache:
+        graph.unpersist()
+    return out

@@ -353,3 +353,31 @@ def coreness_oracle(edges):
                     if u in remaining:
                         deg[u] -= 1
     return core
+
+
+def random_walks_oracle(edges, walk_len, seed=0):
+    """Pure-Python mirror of kernels/walks.py::random_walks: seeded
+    md5-prefix draw over the sorted out-adjacency (the reference's
+    getRandomOutNgh made deterministic)."""
+    import hashlib
+
+    adj = {}
+    for s, d in squish(edges):
+        adj.setdefault(s, []).append(d)
+    for s in adj:
+        adj[s].sort()
+    out = []
+    for start in range(num_vertices(edges)):
+        v = start
+        out.append((start, 0, v))
+        for t in range(1, walk_len + 1):
+            nbrs = adj.get(v)
+            if not nbrs:
+                break
+            h = int(
+                hashlib.md5(f"{start}_{t}_{seed}".encode()).hexdigest()[:8],
+                16,
+            )
+            v = nbrs[h % len(nbrs)]
+            out.append((start, t, v))
+    return sorted(out)

@@ -451,3 +451,62 @@ class TestCoreDecomposition:
         g = LinkGraph.from_pairs(spark, edges, persist=False)
         got = {r["id"]: r["core"] for r in core_decomposition(g).collect()}
         assert got == {0: 2, 1: 2, 2: 2, 3: 0, 4: 0, 5: 0, 6: 0, 7: 0}
+
+
+class TestRandomWalks:
+    def test_matches_python_mirror(self, spark):
+        from graphit_spark.kernels import random_walks
+        from tests.oracles import random_walks_oracle
+
+        edges = _rand_graph(40, 200, seed=3)
+        g = LinkGraph.from_pairs(spark, edges, persist=False)
+        got = sorted(
+            (r["walk_id"], r["step"], r["vertex"])
+            for r in random_walks(g, 5, seed=11).collect()
+        )
+        assert got == random_walks_oracle(edges, 5, seed=11)
+
+    def test_deterministic_and_seed_sensitive(self, spark):
+        from graphit_spark.kernels import random_walks
+
+        edges = _rand_graph(30, 150, seed=4)
+        g = LinkGraph.from_pairs(spark, edges, persist=False)
+        a = sorted(map(tuple, random_walks(g, 3, seed=1).collect()))
+        b = sorted(map(tuple, random_walks(g, 3, seed=1).collect()))
+        c = sorted(map(tuple, random_walks(g, 3, seed=2).collect()))
+        assert a == b
+        assert a != c
+
+    def test_sink_terminates_walk(self, spark):
+        from graphit_spark.kernels import random_walks
+
+        # 0 -> 1 -> 2 (sink); walks stop at 2
+        g = LinkGraph.from_pairs(spark, [(0, 1), (1, 2)], persist=False)
+        rows = sorted(
+            (r["walk_id"], r["step"], r["vertex"])
+            for r in random_walks(g, 4, seed=0).collect()
+        )
+        assert rows == [
+            (0, 0, 0), (0, 1, 1), (0, 2, 2),
+            (1, 0, 1), (1, 1, 2),
+            (2, 0, 2),
+        ]
+
+    def test_random_neighbor_in_adjacency(self, spark):
+        from graphit_spark.kernels import random_out_neighbor
+
+        edges = _rand_graph(25, 120, seed=5)
+        g = LinkGraph.from_pairs(spark, edges, persist=False)
+        adj = {}
+        for s, d in {(s, d) for s, d in edges if s != d}:
+            adj.setdefault(s, set()).add(d)
+        picked = {r["id"]: r["nbr"] for r in random_out_neighbor(g, seed=2).collect()}
+        assert set(picked) == set(adj)
+        for v, n in picked.items():
+            assert n in adj[v]
+        # a different step draws a different sample somewhere
+        other = {
+            r["id"]: r["nbr"]
+            for r in random_out_neighbor(g, seed=2, step=1).collect()
+        }
+        assert picked != other
