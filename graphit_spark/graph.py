@@ -41,6 +41,7 @@ class LinkGraph:
         squished: bool = False,
         num_partitions: int | None = None,
         persist: bool = True,
+        num_vertices: int | None = None,
     ):
         self.spark: SparkSession = edges.sparkSession
         self.weighted = WEIGHT in edges.columns
@@ -73,7 +74,10 @@ class LinkGraph:
         self._persisted = persist
         if persist:
             self.edges = self.edges.persist(StorageLevel.MEMORY_AND_DISK)
-        self._num_vertices: int | None = None
+        # Caller-supplied universe (e.g. a serialized graph's header
+        # num_nodes, which outranks max-id+1 when trailing vertices are
+        # isolated); None = derive FindMaxNodeID+1 from the raw edges.
+        self._num_vertices: int | None = num_vertices
         self._num_edges: int | None = None
         self._out_degrees: DataFrame | None = None
         self._adjacency: DataFrame | None = None

@@ -3,5 +3,19 @@ from graphit_spark.sources.edgelist import (
     read_weighted_edge_list,
     write_edge_list,
 )
+from graphit_spark.sources.serialized import (
+    load_sg_graph,
+    read_sg,
+    read_wsg,
+    write_sg,
+)
 
-__all__ = ["read_edge_list", "read_weighted_edge_list", "write_edge_list"]
+__all__ = [
+    "read_edge_list",
+    "read_weighted_edge_list",
+    "write_edge_list",
+    "load_sg_graph",
+    "read_sg",
+    "read_wsg",
+    "write_sg",
+]

@@ -4,7 +4,7 @@ Reference reader (src/runtime_lib/infra_gapbs/reader.h): ``.el`` (:51
 ReadInEL — "src dst" per line), ``.wel`` (:60 ReadInWEL — "src dst w"),
 ``.mtx`` (:147 — 1-indexed MatrixMarket with a size header), comment lines
 starting with '%' or '#' skipped. The serialized binary formats (.sg/.wsg)
-are GAPBS-internal and out of scope — Parquet is the at-scale format here.
+live in sources/serialized.py — Parquet is the at-scale format here.
 
 Loading applies NO squish (that is LinkGraph's job, matching the
 reference where MakeGraph squishes after reading)."""

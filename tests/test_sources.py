@@ -85,3 +85,69 @@ def test_read_metis_isolated_vertex_keeps_numbering(spark, tmp_path):
         (r["src"], r["dst"]) for r in read_metis(spark, str(p)).collect()
     )
     assert rows == [(0, 2), (2, 0)]
+
+
+class TestSerializedGraph:
+    def test_reference_4sg_matches_4el(self, spark):
+        """The reference repo ships 4.sg serialized from 4.el — reading
+        the binary CSR must reproduce the squished edge set and the
+        header universe (reader.h:322-374)."""
+        from graphit_spark.sources import read_sg
+        from graphit_spark.sources.serialized import read_header
+
+        sg = sorted(
+            map(tuple, read_sg(spark, "/root/reference/test/graphs/4.sg").collect())
+        )
+        el = read_edge_list(spark, "/root/reference/test/graphs/4.el")
+        squished = sorted(
+            {(r["src"], r["dst"]) for r in el.collect() if r["src"] != r["dst"]}
+        )
+        assert sg == squished
+        directed, num_edges, num_nodes = read_header(
+            spark, "/root/reference/test/graphs/4.sg"
+        )
+        assert directed and num_edges == len(sg)
+        assert num_nodes == LinkGraph(el, persist=False).num_vertices
+
+    def test_sg_roundtrip_preserves_isolated_universe(self, spark, tmp_path):
+        """write → load round-trip keeps edges AND the header vertex
+        universe (id 9 is isolated: only reachable via the squished-away
+        self-loop, but num_nodes must still say 10)."""
+        from graphit_spark.sources import load_sg_graph, write_sg
+
+        g = LinkGraph.from_pairs(
+            spark, [(0, 1), (1, 2), (2, 0), (5, 3), (9, 9)], persist=False
+        )
+        p = str(tmp_path / "g.sg")
+        write_sg(g, p)
+        back = load_sg_graph(spark, p)
+        assert back.num_vertices == 10
+        assert sorted(map(tuple, back.edges.collect())) == sorted(
+            map(tuple, g.edges.collect())
+        )
+
+    def test_wsg_roundtrip_weighted(self, spark, tmp_path):
+        from graphit_spark.sources import load_sg_graph, write_sg
+
+        g = LinkGraph.from_pairs(
+            spark, [(0, 1, 4), (1, 2, 7), (2, 0, 1), (3, 1, 2)], persist=False
+        )
+        p = str(tmp_path / "g.wsg")
+        write_sg(g, p)
+        back = load_sg_graph(spark, p)
+        assert back.weighted
+        assert sorted(map(tuple, back.edges.collect())) == [
+            (0, 1, 4), (1, 2, 7), (2, 0, 1), (3, 1, 2),
+        ]
+
+    def test_suffix_weight_mismatch_raises(self, spark, tmp_path):
+        import pytest
+
+        from graphit_spark.sources import write_sg
+
+        unweighted = LinkGraph.from_pairs(spark, [(0, 1)], persist=False)
+        weighted = LinkGraph.from_pairs(spark, [(0, 1, 3)], persist=False)
+        with pytest.raises(ValueError):
+            write_sg(unweighted, str(tmp_path / "g.wsg"))
+        with pytest.raises(ValueError):
+            write_sg(weighted, str(tmp_path / "g.sg"))
