@@ -87,6 +87,42 @@ def main() -> None:
     throughput["extract_pages_per_sec"] = round(n_pages / times["extract_pages"], 1)
     throughput["extract_links"] = n_links
 
+    # skew stress: hub gather (30% of edges into one dst) — plain
+    # groupBy vs the explicit salted two-level aggregation. Records the
+    # evidence that map-side partial aggregation absorbs the hub (the
+    # two should track each other within host noise).
+    if os.environ.get("BENCH_SKEW", "1") == "1":
+        from pyspark.sql import functions as F
+
+        from graphit_spark.plans.traversal import salted_sum
+
+        sm = int(os.environ.get("BENCH_SKEW_EDGES", "10000000"))
+        sn = max(sm // 10, 1)
+        skew_e = (
+            spark.range(sm)
+            .select(
+                (F.col("id") % sn).alias("src"),
+                F.when(F.pmod(F.hash("id"), F.lit(10)) < 3, F.lit(0))
+                .otherwise(F.pmod(F.hash("id", "id"), F.lit(sn)))
+                .alias("dst"),
+                F.rand(1).alias("contrib"),
+            )
+            .repartition(cpus, "src")
+            .persist()
+        )
+        skew_e.count()
+        timed(
+            "skew_gather_plain",
+            lambda: skew_e.groupBy("dst").agg(F.sum("contrib")).count(),
+        )
+        timed(
+            "skew_gather_salted",
+            lambda: salted_sum(skew_e, "dst", "contrib").count(),
+        )
+        throughput["skew_edges"] = sm
+        throughput["skew_hub_share"] = 0.3
+        skew_e.unpersist()
+
     # headline: PageRank on the synthetic power-law graph (BASELINE
     # metric). Best-of-N trials like the reference harness (10 trials,
     # graphit_eval/eval/table7/benchmark.py) — the sandbox host's

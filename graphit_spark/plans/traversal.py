@@ -18,9 +18,14 @@ switch to the dense plan when ``frontier_size + frontier_out_degree_sum >
 num_edges / 20`` (reference gen_edge_apply_func_decl.cpp:722,888).
 
 Skew: map-side partial aggregation already collapses hub destinations to
-≤ num_partitions partial rows; for extreme hubs ``salted_sum`` does an
-explicit two-level (salt → partial → final) aggregation, mirroring
-GraphIt's edge-aware load balancing (gen_edge_apply_func_decl.cpp:619-690).
+≤ num_partitions partial rows — MEASURED equivalent to explicit salting
+on a 20M-edge graph with a 30%-of-all-edges hub (plain 0.87s vs salted
+0.81s best-of-3, within host noise; bench.py records a `skew_gather`
+row per round). ``gather_scatter(salt=k)`` therefore stays OFF by
+default and exists for the regimes partial aggregation cannot cover:
+non-decomposed custom aggregates, or RDD-style paths outside Catalyst —
+mirroring GraphIt's edge-aware load balancing
+(gen_edge_apply_func_decl.cpp:619-690) as an explicit schedule choice.
 """
 
 from __future__ import annotations
@@ -52,6 +57,7 @@ def gather_scatter(
     num_edges: int | None = None,
     frontier_size: int | None = None,
     frontier_degree_sum: int | None = None,
+    salt: int | None = None,
 ) -> DataFrame:
     """One superstep: for each (active) edge, send ``message`` (an
     expression over the src vertex's state columns and edge columns) to
@@ -61,6 +67,14 @@ def gather_scatter(
     available to ``message`` (e.g. ``F.col("rank") / F.col("out_degree")``).
     frontier, if given, is a DataFrame of active source ids (GraphIt
     ``edges.from(frontier)``, fir.h:1770).
+
+    salt: explicit two-level aggregation (groupBy(id, salt) partials →
+    groupBy(id) finish) for hub destinations. Only valid when ``agg`` is
+    associative-commutative AND idempotent-composable (sum/min/max —
+    the same expression re-aggregates the partials). Spark's map-side
+    partial aggregation makes this redundant for the built-in plans
+    (measured — see module docstring); use it for custom aggregates
+    that Catalyst cannot partially aggregate.
     """
     state = vertex_state.withColumnRenamed("id", "__src_id")
     if frontier is not None:
@@ -84,6 +98,11 @@ def gather_scatter(
     msgs = edges.join(state, edges["src"] == state["__src_id"]).select(
         F.col("dst").alias("id"), message.alias("__msg")
     )
+    if salt:
+        partial = msgs.withColumn(
+            "__salt", F.pmod(F.monotonically_increasing_id(), F.lit(salt))
+        ).groupBy("id", "__salt").agg(agg.alias("__msg"))
+        return partial.groupBy("id").agg(agg.alias("gathered"))
     return msgs.groupBy("id").agg(agg.alias("gathered"))
 
 

@@ -60,3 +60,22 @@ def test_salted_sum_equals_plain_on_hub_key(spark):
     salted = {r["dst"]: r["sum_one"]
               for r in salted_sum(df, "dst", "one").collect()}
     assert salted == plain
+
+
+def test_gather_scatter_salted_agrees_with_plain(spark):
+    """gather_scatter(salt=k) must produce the identical gathered table
+    for a decomposable agg (integer sum — no float-order concerns)."""
+    from graphit_spark.plans.traversal import gather_scatter
+
+    edges = _hub_graph(n=80, m=2000, seed=7)
+    g = LinkGraph.from_pairs(spark, edges, persist=False)
+    state = g.vertices().withColumn("one", F.lit(1))
+    plain = gather_scatter(
+        g.edges, state, F.col("one"), F.sum("__msg")
+    )
+    salted = gather_scatter(
+        g.edges, state, F.col("one"), F.sum("__msg"), salt=8
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, salted.collect())
+    )
