@@ -2,12 +2,15 @@
 
 Images/audio/video ride through the engine as `binary` columns with a
 small typed header; decode / feature-extract / resize / frame-sample run
-as Arrow-batched mapInPandas operators. The actual codec step is STUBBED
-(this container has no image/audio libraries): real libraries plug in
-behind the `_HAVE_PIL` import-try, and until then a deterministic fake
-container format ("FAKEIMG1/FAKEAUD1/FAKEVID1") exercises the REAL
-Spark-side plumbing — binary schema, Arrow batch shape, partition-local
-decode, metadata structs — end to end.
+as Arrow-batched mapInPandas operators. Two REAL formats decode with
+the stdlib alone and exercise the full pipeline end to end: BMP
+(uncompressed 8/24-bpp → grayscale, resize re-encodes a readable BMP)
+and PCM WAV (via the `wave` module). Everything beyond those is STUBBED
+(this container has no PIL/ffmpeg): real libraries plug in behind the
+`_HAVE_PIL` import-try, and the deterministic fake container format
+("FAKEIMG1/FAKEAUD1/FAKEVID1") keeps the Spark-side plumbing — binary
+schema, Arrow batch shape, partition-local decode, metadata structs —
+testable for the unsupported modalities (video).
 
 Fake container layout (big-endian):
     magic   8 bytes   b"FAKEIMG1" | b"FAKEAUD1" | b"FAKEVID1"
@@ -34,6 +37,101 @@ except ImportError:
 _A, _B, _M = 2654435761, 1013904223, 2**31
 
 IMG_MAGIC, AUD_MAGIC, VID_MAGIC = b"FAKEIMG1", b"FAKEAUD1", b"FAKEVID1"
+
+
+# --- real pure-stdlib codecs: BMP (8-bpp palette / 24-bpp) and PCM WAV ---
+# These are the first REAL formats behind the magic sniff; everything
+# else still raises NotImplementedError until PIL/ffmpeg exist.
+
+
+def _decode_bmp(raw: bytes):
+    """Uncompressed BMP → (h, w) uint8 grayscale ndarray. Supports
+    8-bpp palettized and 24-bpp BGR (integer ITU-R 601 luminance);
+    bottom-up and top-down row orders; 4-byte row padding."""
+    import numpy as np
+
+    if raw[:2] != b"BM":
+        raise ValueError("not a BMP")
+    data_off = struct.unpack_from("<I", raw, 10)[0]
+    hdr_size = struct.unpack_from("<I", raw, 14)[0]
+    w, h = struct.unpack_from("<ii", raw, 18)
+    planes, bpp = struct.unpack_from("<HH", raw, 26)
+    compression = struct.unpack_from("<I", raw, 30)[0]
+    if compression != 0 or bpp not in (8, 24):
+        raise NotImplementedError(
+            f"BMP bpp={bpp} compression={compression} unsupported "
+            "(only uncompressed 8/24-bpp)"
+        )
+    top_down = h < 0
+    h = abs(h)
+    row_bytes = (w * bpp // 8 + 3) & ~3
+    px = np.frombuffer(raw, np.uint8, row_bytes * h, data_off).reshape(
+        h, row_bytes
+    )
+    if not top_down:
+        px = px[::-1]
+    if bpp == 8:
+        # palette: BGRX quads between the DIB header and the pixel data
+        pal = np.frombuffer(
+            raw, np.uint8, 256 * 4, 14 + hdr_size
+        ).reshape(256, 4)
+        lum = (
+            (pal[:, 2].astype(np.int64) * 299
+             + pal[:, 1].astype(np.int64) * 587
+             + pal[:, 0].astype(np.int64) * 114) // 1000
+        ).astype(np.uint8)
+        return lum[px[:, :w]]
+    bgr = px[:, : w * 3].reshape(h, w, 3).astype(np.int64)
+    return (
+        (bgr[:, :, 2] * 299 + bgr[:, :, 1] * 587 + bgr[:, :, 0] * 114) // 1000
+    ).astype(np.uint8)
+
+
+def encode_bmp_gray(arr) -> bytes:
+    """(h, w) uint8 → 8-bpp grayscale-palette BMP (bottom-up), so
+    resized output remains a readable real-format image."""
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    h, w = a.shape
+    row_bytes = (w + 3) & ~3
+    rows = np.zeros((h, row_bytes), dtype=np.uint8)
+    rows[:, :w] = a
+    payload = rows[::-1].tobytes()
+    pal = bytes(b for i in range(256) for b in (i, i, i, 0))
+    data_off = 14 + 40 + len(pal)
+    return (
+        b"BM"
+        + struct.pack("<IHHI", data_off + len(payload), 0, 0, data_off)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 0, len(payload),
+                      2835, 2835, 256, 0)
+        + pal
+        + payload
+    )
+
+
+def _decode_wav(raw: bytes):
+    """PCM WAV → (sample_rate, float64 samples, sample_width_bytes) via
+    the stdlib wave module (mono mix for multi-channel)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(raw), "rb") as f:
+        rate = f.getframerate()
+        nch = f.getnchannels()
+        width = f.getsampwidth()
+        frames = f.readframes(f.getnframes())
+    dtype = {1: np.uint8, 2: "<i2", 4: "<i4"}.get(width)
+    if dtype is None:
+        raise NotImplementedError(f"WAV sample width {width} unsupported")
+    arr = np.frombuffer(frames, dtype=dtype).astype(np.float64)
+    if width == 1:
+        arr = arr - 128.0  # 8-bit WAV is unsigned, center it
+    if nch > 1:
+        arr = arr.reshape(-1, nch).mean(axis=1)
+    return rate, arr, width
 
 
 def _payload(seed: int, n: int) -> bytes:
@@ -88,6 +186,9 @@ def image_metadata(df: DataFrame, bin_col: str = "image") -> DataFrame:
                 elif raw[:8] == VID_MAGIC:
                     a, c, _fr = struct.unpack(">iii", raw[8:20])
                     w.append(a); hh.append(c); fmt.append("fakevid")
+                elif raw[:2] == b"BM":
+                    a, c = struct.unpack_from("<ii", raw, 18)
+                    w.append(a); hh.append(abs(c)); fmt.append("bmp")
                 else:
                     w.append(None); hh.append(None); fmt.append("unknown")
             out = pdf[id_cols].copy()
@@ -116,12 +217,14 @@ def image_features(df: DataFrame, bin_col: str = "image") -> DataFrame:
                 raw = bytes(b)
                 if raw[:8] == IMG_MAGIC:
                     arr = np.frombuffer(raw[16:], dtype=np.uint8)
+                elif raw[:2] == b"BM":
+                    arr = _decode_bmp(raw).ravel()  # real decode path
                 elif _HAVE_PIL:  # pragma: no cover
                     raise NotImplementedError("real codec path not wired")
                 else:
                     raise NotImplementedError(
-                        "real image decode needs PIL/ffmpeg — not in this "
-                        "container; only the FAKEIMG1 container is supported"
+                        "image decode beyond BMP needs PIL/ffmpeg — not in "
+                        "this container; BMP and FAKEIMG1 are supported"
                     )
                 mean.append(float(arr.mean()) if arr.size else 0.0)
                 mn.append(int(arr.min()) if arr.size else 0)
@@ -172,13 +275,20 @@ def audio_features(df: DataFrame, bin_col: str = "audio") -> DataFrame:
             rate, dur, rms = [], [], []
             for b in pdf[bin_col]:
                 raw = bytes(b)
-                if raw[:8] != AUD_MAGIC:
+                if raw[:8] == AUD_MAGIC:
+                    r, n = struct.unpack(">ii", raw[8:16])
+                    arr = np.frombuffer(
+                        raw[16:16 + n], dtype=np.uint8
+                    ).astype("float64")
+                elif raw[:4] == b"RIFF" and raw[8:12] == b"WAVE":
+                    r, arr, _w = _decode_wav(raw)  # real decode path
+                    n = arr.size
+                else:
                     raise NotImplementedError(
-                        "real audio decode needs an audio library — not "
-                        "in this container; only FAKEAUD1 is supported"
+                        "audio decode beyond PCM WAV needs an audio "
+                        "library — not in this container; WAV and "
+                        "FAKEAUD1 are supported"
                     )
-                r, n = struct.unpack(">ii", raw[8:16])
-                arr = np.frombuffer(raw[16:16 + n], dtype=np.uint8).astype("float64")
                 rate.append(r)
                 dur.append(n / r)
                 rms.append(float(np.sqrt((arr ** 2).mean())) if n else 0.0)
@@ -211,19 +321,27 @@ def image_resize(
             out_bytes = []
             for b in pdf[bin_col]:
                 raw = bytes(b)
-                if raw[:8] != IMG_MAGIC:
+                if raw[:8] == IMG_MAGIC:
+                    w, h = struct.unpack(">ii", raw[8:16])
+                    arr = np.frombuffer(raw[16:16 + w * h], dtype=np.uint8)
+                    arr = arr.reshape(h, w)
+                    is_bmp = False
+                elif raw[:2] == b"BM":
+                    arr = _decode_bmp(raw)  # real decode path
+                    h, w = arr.shape
+                    is_bmp = True
+                else:
                     raise NotImplementedError(
-                        "real image decode needs PIL/ffmpeg — not in this "
-                        "container; only the FAKEIMG1 container is supported"
+                        "image decode beyond BMP needs PIL/ffmpeg — not "
+                        "in this container; BMP and FAKEIMG1 are supported"
                     )
-                w, h = struct.unpack(">ii", raw[8:16])
-                arr = np.frombuffer(raw[16:16 + w * h], dtype=np.uint8)
-                arr = arr.reshape(h, w)
                 ys = (np.arange(height) * h // height).clip(0, h - 1)
                 xs = (np.arange(width) * w // width).clip(0, w - 1)
                 resized = arr[np.ix_(ys, xs)]
                 out_bytes.append(
-                    IMG_MAGIC
+                    encode_bmp_gray(resized)  # stays a readable BMP
+                    if is_bmp
+                    else IMG_MAGIC
                     + struct.pack(">ii", width, height)
                     + resized.tobytes()
                 )

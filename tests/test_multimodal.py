@@ -84,3 +84,113 @@ def test_audio_features(spark):
     for r in rows:
         assert r["sample_rate"] in (8000, 12000, 16000)
         assert r["duration_sec"] > 0 and 0 <= r["rms"] <= 255
+
+
+class TestRealCodecs:
+    """BMP + PCM WAV are the real (stdlib-decodable) formats."""
+
+    @staticmethod
+    def _bmp24(w, h, rgb_rows):
+        """Hand-built uncompressed 24-bpp BMP (bottom-up)."""
+        import struct
+
+        row_bytes = (w * 3 + 3) & ~3
+        payload = b""
+        for row in reversed(rgb_rows):
+            line = b"".join(bytes([b, g, r]) for r, g, b in row)
+            payload += line + b"\0" * (row_bytes - len(line))
+        off = 14 + 40
+        return (
+            b"BM" + struct.pack("<IHHI", off + len(payload), 0, 0, off)
+            + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                          len(payload), 2835, 2835, 0, 0)
+            + payload
+        )
+
+    @staticmethod
+    def _wav(rate, samples):
+        import io
+        import struct
+        import wave
+
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as f:
+            f.setnchannels(1)
+            f.setsampwidth(2)
+            f.setframerate(rate)
+            f.writeframes(
+                b"".join(struct.pack("<h", s) for s in samples)
+            )
+        return buf.getvalue()
+
+    def test_bmp_metadata_and_features(self, spark):
+        import numpy as np
+
+        from graphit_spark.functions.multimodal import (
+            encode_bmp_gray,
+            image_features,
+            image_metadata,
+        )
+
+        gray = np.arange(48, dtype=np.uint8).reshape(6, 8) * 5
+        white = [[(255, 255, 255)] * 3] * 2
+        df = spark.createDataFrame(
+            [(0, bytearray(encode_bmp_gray(gray))),
+             (1, bytearray(self._bmp24(3, 2, white)))],
+            "doc_id long, image binary",
+        )
+        meta = {r["doc_id"]: r for r in image_metadata(df).collect()}
+        assert (meta[0]["width"], meta[0]["height"], meta[0]["format"]) == (8, 6, "bmp")
+        assert (meta[1]["width"], meta[1]["height"], meta[1]["format"]) == (3, 2, "bmp")
+        feats = {r["doc_id"]: r for r in image_features(df).collect()}
+        assert feats[0]["px_mean"] == float(gray.mean())
+        assert feats[0]["px_min"] == 0 and feats[0]["px_max"] == 235
+        assert feats[1]["px_mean"] == 255.0  # white stays white under 601 luma
+
+    def test_bmp_resize_roundtrip_stays_bmp(self, spark):
+        import numpy as np
+
+        from graphit_spark.functions.multimodal import (
+            encode_bmp_gray,
+            image_metadata,
+            image_resize,
+        )
+
+        gray = np.full((10, 10), 77, dtype=np.uint8)
+        df = spark.createDataFrame(
+            [(0, bytearray(encode_bmp_gray(gray)))], "doc_id long, image binary"
+        )
+        resized = image_resize(df, 4, 3)
+        meta = image_metadata(resized).collect()[0]
+        assert (meta["width"], meta["height"], meta["format"]) == (4, 3, "bmp")
+        from graphit_spark.functions.multimodal import _decode_bmp
+
+        arr = _decode_bmp(bytes(resized.collect()[0]["image"]))
+        assert arr.shape == (3, 4) and (arr == 77).all()
+
+    def test_wav_features(self, spark):
+        import numpy as np
+
+        from graphit_spark.functions.multimodal import audio_features
+
+        samples = [1000, -1000] * 400  # 800 samples of a square wave
+        df = spark.createDataFrame(
+            [(0, bytearray(self._wav(8000, samples)))],
+            "doc_id long, audio binary",
+        )
+        r = audio_features(df).collect()[0]
+        assert r["sample_rate"] == 8000
+        assert abs(r["duration_sec"] - 0.1) < 1e-9
+        assert abs(r["rms"] - 1000.0) < 1e-9
+
+    def test_unknown_format_still_raises(self, spark):
+        import pytest
+
+        from graphit_spark.functions.multimodal import image_features
+
+        df = spark.createDataFrame(
+            [(0, bytearray(b"GIF89a not supported"))],
+            "doc_id long, image binary",
+        )
+        with pytest.raises(Exception, match="decode beyond BMP"):
+            image_features(df).collect()
