@@ -978,6 +978,66 @@ def q_astar(spark, sf_dir):
     )
 
 
+def sweep_cut_sql() -> str:
+    """Twin of kernels/sweepcut.py over the symmetrized blocked graph
+    with score = symmetric degree: rank by (val desc, id asc), per-rank
+    ±1 crossing deltas, window prefix sums, argmin conductance, prefix
+    strictly before the best index (the reference's exclusive cut)."""
+    return (
+        "WITH " + _SQL_BLOCKED.strip()
+        + """,
+symdeg AS MATERIALIZED (
+  SELECT v.id, CAST(coalesce(d.d, 0) AS BIGINT) AS val
+  FROM verts v LEFT JOIN
+       (SELECT src AS id, count(*) AS d FROM sym GROUP BY src) d USING (id)
+),
+mm AS (SELECT count(*) AS m FROM sym),
+rk AS MATERIALIZED (
+  SELECT id, val,
+         CAST(row_number() OVER (ORDER BY val DESC, id ASC) - 1 AS BIGINT) AS r
+  FROM symdeg
+),
+deltas AS MATERIALIZED (
+  SELECT a.r, sum(CASE WHEN b.r IS NULL OR b.r > a.r THEN 1 ELSE -1 END) AS delta
+  FROM sym e JOIN rk a ON e.src = a.id LEFT JOIN rk b ON e.dst = b.id
+  GROUP BY a.r
+),
+swept AS MATERIALIZED (
+  SELECT rk.id, rk.r,
+         sum(rk.val) OVER (ORDER BY rk.r ROWS UNBOUNDED PRECEDING) AS vol,
+         sum(coalesce(dl.delta, 0)) OVER (ORDER BY rk.r ROWS UNBOUNDED PRECEDING) AS crossing
+  FROM rk LEFT JOIN deltas dl ON rk.r = dl.r
+),
+best AS (
+  SELECT r FROM (
+    SELECT r,
+           CASE WHEN crossing = 0
+                     OR least(vol, (SELECT m FROM mm) - vol) = 0 THEN 1e0
+                ELSE crossing * 1e0 / least(vol, (SELECT m FROM mm) - vol)
+           END AS cond
+    FROM swept
+  ) ORDER BY cond, r LIMIT 1
+)
+SELECT id FROM swept WHERE r < (SELECT r FROM best) ORDER BY id"""
+    )
+
+
+def q_sweep_cut(spark, sf_dir):
+    """serialSweepCut analogue: conductance sweep over the symmetrized
+    blocked graph scored by symmetric degree (integer scores — no
+    cross-engine float-tie ambiguity) vs sweep_cut_sql."""
+    from graphit_spark.kernels import sweep_cut
+
+    g0 = graph(spark, sf_dir, "blocked")
+    g = g0.symmetrize()
+    vals = (
+        g0.vertices()
+        .join(g.out_degrees(), "id", "left")
+        .select("id", F.coalesce("out_degree", F.lit(0)).alias("val"))
+    )
+    return sweep_cut(g, vals)
+
+
 WALK_LEN = 4
 WALK_SEED = 7
 
@@ -1047,4 +1107,5 @@ GRAPH_QUERIES: dict[str, tuple] = {
     "set_cover": (q_set_cover, set_cover_sql()),
     "core_numbers": (q_core_numbers, core_numbers_sql()),
     "random_walks": (q_random_walks, walks_sql()),
+    "sweep_cut": (q_sweep_cut, sweep_cut_sql()),
 }

@@ -15,6 +15,7 @@ from graphit_spark.kernels.delta_stepping import sssp_delta_stepping
 from graphit_spark.kernels.astar import astar
 from graphit_spark.kernels.mst import minimum_spanning_forest
 from graphit_spark.kernels.setcover import set_cover
+from graphit_spark.kernels.sweepcut import sweep_cut
 from graphit_spark.kernels.walks import (
     random_in_neighbor,
     random_out_neighbor,
@@ -22,6 +23,7 @@ from graphit_spark.kernels.walks import (
 )
 
 __all__ = [
+    "sweep_cut",
     "random_in_neighbor",
     "random_out_neighbor",
     "random_walks",

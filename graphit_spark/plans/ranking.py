@@ -26,6 +26,51 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
+def ordered_prefix_sum(
+    df: DataFrame,
+    order_cols: list[Column],
+    value_cols: list[str],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append `<v>_cum` = inclusive prefix sum of each value column under
+    the global `order_cols` order — same two-phase shape as
+    dense_rank_ids (range shuffle → P parallel within-bucket window
+    sums → broadcast per-bucket offsets), so no single-partition Window
+    ever sees the full table. `order_cols` must form a total order."""
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = df.repartitionByRange(num_partitions, *order_cols).persist()
+    with_pid = ranged.withColumn("__pid", F.spark_partition_id())
+    totals = {
+        r["__pid"]: r
+        for r in with_pid.groupBy("__pid")
+        .agg(*[F.sum(v).alias(v) for v in value_cols])
+        .collect()
+    }
+    offsets, acc = [], {v: 0 for v in value_cols}
+    for pid in range(num_partitions):
+        offsets.append((pid, *[acc[v] for v in value_cols]))
+        if pid in totals:
+            for v in value_cols:
+                acc[v] += totals[pid][v] or 0
+    off_schema = "__pid int, " + ", ".join(
+        f"__off_{v} long" for v in value_cols
+    )
+    off_df = spark.createDataFrame(offsets, off_schema)
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = with_pid.join(F.broadcast(off_df), "__pid")
+    for v in value_cols:
+        out = out.withColumn(
+            f"{v}_cum", F.sum(v).over(w) + F.col(f"__off_{v}")
+        )
+    return out.drop("__pid", *[f"__off_{v}" for v in value_cols])
+
+
 def dense_rank_ids(
     df: DataFrame,
     order_cols: list[Column],

@@ -381,3 +381,26 @@ def random_walks_oracle(edges, walk_len, seed=0):
             v = nbrs[h % len(nbrs)]
             out.append((start, t, v))
     return sorted(out)
+
+
+def sweep_cut_oracle(edges, vals):
+    """Direct transliteration of serialSweepCut (intrinsics.h:358-410)
+    over the squished directed graph; `vals` maps subset ids to scores.
+    Ties sort (val desc, id asc) — the engine's fixed total order."""
+    adj = {}
+    for s, d in squish(edges):
+        adj.setdefault(s, []).append(d)
+    m = sum(len(v) for v in adj.values())
+    order = sorted(vals, key=lambda v: (-vals[v], v))
+    S, vol, crossing = set(), 0, 0
+    best_cond, best_cut = float("inf"), -1
+    for i, v in enumerate(order):
+        S.add(v)
+        vol += len(adj.get(v, []))
+        denom = min(vol, m - vol)
+        for w in adj.get(v, []):
+            crossing += -1 if w in S else 1
+        cond = 1.0 if (crossing == 0 or denom == 0) else crossing / denom
+        if cond < best_cond:
+            best_cond, best_cut = cond, i
+    return sorted(order[:best_cut]), best_cond

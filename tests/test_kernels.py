@@ -510,3 +510,45 @@ class TestRandomWalks:
             for r in random_out_neighbor(g, seed=2, step=1).collect()
         }
         assert picked != other
+
+
+class TestSweepCut:
+    @pytest.mark.parametrize("seed", [2, 9])
+    def test_matches_reference_transliteration(self, spark, seed):
+        from graphit_spark.kernels import sweep_cut
+        from tests.oracles import sweep_cut_oracle
+
+        edges = _rand_graph(60, 400, seed)
+        g = LinkGraph.from_pairs(spark, edges, persist=False)
+        # score = out-degree (integer => no cross-engine float ties)
+        vals = g.out_degrees().select(
+            "id", F.col("out_degree").alias("val")
+        )
+        metrics = {}
+        got = sorted(
+            r["id"] for r in sweep_cut(g, vals, metrics_out=metrics).collect()
+        )
+        deg = {r["id"]: r["out_degree"] for r in g.out_degrees().collect()}
+        exp_ids, exp_cond = sweep_cut_oracle(edges, deg)
+        assert got == exp_ids
+        assert abs(metrics["best_conductance"] - exp_cond) < 1e-12
+
+    def test_two_cliques_bridge(self, spark):
+        """Two 5-cliques joined by one edge: the sweep by degree finds a
+        cut whose conductance the transliteration agrees with exactly."""
+        from graphit_spark.kernels import sweep_cut
+        from tests.oracles import sweep_cut_oracle
+
+        edges = []
+        for base in (0, 5):
+            for i in range(5):
+                for j in range(5):
+                    if i != j:
+                        edges.append((base + i, base + j))
+        edges += [(4, 5), (5, 4)]
+        g = LinkGraph.from_pairs(spark, edges, persist=False)
+        vals = g.out_degrees().select("id", F.col("out_degree").alias("val"))
+        got = sorted(r["id"] for r in sweep_cut(g, vals).collect())
+        deg = {r["id"]: r["out_degree"] for r in g.out_degrees().collect()}
+        exp_ids, _ = sweep_cut_oracle(edges, deg)
+        assert got == exp_ids
