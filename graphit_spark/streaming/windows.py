@@ -1,0 +1,135 @@
+"""Stateful streaming sessionization over the events stream.
+
+The reference is batch-only (SURVEY.md §2.8); watermarked tumbling
+windows already live in streaming/ingest.py (windowed_event_counts).
+This module adds the custom-stateful-operator path — the streaming twin
+of the batch `events_sessions` query (textqueries.py), with semantics
+fixed windows cannot express (gap-based sessions):
+
+`sessionize`: `applyInPandasWithState` keyed by user. State per user is
+one open-session triple (start, last, n); closed sessions emit in the
+micro-batch that observes the closing gap, and the event-time timeout
+flushes a user's final open session once the watermark passes
+last_ts + gap. Batches arrive Arrow-vectorized (pandas), never
+row-at-a-time Python; the shuffle keys on user_id exactly like the
+batch window partitioning, so scale-out matches the batch twin.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), False),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+    ]
+)
+
+SESSION_GAP_SEC = 1800.0
+
+
+def read_events_stream(
+    spark: SparkSession, events_dir: str, max_files: int = 4
+) -> DataFrame:
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(events_dir)
+    )
+
+
+SESSION_OUT_SCHEMA = (
+    "user_id long, start_ts timestamp, end_ts timestamp, n_events long"
+)
+_STATE_SCHEMA = "start double, last double, n long"
+
+
+def _make_sessionize_fn(with_timeout: bool):
+    """Per-user gap sessionizer. State = one open session (start epoch,
+    last epoch, count); events are folded in (ts, event_id) order —
+    same tie order as the batch twin."""
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state):
+        user = key[0]
+        if state.hasTimedOut:
+            # watermark passed the open session's gap horizon: flush it
+            start, last, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user],
+                    "start_ts": [pd.Timestamp(start, unit="s")],
+                    "end_ts": [pd.Timestamp(last, unit="s")],
+                    "n_events": [n],
+                }
+            )
+            return
+        start, last, n = state.get if state.exists else (None, None, 0)
+        closed = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for ts in pdf["ts"]:
+                sec = ts.timestamp()
+                if start is None:
+                    start, last, n = sec, sec, 1
+                elif sec - last > SESSION_GAP_SEC:
+                    closed.append((start, last, n))
+                    start, last, n = sec, sec, 1
+                else:
+                    last, n = max(last, sec), n + 1
+        state.update((start, last, n))
+        if with_timeout:
+            # must land strictly past the current watermark or Spark
+            # rejects it — a session whose horizon the watermark already
+            # passed flushes at the next watermark tick instead
+            horizon = int((last + SESSION_GAP_SEC) * 1000)
+            state.setTimeoutTimestamp(
+                max(horizon, state.getCurrentWatermarkMs() + 1)
+            )
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user] * len(closed),
+                    "start_ts": [
+                        pd.Timestamp(s, unit="s") for s, _, _ in closed
+                    ],
+                    "end_ts": [
+                        pd.Timestamp(e, unit="s") for _, e, _ in closed
+                    ],
+                    "n_events": [c for _, _, c in closed],
+                }
+            )
+
+    return fn
+
+
+def sessionize(
+    events: DataFrame,
+    watermark: str = "2 hours",
+    timeout: str = "EventTimeTimeout",
+) -> DataFrame:
+    """Streaming gap-sessionization via applyInPandasWithState — the
+    stateful path for semantics fixed windows cannot express. A closed
+    session emits in the micro-batch that observes the closing gap;
+    the event-time timeout flushes a user's final open session once the
+    watermark passes last_ts + gap. Pass timeout="NoTimeout" (and any
+    watermark) for deterministic drive-by-hand tests where only
+    gap-closed sessions should emit."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _make_sessionize_fn(timeout != "NoTimeout"),
+            SESSION_OUT_SCHEMA,
+            _STATE_SCHEMA,
+            "append",
+            timeout,
+        )
+    )

@@ -75,3 +75,84 @@ def test_windowed_event_counts(spark):
         "SELECT sum(n) AS total FROM wincounts"
     ).collect()[0]["total"]
     assert got == events.count()
+
+
+class TestStatefulSessionize:
+    """applyInPandasWithState gap-sessionization (streaming/windows.py)."""
+
+    @staticmethod
+    def _write(spark, path, rows, mode):
+        import datetime as dt
+
+        # epoch offset: rows at/before the stream's initial watermark
+        # (epoch 0) are dropped by the stateful operator — real event
+        # times are always far from 1970
+        base = 1_000_000
+        data = [
+            (eid, uid, dt.datetime.utcfromtimestamp(base + sec), "view", 1.0)
+            for eid, uid, sec in rows
+        ]
+        spark.createDataFrame(
+            data, "event_id long, user_id long, ts timestamp, "
+            "event_type string, value double"
+        ).coalesce(1).write.mode(mode).parquet(path)
+
+    def test_gap_close_across_microbatches(self, spark, tmp_path):
+        from graphit_spark.streaming import read_events_stream, sessionize
+
+        d = str(tmp_path / "ev")
+        ck = str(tmp_path / "ck")
+        # batch A: user 1 opens a session; user 2 opens one too
+        self._write(spark, d, [(1, 1, 0), (2, 1, 10), (3, 2, 50)], "overwrite")
+        q = (
+            sessionize(read_events_stream(spark, d), timeout="NoTimeout")
+            .writeStream.format("memory")
+            .queryName("sess_out")
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            assert spark.sql("SELECT * FROM sess_out").count() == 0
+            # batch B: user 1 continues (100, needs carried state), then a
+            # >30min gap closes the session; user 2 continues silently
+            self._write(spark, d, [(4, 1, 100), (5, 1, 4000), (6, 2, 60)], "append")
+            q.processAllAvailable()
+            rows = spark.sql("SELECT * FROM sess_out").collect()
+            assert len(rows) == 1
+            r = rows[0]
+            assert r["user_id"] == 1 and r["n_events"] == 3
+            assert r["start_ts"].timestamp() == 1_000_000.0
+            assert r["end_ts"].timestamp() == 1_000_100.0
+        finally:
+            q.stop()
+
+    def test_event_time_timeout_flushes_open_session(self, spark, tmp_path):
+        from graphit_spark.streaming import read_events_stream, sessionize
+
+        d = str(tmp_path / "ev2")
+        ck = str(tmp_path / "ck2")
+        self._write(spark, d, [(1, 1, 0), (2, 1, 10)], "overwrite")
+        q = (
+            sessionize(read_events_stream(spark, d), watermark="2 hours")
+            .writeStream.format("memory")
+            .queryName("sess_to")
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            # far-future event advances the watermark past user 1's horizon
+            self._write(spark, d, [(3, 2, 50_000)], "append")
+            q.processAllAvailable()
+            # next micro-batch evaluates the pending timeout
+            self._write(spark, d, [(4, 2, 50_010)], "append")
+            q.processAllAvailable()
+            rows = {r["user_id"]: r for r in spark.sql("SELECT * FROM sess_to").collect()}
+            assert 1 in rows and rows[1]["n_events"] == 2
+            assert rows[1]["end_ts"].timestamp() == 1_000_010.0
+            assert 2 not in rows  # user 2's session is still open
+        finally:
+            q.stop()
