@@ -48,11 +48,13 @@ def sweep_cut(
     best_vol / best_crossing."""
     own_cache = graph.ensure_persisted()
     m = graph.num_edges
+    release: list = []
 
     ranks = dense_rank_ids(
         values.select("id", F.col(val_col).alias("val")),
         [F.desc("val"), F.asc("id")],
         out_col="r",
+        release=release,
     ).select("id", "r").localCheckpoint(eager=True)
 
     deg = graph.out_degrees()
@@ -83,6 +85,7 @@ def sweep_cut(
         .select("id", "r", "d", F.coalesce("delta", F.lit(0)).alias("delta")),
         [F.asc("r")],
         ["d", "delta"],
+        release=release,
     ).select(
         "id", "r",
         F.col("d_cum").alias("vol"),
@@ -98,6 +101,8 @@ def sweep_cut(
         .limit(1)
         .collect()
     )
+    for cached in release:
+        cached.unpersist()
     if not top:
         if own_cache:
             graph.unpersist()

@@ -31,16 +31,21 @@ def ordered_prefix_sum(
     order_cols: list[Column],
     value_cols: list[str],
     num_partitions: int | None = None,
+    release: list | None = None,
 ) -> DataFrame:
     """Append `<v>_cum` = inclusive prefix sum of each value column under
     the global `order_cols` order — same two-phase shape as
     dense_rank_ids (range shuffle → P parallel within-bucket window
     sums → broadcast per-bucket offsets), so no single-partition Window
-    ever sees the full table. `order_cols` must form a total order."""
+    ever sees the full table. `order_cols` must form a total order.
+    `release`, if given, collects the internally persisted DataFrame so
+    the caller can unpersist once the result is materialized."""
     spark = df.sparkSession
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     ranged = df.repartitionByRange(num_partitions, *order_cols).persist()
+    if release is not None:
+        release.append(ranged)
     with_pid = ranged.withColumn("__pid", F.spark_partition_id())
     totals = {
         r["__pid"]: r
@@ -76,10 +81,12 @@ def dense_rank_ids(
     order_cols: list[Column],
     out_col: str = "id",
     num_partitions: int | None = None,
+    release: list | None = None,
 ) -> DataFrame:
     """Append `out_col` = 0-based global rank of each row under
     `order_cols` (must be a total order: include a unique tiebreaker).
-    All original columns are preserved."""
+    All original columns are preserved. `release`, if given, collects
+    the internally persisted DataFrame for caller-side unpersist."""
     spark = df.sparkSession
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
@@ -89,6 +96,8 @@ def dense_rank_ids(
     # prefix-sum offsets would not match partition contents), and a
     # second global sort of a crawl-scale table would double the cost.
     ranged = df.repartitionByRange(num_partitions, *order_cols).persist()
+    if release is not None:
+        release.append(ranged)
     with_pid = ranged.withColumn("__pid", F.spark_partition_id())
     counts = {
         r["__pid"]: r["n"]

@@ -34,7 +34,7 @@ def main() -> None:
                             "triangle_count", "bfs", "sssp",
                             "sssp_delta", "k_core", "core_numbers",
                             "betweenness", "eigenvector", "msf",
-                            "set_cover"])
+                            "set_cover", "random_walks", "sweep_cut"])
     p.add_argument("--edges", help="parquet edge table (src,dst[,weight])")
     p.add_argument("--pages", help="parquet pages table (extracted first)")
     p.add_argument("--synth-vertices", type=int, help="synthetic graph size")
@@ -47,6 +47,8 @@ def main() -> None:
     p.add_argument("--rounds", type=int, default=5, help="lpa rounds")
     p.add_argument("--k", type=int, default=3, help="k_core k")
     p.add_argument("--delta", type=int, default=4, help="delta-stepping width")
+    p.add_argument("--walk-len", type=int, default=4, help="random walk steps")
+    p.add_argument("--seed", type=int, default=0, help="random walk seed")
     args = p.parse_args()
 
     from graphit_spark import LinkGraph, SnapshotStore
@@ -137,6 +139,19 @@ def main() -> None:
         from graphit_spark.kernels import minimum_spanning_forest
 
         out = minimum_spanning_forest(g)
+    elif args.kernel == "random_walks":
+        from graphit_spark.kernels import random_walks
+
+        out = random_walks(g, args.walk_len, seed=args.seed)
+    elif args.kernel == "sweep_cut":
+        from pyspark.sql import functions as F
+
+        from graphit_spark.kernels import sweep_cut
+
+        vals = g.out_degrees().select(
+            "id", F.col("out_degree").alias("val")
+        )
+        out = sweep_cut(g, vals)
     else:
         from graphit_spark.kernels import set_cover
 
