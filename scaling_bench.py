@@ -210,7 +210,10 @@ component that scales worse than the shuffle itself.
 
 - Shuffle-partition balance max/mean ≈ {high['partition_balance_max_over_mean']}
   on the gather stage's dst-hash partitioning (hub skew absorbed by
-  map-side partial aggregation; worst keys pre-split by salted_sum).
+  map-side partial aggregation — measured equivalent to explicit
+  salting on a 30%-hub 20M-edge graph, so salting stays an opt-in
+  (`gather_scatter(salt=k)`) for aggregates Catalyst cannot partially
+  aggregate; bench.py records a `skew_gather` row per round).
 - No O(E) driver-side step: per superstep the driver runs one action;
   only V-sized aggregates (error norm, frontier count) are collected.
 - Broadcast is used only below the Ligra 1/20 frontier threshold; the
