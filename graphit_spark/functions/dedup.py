@@ -166,6 +166,53 @@ def ngram_jaccard_pairs(
     )
 
 
+def jaccard_on_candidates(
+    df: DataFrame,
+    candidates: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard) — exact shingle-set Jaccard computed ONLY
+    for the given candidate pairs: the crawl-scale composition
+    `lsh_candidate_pairs → exact verify`. Shingles are built just for
+    documents that appear in some pair (semi-join prune), and the
+    shingle self-join is replaced by candidate-driven lookups, so cost
+    is Σ over pairs of shingle-set size — never quadratic in the corpus."""
+    cand = candidates.select("doc_a", "doc_b")
+    touched = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = _shingles(
+        df.join(touched, "doc_id", "left_semi"), text_col
+    ).localCheckpoint(eager=True)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (
+        cand.join(
+            sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a"
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), "shingle"),
+            ["doc_b", "shingle"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a")
+                   .withColumnRenamed("n", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("n", "nb"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6
+            ).alias("jaccard"),
+        )
+    )
+
+
 def simhash(df: DataFrame, text_col: str = "text", bits: int = 16) -> DataFrame:
     """(doc_id, simhash): sign-aggregated token-hash fingerprint.
     bit b of the fingerprint = 1 iff sum over distinct tokens of

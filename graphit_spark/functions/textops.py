@@ -39,6 +39,44 @@ def token_count(text: Column) -> Column:
     return F.size(F.split(F.trim(text), r"\s+")).cast("long")
 
 
+BPE_TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r]"
+
+STOPWORDS = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "was", "at", "by", "be",
+]
+
+
+def token_count_bpe(text: Column) -> Column:
+    """BPE-style pre-tokenization count: letter runs, digit runs, and
+    individual punctuation marks each count as one token (the GPT-2-ish
+    pre-split, ASCII classes so Spark and DuckDB regex engines agree).
+    A closer proxy for model token cost than whitespace counting —
+    'don't stop!!' is 2 whitespace tokens but 6 BPE-ish tokens."""
+    return F.regexp_count(text, F.lit(BPE_TOKEN_RE)).cast("long")
+
+
+def stopword_ratio(text: Column) -> Column:
+    """Fraction of whitespace tokens that are English stopwords — the
+    classic fluency signal (machine-generated / boilerplate text skews
+    low). Native filter+size, no UDF."""
+    toks = F.split(F.lower(F.trim(text)), r"\s+")
+    hits = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
+    return hits / F.greatest(F.size(toks), F.lit(1))
+
+
+def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tokens_ws, n_tokens_bpe, stopword_ratio) — the token
+    accounting a training-data pipeline budgets with."""
+    t = F.col(text_col)
+    return df.select(
+        "doc_id",
+        token_count(t).alias("n_tokens_ws"),
+        token_count_bpe(t).alias("n_tokens_bpe"),
+        F.round(stopword_ratio(t), 6).alias("stopword_ratio"),
+    )
+
+
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document quality scoring: length, token count, alpha ratio,
     punctuation density, mean token length. All integer/rounded-double."""

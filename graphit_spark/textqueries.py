@@ -62,6 +62,19 @@ def q_ngram_jaccard(spark, sf_dir):
     )
 
 
+def q_token_stats(spark, sf_dir):
+    return T.token_stats(load(spark, sf_dir, "documents"))
+
+
+def q_jaccard_lsh(spark, sf_dir):
+    """Crawl-scale pairwise-similarity composition: LSH banding proposes
+    candidates, exact shingle Jaccard verifies — never quadratic in the
+    corpus (contrast dedup_ngram_jaccard, the gated all-pairs baseline)."""
+    docs = load(spark, sf_dir, "documents")
+    cands = D.lsh_candidate_pairs(docs, k=MINHASH_K)
+    return D.jaccard_on_candidates(docs, cands)
+
+
 def q_simhash(spark, sf_dir):
     return D.simhash(load(spark, sf_dir, "documents"))
 
@@ -295,6 +308,63 @@ ORDER BY doc_a, doc_b"""
     )
 
 
+def _token_stats_sql() -> str:
+    ws = r"len(string_split_regex(trim(text), '\s+'))"
+    stop = ", ".join(f"'{w}'" for w in T.STOPWORDS)
+    hits = (
+        r"len(list_filter(string_split_regex(lower(trim(text)), '\s+'),"
+        f" x -> x IN ({stop})))"
+    )
+    return f"""
+SELECT doc_id,
+       CAST({ws} AS BIGINT) AS n_tokens_ws,
+       CAST(len(regexp_extract_all(text, '{T.BPE_TOKEN_RE}')) AS BIGINT)
+         AS n_tokens_bpe,
+       round({hits} * 1e0 / greatest({ws}, 1), 6) AS stopword_ratio
+FROM documents ORDER BY doc_id
+"""
+
+
+def _jaccard_lsh_sql(k: int = MINHASH_K, rows_per_band: int = 2) -> str:
+    mins = ", ".join(
+        f"min(({D.MINHASH_A[t]} * h + {D.MINHASH_B[t]}) % {D.MERSENNE31}) AS mh_{t}"
+        for t in range(k)
+    )
+    n_bands = k // rows_per_band
+    band_selects = []
+    for b in range(n_bands):
+        cols = [f"mh_{b * rows_per_band + r}" for r in range(rows_per_band)]
+        key = "md5(" + " || '_' || ".join(f"CAST({c} AS VARCHAR)" for c in cols) + ")"
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, {key} AS bkey FROM sig"
+        )
+    return (
+        "WITH " + _SQL_SHINGLES
+        + f""",
+sig AS MATERIALIZED (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id),
+bands AS ({' UNION ALL '.join(band_selects)}),
+pairs AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+  WHERE a.doc_id < b.doc_id
+),
+sizes AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT p.doc_a, p.doc_b, count(*) AS i
+  FROM pairs p
+  JOIN sh a ON a.doc_id = p.doc_a
+  JOIN sh b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+  GROUP BY p.doc_a, p.doc_b
+)
+SELECT i.doc_a, i.doc_b,
+       round(i.i * 1e0 / (sa.n + sb.n - i.i), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON i.doc_a = sa.doc_id
+JOIN sizes sb ON i.doc_b = sb.doc_id
+ORDER BY doc_a, doc_b"""
+    )
+
+
 def _simhash_sql(bits: int = 16) -> str:
     votes = ", ".join(
         f"sum((h // {1 << b}) % 2 * 2 - 1) AS v_{b}" for b in range(bits)
@@ -489,6 +559,8 @@ TEXT_QUERIES: dict[str, tuple] = {
     "dedup_lsh_pairs": (q_lsh_pairs, _lsh_pairs_sql()),
     "dedup_ngram_jaccard": (q_ngram_jaccard, _jaccard_sql()),
     "dedup_simhash": (q_simhash, _simhash_sql()),
+    "doc_token_stats": (q_token_stats, _token_stats_sql()),
+    "dedup_jaccard_lsh": (q_jaccard_lsh, _jaccard_lsh_sql()),
     "sim_cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "sim_lsh_topk": (q_lsh_topk, SQL_LSH_TOPK),
     "sim_ivf_topk": (q_ivf_topk, SQL_IVF_TOPK),
