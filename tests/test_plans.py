@@ -1,0 +1,104 @@
+"""Physical-plan regression guards: the properties that make the
+queries scale are asserted, not assumed.
+
+- No CartesianProduct / BroadcastNestedLoopJoin anywhere except the two
+  documented all-pairs baselines (dedup_ngram_jaccard gated by
+  max_doc_id, dedup_embedding and sim_cosine_topk as tiny-sf
+  cross-checks).
+- Column pruning reaches the parquet scan: a 2-column projection must
+  not read the whole documents table.
+- The PageRank superstep join is never a nested loop and keeps its
+  aggregation partial (map-side combine before the exchange).
+"""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod
+
+SF_DIR = os.environ.get("ENTRY_TEST_SF", "/root/testdata/sf0.001")
+
+# all-pairs by design, documented as small-scale baselines/cross-checks
+ALL_PAIRS_BASELINES = {
+    "dedup_ngram_jaccard",
+    "dedup_embedding",
+    "sim_cosine_topk",
+    "sim_ivf_topk",  # corpus x tiny-centroid assignment scan
+}
+
+TEXT_QUERY_NAMES = [
+    "doc_token_counts", "doc_token_stats", "doc_quality", "doc_lang_id",
+    "doc_fingerprints", "dedup_exact", "dedup_minhash", "dedup_lsh_pairs",
+    "dedup_simhash", "dedup_jaccard_lsh", "dedup_embedding_lsh",
+    "sim_lsh_topk", "events_hourly", "events_sessions",
+]
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize("name", TEXT_QUERY_NAMES)
+def test_no_cartesian_outside_baselines(spark, name):
+    q = entrymod.queries()[name]
+    plan = _plan(q(spark, SF_DIR))
+    assert "CartesianProduct" not in plan, name
+    assert "BroadcastNestedLoop" not in plan, name
+
+
+def test_all_pairs_baselines_are_the_only_ones(spark):
+    """The baseline set is the exhaustive list — a new query that goes
+    quadratic shows up here, not in production."""
+    for name, q in entrymod.queries().items():
+        if name in ALL_PAIRS_BASELINES or name in TEXT_QUERY_NAMES:
+            continue
+        if not name.startswith(("doc_", "dedup_", "sim_", "events_")):
+            continue  # graph queries audited separately (BENCH/PLANS.md)
+        plan = _plan(q(spark, SF_DIR))
+        assert "CartesianProduct" not in plan, name
+
+
+def test_column_pruning_reaches_parquet_scan(spark):
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id")
+    plan = _plan(df)
+    assert "ReadSchema" in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "doc_id" in read_schema and "text" not in read_schema
+
+
+def test_pagerank_superstep_plan_shape(spark):
+    """One gather superstep (the result DF itself is checkpoint-
+    truncated, so the superstep must be planned directly): equi-join +
+    partial-then-final sum, never a nested loop."""
+    from pyspark.sql import functions as F
+
+    from graphit_spark.benchqueries import graph
+
+    g = graph(spark, SF_DIR, "raw")
+    state = g.out_degrees().withColumn("rank", F.lit(1.0))
+    contrib = state.filter(F.col("out_degree") > 0).select(
+        F.col("id").alias("src"),
+        (F.col("rank") / F.col("out_degree")).alias("contrib"),
+    )
+    step = (
+        g.edges.join(contrib, "src")
+        .groupBy(F.col("dst").alias("id"))
+        .agg(F.sum("contrib").alias("gathered"))
+    )
+    plan = _plan(step)
+    assert "BroadcastNestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+    # map-side combine: a partial aggregate exists upstream of the final
+    assert "partial_sum" in plan
+
+
+def test_lsh_dedup_is_bucket_join(spark):
+    from graphit_spark.textqueries import q_embedding_dups_lsh
+
+    plan = _plan(q_embedding_dups_lsh(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "bucket" in plan  # the equi-join key is the LSH bucket
