@@ -156,6 +156,69 @@ def embedding_dup_pairs_lsh(
     )
 
 
+ROUND_CENTROID = 9  # absorbs cross-engine sum-order noise in the means
+
+
+def ivf_train_centroids(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    iters: int = 2,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic spherical-k-means centroids (cell, centv): init =
+    embeddings of vec_id < n_cells, then `iters` Lloyd rounds — assign
+    by rounded cosine (ties to the lower cell), new centroid =
+    componentwise mean of the assigned vectors, rounded so Spark and
+    the SQL twin agree bit for bit. Cosine is scale-invariant, so the
+    mean needs no re-normalization; an emptied cell keeps its old
+    centroid. Each round is one broadcast-join scan of the corpus +
+    one tiny (n_cells x dim) aggregation."""
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
+    cents = embeddings.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("cell"), F.col(vec_col).alias("centv")
+    )
+    for _ in range(iters):
+        scored = embeddings.select(
+            id_col, F.col(vec_col).alias("v")
+        ).join(F.broadcast(cents)).select(
+            id_col,
+            "v",
+            "cell",
+            F.round(cosine(F.col("v"), F.col("centv")), ROUND_SCORE).alias(
+                "cscore"
+            ),
+        )
+        w = Window.partitionBy(id_col).orderBy(
+            F.desc("cscore"), F.asc("cell")
+        )
+        assigned = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("cell", "v")
+        )
+        means = assigned.groupBy("cell").agg(
+            *[
+                F.round(
+                    F.avg(F.element_at("v", j + 1)), ROUND_CENTROID
+                ).alias(f"m{j}")
+                for j in range(dim)
+            ]
+        )
+        cents = (
+            cents.join(means, "cell", "left")
+            .select(
+                "cell",
+                F.when(F.col("m0").isNull(), F.col("centv"))
+                .otherwise(F.array(*[F.col(f"m{j}") for j in range(dim)]))
+                .alias("centv"),
+            )
+        )
+    return cents
+
+
 def ivf_assign(
     embeddings: DataFrame,
     n_cells: int = 16,
@@ -164,18 +227,27 @@ def ivf_assign(
     out_col: str = "cell",
     rank_limit: int = 1,
     centroid_source: DataFrame | None = None,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
-    """IVF coarse quantization with deterministic centroids: centroid c
-    (c < n_cells) is the embedding of vec_id c in `centroid_source`
-    (defaults to `embeddings` — pass the full corpus when assigning a
-    query subset). Assign every vector to its `rank_limit` highest-cosine
-    centroid(s). The centroid table is tiny → broadcast join; assignment
-    is one scan of the corpus."""
-    if centroid_source is None:
-        centroid_source = embeddings
-    cents = centroid_source.filter(F.col(id_col) < n_cells).select(
-        F.col(id_col).alias(out_col), F.col(vec_col).alias("centv")
-    )
+    """IVF coarse quantization with deterministic centroids: either an
+    explicit (cell, centv) table (`centroids`, e.g. from
+    ivf_train_centroids) or the default crude-but-deterministic choice —
+    centroid c (c < n_cells) is the embedding of vec_id c in
+    `centroid_source` (defaults to `embeddings`; pass the full corpus
+    when assigning a query subset). Assign every vector to its
+    `rank_limit` highest-cosine centroid(s). The centroid table is tiny
+    → broadcast join; assignment is one scan of the corpus."""
+    if centroids is not None:
+        cents = centroids.select(
+            F.col(centroids.columns[0]).alias(out_col),
+            F.col(centroids.columns[1]).alias("centv"),
+        )
+    else:
+        if centroid_source is None:
+            centroid_source = embeddings
+        cents = centroid_source.filter(F.col(id_col) < n_cells).select(
+            F.col(id_col).alias(out_col), F.col(vec_col).alias("centv")
+        )
     scored = embeddings.select(id_col, F.col(vec_col).alias("v")).join(
         F.broadcast(cents)
     ).select(
@@ -200,20 +272,32 @@ def ivf_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_iters: int = 0,
 ) -> DataFrame:
     """IVF approximate top-k: corpus vectors live in their nearest cell's
     inverted list; a query probes its n_probe nearest cells and re-ranks
     exactly inside them. Join fan-out ≈ |corpus|·n_probe/n_cells instead
     of |corpus| — the scale path when LSH bucket skew is a concern, and
-    fully deterministic (centroids are fixed rows, ties broken by id)."""
+    fully deterministic (ties broken by cell/id). train_iters > 0 runs
+    that many Lloyd rounds (ivf_train_centroids) for better-balanced
+    cells; 0 keeps the raw first-n-rows centroids."""
+    cents = (
+        ivf_train_centroids(
+            embeddings, n_cells, train_iters, id_col=id_col, vec_col=vec_col
+        ).localCheckpoint(eager=True)
+        if train_iters > 0
+        else None
+    )
     corpus = embeddings.select(id_col, F.col(vec_col).alias("cv")).join(
-        ivf_assign(embeddings, n_cells, id_col, vec_col).select(id_col, "cell"),
+        ivf_assign(
+            embeddings, n_cells, id_col, vec_col, centroids=cents
+        ).select(id_col, "cell"),
         id_col,
     )
     probes = (
         ivf_assign(
             queries, n_cells, id_col, vec_col,
-            rank_limit=n_probe, centroid_source=embeddings,
+            rank_limit=n_probe, centroid_source=embeddings, centroids=cents,
         )
         .select(F.col(id_col).alias("query_id"), "cell")
     )

@@ -134,6 +134,24 @@ def q_ivf_topk(spark, sf_dir):
     )
 
 
+IVF_TRAIN_ITERS = 2
+
+
+def q_ivf_kmeans_topk(spark, sf_dir):
+    """IVF ANN with Lloyd-trained centroids (2 deterministic rounds:
+    rounded-cosine assignment, rounded componentwise means) — the
+    better-balanced-cells upgrade over the raw first-n-rows centroids
+    of sim_ivf_topk. Fully reproducible, so it keeps a real SQL twin."""
+    emb = load(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    assert dim == EMB_DIM, f"oracle twin assumes dim={EMB_DIM}, got {dim}"
+    queries = emb.filter(F.col("vec_id") < TOPK_QUERIES)
+    return S.ivf_topk(
+        emb, queries, k=TOPK_K, n_cells=IVF_CELLS, n_probe=IVF_PROBE,
+        train_iters=IVF_TRAIN_ITERS,
+    )
+
+
 def q_events_hourly(spark, sf_dir):
     ev = load(spark, sf_dir, "events")
     return ev.groupBy(
@@ -523,6 +541,86 @@ SELECT a, b, score FROM scored WHERE score >= {LSH_DUP_THRESHOLD}
 ORDER BY a, b
 """
 
+def _ivf_kmeans_sql(
+    iters: int = IVF_TRAIN_ITERS,
+    dim: int = EMB_DIM,
+    n_cells: int = IVF_CELLS,
+    n_probe: int = IVF_PROBE,
+) -> str:
+    """Twin of q_ivf_kmeans_topk: Lloyd rounds unrolled as CTEs (the
+    means round to 9 decimals on both sides, so the trained centroids
+    are bit-identical)."""
+    ctes = [
+        "v AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings)",
+        f"c0 AS (SELECT vec_id AS cell, ev AS centv FROM v WHERE vec_id < {n_cells})",
+    ]
+    means = ", ".join(f"round(avg(ev[{j + 1}]), 9)" for j in range(dim))
+    for r in range(1, iters + 1):
+        p = f"c{r - 1}"
+        ctes.append(
+            f"""a{r} AS MATERIALIZED (
+  SELECT cell, ev FROM (
+    SELECT v.vec_id, v.ev, c.cell,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {_SQL_COS.format(a='v.ev', b='c.centv')} DESC,
+                                       c.cell ASC) AS rn
+    FROM v CROSS JOIN {p} c
+  ) WHERE rn = 1
+)"""
+        )
+        ctes.append(
+            f"""c{r} AS MATERIALIZED (
+  SELECT p.cell, CASE WHEN s.mv IS NULL THEN p.centv ELSE s.mv END AS centv
+  FROM {p} p LEFT JOIN (
+    SELECT cell, [{means}]::DOUBLE[] AS mv FROM a{r} GROUP BY cell
+  ) s USING (cell)
+)"""
+        )
+    cfin = f"c{iters}"
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f""",
+ascore AS MATERIALIZED (
+  SELECT v.vec_id, c.cell,
+         {_SQL_COS.format(a='v.ev', b='c.centv')} AS cscore
+  FROM v CROSS JOIN {cfin} c
+),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cscore DESC, cell ASC) AS rn
+    FROM ascore
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cscore DESC, cell ASC) AS rn
+    FROM ascore WHERE vec_id < {TOPK_QUERIES}
+  ) WHERE rn <= {n_probe}
+),
+corpus AS (SELECT v.vec_id, v.ev, a.cell FROM v JOIN assign a USING (vec_id)),
+scored AS (
+  SELECT DISTINCT p.query_id, c.vec_id,
+         {_SQL_COS.format(a='q.ev', b='c.ev')} AS score
+  FROM probes p
+  JOIN v q ON q.vec_id = p.query_id
+  JOIN corpus c ON c.cell = p.cell
+  WHERE p.query_id <> c.vec_id
+),
+ranked AS (
+  SELECT query_id, vec_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, vec_id ASC) AS rn
+  FROM scored
+)
+SELECT query_id, vec_id, score FROM ranked WHERE rn <= {TOPK_K}
+ORDER BY query_id, vec_id"""
+    )
+
+
 SQL_EVENTS_HOURLY = """
 SELECT date_trunc('hour', ts) AS hour, event_type,
        count(*) AS n, round(sum(value), 6) AS sum_value
@@ -564,6 +662,7 @@ TEXT_QUERIES: dict[str, tuple] = {
     "sim_cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "sim_lsh_topk": (q_lsh_topk, SQL_LSH_TOPK),
     "sim_ivf_topk": (q_ivf_topk, SQL_IVF_TOPK),
+    "sim_ivf_kmeans_topk": (q_ivf_kmeans_topk, _ivf_kmeans_sql()),
     "dedup_embedding": (q_embedding_dups, SQL_EMBEDDING_DUPS),
     "dedup_embedding_lsh": (q_embedding_dups_lsh, SQL_EMBEDDING_DUPS_LSH),
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
