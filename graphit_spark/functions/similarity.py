@@ -329,19 +329,40 @@ def lsh_topk(
     n_planes: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    multiprobe: bool = False,
 ) -> DataFrame:
     """Approximate top-k: candidates share the query's LSH bucket; exact
-    cosine re-rank within bucket. Recall < 1 by design; scale path."""
+    cosine re-rank within bucket. Recall < 1 by design; scale path.
+
+    multiprobe=True additionally probes every Hamming-distance-1 bucket
+    (each query explodes into n_planes+1 probe keys — a true neighbor
+    that disagrees on ONE hyperplane sign is still found). Candidate
+    fan-out grows (n_planes+1)x per query while the corpus side stays
+    one bucket per vector, so the join is still bucket-keyed; the
+    standard recall/cost knob when a single sign flip dominates misses
+    (near-orthogonal embeddings)."""
     emb_b = embeddings.select(
         id_col,
         F.col(vec_col).alias("cv"),
         lsh_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
     )
-    q_b = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
-        lsh_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
-    )
+    q_bucket = lsh_bucket(F.col(vec_col), dim, n_planes)
+    if multiprobe:
+        probes = F.array(
+            q_bucket,
+            *[q_bucket.bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)],
+        )
+        q_b = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            F.explode(probes).alias("bucket"),
+        )
+    else:
+        q_b = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            q_bucket.alias("bucket"),
+        )
     scored = (
         q_b.join(emb_b, "bucket")
         .filter(F.col("query_id") != F.col(id_col))
@@ -350,6 +371,7 @@ def lsh_topk(
             id_col,
             F.round(cosine(F.col("qv"), F.col("cv")), ROUND_SCORE).alias("score"),
         )
+        .dropDuplicates(["query_id", id_col])
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
     return (

@@ -28,6 +28,7 @@ ALL_PAIRS_BASELINES = {
     "dedup_embedding",
     "sim_cosine_topk",
     "sim_ivf_topk",  # corpus x tiny-centroid assignment scan
+    "sim_ivf_kmeans_topk",  # same broadcast corpus x n_cells scan
 }
 
 TEXT_QUERY_NAMES = [

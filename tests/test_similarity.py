@@ -1,0 +1,100 @@
+"""ANN quality evidence: the approximate paths (hyperplane LSH, IVF,
+trained-IVF) are measured against exact brute force — recall is a
+tested property, not a hope. Ground truth and candidates come from the
+same deterministic arithmetic the DuckDB twins reproduce."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphit_spark.benchqueries import load
+from graphit_spark.functions import similarity as S
+
+SF_DIR = "/root/testdata/sf0.001"
+N_QUERIES = 8
+K = 10
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load(spark, SF_DIR, "embeddings").localCheckpoint(eager=True)
+
+
+def _topk_sets(df, id_col="vec_id"):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r["query_id"], set()).add(r[id_col])
+    return out
+
+
+def _recall(approx: dict, exact: dict) -> float:
+    hits = total = 0
+    for q, truth in exact.items():
+        total += len(truth)
+        hits += len(truth & approx.get(q, set()))
+    return hits / total
+
+
+@pytest.fixture(scope="module")
+def exact_topk(emb):
+    q = emb.filter(F.col("vec_id") < N_QUERIES)
+    return _topk_sets(S.brute_force_topk(emb, q, k=K))
+
+
+def test_lsh_topk_recall(spark, emb, exact_topk):
+    """Near-orthogonal synthetic vectors are sign-LSH's worst case:
+    single-bucket recall is honestly tiny (~0.07 measured); multiprobe
+    (Hamming-distance-1 buckets) must lift it several-fold. Floors
+    document current behavior so arithmetic drift fails loudly."""
+    q = emb.filter(F.col("vec_id") < N_QUERIES)
+    dim = len(emb.select("embedding").first()[0])
+    single = _recall(_topk_sets(S.lsh_topk(emb, q, dim=dim, k=K)), exact_topk)
+    multi = _recall(
+        _topk_sets(S.lsh_topk(emb, q, dim=dim, k=K, multiprobe=True)),
+        exact_topk,
+    )
+    assert single >= 0.03, f"single-bucket LSH recall {single:.2f}"
+    assert multi >= max(2 * single, 0.15), (
+        f"multiprobe {multi:.2f} vs single {single:.2f}"
+    )
+
+
+def test_ivf_topk_recall_and_probe_tradeoff(spark, emb, exact_topk):
+    q = emb.filter(F.col("vec_id") < N_QUERIES)
+    few = _topk_sets(S.ivf_topk(emb, q, k=K, n_cells=16, n_probe=2))
+    many = _topk_sets(S.ivf_topk(emb, q, k=K, n_cells=16, n_probe=8))
+    r_few, r_many = _recall(few, exact_topk), _recall(many, exact_topk)
+    assert r_many >= r_few  # more probes never hurt recall
+    assert r_many >= 0.6, f"IVF recall {r_many:.2f} at n_probe=8"
+
+
+def test_trained_ivf_not_worse_than_crude(spark, emb, exact_topk):
+    q = emb.filter(F.col("vec_id") < N_QUERIES)
+    crude = _recall(
+        _topk_sets(S.ivf_topk(emb, q, k=K, n_cells=16, n_probe=4)),
+        exact_topk,
+    )
+    trained = _recall(
+        _topk_sets(
+            S.ivf_topk(emb, q, k=K, n_cells=16, n_probe=4, train_iters=2)
+        ),
+        exact_topk,
+    )
+    # Lloyd rounds balance cells; recall at equal probe budget should
+    # hold or improve (allow tiny wobble from rounded reassignment)
+    assert trained >= crude - 0.05, (trained, crude)
+
+
+def test_lsh_dup_pairs_subset_of_all_pairs(spark, emb):
+    dim = len(emb.select("embedding").first()[0])
+    lsh = {
+        (r["a"], r["b"])
+        for r in S.embedding_dup_pairs_lsh(
+            emb, dim=dim, threshold=0.3
+        ).collect()
+    }
+    allp = {
+        (r["a"], r["b"])
+        for r in S.embedding_dup_pairs(emb, threshold=0.3).collect()
+    }
+    assert lsh <= allp  # bucketing can only miss, never invent
+    assert len(lsh) > 0
