@@ -42,6 +42,7 @@ class LinkGraph:
         num_partitions: int | None = None,
         persist: bool = True,
         num_vertices: int | None = None,
+        pre_partitioned: bool = False,
     ):
         self.spark: SparkSession = edges.sparkSession
         self.weighted = WEIGHT in edges.columns
@@ -68,9 +69,15 @@ class LinkGraph:
         # reductions (rank sums) add in the same order on every run and
         # every re-materialization of the cache — resume-from-snapshot
         # stays byte-identical, not just allclose.
-        self.edges = edges.repartition(num_partitions, SRC).sortWithinPartitions(
-            SRC, DST
-        )
+        # pre_partitioned=True skips this shuffle: the input already
+        # carries a src partitioning (a bucketed table scan — shuffling
+        # it would throw the bucketing away).
+        if pre_partitioned:
+            self.edges = edges
+        else:
+            self.edges = edges.repartition(
+                num_partitions, SRC
+            ).sortWithinPartitions(SRC, DST)
         self._persisted = persist
         if persist:
             self.edges = self.edges.persist(StorageLevel.MEMORY_AND_DISK)
@@ -220,6 +227,36 @@ class LinkGraph:
         return LinkGraph(
             e, squished=True, num_partitions=self.num_partitions,
             persist=self._persisted,
+        )
+
+    def save_bucketed(
+        self, table: str, buckets: int | None = None, path: str | None = None
+    ) -> None:
+        """Persist the squished edge table as a Spark bucketed table
+        (bucketBy src, sorted (src, dst) within buckets). A bucketed
+        scan reports its hash partitioning to Catalyst, so later
+        sessions join edges ⋈ state on src with NO edge-side exchange —
+        the cross-session analogue of the in-session repartition+persist
+        (the brief's 'bucketing for co-located joins')."""
+        b = buckets or self.num_partitions
+        w = (
+            self.edges.write.format("parquet")
+            .mode("overwrite")
+            .bucketBy(b, SRC)
+            .sortBy(SRC, DST)
+        )
+        if path is not None:
+            w = w.option("path", path)  # external table at the given dir
+        w.saveAsTable(table)
+
+    @classmethod
+    def load_bucketed(
+        cls, spark: SparkSession, table: str, **kw
+    ) -> "LinkGraph":
+        """Reopen a save_bucketed table: already squished, already
+        src-partitioned by the bucketing — no repartition shuffle."""
+        return cls(
+            spark.table(table), squished=True, pre_partitioned=True, **kw
         )
 
     def ensure_persisted(self) -> bool:

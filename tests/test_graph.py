@@ -75,3 +75,44 @@ def test_vertex_universe_from_raw_edges(spark):
     g = LinkGraph.from_pairs(spark, [(5, 5), (3, 3), (0, 1)], persist=False)
     assert g.num_vertices == 6
     assert g.num_edges == 1  # only (0,1) survives squish
+
+
+class TestBucketedEdges:
+    def test_bucketed_join_skips_edge_exchange(self, spark, tmp_path):
+        """save_bucketed → load_bucketed: the edge-side scan reports its
+        bucketing to Catalyst, so a src join shuffles ONLY the state
+        side (one src exchange, none above the edge scan) and results
+        match the in-session graph exactly."""
+        import random
+
+        from pyspark.sql import functions as F
+
+        random.seed(3)
+        pairs = [(random.randrange(200), random.randrange(200))
+                 for _ in range(2000)]
+        g = LinkGraph.from_pairs(spark, pairs, persist=False)
+        g.save_bucketed("edges_bucketed_t", buckets=4,
+                        path=str(tmp_path / "edges_b"))
+        try:
+            g2 = LinkGraph.load_bucketed(
+                spark, "edges_bucketed_t", persist=False
+            )
+            state = spark.range(200).select(
+                F.col("id").alias("src"), F.lit(1.0).alias("contrib")
+            )
+            j = (
+                g2.edges.join(state.hint("shuffle_hash"), "src")
+                .groupBy("dst")
+                .agg(F.sum("contrib").alias("s"))
+            )
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert "Bucketed: true" in plan
+            assert plan.count("Exchange hashpartitioning(src") == 1
+            got = sorted(map(tuple, j.collect()))
+            exp = sorted(map(tuple,
+                g.edges.join(state, "src").groupBy("dst")
+                .agg(F.sum("contrib").alias("s")).collect()))
+            assert got == exp
+            assert g2.num_vertices == g.num_vertices
+        finally:
+            spark.sql("DROP TABLE IF EXISTS edges_bucketed_t")
