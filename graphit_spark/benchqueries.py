@@ -978,6 +978,146 @@ def q_astar(spark, sf_dir):
     )
 
 
+PPR_SOURCE = 0
+PPR_ITERS = 6
+ROUND_PPR = 6
+
+
+def ppr_sql(iters: int = PR_ITERS, source: int = PPR_SOURCE) -> str:
+    """Twin of kernels/pagerank.py::personalized_pagerank on the raw
+    directed graph: teleport mass returns to the seed alone."""
+    seed = f"CASE WHEN v.id = {source} THEN 1e0 ELSE 0e0 END"
+    ctes = [
+        _SQL_COMMON.strip().rstrip(","),
+        f"pr0 AS (SELECT id, CASE WHEN id = {source} THEN 1e0 ELSE 0e0 END"
+        " AS rank FROM verts)",
+    ]
+    for k in range(1, iters + 1):
+        p = f"pr{k - 1}"
+        ctes.append(
+            f"""pr{k} AS MATERIALIZED (
+  SELECT v.id,
+         (1e0 - 0.85e0) * {seed}
+           + 0.85e0 * coalesce(s.acc, 0e0) AS rank
+  FROM verts v LEFT JOIN (
+    SELECT e.dst AS id, sum(r.rank / d.out_degree) AS acc
+    FROM edges e
+    JOIN {p} r ON e.src = r.id
+    JOIN deg d ON e.src = d.id AND d.out_degree > 0
+    GROUP BY e.dst
+  ) s USING (id)
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id, round(rank, {ROUND_PPR}) AS rank FROM pr{iters}"
+        " ORDER BY id"
+    )
+
+
+def q_ppr(spark, sf_dir):
+    from graphit_spark.kernels import personalized_pagerank
+
+    g = graph(spark, sf_dir, "raw")
+    return personalized_pagerank(g, PPR_SOURCE, max_iters=PR_ITERS).select(
+        "id", F.round("rank", ROUND_PPR).alias("rank")
+    )
+
+
+def local_cluster_sql(iters: int = PPR_ITERS, source: int = PPR_SOURCE) -> str:
+    """Twin of q_local_cluster — the canonical local-clustering
+    composition: personalized PageRank from the seed over the
+    symmetrized blocked graph, scores rounded (so both engines rank the
+    SAME totals), then the conductance sweep. vol sums the graph
+    degree; the ordering key is the rounded PPR score."""
+    seed = f"CASE WHEN v.id = {source} THEN 1e0 ELSE 0e0 END"
+    ctes = [
+        _SQL_BLOCKED.strip(),
+        """symdeg AS MATERIALIZED (
+  SELECT v.id, CAST(coalesce(d.d, 0) AS BIGINT) AS deg
+  FROM verts v LEFT JOIN
+       (SELECT src AS id, count(*) AS d FROM sym GROUP BY src) d USING (id)
+)""",
+        "mm AS (SELECT count(*) AS m FROM sym)",
+        f"pr0 AS (SELECT id, CASE WHEN id = {source} THEN 1e0 ELSE 0e0 END"
+        " AS rank FROM verts)",
+    ]
+    for k in range(1, iters + 1):
+        p = f"pr{k - 1}"
+        ctes.append(
+            f"""pr{k} AS MATERIALIZED (
+  SELECT v.id,
+         (1e0 - 0.85e0) * {seed}
+           + 0.85e0 * coalesce(s.acc, 0e0) AS rank
+  FROM verts v LEFT JOIN (
+    SELECT e.dst AS id, sum(r.rank / d.deg) AS acc
+    FROM sym e
+    JOIN {p} r ON e.src = r.id
+    JOIN symdeg d ON e.src = d.id AND d.deg > 0
+    GROUP BY e.dst
+  ) s USING (id)
+)"""
+        )
+    ctes.append(
+        f"""rk AS MATERIALIZED (
+  SELECT p.id, round(p.rank, {ROUND_PPR}) AS val, d.deg,
+         CAST(row_number() OVER (ORDER BY round(p.rank, {ROUND_PPR}) DESC,
+                                 p.id ASC) - 1 AS BIGINT) AS r
+  FROM pr{iters} p JOIN symdeg d USING (id)
+)"""
+    )
+    ctes.append(
+        """deltas AS MATERIALIZED (
+  SELECT a.r, sum(CASE WHEN b.r IS NULL OR b.r > a.r THEN 1 ELSE -1 END) AS delta
+  FROM sym e JOIN rk a ON e.src = a.id LEFT JOIN rk b ON e.dst = b.id
+  GROUP BY a.r
+)"""
+    )
+    ctes.append(
+        """swept AS MATERIALIZED (
+  SELECT rk.id, rk.r,
+         sum(rk.deg) OVER (ORDER BY rk.r ROWS UNBOUNDED PRECEDING) AS vol,
+         sum(coalesce(dl.delta, 0)) OVER (ORDER BY rk.r ROWS UNBOUNDED PRECEDING) AS crossing
+  FROM rk LEFT JOIN deltas dl ON rk.r = dl.r
+)"""
+    )
+    ctes.append(
+        """best AS (
+  SELECT r FROM (
+    SELECT r,
+           CASE WHEN crossing = 0
+                     OR least(vol, (SELECT m FROM mm) - vol) = 0 THEN 1e0
+                ELSE crossing * 1e0 / least(vol, (SELECT m FROM mm) - vol)
+           END AS cond
+    FROM swept
+  ) ORDER BY cond, r LIMIT 1
+)"""
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + "\nSELECT id FROM swept WHERE r < (SELECT r FROM best) ORDER BY id"
+    )
+
+
+def q_local_cluster(spark, sf_dir):
+    """PPR → sweep cut: the local-clustering pipeline serialSweepCut
+    exists for, end to end on the symmetrized blocked graph."""
+    from graphit_spark.kernels import personalized_pagerank, sweep_cut
+
+    g0 = graph(spark, sf_dir, "blocked")
+    g = g0.symmetrize()
+    ppr = personalized_pagerank(g, PPR_SOURCE, max_iters=PPR_ITERS)
+    vals = (
+        g0.vertices()
+        .join(ppr, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.round("rank", ROUND_PPR), F.lit(0.0)).alias("val"),
+        )
+    )
+    return sweep_cut(g, vals)
+
+
 def sweep_cut_sql() -> str:
     """Twin of kernels/sweepcut.py over the symmetrized blocked graph
     with score = symmetric degree: rank by (val desc, id asc), per-rank
@@ -1108,4 +1248,6 @@ GRAPH_QUERIES: dict[str, tuple] = {
     "core_numbers": (q_core_numbers, core_numbers_sql()),
     "random_walks": (q_random_walks, walks_sql()),
     "sweep_cut": (q_sweep_cut, sweep_cut_sql()),
+    "personalized_pagerank": (q_ppr, ppr_sql()),
+    "local_cluster": (q_local_cluster, local_cluster_sql()),
 }

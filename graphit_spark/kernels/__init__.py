@@ -1,4 +1,8 @@
-from graphit_spark.kernels.pagerank import pagerank, pagerank_delta
+from graphit_spark.kernels.pagerank import (
+    pagerank,
+    pagerank_delta,
+    personalized_pagerank,
+)
 from graphit_spark.kernels.components import connected_components
 from graphit_spark.kernels.labelprop import label_propagation
 from graphit_spark.kernels.triangles import triangle_count, triangle_count_per_vertex
@@ -39,6 +43,7 @@ __all__ = [
     "eigenvector_centrality",
     "pagerank",
     "pagerank_delta",
+    "personalized_pagerank",
     "connected_components",
     "label_propagation",
     "triangle_count",

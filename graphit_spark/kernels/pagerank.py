@@ -155,6 +155,63 @@ def pagerank(
     return result
 
 
+def personalized_pagerank(
+    graph: LinkGraph,
+    source: int,
+    *,
+    damp: float = 0.85,
+    max_iters: int = 10,
+) -> DataFrame:
+    """Personalized PageRank: teleport mass returns to `source` alone
+    (rank0 = e_source; rank' = (1-damp)·e_source + damp·gather). Same
+    superstep plan as pagerank — one shuffle-hash join + groupBy-sum per
+    iteration, lineage truncated — and, like the reference's PR, no
+    dangling redistribution. The score vector concentrates around the
+    seed, which is exactly what sweep_cut consumes for local clustering
+    (reference intrinsics.h:358-410 serialSweepCut's intended input)."""
+    own_cache = graph.ensure_persisted()
+    beta = 1.0 - damp
+    seed = F.when(F.col("id") == source, F.lit(1.0)).otherwise(F.lit(0.0))
+
+    state = graph.out_degrees().withColumn("rank", seed)
+    state = state.localCheckpoint(eager=True)
+    big_v = graph.num_vertices > 500_000
+    prev_ck: DataFrame = state
+
+    for _ in range(max_iters):
+        contrib_state = state.filter(F.col("out_degree") > 0).select(
+            F.col("id").alias("src"),
+            (F.col("rank") / F.col("out_degree")).alias("contrib"),
+        )
+        if big_v:
+            contrib_state = contrib_state.hint("shuffle_hash")
+        sums = (
+            graph.edges.join(contrib_state, "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("contrib").alias("gathered"))
+        )
+        new_state = (
+            state.join(sums, "id", "left")
+            .select(
+                "id",
+                "out_degree",
+                (
+                    F.lit(beta) * seed
+                    + F.lit(damp) * F.coalesce("gathered", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        prev_ck.unpersist()
+        prev_ck = new_state
+        state = new_state
+
+    result = state.select("id", "rank")
+    if own_cache:
+        graph.unpersist()
+    return result
+
+
 def pagerank_delta(
     graph: LinkGraph,
     *,
