@@ -164,6 +164,40 @@ def q_ivf_kmeans_topk(spark, sf_dir):
     )
 
 
+MIN_TOKENS = 20
+MIN_ALPHA = 0.6
+MAX_STOPWORD = 0.9
+
+
+def q_corpus_select(spark, sf_dir):
+    """End-to-end training-corpus curation — the composition every
+    piece above exists for: exact-dedup to canonical docs, quality
+    gates (length + alpha ratio), English-only, stopword-ratio cap.
+    One pass over documents + the tiny dedup aggregate; emits the
+    selected doc ids with their accounting columns."""
+    docs = load(spark, sf_dir, "documents")
+    canon = D.exact_duplicates(docs).select(
+        F.col("canonical_id").alias("doc_id")
+    )
+    q = T.quality_features(docs).select("doc_id", "n_tokens", "alpha_ratio")
+    lang = T.lang_id(docs)
+    stats = T.token_stats(docs).select("doc_id", "stopword_ratio")
+    return (
+        docs.select("doc_id")
+        .join(canon, "doc_id", "left_semi")
+        .join(q, "doc_id")
+        .join(lang, "doc_id")
+        .join(stats, "doc_id")
+        .filter(
+            (F.col("n_tokens") >= MIN_TOKENS)
+            & (F.col("alpha_ratio") >= MIN_ALPHA)
+            & (F.col("lang_guess") == "en")
+            & (F.col("stopword_ratio") <= MAX_STOPWORD)
+        )
+        .select("doc_id", "n_tokens", "alpha_ratio", "stopword_ratio")
+    )
+
+
 def q_events_hourly(spark, sf_dir):
     ev = load(spark, sf_dir, "events")
     return ev.groupBy(
@@ -663,6 +697,45 @@ ORDER BY query_id, vec_id"""
     )
 
 
+def _corpus_select_sql() -> str:
+    ws = r"len(string_split_regex(trim(text), '\s+'))"
+    stop = ", ".join(f"'{w}'" for w in T.STOPWORDS)
+    hits = (
+        r"len(list_filter(string_split_regex(lower(trim(text)), '\s+'),"
+        f" x -> x IN ({stop})))"
+    )
+    score_cols = []
+    for lang, markers in T.LANG_MARKERS:
+        parts = [_occ_sql("lower(text)", m) for m in markers]
+        score_cols.append(f"({' + '.join(parts)}) AS s_{lang}")
+    langs = [lang for lang, _ in T.LANG_MARKERS]
+    mx = "greatest(" + ", ".join(f"s_{l}" for l in langs) + ")"
+    case = f"CASE WHEN {mx} = 0 THEN 'und' "
+    for l in langs:
+        case += f"WHEN s_{l} = {mx} THEN '{l}' "
+    case += "END"
+    return f"""
+WITH canon AS MATERIALIZED (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+),
+feat AS MATERIALIZED (
+  SELECT doc_id,
+         CAST({ws} AS BIGINT) AS n_tokens,
+         round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT)
+               * 1e0 / greatest(CAST(length(text) AS BIGINT), 1), 6)
+           AS alpha_ratio,
+         round({hits} * 1e0 / greatest({ws}, 1), 6) AS stopword_ratio,
+         {', '.join(score_cols)}
+  FROM documents
+)
+SELECT f.doc_id, f.n_tokens, f.alpha_ratio, f.stopword_ratio
+FROM feat f JOIN canon c USING (doc_id)
+WHERE f.n_tokens >= {MIN_TOKENS} AND f.alpha_ratio >= {MIN_ALPHA}
+  AND ({case}) = 'en' AND f.stopword_ratio <= {MAX_STOPWORD}
+ORDER BY doc_id
+"""
+
+
 SQL_EVENTS_HOURLY = """
 SELECT date_trunc('hour', ts) AS hour, event_type,
        count(*) AS n, round(sum(value), 6) AS sum_value
@@ -708,6 +781,7 @@ TEXT_QUERIES: dict[str, tuple] = {
     "sim_ivf_kmeans_topk": (q_ivf_kmeans_topk, _ivf_kmeans_sql()),
     "dedup_embedding": (q_embedding_dups, SQL_EMBEDDING_DUPS),
     "dedup_embedding_lsh": (q_embedding_dups_lsh, SQL_EMBEDDING_DUPS_LSH),
+    "corpus_select": (q_corpus_select, _corpus_select_sql()),
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
     "events_sessions": (q_events_sessions, SQL_EVENTS_SESSIONS),
 }
