@@ -1214,6 +1214,64 @@ def walks_sql(walk_len: int = WALK_LEN, seed: int = WALK_SEED) -> str:
     )
 
 
+def weighted_walks_sql(walk_len: int = WALK_LEN, seed: int = WALK_SEED) -> str:
+    """Twin of kernels/walks.py::weighted_random_walks — inverse-CDF
+    draw over the per-src running weight (window keyed by src)."""
+    prefix = """
+params AS (SELECT count(*) AS c FROM customer),
+raww AS MATERIALIZED (SELECT o_custkey AS src, o_orderkey % (SELECT c FROM params) AS dst,
+               1 + o_orderkey % 7 AS w
+        FROM orders),
+wedges AS MATERIALIZED (SELECT src, dst, min(w) AS w FROM raww WHERE src <> dst
+           GROUP BY src, dst),
+nv AS MATERIALIZED (SELECT max(greatest(src, dst)) + 1 AS n FROM raww),
+verts AS MATERIALIZED (SELECT c_custkey AS id FROM customer
+          WHERE c_custkey < (SELECT n FROM nv)),
+cum AS MATERIALIZED (
+  SELECT src, dst,
+         sum(w) OVER (PARTITION BY src ORDER BY dst
+                      ROWS UNBOUNDED PRECEDING) AS cumw,
+         sum(w) OVER (PARTITION BY src) AS totw
+  FROM wedges
+)
+"""
+    ctes = [prefix.strip(),
+            "w0 AS (SELECT id AS walk_id, id AS v FROM verts)"]
+    for t in range(1, walk_len + 1):
+        h = (
+            f"('0x' || substr(md5(CAST(w.walk_id AS VARCHAR) "
+            f"|| '_{t}_{seed}'), 1, 8))::BIGINT"
+        )
+        ctes.append(
+            f"""w{t} AS MATERIALIZED (
+  SELECT walk_id, dst AS v FROM (
+    SELECT w.walk_id, c.dst,
+           row_number() OVER (PARTITION BY w.walk_id
+                              ORDER BY c.cumw) AS rn
+    FROM w{t - 1} w JOIN cum c ON w.v = c.src
+    WHERE c.cumw > {h} % c.totw
+  ) WHERE rn = 1
+)"""
+        )
+    outs = " UNION ALL ".join(
+        f"SELECT walk_id, CAST({t} AS INT) AS step, v AS vertex FROM w{t}"
+        for t in range(0, walk_len + 1)
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT * FROM ({outs}) ORDER BY walk_id, step"
+    )
+
+
+def q_weighted_random_walks(spark, sf_dir):
+    """Weight-biased seeded walks (inverse-CDF draw) vs
+    weighted_walks_sql."""
+    from graphit_spark.kernels import weighted_random_walks
+
+    g = graph(spark, sf_dir, "weighted")
+    return weighted_random_walks(g, WALK_LEN, seed=WALK_SEED)
+
+
 def q_random_walks(spark, sf_dir):
     """Seeded deterministic random walks (getRandomOutNgh analogue +
     node2vec-style corpus sampling) vs the md5-draw twin (walks_sql)."""
@@ -1247,6 +1305,7 @@ GRAPH_QUERIES: dict[str, tuple] = {
     "set_cover": (q_set_cover, set_cover_sql()),
     "core_numbers": (q_core_numbers, core_numbers_sql()),
     "random_walks": (q_random_walks, walks_sql()),
+    "weighted_random_walks": (q_weighted_random_walks, weighted_walks_sql()),
     "sweep_cut": (q_sweep_cut, sweep_cut_sql()),
     "personalized_pagerank": (q_ppr, ppr_sql()),
     "local_cluster": (q_local_cluster, local_cluster_sql()),

@@ -24,6 +24,7 @@ from graphit_spark.kernels.walks import (
     random_in_neighbor,
     random_out_neighbor,
     random_walks,
+    weighted_random_walks,
 )
 
 __all__ = [
@@ -31,6 +32,7 @@ __all__ = [
     "random_in_neighbor",
     "random_out_neighbor",
     "random_walks",
+    "weighted_random_walks",
     "astar",
     "minimum_spanning_forest",
     "set_cover",

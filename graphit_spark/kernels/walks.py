@@ -73,6 +73,69 @@ def random_in_neighbor(
     )
 
 
+def weighted_random_walks(
+    graph: LinkGraph,
+    walk_len: int,
+    *,
+    seed: int = 0,
+    starts: DataFrame | None = None,
+) -> DataFrame:
+    """(walk_id, step, vertex) — like random_walks but the neighbor
+    draw is weight-proportional: target = H(walk_id, step, seed) mod
+    Σw(v), pick the first out-edge (dst ascending) whose running weight
+    exceeds the target — the discrete inverse-CDF draw, exact and
+    reproducible. The per-src running weight is computed ONCE on the
+    edge table (window keyed by src — P-parallel); each step is then
+    frontier ⋈ cum-edges + a per-walk min, so a step touches only the
+    frontier vertices' out-edges."""
+    if not graph.weighted:
+        raise ValueError("weighted_random_walks requires a weighted graph")
+    own_cache = graph.ensure_persisted()
+    from pyspark.sql import Window
+
+    wsrc = Window.partitionBy("src").orderBy("dst").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum_edges = (
+        graph.edges.withColumn("cumw", F.sum("weight").over(wsrc))
+        .withColumn("totw", F.sum("weight").over(Window.partitionBy("src")))
+        .localCheckpoint(eager=True)
+    )
+    if starts is None:
+        cur = graph.vertices().select(
+            F.col("id").alias("walk_id"), F.col("id").alias("v")
+        )
+    else:
+        cur = starts.select(
+            F.col(starts.columns[0]).alias("walk_id"),
+            F.col(starts.columns[0]).alias("v"),
+        )
+    cur = cur.localCheckpoint(eager=True)
+    parts = [cur.select("walk_id", F.lit(0).alias("step"),
+                        F.col("v").alias("vertex"))]
+    for t in range(1, walk_len + 1):
+        target = _hash_mod(F.col("walk_id"), t, seed, F.col("totw"))
+        nxt = (
+            cur.join(cum_edges, cur["v"] == cum_edges["src"])
+            .filter(F.col("cumw") > target)
+            .groupBy("walk_id")
+            .agg(F.min(F.struct("cumw", "dst")).alias("pick"))
+            .select("walk_id", F.col("pick.dst").alias("v"))
+            .localCheckpoint(eager=True)
+        )
+        cur = nxt
+        parts.append(
+            cur.select("walk_id", F.lit(t).alias("step"),
+                       F.col("v").alias("vertex"))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    if own_cache:
+        graph.unpersist()
+    return out
+
+
 def random_walks(
     graph: LinkGraph,
     walk_len: int,

@@ -404,3 +404,42 @@ def sweep_cut_oracle(edges, vals):
         if cond < best_cond:
             best_cond, best_cut = cond, i
     return sorted(order[:best_cut]), best_cond
+
+
+def weighted_random_walks_oracle(edges, walk_len, seed=0):
+    """Mirror of kernels/walks.py::weighted_random_walks — the
+    inverse-CDF draw over the (min-weight-deduped) out-adjacency."""
+    import hashlib
+
+    best = {}
+    for s, d, w in edges:
+        if s != d:
+            key = (s, d)
+            best[key] = min(best.get(key, w), w)
+    adj = {}
+    for (s, d), w in best.items():
+        adj.setdefault(s, []).append((d, w))
+    for s in adj:
+        adj[s].sort()
+    n = max(max(s, d) for s, d, _ in edges) + 1 if edges else 0
+    out = []
+    for start in range(n):
+        v = start
+        out.append((start, 0, v))
+        for t in range(1, walk_len + 1):
+            nbrs = adj.get(v)
+            if not nbrs:
+                break
+            tw = sum(w for _, w in nbrs)
+            target = int(
+                hashlib.md5(f"{start}_{t}_{seed}".encode()).hexdigest()[:8],
+                16,
+            ) % tw
+            cum = 0
+            for d, w in nbrs:
+                cum += w
+                if cum > target:
+                    v = d
+                    break
+            out.append((start, t, v))
+    return sorted(out)

@@ -552,3 +552,48 @@ class TestSweepCut:
         deg = {r["id"]: r["out_degree"] for r in g.out_degrees().collect()}
         exp_ids, _ = sweep_cut_oracle(edges, deg)
         assert got == exp_ids
+
+
+class TestWeightedRandomWalks:
+    def test_matches_python_mirror(self, spark):
+        from graphit_spark.kernels import weighted_random_walks
+        from tests.oracles import weighted_random_walks_oracle
+
+        rng = random.Random(12)
+        edges = [
+            (rng.randrange(30), rng.randrange(30), 1 + rng.randrange(9))
+            for _ in range(200)
+        ]
+        g = LinkGraph.from_pairs(spark, edges, persist=False)
+        got = sorted(
+            (r["walk_id"], r["step"], r["vertex"])
+            for r in weighted_random_walks(g, 4, seed=3).collect()
+        )
+        assert got == weighted_random_walks_oracle(edges, 4, seed=3)
+
+    def test_heavy_edge_dominates(self, spark):
+        from graphit_spark.kernels import weighted_random_walks
+
+        # from 0: weight 999 to 1, weight 1 to 2 — across many seeds the
+        # draw lands on 1 almost always
+        g = LinkGraph.from_pairs(
+            spark, [(0, 1, 999), (0, 2, 1)], persist=False
+        )
+        hits = 0
+        for seed in range(10):
+            rows = {
+                (r["walk_id"], r["step"]): r["vertex"]
+                for r in weighted_random_walks(g, 1, seed=seed).collect()
+            }
+            if rows[(0, 1)] == 1:
+                hits += 1
+        assert hits >= 9
+
+    def test_requires_weights(self, spark):
+        import pytest
+
+        from graphit_spark.kernels import weighted_random_walks
+
+        g = LinkGraph.from_pairs(spark, [(0, 1)], persist=False)
+        with pytest.raises(ValueError):
+            weighted_random_walks(g, 2)
