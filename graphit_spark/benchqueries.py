@@ -1272,6 +1272,84 @@ def q_weighted_random_walks(spark, sf_dir):
     return weighted_random_walks(g, WALK_LEN, seed=WALK_SEED)
 
 
+N2V_P, N2V_Q = 4.0, 0.25  # dyadic => bias weights exact in binary
+
+
+def node2vec_sql(walk_len: int = WALK_LEN, seed: int = WALK_SEED,
+                 p: float = N2V_P, q: float = N2V_Q) -> str:
+    """Twin of kernels/walks.py::node2vec_walks — uniform first hop over
+    the sorted adjacency, then the 1/p / 1 / 1/q inverse-CDF draw with
+    per-walk window sums (dst-ascending order on both engines, so every
+    float comparison sees identical doubles)."""
+    prec = (1 << 31) - 1
+    rp, rq = repr(1.0 / p), repr(1.0 / q)
+    h1 = (
+        f"('0x' || substr(md5(CAST(w.walk_id AS VARCHAR) "
+        f"|| '_1_{seed}'), 1, 8))::BIGINT"
+    )
+    ctes = [
+        _SQL_COMMON.strip(),
+        "adj AS MATERIALIZED (SELECT src, list_sort(list(dst)) AS nbrs "
+        "FROM edges GROUP BY src)",
+        "conn AS MATERIALIZED (SELECT DISTINCT src AS prev, dst, 1 AS c "
+        "FROM edges)",
+        "w0 AS (SELECT id AS walk_id, id AS v FROM verts)",
+        f"""s1 AS MATERIALIZED (
+  SELECT w.walk_id, w.v AS prev,
+         a.nbrs[CAST({h1} % len(a.nbrs) AS INT) + 1] AS v
+  FROM w0 w JOIN adj a ON w.v = a.src
+)""",
+    ]
+    for t in range(2, walk_len + 1):
+        h = (
+            f"('0x' || substr(md5(CAST(walk_id AS VARCHAR) "
+            f"|| '_{t}_{seed}'), 1, 8))::BIGINT"
+        )
+        ctes.append(
+            f"""cand{t} AS MATERIALIZED (
+  SELECT s.walk_id, s.v AS newprev, e.dst,
+         CASE WHEN e.dst = s.prev THEN {rp}
+              WHEN c.c IS NOT NULL THEN 1e0
+              ELSE {rq} END AS bias
+  FROM s{t - 1} s
+  JOIN edges e ON s.v = e.src
+  LEFT JOIN conn c ON c.prev = s.prev AND c.dst = e.dst
+)"""
+        )
+        ctes.append(
+            f"""s{t} AS MATERIALIZED (
+  SELECT walk_id, newprev AS prev, dst AS v FROM (
+    SELECT walk_id, newprev, dst,
+           sum(bias) OVER (PARTITION BY walk_id ORDER BY dst
+                           ROWS UNBOUNDED PRECEDING) AS cumw,
+           ({h} % {prec}) / CAST({prec} AS DOUBLE)
+             * sum(bias) OVER (PARTITION BY walk_id) AS target,
+           row_number() OVER (PARTITION BY walk_id ORDER BY dst) AS rn0
+    FROM cand{t}
+  ) x WHERE cumw > target
+  QUALIFY row_number() OVER (PARTITION BY walk_id ORDER BY cumw) = 1
+)"""
+        )
+    outs = ["SELECT walk_id, CAST(0 AS INT) AS step, v AS vertex FROM w0",
+            "SELECT walk_id, CAST(1 AS INT) AS step, v FROM s1"]
+    outs += [
+        f"SELECT walk_id, CAST({t} AS INT) AS step, v FROM s{t}"
+        for t in range(2, walk_len + 1)
+    ]
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT * FROM ({' UNION ALL '.join(outs)}) ORDER BY walk_id, step"
+    )
+
+
+def q_node2vec_walks(spark, sf_dir):
+    """Second-order biased walks (node2vec sampling) vs node2vec_sql."""
+    from graphit_spark.kernels import node2vec_walks
+
+    g = graph(spark, sf_dir, "raw")
+    return node2vec_walks(g, WALK_LEN, p=N2V_P, q=N2V_Q, seed=WALK_SEED)
+
+
 def q_random_walks(spark, sf_dir):
     """Seeded deterministic random walks (getRandomOutNgh analogue +
     node2vec-style corpus sampling) vs the md5-draw twin (walks_sql)."""
@@ -1306,6 +1384,7 @@ GRAPH_QUERIES: dict[str, tuple] = {
     "core_numbers": (q_core_numbers, core_numbers_sql()),
     "random_walks": (q_random_walks, walks_sql()),
     "weighted_random_walks": (q_weighted_random_walks, weighted_walks_sql()),
+    "node2vec_walks": (q_node2vec_walks, node2vec_sql()),
     "sweep_cut": (q_sweep_cut, sweep_cut_sql()),
     "personalized_pagerank": (q_ppr, ppr_sql()),
     "local_cluster": (q_local_cluster, local_cluster_sql()),

@@ -21,6 +21,7 @@ from graphit_spark.kernels.mst import minimum_spanning_forest
 from graphit_spark.kernels.setcover import set_cover
 from graphit_spark.kernels.sweepcut import sweep_cut
 from graphit_spark.kernels.walks import (
+    node2vec_walks,
     random_in_neighbor,
     random_out_neighbor,
     random_walks,
@@ -33,6 +34,7 @@ __all__ = [
     "random_out_neighbor",
     "random_walks",
     "weighted_random_walks",
+    "node2vec_walks",
     "astar",
     "minimum_spanning_forest",
     "set_cover",

@@ -136,6 +136,107 @@ def weighted_random_walks(
     return out
 
 
+def node2vec_walks(
+    graph: LinkGraph,
+    walk_len: int,
+    *,
+    p: float = 4.0,
+    q: float = 0.25,
+    seed: int = 0,
+    starts: DataFrame | None = None,
+) -> DataFrame:
+    """Second-order (node2vec-style) biased walks: after the uniform
+    first hop, the next edge (cur → dst) is drawn proportionally to
+    1/p if dst == prev (return), 1 if dst is a neighbor of prev
+    (BFS-ish), else 1/q (DFS-ish). (walk_id, step, vertex) rows.
+
+    Determinism across engines without rounding: the bias weights are
+    dyadic rationals for the default p=4, q=0.25, and both engines sum
+    the per-walk running bias in the same (dst ascending) order, so
+    every comparison sees bit-identical doubles. target =
+    frac(H(walk_id, step, seed)) * total_bias — the float inverse-CDF
+    draw.
+
+    Per step: frontier ⋈ out-edges of cur + one (prev, dst) edge
+    lookup join for the neighbor-of-prev test + a per-walk window —
+    cost is the frontier's out-degree mass, the same shape the
+    unbiased weighted walk pays, plus one equi-join."""
+    own_cache = graph.ensure_persisted()
+    from pyspark.sql import Window
+
+    adj = graph.adjacency()
+    prev_edges = graph.edges.select(
+        F.col("src").alias("prev"), F.col("dst"), F.lit(1).alias("conn")
+    ).dropDuplicates(["prev", "dst"])
+    if starts is None:
+        cur = graph.vertices().select(
+            F.col("id").alias("walk_id"), F.col("id").alias("v")
+        )
+    else:
+        cur = starts.select(
+            F.col(starts.columns[0]).alias("walk_id"),
+            F.col(starts.columns[0]).alias("v"),
+        )
+    cur = cur.localCheckpoint(eager=True)
+    parts = [cur.select("walk_id", F.lit(0).alias("step"),
+                        F.col("v").alias("vertex"))]
+
+    # step 1: uniform draw (no previous vertex yet) — same as random_walks
+    idx = _hash_mod(F.col("walk_id"), 1, seed, F.size("nbrs"))
+    state = (
+        cur.join(adj, cur["v"] == adj["src"])
+        .select(
+            "walk_id",
+            F.col("v").alias("prev"),
+            F.element_at("nbrs", (idx + 1).cast("int")).alias("v"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    parts.append(state.select("walk_id", F.lit(1).alias("step"),
+                              F.col("v").alias("vertex")))
+
+    prec = (1 << 31) - 1
+    wtot = Window.partitionBy("walk_id")
+    wcum = wtot.orderBy("dst").rowsBetween(Window.unboundedPreceding, 0)
+    for t in range(2, walk_len + 1):
+        frac = _hash_mod(F.col("walk_id"), t, seed, F.lit(prec)) / F.lit(
+            float(prec)
+        )
+        bias = (
+            F.when(F.col("dst") == F.col("prev"), F.lit(1.0 / p))
+            .when(F.col("conn").isNotNull(), F.lit(1.0))
+            .otherwise(F.lit(1.0 / q))
+        )
+        cand = (
+            state.join(graph.edges, state["v"] == graph.edges["src"])
+            .join(prev_edges, ["prev", "dst"], "left")
+            .select("walk_id", F.col("v").alias("newprev"), "dst",
+                    bias.alias("bias"))
+        )
+        nxt = (
+            cand.withColumn("cumw", F.sum("bias").over(wcum))
+            .withColumn("target", frac * F.sum("bias").over(wtot))
+            .filter(F.col("cumw") > F.col("target"))
+            .groupBy("walk_id")
+            .agg(F.min(F.struct("cumw", "dst", "newprev")).alias("pick"))
+            .select(
+                "walk_id",
+                F.col("pick.newprev").alias("prev"),
+                F.col("pick.dst").alias("v"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        state = nxt
+        parts.append(state.select("walk_id", F.lit(t).alias("step"),
+                                  F.col("v").alias("vertex")))
+    out = parts[0]
+    for pt in parts[1:]:
+        out = out.unionByName(pt)
+    if own_cache:
+        graph.unpersist()
+    return out
+
+
 def random_walks(
     graph: LinkGraph,
     walk_len: int,

@@ -443,3 +443,55 @@ def weighted_random_walks_oracle(edges, walk_len, seed=0):
                     break
             out.append((start, t, v))
     return sorted(out)
+
+
+def node2vec_walks_oracle(edges, walk_len, p=4.0, q=0.25, seed=0):
+    """Mirror of kernels/walks.py::node2vec_walks — uniform first hop,
+    then the 1/p (return) / 1 (neighbor-of-prev) / 1/q (explore)
+    inverse-CDF draw over dst-ascending out-edges."""
+    import hashlib
+
+    sq = squish(edges)
+    adj = {}
+    for s, d in sq:
+        adj.setdefault(s, []).append(d)
+    for s in adj:
+        adj[s].sort()
+    eset = set(sq)
+    prec = (1 << 31) - 1
+    out = []
+    for start in range(num_vertices(edges)):
+        v = start
+        out.append((start, 0, v))
+        nbrs = adj.get(v)
+        if not nbrs:
+            continue
+        h = int(hashlib.md5(f"{start}_1_{seed}".encode()).hexdigest()[:8], 16)
+        prev, v = v, nbrs[h % len(nbrs)]
+        out.append((start, 1, v))
+        for t in range(2, walk_len + 1):
+            nbrs = adj.get(v)
+            if not nbrs:
+                break
+            biases = [
+                1.0 / p if d == prev
+                else (1.0 if (prev, d) in eset else 1.0 / q)
+                for d in nbrs
+            ]
+            tot = 0.0
+            for b in biases:
+                tot += b
+            h = int(
+                hashlib.md5(f"{start}_{t}_{seed}".encode()).hexdigest()[:8],
+                16,
+            )
+            target = (h % prec) / float(prec) * tot
+            cum, pick = 0.0, None
+            for d, b in zip(nbrs, biases):
+                cum += b
+                if cum > target:
+                    pick = d
+                    break
+            prev, v = v, pick
+            out.append((start, t, v))
+    return sorted(out)

@@ -597,3 +597,36 @@ class TestWeightedRandomWalks:
         g = LinkGraph.from_pairs(spark, [(0, 1)], persist=False)
         with pytest.raises(ValueError):
             weighted_random_walks(g, 2)
+
+
+class TestNode2vecWalks:
+    def test_matches_python_mirror(self, spark):
+        from graphit_spark.kernels import node2vec_walks
+        from tests.oracles import node2vec_walks_oracle
+
+        edges = _rand_graph(30, 200, seed=8)
+        g = LinkGraph.from_pairs(spark, edges, persist=False)
+        got = sorted(
+            (r["walk_id"], r["step"], r["vertex"])
+            for r in node2vec_walks(g, 4, seed=5).collect()
+        )
+        assert got == node2vec_walks_oracle(edges, 4, seed=5)
+
+    def test_return_bias(self, spark):
+        """p tiny => return steps dominate: on a path 0-1 with a side
+        branch, step 2 goes straight back to the start for most seeds."""
+        from graphit_spark.kernels import node2vec_walks
+
+        edges = [(0, 1), (1, 0), (1, 2), (2, 1), (1, 3), (3, 1)]
+        g = LinkGraph.from_pairs(spark, edges, persist=False)
+        returns = 0
+        for seed in range(10):
+            rows = {
+                (r["walk_id"], r["step"]): r["vertex"]
+                for r in node2vec_walks(
+                    g, 2, p=0.01, q=1.0, seed=seed
+                ).collect()
+            }
+            if rows.get((0, 2)) == 0:
+                returns += 1
+        assert returns >= 9
