@@ -1272,6 +1272,110 @@ def q_weighted_random_walks(spark, sf_dir):
     return weighted_random_walks(g, WALK_LEN, seed=WALK_SEED)
 
 
+def graph_stats_sql() -> str:
+    return (
+        "WITH " + _SQL_COMMON.strip()
+        + """
+SELECT (SELECT n FROM nv) AS n_vertices,
+       (SELECT count(*) FROM edges) AS n_edges,
+       (SELECT max(out_degree) FROM deg) AS max_out_degree,
+       (SELECT round(avg(out_degree), 6) FROM deg) AS avg_out_degree,
+       (SELECT count(*) FROM deg WHERE out_degree = 0) AS n_sinks"""
+    )
+
+
+def q_graph_stats(spark, sf_dir):
+    """One-row structural profile of the squished graph — the first
+    query any user runs against a new edge table."""
+    g = graph(spark, sf_dir, "raw")
+    deg = g.out_degrees()
+    return deg.agg(
+        F.lit(g.num_vertices).cast("long").alias("n_vertices"),
+        F.lit(g.num_edges).cast("long").alias("n_edges"),
+        F.max("out_degree").alias("max_out_degree"),
+        F.round(F.avg("out_degree"), 6).alias("avg_out_degree"),
+        F.sum((F.col("out_degree") == 0).cast("long")).alias("n_sinks"),
+    )
+
+
+def modularity_sql(rounds: int = LPA_ROUNDS) -> str:
+    """Newman modularity of the LPA communities on the symmetrized
+    blocked graph: Q = Σ_c [ e_c/m - (d_c/2m)^2 ] with m = undirected
+    edge count (sym rows / 2), e_c = intra-community undirected edges,
+    d_c = total symmetric degree of c. Exact integer counts, one
+    rounded division at the end."""
+    inner = lpa_sql(rounds)
+    head, _, _tail = inner.rpartition("\nSELECT id, label FROM ")
+    return (
+        head
+        + f""",
+lab AS MATERIALIZED (SELECT id, label FROM l{rounds}),
+symdeg AS MATERIALIZED (
+  SELECT v.id, CAST(coalesce(d.d, 0) AS BIGINT) AS deg
+  FROM verts v LEFT JOIN
+       (SELECT src AS id, count(*) AS d FROM sym GROUP BY src) d USING (id)
+),
+mm AS (SELECT count(*) / 2 AS m FROM sym),
+intra AS (
+  SELECT count(*) / 2 AS e_in, la.label
+  FROM sym e
+  JOIN lab la ON e.src = la.id
+  JOIN lab lb ON e.dst = lb.id AND la.label = lb.label
+  GROUP BY la.label
+),
+comm AS (
+  SELECT l.label, coalesce(i.e_in, 0) AS e_in, sum(d.deg) AS d_c
+  FROM lab l
+  JOIN symdeg d ON l.id = d.id
+  LEFT JOIN intra i ON l.label = i.label
+  GROUP BY l.label, i.e_in
+)
+SELECT round(sum(e_in * 1e0 / (SELECT m FROM mm)
+             - (d_c * 1e0 / (2 * (SELECT m FROM mm))) ^ 2), 6)
+         AS modularity
+FROM comm"""
+    )
+
+
+def q_modularity(spark, sf_dir):
+    """Community-quality eval: Newman modularity of the LPA labels on
+    the symmetrized blocked graph (one scalar row)."""
+    from graphit_spark.kernels import label_propagation
+
+    g0 = graph(spark, sf_dir, "blocked")
+    g = g0.symmetrize()
+    labels = label_propagation(graph(spark, sf_dir, "blocked"),
+                               rounds=LPA_ROUNDS)
+    deg = g.out_degrees().withColumnRenamed("out_degree", "deg")
+    lab = labels.join(deg, "id", "left").select(
+        "id", "label", F.coalesce("deg", F.lit(0)).alias("deg")
+    )
+    m = g.num_edges // 2
+    la = lab.select(F.col("id").alias("src"), F.col("label").alias("la"))
+    lb = lab.select(F.col("id").alias("dst"), F.col("label").alias("lb"))
+    intra = (
+        g.edges.join(la, "src").join(lb, "dst")
+        .filter(F.col("la") == F.col("lb"))
+        .groupBy(F.col("la").alias("label"))
+        .agg((F.count("*") / 2).alias("e_in"))
+    )
+    comm = (
+        lab.groupBy("label")
+        .agg(F.sum("deg").alias("d_c"))
+        .join(intra, "label", "left")
+        .select("label", F.coalesce("e_in", F.lit(0)).alias("e_in"), "d_c")
+    )
+    return comm.agg(
+        F.round(
+            F.sum(
+                F.col("e_in") / F.lit(float(m))
+                - F.pow(F.col("d_c") / F.lit(2.0 * m), 2)
+            ),
+            6,
+        ).alias("modularity")
+    )
+
+
 N2V_P, N2V_Q = 4.0, 0.25  # dyadic => bias weights exact in binary
 
 
@@ -1385,6 +1489,8 @@ GRAPH_QUERIES: dict[str, tuple] = {
     "random_walks": (q_random_walks, walks_sql()),
     "weighted_random_walks": (q_weighted_random_walks, weighted_walks_sql()),
     "node2vec_walks": (q_node2vec_walks, node2vec_sql()),
+    "graph_stats": (q_graph_stats, graph_stats_sql()),
+    "lpa_modularity": (q_modularity, modularity_sql()),
     "sweep_cut": (q_sweep_cut, sweep_cut_sql()),
     "personalized_pagerank": (q_ppr, ppr_sql()),
     "local_cluster": (q_local_cluster, local_cluster_sql()),
