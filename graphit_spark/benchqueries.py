@@ -966,6 +966,21 @@ def q_core_numbers(spark, sf_dir):
     return core_decomposition(graph(spark, sf_dir, "raw"))
 
 
+PPSP_TARGET = 99
+
+
+def q_ppsp(spark, sf_dir):
+    """Point-to-point delta-stepping (apps/ppsp_delta_stepping.gt):
+    only the target's distance is settled at termination; oracle =
+    converged Bellman-Ford at the target."""
+    from graphit_spark.kernels import ppsp
+
+    g = graph(spark, sf_dir, "weighted")
+    return ppsp(g, 0, PPSP_TARGET).filter(
+        F.col("id") == PPSP_TARGET
+    ).select("id", "dist")
+
+
 def q_astar(spark, sf_dir):
     """Point-to-point A* (h=0 -> Dijkstra). Only the target's distance
     is guaranteed settled at termination, so the query returns the
@@ -1483,6 +1498,7 @@ GRAPH_QUERIES: dict[str, tuple] = {
     "closeness": (q_closeness, closeness_sql()),
     "sssp_delta_stepping": (q_sssp_delta, sssp_fixpoint_sql()),
     "astar": (q_astar, astar_sql()),
+    "ppsp": (q_ppsp, astar_sql(target=PPSP_TARGET)),
     "min_spanning_forest": (q_msf, msf_sql()),
     "set_cover": (q_set_cover, set_cover_sql()),
     "core_numbers": (q_core_numbers, core_numbers_sql()),

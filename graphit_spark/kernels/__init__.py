@@ -16,7 +16,7 @@ from graphit_spark.kernels.centrality import (
     eigenvector_centrality,
 )
 from graphit_spark.kernels.delta_stepping import sssp_delta_stepping
-from graphit_spark.kernels.astar import astar
+from graphit_spark.kernels.astar import astar, ppsp
 from graphit_spark.kernels.mst import minimum_spanning_forest
 from graphit_spark.kernels.setcover import set_cover
 from graphit_spark.kernels.sweepcut import sweep_cut
@@ -29,6 +29,7 @@ from graphit_spark.kernels.walks import (
 )
 
 __all__ = [
+    "ppsp",
     "sweep_cut",
     "random_in_neighbor",
     "random_out_neighbor",

@@ -128,3 +128,22 @@ def astar(
     if own_cache:
         graph.unpersist()
     return state.select("id", "dist")
+
+
+def ppsp(
+    graph: LinkGraph,
+    source: int,
+    target: int,
+    *,
+    delta: int = 2,
+    max_rounds: int = 10_000,
+) -> DataFrame:
+    """Point-to-point shortest path (reference apps/ppsp_delta_stepping.gt):
+    delta-stepping that stops as soon as `pq.finishedNode(end_vertex)` —
+    exactly the A* bucket loop with h = 0, so this is that kernel with
+    the reference's default bucket width (the pq constructor's delta=2,
+    ppsp_delta_stepping.gt:26)."""
+    return astar(
+        graph, source, target, heuristic=None,
+        delta=delta, max_rounds=max_rounds,
+    )
