@@ -24,6 +24,15 @@ Determinism: the reference's std::sort leaves equal-score order
 unspecified; this engine fixes the total order (score desc, id asc),
 which is also what the DuckDB twin uses. Conductance is a ratio of two
 exact integers, so cross-engine double division is bit-identical.
+
+Returned-set note: the reference copies the vertex set BEFORE sorting,
+so ITS returned member array is the original-order prefix — an
+implementation artifact (the sorted array is local to the function);
+only `best_cut` is meaningful output. This engine returns the sorted
+best-conductance prefix (the intended semantics) and matches the
+reference's best_cut exactly (tests/test_reference_parity.py
+::test_sweepcut_best_cut_matches_reference, fixture generated from the
+compiled reference runtime with unique scores).
 """
 
 from __future__ import annotations

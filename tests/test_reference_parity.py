@@ -219,3 +219,39 @@ def test_closeness_matches_reference_runtime(spark, fix):
            for r in closeness_centrality(g, spec["source"]).collect()}
     assert got == want
     assert closeness_score(g, spec["source"]) == spec["closeness_sum"]
+
+
+def test_sweepcut_best_cut_matches_reference(spark):
+    """serialSweepCut parity on the reference's own graphs: with unique
+    scores (deg + id*1e-6) the best_cut index is well-defined; the
+    fixture records it from the compiled reference runtime (see
+    _provenance — the reference's returned member array is an
+    unsorted-copy artifact, so the SIZE is the checkable contract)."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from graphit_spark import LinkGraph
+    from graphit_spark.kernels import sweep_cut
+    from graphit_spark.sources import read_edge_list
+
+    fix = json.load(
+        open(os.path.join(os.path.dirname(__file__), "ref_outputs",
+                          "sweepcut_reference.json"))
+    )
+    for gname in ("4.el", "rmat10.el"):
+        g = LinkGraph(
+            read_edge_list(spark, f"/root/reference/test/graphs/{gname}"),
+            persist=False,
+        )
+        assert g.num_vertices == fix[gname]["n"]
+        assert g.num_edges == fix[gname]["m"]
+        vals = g.out_degrees().select(
+            "id",
+            (F.col("out_degree") + F.col("id") * F.lit(1e-6)).alias("val"),
+        )
+        metrics = {}
+        cut = sweep_cut(g, vals, metrics_out=metrics)
+        assert cut.count() == fix[gname]["cut_size"], gname
+        assert metrics["best_cut"] == fix[gname]["cut_size"], gname
