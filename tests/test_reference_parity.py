@@ -255,3 +255,26 @@ def test_sweepcut_best_cut_matches_reference(spark):
         cut = sweep_cut(g, vals, metrics_out=metrics)
         assert cut.count() == fix[gname]["cut_size"], gname
         assert metrics["best_cut"] == fix[gname]["cut_size"], gname
+
+
+def test_msf_total_weight_matches_reference_prim(spark):
+    """serialMinimumSpanningTree parity: the reference's lazy Prim and
+    our distributed Boruvka must agree on total weight (every MST of a
+    graph shares the weight multiset) and tree size on the connected
+    symmetric fixture graph."""
+    import json
+    import os
+
+    from graphit_spark import LinkGraph
+    from graphit_spark.kernels import minimum_spanning_forest
+
+    fix = json.load(
+        open(os.path.join(os.path.dirname(__file__), "ref_outputs",
+                          "mst_reference.json"))
+    )
+    pairs = [(u, v, w) for u, v, w in fix["edges"]]
+    pairs += [(v, u, w) for u, v, w in fix["edges"]]
+    g = LinkGraph.from_pairs(spark, pairs, persist=False)
+    forest = minimum_spanning_forest(g).collect()
+    assert len(forest) == fix["ref_tree_edges"]
+    assert sum(r["weight"] for r in forest) == fix["ref_total_weight"]
