@@ -278,3 +278,39 @@ def test_msf_total_weight_matches_reference_prim(spark):
     forest = minimum_spanning_forest(g).collect()
     assert len(forest) == fix["ref_tree_edges"]
     assert sum(r["weight"] for r in forest) == fix["ref_total_weight"]
+
+
+def test_cf_latents_match_reference(spark):
+    """cf.gt parity: 10 GD iterations on the reference's own 4.wel —
+    per-vertex latent[0] and vertex 0's full K-vector allclose 1e-9
+    (sum-order noise enters scaled by step=3.5e-7)."""
+    import json
+    import os
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from graphit_spark import LinkGraph
+    from graphit_spark.kernels import collaborative_filtering
+    from graphit_spark.sources import read_weighted_edge_list
+
+    fix = json.load(
+        open(os.path.join(os.path.dirname(__file__), "ref_outputs",
+                          "cf_reference.json"))
+    )
+    g = LinkGraph(
+        read_weighted_edge_list(
+            spark, "/root/reference/test/graphs/4.wel"
+        ),
+        persist=False,
+    )
+    assert g.num_vertices == fix["n"]
+    rows = {
+        r["id"]: r["latent"]
+        for r in collaborative_filtering(g, iters=10).collect()
+    }
+    got0 = np.array([rows[v][0] for v in range(fix["n"])])
+    assert np.allclose(got0, np.array(fix["latent0"]), atol=1e-9)
+    assert np.allclose(
+        np.array(rows[0]), np.array(fix["latent_v0"]), atol=1e-9
+    )
