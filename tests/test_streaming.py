@@ -156,3 +156,60 @@ class TestStatefulSessionize:
             assert 2 not in rows  # user 2's session is still open
         finally:
             q.stop()
+
+
+def test_windowed_append_drops_late_rows(spark, tmp_path):
+    """The watermark contract in append mode: a window emits once the
+    watermark passes its end, and events arriving after that are
+    DROPPED (never re-emitted, never counted)."""
+    import datetime as dt
+
+    d = str(tmp_path / "late_ev")
+    ck = str(tmp_path / "late_ck")
+    base = 1_000_000
+
+    def write(rows, mode):
+        data = [
+            (i, 1, dt.datetime.utcfromtimestamp(base + sec), "view", 1.0)
+            for i, sec in enumerate(rows)
+        ]
+        spark.createDataFrame(
+            data, "event_id long, user_id long, ts timestamp, "
+            "event_type string, value double"
+        ).coalesce(1).write.mode(mode).parquet(d)
+
+    # batch 1: three events inside one hour-window
+    write([10, 20, 30], "overwrite")
+    stream = spark.readStream.schema(
+        "event_id long, user_id long, ts timestamp, "
+        "event_type string, value double"
+    ).parquet(d)
+    agg = windowed_event_counts(spark, stream, watermark="1 hour")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("latewin")
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # nothing emitted yet: watermark has not passed the window end
+        assert spark.sql("SELECT count(*) c FROM latewin").collect()[0]["c"] == 0
+        # batch 2: far-future event pushes the watermark way past
+        # hour 0 (the late-filter uses the BATCH-START watermark, so a
+        # late row only drops once a prior batch advanced it)
+        write([100_000], "append")
+        q.processAllAvailable()
+        # batch 3: the hour-0 straggler is now behind the watermark ->
+        # dropped; the closed hour-0 window flushes this batch
+        write([40, 100_010], "append")
+        q.processAllAvailable()
+        rows = {
+            r["window_start"].timestamp(): r["n"]
+            for r in spark.sql("SELECT * FROM latewin").collect()
+        }
+        first_window = [n for t, n in rows.items() if t <= base + 30]
+        assert first_window and first_window[0] == 3  # late event 40 dropped
+    finally:
+        q.stop()
