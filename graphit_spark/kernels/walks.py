@@ -87,7 +87,15 @@ def weighted_random_walks(
     reproducible. The per-src running weight is computed ONCE on the
     edge table (window keyed by src — P-parallel); each step is then
     frontier ⋈ cum-edges + a per-walk min, so a step touches only the
-    frontier vertices' out-edges."""
+    frontier vertices' out-edges.
+
+    Scale caveat: a walk sitting AT a hub materializes that hub's full
+    out-edge list as its candidate set for the step (bounded by one
+    vertex's degree, never by |E|). At extreme hub degrees the
+    constant-time alternative is an alias table per vertex (two-array
+    O(deg) preprocessing, O(1) draws) — worth building when walks
+    revisit hubs often; the inverse-CDF form is the simple exact
+    baseline."""
     if not graph.weighted:
         raise ValueError("weighted_random_walks requires a weighted graph")
     own_cache = graph.ensure_persisted()
@@ -160,7 +168,9 @@ def node2vec_walks(
     Per step: frontier ⋈ out-edges of cur + one (prev, dst) edge
     lookup join for the neighbor-of-prev test + a per-walk window —
     cost is the frontier's out-degree mass, the same shape the
-    unbiased weighted walk pays, plus one equi-join."""
+    unbiased weighted walk pays, plus one equi-join. Same hub caveat
+    as weighted_random_walks: a step at a hub costs that hub's degree
+    in one walk's window partition (never |E|)."""
     own_cache = graph.ensure_persisted()
     from pyspark.sql import Window
 
