@@ -21,10 +21,12 @@ from graphit_spark.kernels.mst import minimum_spanning_forest
 from graphit_spark.kernels.setcover import set_cover
 from graphit_spark.kernels.sweepcut import sweep_cut
 from graphit_spark.kernels.walks import (
+    build_alias_tables,
     node2vec_walks,
     random_in_neighbor,
     random_out_neighbor,
     random_walks,
+    random_walks_alias,
     weighted_random_walks,
 )
 
@@ -34,6 +36,8 @@ __all__ = [
     "random_in_neighbor",
     "random_out_neighbor",
     "random_walks",
+    "random_walks_alias",
+    "build_alias_tables",
     "weighted_random_walks",
     "node2vec_walks",
     "astar",

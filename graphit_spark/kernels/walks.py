@@ -300,3 +300,129 @@ def random_walks(
     if own_cache:
         graph.unpersist()
     return out
+
+
+def _alias_build(dsts, weights):
+    """Vose alias-table construction (deterministic: inputs sorted by
+    dst, stacks drained in order). Returns (prob, alias) lists; draw =
+    pick slot i uniformly, keep dsts[i] with probability prob[i], else
+    take dsts[alias[i]] — O(1) per draw regardless of degree."""
+    n = len(dsts)
+    total = float(sum(weights))
+    scaled = [w * n / total for w in weights]
+    small = [i for i in range(n) if scaled[i] < 1.0]
+    large = [i for i in range(n) if scaled[i] >= 1.0]
+    prob = [1.0] * n
+    alias = list(range(n))
+    si = li = 0
+    while si < len(small) and li < len(large):
+        s, l = small[si], large[li]
+        prob[s] = scaled[s]
+        alias[s] = l
+        scaled[l] = (scaled[l] + scaled[s]) - 1.0
+        si += 1
+        if scaled[l] < 1.0:
+            small.append(l)
+            li += 1
+    return prob, alias
+
+
+def build_alias_tables(graph: LinkGraph):
+    """(src, nbrs, prob, alias) — one row per vertex with out-edges;
+    constructed Arrow-batched per src group (O(deg) once), after which
+    every weighted draw is O(1): the scale path for walk workloads that
+    revisit hubs (weighted_random_walks' docstring caveat). Weighted
+    graphs use edge weights; unweighted degenerate to uniform."""
+    import pandas as pd
+
+    edges = graph.edges
+    weighted = graph.weighted
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("dst")
+        dsts = pdf["dst"].tolist()
+        ws = pdf["weight"].tolist() if weighted else [1] * len(dsts)
+        prob, alias = _alias_build(dsts, ws)
+        return pd.DataFrame(
+            {
+                "src": [pdf["src"].iloc[0]],
+                "nbrs": [dsts],
+                "prob": [prob],
+                "alias": [alias],
+            }
+        )
+
+    return edges.groupBy("src").applyInPandas(
+        build,
+        "src long, nbrs array<long>, prob array<double>, alias array<int>",
+    )
+
+
+def random_walks_alias(
+    graph: LinkGraph,
+    walk_len: int,
+    *,
+    seed: int = 0,
+    starts: DataFrame | None = None,
+    alias_tables: DataFrame | None = None,
+) -> DataFrame:
+    """weight-proportional walks via the alias method: per step, one
+    V-sized join against the alias blocks and two hash draws (slot +
+    accept) — O(1) work per walk-step independent of degree, unlike the
+    inverse-CDF scan. Distribution-equivalent to weighted_random_walks
+    but a DIFFERENT deterministic sampler (alias construction fixes a
+    different mapping), so seeds are not interchangeable between the
+    two. Exact pick parity vs the pure-Python mirror is tested."""
+    own_cache = graph.ensure_persisted()
+    at = (
+        alias_tables
+        if alias_tables is not None
+        else build_alias_tables(graph).localCheckpoint(eager=True)
+    )
+    prec = (1 << 31) - 1
+    if starts is None:
+        cur = graph.vertices().select(
+            F.col("id").alias("walk_id"), F.col("id").alias("v")
+        )
+    else:
+        cur = starts.select(
+            F.col(starts.columns[0]).alias("walk_id"),
+            F.col(starts.columns[0]).alias("v"),
+        )
+    cur = cur.localCheckpoint(eager=True)
+    parts = [cur.select("walk_id", F.lit(0).alias("step"),
+                        F.col("v").alias("vertex"))]
+    for t in range(1, walk_len + 1):
+        # two INDEPENDENT draws per (walk, step): suffix the entity so
+        # the slot and accept hashes differ
+        slot = _hash_mod(
+            F.concat(F.col("walk_id").cast("string"), F.lit("i")), t, seed,
+            F.size("nbrs"),
+        )
+        u = _hash_mod(
+            F.concat(F.col("walk_id").cast("string"), F.lit("u")), t, seed,
+            F.lit(prec),
+        ) / F.lit(float(prec))
+        keep = u < F.element_at("prob", (slot + 1).cast("int"))
+        picked = F.when(
+            keep, F.element_at("nbrs", (slot + 1).cast("int"))
+        ).otherwise(
+            F.element_at(
+                "nbrs",
+                (F.element_at("alias", (slot + 1).cast("int")) + 1).cast("int"),
+            )
+        )
+        nxt = (
+            cur.join(at, cur["v"] == at["src"])
+            .select("walk_id", picked.alias("v"))
+            .localCheckpoint(eager=True)
+        )
+        cur = nxt
+        parts.append(cur.select("walk_id", F.lit(t).alias("step"),
+                                F.col("v").alias("vertex")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    if own_cache:
+        graph.unpersist()
+    return out

@@ -495,3 +495,66 @@ def node2vec_walks_oracle(edges, walk_len, p=4.0, q=0.25, seed=0):
             prev, v = v, pick
             out.append((start, t, v))
     return sorted(out)
+
+
+def alias_walks_oracle(edges, walk_len, seed=0):
+    """Mirror of kernels/walks.py::random_walks_alias — identical Vose
+    construction (sorted dsts, in-order stack draining) and the
+    slot/accept double-hash draw."""
+    import hashlib
+
+    best = {}
+    weighted = edges and len(edges[0]) == 3
+    for e in edges:
+        s, d = e[0], e[1]
+        w = e[2] if weighted else 1
+        if s != d:
+            best[(s, d)] = min(best.get((s, d), w), w)
+    adj = {}
+    for (s, d), w in best.items():
+        adj.setdefault(s, []).append((d, w))
+    prec = (1 << 31) - 1
+    tables = {}
+    for s, lst in adj.items():
+        lst.sort()
+        dsts = [d for d, _ in lst]
+        ws = [w for _, w in lst]
+        n = len(dsts)
+        total = float(sum(ws))
+        scaled = [w * n / total for w in ws]
+        small = [i for i in range(n) if scaled[i] < 1.0]
+        large = [i for i in range(n) if scaled[i] >= 1.0]
+        prob = [1.0] * n
+        alias = list(range(n))
+        si = li = 0
+        while si < len(small) and li < len(large):
+            sm, lg = small[si], large[li]
+            prob[sm] = scaled[sm]
+            alias[sm] = lg
+            scaled[lg] = (scaled[lg] + scaled[sm]) - 1.0
+            si += 1
+            if scaled[lg] < 1.0:
+                small.append(lg)
+                li += 1
+        tables[s] = (dsts, prob, alias)
+    nv = max(max(e[0], e[1]) for e in edges) + 1 if edges else 0
+
+    def h(sfx, w, t):
+        return int(
+            hashlib.md5(f"{w}{sfx}_{t}_{seed}".encode()).hexdigest()[:8], 16
+        )
+
+    out = []
+    for start in range(nv):
+        v = start
+        out.append((start, 0, v))
+        for t in range(1, walk_len + 1):
+            tab = tables.get(v)
+            if tab is None:
+                break
+            dsts, prob, alias = tab
+            slot = h("i", start, t) % len(dsts)
+            u = (h("u", start, t) % prec) / float(prec)
+            v = dsts[slot] if u < prob[slot] else dsts[alias[slot]]
+            out.append((start, t, v))
+    return sorted(out)

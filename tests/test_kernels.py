@@ -630,3 +630,48 @@ class TestNode2vecWalks:
             if rows.get((0, 2)) == 0:
                 returns += 1
         assert returns >= 9
+
+
+class TestAliasWalks:
+    @pytest.mark.parametrize("weighted", [False, True])
+    def test_matches_python_mirror(self, spark, weighted):
+        from graphit_spark.kernels import random_walks_alias
+        from tests.oracles import alias_walks_oracle
+
+        rng = random.Random(21)
+        if weighted:
+            edges = [
+                (rng.randrange(25), rng.randrange(25), 1 + rng.randrange(9))
+                for _ in range(150)
+            ]
+        else:
+            edges = [(rng.randrange(25), rng.randrange(25))
+                     for _ in range(150)]
+        g = LinkGraph.from_pairs(spark, edges, persist=False)
+        got = sorted(
+            (r["walk_id"], r["step"], r["vertex"])
+            for r in random_walks_alias(g, 4, seed=6).collect()
+        )
+        assert got == alias_walks_oracle(edges, 4, seed=6)
+
+    def test_alias_tables_are_valid_distribution(self, spark):
+        """prob in [0,1], aliases in range, and slot masses reproduce
+        the edge-weight distribution exactly: w_i/W == (prob_i +
+        sum of (1-prob_j) over j aliasing i) / n."""
+        from graphit_spark.kernels import build_alias_tables
+
+        g = LinkGraph.from_pairs(
+            spark, [(0, 1, 6), (0, 2, 3), (0, 3, 1)], persist=False
+        )
+        row = build_alias_tables(g).filter("src = 0").collect()[0]
+        n = len(row["nbrs"])
+        assert sorted(row["nbrs"]) == [1, 2, 3]
+        mass = {d: row["prob"][i] for i, d in enumerate(row["nbrs"])}
+        for i, d in enumerate(row["nbrs"]):
+            assert 0.0 <= row["prob"][i] <= 1.0
+            assert 0 <= row["alias"][i] < n
+            if row["prob"][i] < 1.0:
+                mass[row["nbrs"][row["alias"][i]]] += 1.0 - row["prob"][i]
+        total = sum(mass.values())
+        for d, w in [(1, 6), (2, 3), (3, 1)]:
+            assert abs(mass[d] / total - w / 10.0) < 1e-12
