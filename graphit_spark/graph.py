@@ -106,6 +106,53 @@ class LinkGraph:
         return e.dropDuplicates([SRC, DST])
 
     @classmethod
+    def from_csr(
+        cls,
+        spark: SparkSession,
+        matrix=None,
+        *,
+        indptr=None,
+        indices=None,
+        data=None,
+        weighted: bool = False,
+        **kw,
+    ) -> "LinkGraph":
+        """The reference Python-bindings ingest (`module.set_graph(
+        csr_matrix)`, apps/python_bindings/*/): build a LinkGraph from a
+        CSR adjacency — either a scipy-style matrix object (anything
+        with .tocsr() / .indptr / .indices / .data / .shape) or raw
+        indptr/indices[/data] arrays. weighted=True takes edge weights
+        from `data`. The vertex universe is the CSR's row count, so
+        trailing isolated vertices survive (CSRGraph::num_nodes
+        semantics). Driver-side expansion by design — this is the
+        small-matrix Python-API path, not the crawl-scale ingest
+        (that's Parquet / pages_to_edges)."""
+        import numpy as np
+        import pandas as pd
+
+        if matrix is not None:
+            if hasattr(matrix, "tocsr"):
+                matrix = matrix.tocsr()
+            indptr = np.asarray(matrix.indptr)
+            indices = np.asarray(matrix.indices)
+            data = np.asarray(matrix.data)
+            n = matrix.shape[0]
+        else:
+            indptr = np.asarray(indptr)
+            indices = np.asarray(indices)
+            n = len(indptr) - 1
+        src = np.repeat(
+            np.arange(n, dtype=np.int64), np.diff(indptr).astype(np.int64)
+        )
+        cols = {"src": src, "dst": np.asarray(indices, dtype=np.int64)}
+        if weighted:
+            if data is None:
+                raise ValueError("weighted=True requires data")
+            cols["weight"] = np.asarray(data, dtype=np.int64)
+        kw.setdefault("num_vertices", int(n))
+        return cls(spark.createDataFrame(pd.DataFrame(cols)), **kw)
+
+    @classmethod
     def from_pairs(cls, spark: SparkSession, pairs, **kw) -> "LinkGraph":
         """Small-graph constructor for tests: list of (src, dst[, weight])."""
         weighted = bool(pairs) and len(pairs[0]) == 3

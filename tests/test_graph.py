@@ -116,3 +116,50 @@ class TestBucketedEdges:
             assert g2.num_vertices == g.num_vertices
         finally:
             spark.sql("DROP TABLE IF EXISTS edges_bucketed_t")
+
+
+class TestFromCSR:
+    def test_raw_arrays_roundtrip(self, spark):
+        """set_graph(csr) analogue: 3 rows, trailing isolated vertex
+        preserved via the CSR row count."""
+        import numpy as np
+
+        from graphit_spark.kernels import pagerank
+
+        # vertex 0 -> {1, 2}, vertex 1 -> {2}, vertices 2, 3 isolated
+        indptr = np.array([0, 2, 3, 3, 3])
+        indices = np.array([1, 2, 2])
+        g = LinkGraph.from_csr(
+            spark, indptr=indptr, indices=indices, persist=False
+        )
+        assert g.num_vertices == 4
+        assert sorted(map(tuple, g.edges.collect())) == [(0, 1), (0, 2), (1, 2)]
+        assert pagerank(g, max_iters=3).count() == 4
+
+    def test_weighted_and_ducktyped_matrix(self, spark):
+        import numpy as np
+
+        class FakeCSR:  # scipy-free stand-in with the csr attributes
+            def __init__(self):
+                self.indptr = np.array([0, 1, 2])
+                self.indices = np.array([1, 0])
+                self.data = np.array([7, 3])
+                self.shape = (2, 2)
+
+            def tocsr(self):
+                return self
+
+        g = LinkGraph.from_csr(spark, FakeCSR(), weighted=True, persist=False)
+        assert g.weighted
+        assert sorted(map(tuple, g.edges.collect())) == [(0, 1, 7), (1, 0, 3)]
+
+    def test_weighted_requires_data(self, spark):
+        import numpy as np
+
+        import pytest
+
+        with pytest.raises(ValueError):
+            LinkGraph.from_csr(
+                spark, indptr=np.array([0, 1]), indices=np.array([0]),
+                weighted=True, persist=False,
+            )
