@@ -79,12 +79,14 @@ def read_gr(spark: SparkSession, path: str) -> DataFrame:
 
 
 def read_metis(spark: SparkSession, path: str) -> DataFrame:
-    """Metis ``.graph`` → (src, dst): header "n m [fmt]", then line k
-    holds the (1-indexed) neighbors of vertex k-1; converted to
-    0-indexed like the reference (reader.h:88-145 ReadInMetis).
-    Weighted fmt codes are rejected. Line numbering uses a global
-    Window — a small-test-graph format, never the at-scale path
-    (BENCH/PLANS.md)."""
+    """Metis ``.graph`` → (src, dst[, weight]): header "n m [fmt]",
+    then line k holds the (1-indexed) neighbors of vertex k-1;
+    converted to 0-indexed like the reference (reader.h:88-145
+    ReadInMetis). fmt codes mirror the reference exactly: 1 = edge
+    weights (neighbor/weight tokens alternate → weighted output),
+    0/absent/100 = unweighted; anything else rejected. Line numbering
+    uses a global Window — a small-test-graph format, never the
+    at-scale path (BENCH/PLANS.md)."""
     from pyspark.sql import Window
 
     # keep empty lines: a vertex with no neighbors is an empty line and
@@ -95,17 +97,26 @@ def read_metis(spark: SparkSession, path: str) -> DataFrame:
     header = numbered.filter(F.col("rn") == 1).select(
         F.split(F.trim("value"), r"\s+").alias("t")
     ).collect()[0]["t"]
-    if len(header) > 2 and int(header[2]) != 0:
-        raise ValueError(f"weighted metis fmt {header[2]} not supported")
-    return (
-        numbered.filter(F.col("rn") > 1)
-        .select(
-            (F.col("rn") - 2).alias("src"),
-            F.explode(
-                F.filter(
-                    F.split(F.trim("value"), r"\s+"), lambda x: x != ""
-                )
-            ).alias("nbr"),
-        )
-        .select("src", (F.col("nbr").cast("long") - 1).alias("dst"))
+    fmt = int(header[2]) if len(header) > 2 else 0
+    if fmt not in (0, 1, 100):
+        raise ValueError(f"metis fmt {fmt} not supported (reader.h:109)")
+    toks = F.filter(F.split(F.trim("value"), r"\s+"), lambda x: x != "")
+    body = numbered.filter(F.col("rn") > 1).select(
+        (F.col("rn") - 2).alias("src"), toks.alias("t")
     )
+    if fmt == 1:
+        # neighbor/weight pairs alternate on the line
+        pairs = F.arrays_zip(
+            F.filter(F.col("t"), lambda x, i: i % 2 == 0).alias("nbr"),
+            F.filter(F.col("t"), lambda x, i: i % 2 == 1).alias("w"),
+        )
+        return body.select(
+            "src", F.explode(pairs).alias("p")
+        ).select(
+            "src",
+            (F.col("p.nbr").cast("long") - 1).alias("dst"),
+            F.col("p.w").cast("long").alias("weight"),
+        )
+    return body.select(
+        "src", F.explode("t").alias("nbr")
+    ).select("src", (F.col("nbr").cast("long") - 1).alias("dst"))

@@ -65,14 +65,16 @@ def test_read_metis(spark, tmp_path):
     assert rows == [(0, 1), (0, 2), (1, 0), (2, 0)]
 
 
-def test_read_metis_rejects_weighted(spark, tmp_path):
-    import pytest as _pytest
+def test_read_metis_fmt1_now_supported(spark, tmp_path):
+    """fmt=1 used to be rejected; it now parses edge weights (round-2,
+    matching reader.h:106-131)."""
     from graphit_spark.sources.edgelist import read_metis
 
     p = tmp_path / "g.graph"
     p.write_text("2 1 1\n2 5\n1 5\n")
-    with _pytest.raises(ValueError):
-        read_metis(spark, str(p))
+    assert sorted(map(tuple, read_metis(spark, str(p)).collect())) == [
+        (0, 1, 5), (1, 0, 5),
+    ]
 
 
 def test_read_metis_isolated_vertex_keeps_numbering(spark, tmp_path):
@@ -151,3 +153,32 @@ class TestSerializedGraph:
             write_sg(unweighted, str(tmp_path / "g.wsg"))
         with pytest.raises(ValueError):
             write_sg(weighted, str(tmp_path / "g.sg"))
+
+
+def test_metis_weighted_fmt1(spark, tmp_path):
+    """fmt=1: neighbor/weight tokens alternate (reader.h:106-131)."""
+    from graphit_spark.sources.edgelist import read_metis
+
+    p = tmp_path / "w.graph"
+    p.write_text("3 3 1\n2 5 3 7\n1 5\n1 7\n")
+    df = read_metis(spark, str(p))
+    assert sorted(map(tuple, df.collect())) == [
+        (0, 1, 5), (0, 2, 7), (1, 0, 5), (2, 0, 7),
+    ]
+    assert LinkGraph(df, persist=False).weighted
+
+
+def test_metis_fmt100_and_reject(spark, tmp_path):
+    from graphit_spark.sources.edgelist import read_metis
+
+    p = tmp_path / "f100.graph"
+    p.write_text("2 1 100\n2\n1\n")
+    df = read_metis(spark, str(p))
+    assert sorted(map(tuple, df.collect())) == [(0, 1), (1, 0)]
+
+    import pytest
+
+    bad = tmp_path / "bad.graph"
+    bad.write_text("2 1 11\n2\n1\n")
+    with pytest.raises(ValueError):
+        read_metis(spark, str(bad))
