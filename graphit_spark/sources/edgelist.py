@@ -37,22 +37,57 @@ def read_weighted_edge_list(spark: SparkSession, path: str) -> DataFrame:
 
 
 def read_mtx(spark: SparkSession, path: str) -> DataFrame:
-    """MatrixMarket: skip '%' comments AND the first non-comment line
-    (the dimension header), convert 1-indexed ids to 0-indexed
-    (reader.h:147-200)."""
-    lines = (
-        spark.read.text(path)
-        .filter((F.length(F.trim("value")) > 0) & ~F.trim("value").startswith("%"))
-    )
+    """MatrixMarket (reader.h:147-200 ReadInMTX): the banner's field
+    decides weights (pattern = none; real/double/integer = third token;
+    complex rejected) and its symmetry decides direction (symmetric
+    emits both directions; general/skew-symmetric as stored). Body
+    skips '%' comments and the dimension header; ids convert from
+    1-indexed to 0-indexed."""
     from pyspark.sql import Window
 
+    raw = spark.read.text(path)
     w = Window.orderBy(F.monotonically_increasing_id())
-    body = lines.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") > 1)
+    numbered = raw.withColumn("rn", F.row_number().over(w))
+    banner = (
+        numbered.filter(F.col("rn") == 1).collect()[0]["value"]
+        .strip().lower().split()
+    )
+    field = banner[3] if len(banner) > 3 else "pattern"
+    symmetry = banner[4] if len(banner) > 4 else "general"
+    if field == "complex":
+        raise ValueError("do not support complex weights for .mtx")
+    read_weights = field in ("real", "double", "integer")
+    if symmetry == "symmetric":
+        undirected = True
+    elif symmetry in ("general", "skew-symmetric"):
+        undirected = False
+    else:
+        raise ValueError(f"unsupported .mtx symmetry: {symmetry}")
+
+    lines = numbered.filter(
+        (F.length(F.trim("value")) > 0) & ~F.trim("value").startswith("%")
+    )
+    w2 = Window.orderBy("rn")
+    body = lines.withColumn("rn2", F.row_number().over(w2)).filter(
+        F.col("rn2") > 1
+    )
     toks = body.select(F.split(F.trim("value"), r"\s+").alias("t"))
-    return toks.select(
+    cols = [
         (F.element_at("t", 1).cast("long") - 1).alias("src"),
         (F.element_at("t", 2).cast("long") - 1).alias("dst"),
-    )
+    ]
+    if read_weights:
+        # the reference parses into integral WeightT — truncate like it
+        cols.append(
+            F.element_at("t", 3).cast("double").cast("long").alias("weight")
+        )
+    out = toks.select(*cols)
+    if undirected:
+        back = [F.col("dst").alias("src"), F.col("src").alias("dst")]
+        if read_weights:
+            back.append(F.col("weight"))
+        out = out.unionByName(out.select(*back))
+    return out
 
 
 def write_edge_list(edges: DataFrame, path: str) -> None:

@@ -182,3 +182,26 @@ def test_metis_fmt100_and_reject(spark, tmp_path):
     bad.write_text("2 1 11\n2\n1\n")
     with pytest.raises(ValueError):
         read_metis(spark, str(bad))
+
+
+def test_mtx_symmetric_weighted(spark, tmp_path):
+    """Banner-driven semantics (reader.h:147-200): real field reads
+    weights, symmetric emits both directions."""
+    from graphit_spark.sources.edgelist import read_mtx
+
+    p = tmp_path / "sw.mtx"
+    p.write_text(
+        "%%MatrixMarket matrix coordinate real symmetric\n"
+        "% comment\n3 3 2\n1 2 5\n3 1 7\n"
+    )
+    df = read_mtx(spark, str(p))
+    assert sorted(map(tuple, df.collect())) == [
+        (0, 1, 5), (0, 2, 7), (1, 0, 5), (2, 0, 7),
+    ]
+
+    import pytest
+
+    bad = tmp_path / "cx.mtx"
+    bad.write_text("%%MatrixMarket matrix coordinate complex general\n1 1 1\n1 1 1 1\n")
+    with pytest.raises(ValueError):
+        read_mtx(spark, str(bad))
