@@ -205,3 +205,19 @@ def test_mtx_symmetric_weighted(spark, tmp_path):
     bad.write_text("%%MatrixMarket matrix coordinate complex general\n1 1 1\n1 1 1 1\n")
     with pytest.raises(ValueError):
         read_mtx(spark, str(bad))
+
+
+def test_reference_4mtx_is_symmetrized_4el(spark):
+    """The reference ships 4.mtx as 'integer symmetric': honoring the
+    banner must reproduce exactly the symmetrized 4.el edge set."""
+    from graphit_spark.sources.edgelist import read_mtx
+
+    mtx = LinkGraph(
+        read_mtx(spark, "/root/reference/test/graphs/4.mtx"), persist=False
+    )
+    el = LinkGraph(
+        read_edge_list(spark, "/root/reference/test/graphs/4.el"),
+        persist=False,
+    ).symmetrize()
+    got = sorted((r["src"], r["dst"]) for r in mtx.edges.collect())
+    assert got == sorted(map(tuple, el.edges.collect()))
