@@ -5,6 +5,7 @@ from graphit_spark.sources.edgelist import (
 )
 from graphit_spark.sources.serialized import (
     load_sg_graph,
+    read_bin,
     read_sg,
     read_wsg,
     write_sg,
@@ -15,6 +16,7 @@ __all__ = [
     "read_weighted_edge_list",
     "write_edge_list",
     "load_sg_graph",
+    "read_bin",
     "read_sg",
     "read_wsg",
     "write_sg",

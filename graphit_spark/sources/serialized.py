@@ -140,3 +140,76 @@ def write_sg(graph, path: str) -> None:
             else:
                 arr[:] = [d for _, d, _ in block]
             f.write(arr.tobytes())
+
+
+ASTAR_MAGIC = 0x150842A7
+EARTH_RADIUS_CM = 637100000.0
+
+
+def read_bin(spark: SparkSession, path: str):
+    """GAPBS/GraphIt A* road-network ``.bin`` (reader.h:220-277
+    ReadInAstar): magic, node count, then per node (lat, lon) doubles,
+    neighbor-id u32 block, and great-circle edge lengths (radians ×
+    EARTH_RADIUS_CM, truncated to integral weights exactly like the
+    reference's WeightT assignment). Returns (edges_df, coords_df) —
+    the coordinates feed the A* haversine heuristic
+    (apps/astar_distance_loader.cpp). Small-test-format: one file
+    parses in one task."""
+    files = spark.read.format("binaryFile").load(path).select("content")
+
+    def parse_edges(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for content in pdf["content"]:
+                s, d, w, _ = _decode_astar(bytes(content))
+                yield pd.DataFrame({"src": s, "dst": d, "weight": w})
+
+    def parse_coords(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for content in pdf["content"]:
+                _, _, _, coords = _decode_astar(bytes(content))
+                yield pd.DataFrame(
+                    {"id": coords[0], "lat": coords[1], "lon": coords[2]}
+                )
+
+    edges = files.mapInPandas(
+        parse_edges, "src long, dst long, weight long"
+    )
+    coords = files.mapInPandas(
+        parse_coords, "id long, lat double, lon double"
+    )
+    return edges, coords
+
+
+def _decode_astar(content: bytes):
+    import numpy as np
+
+    magic, num_nodes = struct.unpack_from("<II", content, 0)
+    if magic != ASTAR_MAGIC:
+        raise ValueError("Cannot read astar graph: magic mismatch")
+    off = 8
+    srcs, dsts, ws = [], [], []
+    ids = np.arange(num_nodes, dtype=np.int64)
+    lats = np.empty(num_nodes)
+    lons = np.empty(num_nodes)
+    for u in range(num_nodes):
+        lats[u], lons[u] = struct.unpack_from("<dd", content, off)
+        off += 16
+        (deg,) = struct.unpack_from("<I", content, off)
+        off += 4
+        nbrs = np.frombuffer(content, "<u4", deg, off)
+        off += 4 * deg
+        dists = np.frombuffer(content, "<f8", deg, off)
+        off += 8 * deg
+        srcs.append(nbrs.astype(np.int64))
+        dsts.append(np.full(deg, u, dtype=np.int64))
+        # double -> integral WeightT truncates toward zero (C++ rules)
+        ws.append((dists * EARTH_RADIUS_CM).astype(np.int64))
+    # note the reference builds Edge(u, neighbor): u is the SOURCE
+    src = np.concatenate(dsts) if dsts else np.array([], dtype=np.int64)
+    dst = np.concatenate(srcs) if srcs else np.array([], dtype=np.int64)
+    w = np.concatenate(ws) if ws else np.array([], dtype=np.int64)
+    return src, dst, w, (ids, lats, lons)

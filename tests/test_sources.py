@@ -221,3 +221,64 @@ def test_reference_4mtx_is_symmetrized_4el(spark):
     ).symmetrize()
     got = sorted((r["src"], r["dst"]) for r in mtx.edges.collect())
     assert got == sorted(map(tuple, el.edges.collect()))
+
+
+class TestAstarBin:
+    def test_monaco_counts_match_reference(self, spark):
+        """monaco.bin (the reference A* demo input) loads with the same
+        post-squish vertex/edge counts and weight sum the compiled
+        reference runtime reports (n=1590, m=4258, wsum=45543078 --
+        harness against builtin_loadWeightedEdgesFromFile)."""
+        from pyspark.sql import functions as F
+
+        from graphit_spark.sources import read_bin
+
+        edges, coords = read_bin(
+            spark, "/root/reference/test/graphs/monaco.bin"
+        )
+        g = LinkGraph(edges, persist=False)
+        assert g.num_vertices == 1590
+        assert g.num_edges == 4258
+        assert g.edges.agg(F.sum("weight")).collect()[0][0] == 45543078
+        assert coords.count() == 1590
+
+    def test_astar_with_haversine_heuristic(self, spark):
+        """The reference's actual A* pipeline end to end: load
+        monaco.bin, haversine lower bounds from the coordinates
+        (astar.gt + astar_distance_loader.cpp), and the A* target
+        distance equals plain Dijkstra/delta-stepping's."""
+        import math
+
+        from pyspark.sql import functions as F
+
+        from graphit_spark.kernels import astar, sssp_delta_stepping
+        from graphit_spark.sources import read_bin
+        from graphit_spark.sources.serialized import EARTH_RADIUS_CM
+
+        edges, coords = read_bin(
+            spark, "/root/reference/test/graphs/monaco.bin"
+        )
+        g = LinkGraph(edges, persist=False)
+        source, target = 0, 1200
+        t = coords.filter(F.col("id") == target).collect()[0]
+        lat2, lon2 = math.radians(t["lat"]), math.radians(t["lon"])
+        lat1 = F.radians("lat")
+        lon1 = F.radians("lon")
+        hav = (
+            F.pow(F.sin((F.lit(lat2) - lat1) / 2), 2)
+            + F.cos(lat1) * F.lit(math.cos(lat2))
+            * F.pow(F.sin((F.lit(lon2) - lon1) / 2), 2)
+        )
+        h = coords.select(
+            "id",
+            (2 * F.asin(F.sqrt(hav)) * F.lit(EARTH_RADIUS_CM))
+            .cast("long").alias("h"),
+        )
+        got = astar(g, source, target, heuristic=h, delta=100_000).filter(
+            F.col("id") == target
+        ).collect()[0]["dist"]
+        exp = {
+            r["id"]: r["dist"]
+            for r in sssp_delta_stepping(g, source, delta=100_000).collect()
+        }[target]
+        assert got == exp and got is not None
