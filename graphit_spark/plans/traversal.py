@@ -92,9 +92,18 @@ def gather_scatter(
             edges = edges.join(
                 F.broadcast(active), edges["src"] == active["__src_id"], "left_semi"
             )
-        else:
-            # dense: restrict state instead (frontier may be large).
+        elif direction in ("dense", "dense_forward", "dense_pull"):
+            # GraphIt distinguishes DensePush (forward: scan edges, test
+            # the src's frontier bool) from DensePull (gather at dst,
+            # test src) — gen_edge_apply_func_decl.cpp:722,888. Under a
+            # join+groupBy plan BOTH collapse to the same physical shape:
+            # one full E-scan with the frontier restriction carried on
+            # the V-sized state side; only the sparse/dense choice
+            # remains meaningful, so the aliases are accepted and
+            # documented as equivalent (asserted in test_traversal).
             state = state.join(active, "__src_id", "left_semi")
+        else:
+            raise ValueError(f"unknown direction: {direction}")
     msgs = edges.join(state, edges["src"] == state["__src_id"]).select(
         F.col("dst").alias("id"), message.alias("__msg")
     )

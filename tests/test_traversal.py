@@ -48,7 +48,7 @@ def test_gather_scatter_frontier_sparse_and_dense_agree(spark, golden_edges):
     state = g.vertices().withColumn("val", F.col("id") + 10)
     frontier = g.vertices().filter(F.col("id") % 3 == 0)
     outs = []
-    for direction in ("sparse", "dense"):
+    for direction in ("sparse", "dense", "dense_forward", "dense_pull"):
         got = gather_scatter(
             g.edges,
             state,
@@ -58,7 +58,9 @@ def test_gather_scatter_frontier_sparse_and_dense_agree(spark, golden_edges):
             direction=direction,
         )
         outs.append({r["id"]: r["gathered"] for r in got.collect()})
-    assert outs[0] == outs[1]
+    # GraphIt's DensePush (forward) and DensePull modes collapse to the
+    # same join+groupBy plan here — every direction agrees exactly
+    assert all(o == outs[0] for o in outs[1:])
 
 
 def test_salted_sum_equals_plain_sum(spark):
