@@ -71,16 +71,30 @@ def _decode_bmp(raw: bytes):
     if not top_down:
         px = px[::-1]
     if bpp == 8:
-        # palette: BGRX quads between the DIB header and the pixel data
+        # palette: BGRX quads between the DIB header and the pixel data;
+        # biClrUsed (DIB offset 32 within the header, absolute 46) sizes
+        # it — 0 means the full 2^bpp entries. A short palette is legal,
+        # so never assume 256 (reading past it would swallow pixel data).
+        n_pal = 256
+        if hdr_size >= 36:  # header carries biClrUsed
+            n_pal = struct.unpack_from("<I", raw, 46)[0] or 256
+        if data_off < 14 + hdr_size + n_pal * 4:
+            raise ValueError(
+                f"BMP pixel data offset {data_off} overlaps the "
+                f"{n_pal}-entry palette"
+            )
         pal = np.frombuffer(
-            raw, np.uint8, 256 * 4, 14 + hdr_size
-        ).reshape(256, 4)
+            raw, np.uint8, n_pal * 4, 14 + hdr_size
+        ).reshape(n_pal, 4)
         lum = (
             (pal[:, 2].astype(np.int64) * 299
              + pal[:, 1].astype(np.int64) * 587
              + pal[:, 0].astype(np.int64) * 114) // 1000
         ).astype(np.uint8)
-        return lum[px[:, :w]]
+        idx = px[:, :w]
+        if int(idx.max(initial=0)) >= n_pal:
+            raise ValueError("BMP pixel index beyond palette size")
+        return lum[idx]
     bgr = px[:, : w * 3].reshape(h, w, 3).astype(np.int64)
     return (
         (bgr[:, :, 2] * 299 + bgr[:, :, 1] * 587 + bgr[:, :, 0] * 114) // 1000

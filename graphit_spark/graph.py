@@ -226,7 +226,13 @@ class LinkGraph:
     # -- transforms --------------------------------------------------------
 
     def transpose(self) -> "LinkGraph":
-        """Reverse edges (intrinsics.h:525-529); already-squished input."""
+        """Reverse edges (intrinsics.h:525-529); already-squished input.
+
+        The vertex universe is forwarded explicitly: the transposed
+        graph's raw edges are the SQUISHED edges, so re-deriving
+        max-id+1 would shrink the universe when the top id was isolated
+        or self-loop-only (or when the caller supplied a serialized
+        header's num_nodes)."""
         cols = [F.col(DST).alias(SRC), F.col(SRC).alias(DST)]
         if self.weighted:
             cols.append(F.col(WEIGHT))
@@ -235,6 +241,7 @@ class LinkGraph:
             squished=True,
             num_partitions=self.num_partitions,
             persist=self._persisted,
+            num_vertices=self.num_vertices,
         )
 
     def symmetrize(self) -> "LinkGraph":
@@ -244,9 +251,12 @@ class LinkGraph:
         if self.weighted:
             back.append(F.col(WEIGHT))
         both = self.edges.unionByName(self.edges.select(*back))
+        # Forward the universe: E ∪ Eᵀ is built from squished edges, so
+        # a max id that was self-loop-only (or a serialized header's
+        # trailing isolated vertices) would otherwise vanish here.
         return LinkGraph(
             both, squished=False, num_partitions=self.num_partitions,
-            persist=self._persisted,
+            persist=self._persisted, num_vertices=self.num_vertices,
         )
 
     def relabel_by_degree(self) -> "LinkGraph":
@@ -271,9 +281,12 @@ class LinkGraph:
             .select(SRC, F.col("new_id").alias(DST),
                     *([WEIGHT] if self.weighted else []))
         )
+        # New ids are a dense rank over the FULL vertex universe
+        # (out_degrees() spans vertices()), so the universe size is
+        # preserved exactly — forward it.
         return LinkGraph(
             e, squished=True, num_partitions=self.num_partitions,
-            persist=self._persisted,
+            persist=self._persisted, num_vertices=self.num_vertices,
         )
 
     def save_bucketed(

@@ -239,6 +239,7 @@ def pagerank_delta(
         .withColumn("delta", F.lit(one_over_n))
         .withColumn("in_frontier", F.lit(True))
     ).localCheckpoint(eager=True)
+    prev_ck: DataFrame = state
 
     for i in range(1, max_iters + 1):
         t0 = time.time()
@@ -280,6 +281,11 @@ def pagerank_delta(
             new_state, store, i, {"kernel": "pagerank_delta",
                                   "elapsed_sec": time.time() - t0},
         )
+        # release the superseded round's checkpointed blocks (same cache
+        # discipline as pagerank/personalized_pagerank) so a long run's
+        # cached-RDD footprint stays at one V-sized state, not O(iters)
+        prev_ck.unpersist()
+        prev_ck = new_state
         state = new_state
 
     if own_cache_d:

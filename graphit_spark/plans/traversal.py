@@ -19,7 +19,8 @@ num_edges / 20`` (reference gen_edge_apply_func_decl.cpp:722,888).
 
 Skew: map-side partial aggregation already collapses hub destinations to
 ≤ num_partitions partial rows — MEASURED equivalent to explicit salting
-on a 20M-edge graph with a 30%-of-all-edges hub (plain 0.87s vs salted
+on a 10M-edge graph (bench.py BENCH_SKEW_EDGES default) with a
+30%-of-all-edges hub (plain 0.87s vs salted
 0.81s best-of-3, within host noise; bench.py records a `skew_gather`
 row per round). ``gather_scatter(salt=k)`` therefore stays OFF by
 default and exists for the regimes partial aggregation cannot cover:

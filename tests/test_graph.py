@@ -50,6 +50,27 @@ def test_transpose_and_symmetrize(spark):
     assert s == [(0, 1), (1, 0), (1, 2), (2, 1)]
 
 
+def test_transforms_preserve_vertex_universe(spark):
+    """transpose()/symmetrize()/relabel_by_degree() must forward the
+    vertex universe: a caller-supplied num_vertices (serialized header
+    with trailing isolated vertices) and a max id that survives only in
+    the RAW edges (self-loop-only top vertex) both outrank re-deriving
+    max-id+1 from the transformed (already-squished) edge table."""
+    # caller-supplied universe larger than max-id+1
+    g = LinkGraph.from_pairs(
+        spark, [(0, 1), (1, 2)], persist=False, num_vertices=7
+    )
+    assert g.transpose().num_vertices == 7
+    assert g.symmetrize().num_vertices == 7
+    assert g.relabel_by_degree().num_vertices == 7
+    # self-loop-only max id: universe defined by RAW edges (builder.h:210)
+    h = LinkGraph.from_pairs(spark, [(0, 1), (5, 5)], persist=False)
+    assert h.num_vertices == 6
+    assert h.transpose().num_vertices == 6
+    assert h.symmetrize().num_vertices == 6
+    assert h.symmetrize().vertices().count() == 6
+
+
 def test_relabel_by_degree(spark):
     # vertex 2 has out-degree 3 -> new id 0; ties broken by old id asc
     g = LinkGraph.from_pairs(

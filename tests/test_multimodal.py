@@ -168,6 +168,39 @@ class TestRealCodecs:
         arr = _decode_bmp(bytes(resized.collect()[0]["image"]))
         assert arr.shape == (3, 4) and (arr == 77).all()
 
+    def test_bmp_short_palette_honors_biClrUsed(self, spark):
+        """A legal 8-bpp BMP may carry fewer than 256 palette entries
+        (biClrUsed at DIB offset 32); the decoder must size the palette
+        from the header, not assume 256 (which would read pixel data as
+        palette and corrupt luminance)."""
+        import struct as st
+
+        import numpy as np
+
+        from graphit_spark.functions.multimodal import _decode_bmp
+
+        # 4x2 image using palette indices 0..3; palette has ONLY 4 entries
+        idx = np.array([[0, 1, 2, 3], [3, 2, 1, 0]], dtype=np.uint8)
+        h, w = idx.shape
+        row_bytes = (w + 3) & ~3
+        rows = np.zeros((h, row_bytes), dtype=np.uint8)
+        rows[:, :w] = idx
+        payload = rows[::-1].tobytes()
+        # grayscale palette entries 0, 60, 120, 180 (BGRX quads)
+        pal = bytes(b for v in (0, 60, 120, 180) for b in (v, v, v, 0))
+        data_off = 14 + 40 + len(pal)
+        raw = (
+            b"BM"
+            + st.pack("<IHHI", data_off + len(payload), 0, 0, data_off)
+            + st.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 0, len(payload),
+                      2835, 2835, 4, 4)  # biClrUsed = biClrImportant = 4
+            + pal
+            + payload
+        )
+        arr = _decode_bmp(raw)
+        exp = np.array([[0, 60, 120, 180], [180, 120, 60, 0]], np.uint8)
+        assert arr.shape == (2, 4) and (arr == exp).all()
+
     def test_wav_features(self, spark):
         import numpy as np
 
