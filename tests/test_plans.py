@@ -36,6 +36,7 @@ TEXT_QUERY_NAMES = [
     "doc_fingerprints", "dedup_exact", "dedup_minhash", "dedup_lsh_pairs",
     "dedup_simhash", "dedup_jaccard_lsh", "dedup_embedding_lsh",
     "sim_lsh_topk", "events_hourly", "events_sessions",
+    "corpus_select", "corpus_select_dedup",
 ]
 
 
@@ -103,3 +104,16 @@ def test_lsh_dedup_is_bucket_join(spark):
     plan = _plan(q_embedding_dups_lsh(spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "bucket" in plan  # the equi-join key is the LSH bucket
+
+
+def test_corpus_select_dedup_plan_is_bucketed(spark):
+    """The near-dup stage inside the end-to-end curation query must be
+    the LSH bucket join (band/bkey equi-join), never an all-pairs
+    product: the candidate generator's cost model is what makes the
+    composition survive crawl scale."""
+    from graphit_spark.textqueries import q_corpus_select_dedup
+
+    plan = _plan(q_corpus_select_dedup(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "bkey" in plan  # LSH band-bucket equi-join key
