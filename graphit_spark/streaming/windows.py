@@ -53,10 +53,14 @@ _STATE_SCHEMA = "start double, last double, n long"
 
 def _make_sessionize_fn(with_timeout: bool):
     """Per-user gap sessionizer. State = one open session (start epoch,
-    last epoch, count); events are folded in (ts, event_id) order —
-    same tie order as the batch twin."""
+    last epoch, count). The within-batch fold is fully vectorized
+    (numpy sort → diff → gap-break cumsum → groupby-agg); scalar state
+    is touched only at the batch boundary — merging the carried open
+    session with the batch's first session, and carrying out the last."""
 
     def fn(key, pdfs: Iterator[pd.DataFrame], state):
+        import numpy as np
+
         user = key[0]
         if state.hasTimedOut:
             # watermark passed the open session's gap horizon: flush it
@@ -73,17 +77,40 @@ def _make_sessionize_fn(with_timeout: bool):
             return
         start, last, n = state.get if state.exists else (None, None, 0)
         closed = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
-            for ts in pdf["ts"]:
-                sec = ts.timestamp()
-                if start is None:
-                    start, last, n = sec, sec, 1
-                elif sec - last > SESSION_GAP_SEC:
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            # one global sort over the whole micro-batch (ties on
+            # event_id like the batch twin; only ts drives the gaps)
+            batch = pd.concat(chunks, ignore_index=True)
+            order = np.lexsort(
+                (batch["event_id"].to_numpy(), batch["ts"].to_numpy())
+            )
+            sec = (
+                batch["ts"].to_numpy("datetime64[ns]")[order].astype("int64")
+                / 1e9
+            )
+            brk = np.empty(len(sec), dtype=bool)
+            brk[0] = start is None or sec[0] - last > SESSION_GAP_SEC
+            brk[1:] = np.diff(sec) > SESSION_GAP_SEC
+            sid = np.cumsum(brk)  # 0 = continues the carried open session
+            # per-session (start, last, n): sec is sorted, so firsts and
+            # lasts are the break positions / their predecessors
+            first_idx = np.flatnonzero(
+                np.concatenate(([True], sid[1:] != sid[:-1]))
+            )
+            last_idx = np.concatenate((first_idx[1:] - 1, [len(sec) - 1]))
+            counts = np.diff(np.concatenate((first_idx, [len(sec)])))
+            sessions = list(
+                zip(sec[first_idx], sec[last_idx], counts.tolist())
+            )
+            if start is not None:
+                if brk[0]:
                     closed.append((start, last, n))
-                    start, last, n = sec, sec, 1
                 else:
-                    last, n = max(last, sec), n + 1
+                    s0, l0, c0 = sessions[0]
+                    sessions[0] = (start, max(last, l0), n + c0)
+            closed.extend(sessions[:-1])
+            start, last, n = sessions[-1]
         state.update((start, last, n))
         if with_timeout:
             # must land strictly past the current watermark or Spark

@@ -3,10 +3,15 @@ completion synchronously (processAllAvailable / availableNow)."""
 
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from graphit_spark.datagen import gen_pages
-from graphit_spark.streaming import stream_pages_to_edges, windowed_event_counts
+from graphit_spark.streaming import (
+    stream_pages_to_edges,
+    windowed_event_counts,
+    windows,
+)
 
 
 def test_stream_pages_to_edges_incremental(spark, tmp_path):
@@ -213,3 +218,92 @@ def test_windowed_append_drops_late_rows(spark, tmp_path):
         assert first_window and first_window[0] == 3  # late event 40 dropped
     finally:
         q.stop()
+
+
+class TestVectorizedFold:
+    """The within-batch fold is numpy-vectorized; pin it against a
+    scalar reference fold on deterministic multi-session batches,
+    including the two batch-boundary cases (carried open session merged
+    vs gap-closed) and out-of-order chunk delivery."""
+
+    class _FakeState:
+        def __init__(self, tup=None):
+            self.hasTimedOut = False
+            self._tup = tup
+
+        @property
+        def exists(self):
+            return self._tup is not None
+
+        @property
+        def get(self):
+            return self._tup
+
+        def update(self, tup):
+            self._tup = tup
+
+        def remove(self):
+            self._tup = None
+
+    @staticmethod
+    def _ref_fold(carried, secs):
+        start, last, n = carried if carried else (None, None, 0)
+        closed = []
+        for sec in sorted(secs):
+            if start is None:
+                start, last, n = sec, sec, 1
+            elif sec - last > windows.SESSION_GAP_SEC:
+                closed.append((start, last, n))
+                start, last, n = sec, sec, 1
+            else:
+                last, n = max(last, sec), n + 1
+        return closed, (start, last, n)
+
+    def _drive(self, carried, secs, chunk_at=None):
+        import pandas as pd
+
+        fn = windows._make_sessionize_fn(False)
+        st = self._FakeState(carried)
+        rows = [
+            {"event_id": i, "user_id": 7,
+             "ts": pd.Timestamp(s, unit="s"),
+             "event_type": "e", "value": 0.0}
+            for i, s in enumerate(secs)
+        ]
+        if chunk_at is None:
+            chunks = [pd.DataFrame(rows)]
+        else:
+            chunks = [pd.DataFrame(rows[:chunk_at]), pd.DataFrame(rows[chunk_at:])]
+        out = list(fn((7,), iter(chunks), st))
+        closed = []
+        for pdf in out:
+            for _, r in pdf.iterrows():
+                closed.append(
+                    (r["start_ts"].timestamp(), r["end_ts"].timestamp(),
+                     int(r["n_events"]))
+                )
+        return closed, st._tup
+
+    @pytest.mark.parametrize("carried", [None, (100.0, 200.0, 3)])
+    @pytest.mark.parametrize("chunk_at", [None, 2])
+    def test_matches_scalar_reference(self, carried, chunk_at):
+        gap = windows.SESSION_GAP_SEC
+        # out-of-order events spanning: merge-or-close boundary, two
+        # mid-batch closes, a singleton, and a trailing open session
+        secs = [200.0 + gap + 1, 250.0, 200.0 + 3 * gap,
+                200.0 + 3 * gap + 5, 200.0 + 10 * gap, 200.0 + 20 * gap]
+        got_closed, got_open = self._drive(carried, secs, chunk_at)
+        exp_closed, exp_open = self._ref_fold(carried, secs)
+        assert got_closed == exp_closed
+        assert got_open == exp_open
+
+    def test_empty_batch_keeps_state(self):
+        import pandas as pd
+
+        fn = windows._make_sessionize_fn(False)
+        st = self._FakeState((5.0, 9.0, 2))
+        out = list(fn((7,), iter([pd.DataFrame(
+            {"event_id": [], "user_id": [], "ts": pd.Series([], dtype="datetime64[ns]"),
+             "event_type": [], "value": []})]), st))
+        assert out == []
+        assert st._tup == (5.0, 9.0, 2)
