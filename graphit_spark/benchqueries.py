@@ -1287,6 +1287,108 @@ def q_weighted_random_walks(spark, sf_dir):
     return weighted_random_walks(g, WALK_LEN, seed=WALK_SEED)
 
 
+def alias_walks_sql(walk_len: int = WALK_LEN, seed: int = WALK_SEED) -> str:
+    """Twin of kernels/walks.py::random_walks_alias — the O(1)-draw
+    alias-method sampler, ORACLE INCLUDED: the Vose construction uses a
+    min-index pairing rule (walks.py::_alias_build), so each round is a
+    per-src windowed argmin — expressible as a recursive CTE that
+    finalizes exactly one under-full slot per src per iteration. All
+    arithmetic is the same IEEE double sequence as the Python builder
+    ((w*n)/tot init, (scaled_l + scaled_s) - 1.0 updates), so prob
+    values — and therefore every accept/reject draw — match bit for
+    bit."""
+    prec = (1 << 31) - 1
+    prefix = """
+raww AS MATERIALIZED (SELECT o_custkey AS src, o_orderkey % (SELECT count(*) FROM customer) AS dst,
+               1 + o_orderkey % 7 AS w
+        FROM orders),
+wedges AS MATERIALIZED (SELECT src, dst, min(w) AS w FROM raww WHERE src <> dst
+           GROUP BY src, dst),
+nv AS MATERIALIZED (SELECT max(greatest(src, dst)) + 1 AS n FROM raww),
+verts AS MATERIALIZED (SELECT c_custkey AS id FROM customer
+          WHERE c_custkey < (SELECT n FROM nv)),
+slots AS MATERIALIZED (
+  SELECT src, dst, w,
+         CAST(row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS INT) AS idx,
+         CAST(count(*) OVER (PARTITION BY src) AS BIGINT) AS n,
+         CAST(sum(w) OVER (PARTITION BY src) AS BIGINT) AS tot
+  FROM wedges),
+rec AS (
+  SELECT src, idx, dst, n,
+         CAST(w * n AS DOUBLE) / CAST(tot AS DOUBLE) AS scaled,
+         FALSE AS fin, CAST(1.0 AS DOUBLE) AS prob, idx AS alias, 0 AS it
+  FROM slots
+  UNION ALL
+  SELECT src, idx, dst, n,
+         CASE WHEN idx = l_idx THEN (scaled + s_scaled) - 1e0 ELSE scaled END,
+         CASE WHEN idx = s_idx THEN TRUE ELSE fin END,
+         CASE WHEN idx = s_idx THEN scaled ELSE prob END,
+         CASE WHEN idx = s_idx THEN l_idx ELSE alias END,
+         it + 1
+  FROM (
+    SELECT q.*,
+           max(CASE WHEN idx = s_idx THEN scaled END)
+             OVER (PARTITION BY src) AS s_scaled
+    FROM (
+      SELECT r.*,
+             min(CASE WHEN NOT fin AND scaled < 1e0 THEN idx END)
+               OVER (PARTITION BY src) AS s_idx,
+             min(CASE WHEN NOT fin AND scaled >= 1e0 THEN idx END)
+               OVER (PARTITION BY src) AS l_idx
+      FROM rec r
+    ) q
+  )
+  WHERE s_idx IS NOT NULL AND l_idx IS NOT NULL
+),
+atab AS MATERIALIZED (
+  SELECT src, idx, dst, n, prob, alias
+  FROM (SELECT *, row_number() OVER (PARTITION BY src, idx
+                                     ORDER BY it DESC) AS rn FROM rec)
+  WHERE rn = 1
+)
+"""
+    ctes = [prefix.strip(),
+            "w0 AS (SELECT id AS walk_id, id AS v FROM verts)"]
+    for t in range(1, walk_len + 1):
+        slot_h = (
+            f"('0x' || substr(md5(CAST(w.walk_id AS VARCHAR) "
+            f"|| 'i_{t}_{seed}'), 1, 8))::BIGINT"
+        )
+        u_h = (
+            f"('0x' || substr(md5(CAST(w.walk_id AS VARCHAR) "
+            f"|| 'u_{t}_{seed}'), 1, 8))::BIGINT"
+        )
+        ctes.append(
+            f"""w{t} AS MATERIALIZED (
+  SELECT w.walk_id,
+         CASE WHEN CAST({u_h} % {prec} AS DOUBLE) / {prec}e0 < f.prob
+              THEN f.dst ELSE f2.dst END AS v
+  FROM w{t - 1} w
+  JOIN atab f ON f.src = w.v
+             AND f.idx = CAST({slot_h} % f.n AS INT)
+  JOIN atab f2 ON f2.src = f.src AND f2.idx = f.alias
+)"""
+        )
+    outs = " UNION ALL ".join(
+        f"SELECT walk_id, CAST({t} AS INT) AS step, v AS vertex FROM w{t}"
+        for t in range(0, walk_len + 1)
+    )
+    return (
+        "WITH RECURSIVE " + ",\n".join(ctes)
+        + f"\nSELECT * FROM ({outs}) ORDER BY walk_id, step"
+    )
+
+
+def q_random_walks_alias(spark, sf_dir):
+    """Alias-method weighted walks (O(1) draw per walk-step regardless
+    of hub degree — the scale path for hub-revisiting workloads) vs the
+    recursive-CTE twin alias_walks_sql."""
+    from graphit_spark.kernels import random_walks_alias
+
+    g = graph(spark, sf_dir, "weighted")
+    return random_walks_alias(g, WALK_LEN, seed=WALK_SEED)
+
+
 def graph_stats_sql() -> str:
     return (
         "WITH " + _SQL_COMMON.strip()
@@ -1504,6 +1606,7 @@ GRAPH_QUERIES: dict[str, tuple] = {
     "core_numbers": (q_core_numbers, core_numbers_sql()),
     "random_walks": (q_random_walks, walks_sql()),
     "weighted_random_walks": (q_weighted_random_walks, weighted_walks_sql()),
+    "random_walks_alias": (q_random_walks_alias, alias_walks_sql()),
     "node2vec_walks": (q_node2vec_walks, node2vec_sql()),
     "graph_stats": (q_graph_stats, graph_stats_sql()),
     "lpa_modularity": (q_modularity, modularity_sql()),

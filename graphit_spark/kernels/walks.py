@@ -303,27 +303,35 @@ def random_walks(
 
 
 def _alias_build(dsts, weights):
-    """Vose alias-table construction (deterministic: inputs sorted by
-    dst, stacks drained in order). Returns (prob, alias) lists; draw =
-    pick slot i uniformly, keep dsts[i] with probability prob[i], else
-    take dsts[alias[i]] — O(1) per draw regardless of degree."""
+    """Vose alias-table construction, min-index pairing rule: each round
+    finalizes the LOWEST-index under-full slot s against the
+    lowest-index over-full slot l (prob[s] = scaled[s], alias[s] = l,
+    scaled[l] = (scaled[l] + scaled[s]) - 1.0). Any deterministic drain
+    order yields a valid table; min-index is chosen because it is
+    reproducible as a per-src windowed argmin inside an ANSI-SQL
+    recursive CTE — which is what gives random_walks_alias a REAL
+    DuckDB oracle twin (benchqueries.alias_walks_sql) instead of a
+    rows-only check. Heap-based: O(deg log deg) build, O(1) draws."""
+    import heapq
+
     n = len(dsts)
     total = float(sum(weights))
     scaled = [w * n / total for w in weights]
     small = [i for i in range(n) if scaled[i] < 1.0]
     large = [i for i in range(n) if scaled[i] >= 1.0]
+    heapq.heapify(small)
+    heapq.heapify(large)
     prob = [1.0] * n
     alias = list(range(n))
-    si = li = 0
-    while si < len(small) and li < len(large):
-        s, l = small[si], large[li]
+    while small and large:
+        s = heapq.heappop(small)
+        l = large[0]
         prob[s] = scaled[s]
         alias[s] = l
         scaled[l] = (scaled[l] + scaled[s]) - 1.0
-        si += 1
         if scaled[l] < 1.0:
-            small.append(l)
-            li += 1
+            heapq.heappop(large)
+            heapq.heappush(small, l)
     return prob, alias
 
 

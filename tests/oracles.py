@@ -522,20 +522,23 @@ def alias_walks_oracle(edges, walk_len, seed=0):
         n = len(dsts)
         total = float(sum(ws))
         scaled = [w * n / total for w in ws]
+        import heapq
+
         small = [i for i in range(n) if scaled[i] < 1.0]
         large = [i for i in range(n) if scaled[i] >= 1.0]
+        heapq.heapify(small)
+        heapq.heapify(large)
         prob = [1.0] * n
         alias = list(range(n))
-        si = li = 0
-        while si < len(small) and li < len(large):
-            sm, lg = small[si], large[li]
+        while small and large:
+            sm = heapq.heappop(small)
+            lg = large[0]
             prob[sm] = scaled[sm]
             alias[sm] = lg
             scaled[lg] = (scaled[lg] + scaled[sm]) - 1.0
-            si += 1
             if scaled[lg] < 1.0:
-                small.append(lg)
-                li += 1
+                heapq.heappop(large)
+                heapq.heappush(small, lg)
         tables[s] = (dsts, prob, alias)
     nv = max(max(e[0], e[1]) for e in edges) + 1 if edges else 0
 
