@@ -75,7 +75,10 @@ def test_column_pruning_reaches_parquet_scan(spark):
 def test_pagerank_superstep_plan_shape(spark):
     """One gather superstep (the result DF itself is checkpoint-
     truncated, so the superstep must be planned directly): equi-join +
-    partial-then-final sum, never a nested loop."""
+    partial-then-final sum, never a nested loop. Both join regimes are
+    pinned — broadcast for small V, the >500k-vertex shuffle_hash hint
+    path as ShuffledHashJoin (never an E-sized sort-merge). These are
+    the claims quoted verbatim in BENCH/PLANS.md."""
     from pyspark.sql import functions as F
 
     from graphit_spark.benchqueries import graph
@@ -96,6 +99,53 @@ def test_pagerank_superstep_plan_shape(spark):
     assert "CartesianProduct" not in plan
     # map-side combine: a partial aggregate exists upstream of the final
     assert "partial_sum" in plan
+
+    # big-V regime: the shuffle_hash hint must plan as ShuffledHashJoin
+    # (per-partition hash build), with no Sort of the E-sized edge side
+    step_big = (
+        g.edges.join(contrib.hint("shuffle_hash"), "src")
+        .groupBy(F.col("dst").alias("id"))
+        .agg(F.sum("contrib").alias("gathered"))
+    )
+    plan_big = _plan(step_big)
+    assert "ShuffledHashJoin" in plan_big
+    assert "SortMergeJoin" not in plan_big
+    assert "partial_sum" in plan_big
+
+
+def test_graph_build_scan_pushdown(spark):
+    """The bench graph's only parquet touch: projection pruned to the
+    two id columns and the null filters pushed to the reader — the
+    PLANS.md scan excerpt, asserted live."""
+    from graphit_spark.benchqueries import graph
+
+    plan = _plan(graph(spark, SF_DIR, "raw").edges)
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "o_orderkey" in read_schema and "o_custkey" in read_schema
+    # nothing beyond the two join columns is read
+    assert read_schema.count(":") == 2, read_schema
+    pushed = plan.split("PushedFilters:")[1].splitlines()[0]
+    assert "IsNotNull(o_custkey)" in pushed
+
+
+def test_triangle_count_plan_shape(spark):
+    """TC's full plan: sorted-array merge intersection per edge, global
+    count as partial-then-final sum (the SinglePartition exchange moves
+    <= P one-row partials), no nested loop — the PLANS.md TC excerpt,
+    asserted live."""
+    from graphit_spark.benchqueries import graph
+    from graphit_spark.kernels.triangles import triangle_count
+
+    g = graph(spark, SF_DIR, "raw")
+    plan = _plan(triangle_count(g))
+    # (the sort_array adjacency build sits behind a localCheckpoint, so
+    # the returned lineage starts at Scan ExistingRDD — the build plan
+    # itself is quoted in BENCH/PLANS.md)
+    assert "array_intersect" in plan
+    assert "partial_sum" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    g.unpersist()
 
 
 def test_lsh_dedup_is_bucket_join(spark):
