@@ -431,6 +431,41 @@ def eigenvector_sql(rounds: int = EC_ROUNDS) -> str:
     )
 
 
+def fused_pr_ec_sql(rounds: int = EC_ROUNDS, damp: float = 0.85) -> str:
+    """Twin of kernels/fused.py::fused_pr_eigenvector (reference
+    eigenvector_pr_fusion.gt): both recurrences advanced from the same
+    per-round edge aggregation — the fusion is semantic no-op, so the SQL
+    simply computes both accumulator columns in the one grouped subquery,
+    exactly like the fused Spark plan's single groupBy(dst)."""
+    ctes = [
+        _SQL_COMMON.strip().rstrip(","),
+        "f0 AS (SELECT id, out_degree, 1e0 / (SELECT n FROM nv) AS rank,"
+        " 1e0 / (SELECT n FROM nv) AS ec FROM deg)",
+    ]
+    for k in range(1, rounds + 1):
+        p = f"f{k - 1}"
+        ctes.append(
+            f"""f{k} AS MATERIALIZED (
+  SELECT v.id, v.out_degree,
+         (1e0 - {damp}e0) / (SELECT n FROM nv)
+           + {damp}e0 * coalesce(s.pr_acc, 0e0) AS rank,
+         coalesce(s.ec_acc, 0e0) AS ec
+  FROM deg v LEFT JOIN (
+    SELECT e.dst AS id,
+           sum(r.rank / r.out_degree) AS pr_acc,
+           sum(r.ec) AS ec_acc
+    FROM edges e JOIN {p} r ON e.src = r.id
+    GROUP BY e.dst
+  ) s USING (id)
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id, round(rank, {ROUND_RANK}) AS rank,"
+        f" round(ec, {ROUND_RANK}) AS ec FROM f{rounds} ORDER BY id"
+    )
+
+
 def closeness_sql(rounds: int = SSSP_ROUNDS, source: int = 0) -> str:
     """Weighted closeness per apps/closeness_centrality_weighted.gt:
     SSSP distances with unreached mapped to 0 (final_vertex_f)."""
@@ -648,6 +683,17 @@ def q_eigenvector(spark, sf_dir):
     g = graph(spark, sf_dir, "raw")
     return eigenvector_centrality(g, rounds=EC_ROUNDS).select(
         "id", F.round("ec", ROUND_RANK).alias("ec")
+    )
+
+
+def q_fused_pr_eigenvector(spark, sf_dir):
+    from graphit_spark.kernels import fused_pr_eigenvector
+
+    g = graph(spark, sf_dir, "raw")
+    return fused_pr_eigenvector(g, rounds=EC_ROUNDS).select(
+        "id",
+        F.round("rank", ROUND_RANK).alias("rank"),
+        F.round("ec", ROUND_RANK).alias("ec"),
     )
 
 
@@ -1597,6 +1643,7 @@ GRAPH_QUERIES: dict[str, tuple] = {
     "betweenness": (q_betweenness, betweenness_sql()),
     "collab_filtering": (q_cf, cf_sql()),
     "eigenvector": (q_eigenvector, eigenvector_sql()),
+    "fused_pr_eigenvector": (q_fused_pr_eigenvector, fused_pr_ec_sql()),
     "closeness": (q_closeness, closeness_sql()),
     "sssp_delta_stepping": (q_sssp_delta, sssp_fixpoint_sql()),
     "astar": (q_astar, astar_sql()),

@@ -16,6 +16,7 @@ from graphit_spark.kernels.centrality import (
     eigenvector_centrality,
 )
 from graphit_spark.kernels.delta_stepping import sssp_delta_stepping
+from graphit_spark.kernels.fused import fused_pr_eigenvector
 from graphit_spark.kernels.astar import astar, ppsp
 from graphit_spark.kernels.mst import minimum_spanning_forest
 from graphit_spark.kernels.setcover import set_cover
@@ -50,6 +51,7 @@ __all__ = [
     "closeness_centrality",
     "closeness_score",
     "eigenvector_centrality",
+    "fused_pr_eigenvector",
     "pagerank",
     "pagerank_delta",
     "personalized_pagerank",

@@ -3,5 +3,6 @@ from graphit_spark.plans.traversal import (
     choose_direction,
     salted_sum,
 )
+from graphit_spark.plans.fusion import fused_gather
 
-__all__ = ["gather_scatter", "choose_direction", "salted_sum"]
+__all__ = ["gather_scatter", "choose_direction", "salted_sum", "fused_gather"]

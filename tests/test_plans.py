@@ -113,6 +113,57 @@ def test_pagerank_superstep_plan_shape(spark):
     assert "partial_sum" in plan_big
 
 
+def test_fused_gather_saves_an_exchange(spark):
+    """fuseApplyFunctions analogue (plans/fusion.py): one fused PR+EC
+    superstep must plan BOTH aggregate columns behind a single
+    groupBy(dst) — strictly fewer Exchanges than the two kernels
+    planned separately, with one shared partial aggregate computing
+    both sums (the eigenvector_pr_fusion.gt payoff, asserted live)."""
+    from pyspark.sql import functions as F
+
+    from graphit_spark.benchqueries import graph
+    from graphit_spark.plans.fusion import fused_gather
+
+    g = graph(spark, SF_DIR, "raw")
+    state = (
+        g.out_degrees()
+        .withColumn("rank", F.lit(1.0))
+        .withColumn("ec", F.lit(1.0))
+    )
+    fused = fused_gather(
+        g.edges,
+        state,
+        {"pr_acc": F.col("rank") / F.col("out_degree"), "ec_acc": F.col("ec")},
+    )
+    fused_plan = _plan(fused)
+    # both sums come out of ONE aggregation pipeline: a single partial
+    # HashAggregate operator carries both accumulators on one plan line
+    assert any(
+        line.count("partial_sum") == 2 for line in fused_plan.splitlines()
+    ), fused_plan
+    assert "CartesianProduct" not in fused_plan
+
+    def one_kernel(msg, name):
+        return (
+            g.edges.join(state.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum(msg).alias(name))
+        )
+
+    separate = sum(
+        _plan(one_kernel(m, n)).count("Exchange")
+        for m, n in [
+            (F.col("rank") / F.col("out_degree"), "pr_acc"),
+            (F.col("ec"), "ec_acc"),
+        ]
+    )
+    assert fused_plan.count("Exchange") < separate, (
+        fused_plan.count("Exchange"),
+        separate,
+    )
+    g.unpersist()
+
+
 def test_graph_build_scan_pushdown(spark):
     """The bench graph's only parquet touch: projection pruned to the
     two id columns and the null filters pushed to the reader — the
