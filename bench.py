@@ -131,10 +131,32 @@ def main() -> None:
     trials = int(os.environ.get("BENCH_PR_TRIALS", "3"))
     g = LinkGraph(synth_edges(spark, synth_v), squished=False)
     num_edges = g.num_edges  # also forces edge materialization + cache
+
+    # optional schedule autotune (reference autotune/graphit_autotuner.py
+    # analogue): BENCH_TUNE=1 searches the pruned schedule space on the
+    # actual synthetic graph first and runs the headline with the winner;
+    # the search report is recorded under throughput["tuned"].
+    pr_kwargs: dict = {}
+    if os.environ.get("BENCH_TUNE", "0") == "1":
+        from graphit_spark.tune import autotune
+
+        tune_out = os.path.join(local_dir, "tuned_pagerank.json")
+        rep = timed(
+            "autotune_pagerank",
+            lambda: autotune(g, "pagerank", trials=1, rounds=2,
+                             out_path=tune_out),
+        )
+        throughput["tuned"] = {"best": rep["best"],
+                               "n_candidates": len(rep["candidates"])}
+        pr_kwargs = {k: v for k, v in rep["best"].items()
+                     if k != "shuffle_partitions"}
+        spark.conf.set("spark.sql.shuffle.partitions",
+                       str(rep["best"]["shuffle_partitions"]))
+
     trial_times = []
     for _ in range(trials):
         t0 = time.time()
-        pagerank(g, max_iters=pr_iters).count()
+        pagerank(g, max_iters=pr_iters, **pr_kwargs).count()
         trial_times.append(time.time() - t0)
     pr_time = min(trial_times)
     times["pagerank_synth"] = round(pr_time, 3)
@@ -147,7 +169,8 @@ def main() -> None:
     if os.environ.get("BENCH_CONVERGE", "1") == "1":
         conv: dict = {}
         t0 = time.time()
-        pagerank(g, tol=1e-6, max_iters=200, metrics_out=conv).count()
+        pagerank(g, tol=1e-6, max_iters=200, metrics_out=conv,
+                 **pr_kwargs).count()
         conv_time = time.time() - t0
         iters = conv.get("iterations", 0)
         times["pagerank_converge_1e6"] = round(conv_time, 3)

@@ -50,6 +50,7 @@ def pagerank(
     store: SnapshotStore | None = None,
     resume: bool = False,
     use_adjacency: bool = False,
+    join_strategy: str | None = None,
     metrics_out: dict | None = None,
 ) -> DataFrame:
     """Returns (id, rank) for every vertex in [0, n).
@@ -61,6 +62,11 @@ def pagerank(
     resume: continue from the latest complete snapshot in `store`.
     use_adjacency: scatter from CSR-like adjacency blocks (explode) rather
     than the flat edge table.
+    join_strategy: explicit join hint for the per-superstep edges ⋈
+    contrib join ("broadcast" | "shuffle_hash" | "merge"); None keeps the
+    size-based auto rule below. A schedule knob for graphit_spark.tune —
+    the analogue of GraphIt's configDirection/configParallelization
+    schedule choices (autotune/graphit_autotuner.py search space).
     metrics_out: if given, filled with {"iterations", "final_err"} — the
     bench harness reads these for the convergence metric.
     """
@@ -87,7 +93,10 @@ def pagerank(
     # shuffles to the cached edge partitioning and builds per-partition
     # hash tables — no global sort of the E-sized side (measured ~2x:
     # 2.8s vs 5.6s per superstep at 17M edges).
-    big_v = graph.num_vertices > 500_000
+    if join_strategy is None:
+        hint = "shuffle_hash" if graph.num_vertices > 500_000 else None
+    else:
+        hint = join_strategy
     prev_ck: DataFrame | None = state
 
     for i in range(start_iter, max_iters):
@@ -96,8 +105,8 @@ def pagerank(
             F.col("id").alias("src"),
             (F.col("rank") / F.col("out_degree")).alias("contrib"),
         )
-        if big_v:
-            contrib_state = contrib_state.hint("shuffle_hash")
+        if hint:
+            contrib_state = contrib_state.hint(hint)
         if use_adjacency:
             # CSR-like scatter: join V-sized blocks, explode neighbors.
             sums = (

@@ -22,9 +22,14 @@ from graphit_spark.plans.traversal import choose_direction
 
 
 def _min_distance_fixpoint(
-    graph: LinkGraph, source: int, dist_expr, max_iters: int
+    graph: LinkGraph, source: int, dist_expr, max_iters: int,
+    threshold_fraction: int = 20,
 ) -> DataFrame:
-    """Shared driver loop: dist[dst] min= dist[src] + cost(edge)."""
+    """Shared driver loop: dist[dst] min= dist[src] + cost(edge).
+
+    threshold_fraction: the sparse/dense direction-switch denominator
+    (reference default 20, gen_edge_apply_func_decl.cpp:722) — exposed
+    as a schedule knob for graphit_spark.tune."""
     own_cache = graph.ensure_persisted()
     num_edges = graph.num_edges
     inf = None  # represented as NULL = unreached
@@ -39,7 +44,9 @@ def _min_distance_fixpoint(
     frontier_size, frontier_deg = 1, 0
 
     for _ in range(max_iters):
-        direction = choose_direction(frontier_size, frontier_deg, num_edges)
+        direction = choose_direction(
+            frontier_size, frontier_deg, num_edges, threshold_fraction
+        )
         f_src = frontier.select(F.col("id").alias("src"))
         active = graph.edges.join(
             F.broadcast(f_src) if direction == "sparse" else f_src,
@@ -82,7 +89,7 @@ def _min_distance_fixpoint(
         # V-sized degree join is skipped on dense rounds (same rule as
         # kernels/components.py)
         frontier_size = changed.count()
-        if frontier_size > num_edges / 20:
+        if frontier_size > num_edges / threshold_fraction:
             frontier_deg = num_edges
         else:
             frontier_deg = int(
@@ -99,18 +106,26 @@ def _min_distance_fixpoint(
     return dist
 
 
-def bfs(graph: LinkGraph, source: int = 0, *, max_iters: int = 500) -> DataFrame:
+def bfs(
+    graph: LinkGraph, source: int = 0, *, max_iters: int = 500,
+    threshold_fraction: int = 20,
+) -> DataFrame:
     """(id, dist) hop distances from source; NULL dist = unreachable."""
     return _min_distance_fixpoint(
-        graph, source, F.col("sdist") + F.lit(1), max_iters
+        graph, source, F.col("sdist") + F.lit(1), max_iters,
+        threshold_fraction,
     )
 
 
-def sssp(graph: LinkGraph, source: int = 0, *, max_iters: int = 500) -> DataFrame:
+def sssp(
+    graph: LinkGraph, source: int = 0, *, max_iters: int = 500,
+    threshold_fraction: int = 20,
+) -> DataFrame:
     """Bellman-Ford shortest paths over the weighted edge table
     (apps/sssp.gt); requires graph.weighted."""
     if not graph.weighted:
         raise ValueError("sssp requires a weighted graph (src, dst, weight)")
     return _min_distance_fixpoint(
-        graph, source, F.col("sdist") + F.col("weight"), max_iters
+        graph, source, F.col("sdist") + F.col("weight"), max_iters,
+        threshold_fraction,
     )

@@ -38,11 +38,17 @@ DIRECTION_THRESHOLD_FRACTION = 20
 
 
 def choose_direction(
-    frontier_size: int, frontier_out_degree_sum: int, num_edges: int
+    frontier_size: int,
+    frontier_out_degree_sum: int,
+    num_edges: int,
+    threshold_fraction: int = DIRECTION_THRESHOLD_FRACTION,
 ) -> str:
     """'sparse' (broadcast frontier semi-join, push-like) or 'dense'
-    (full edge scan, pull-like). Same threshold as the reference."""
-    if frontier_size + frontier_out_degree_sum > num_edges / DIRECTION_THRESHOLD_FRACTION:
+    (full edge scan, pull-like). Default threshold matches the reference;
+    ``threshold_fraction`` is the tunable denominator — GraphIt exposes
+    it through the autotuner's schedule space (autotune/
+    graphit_autotuner.py), here through graphit_spark.tune."""
+    if frontier_size + frontier_out_degree_sum > num_edges / threshold_fraction:
         return "dense"
     return "sparse"
 
