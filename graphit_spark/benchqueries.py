@@ -466,6 +466,70 @@ def fused_pr_ec_sql(rounds: int = EC_ROUNDS, damp: float = 0.85) -> str:
     )
 
 
+HOST_ROLLUP_SQL = (
+    "WITH " + _SQL_COMMON.strip()
+    + """
+SELECT cs.c_nationkey AS src_host, cd.c_nationkey AS dst_host,
+       count(*) AS n_links
+FROM edges e
+JOIN customer cs ON e.src = cs.c_custkey
+JOIN customer cd ON e.dst = cd.c_custkey
+GROUP BY 1, 2 ORDER BY 1, 2"""
+)
+
+
+def host_pagerank_sql(iters: int = PR_ITERS, damp: float = 0.85) -> str:
+    """Twin of q_host_pagerank: page edges contracted to the host
+    (nation) level with link-count weights, then weight-proportional
+    PageRank (kernels/pagerank.py::weighted_pagerank). The quotient
+    universe is max-group-id+1 over the rollup INCLUDING intra-host
+    self-loops (LinkGraph FindMaxNodeID semantics on the contract
+    output); the iterated recurrence then runs on the squished
+    (self-loop-free) host edges."""
+    ctes = [
+        _SQL_COMMON.strip().rstrip(","),
+        """hall AS MATERIALIZED (
+  SELECT cs.c_nationkey AS src, cd.c_nationkey AS dst, count(*) AS w
+  FROM edges e
+  JOIN customer cs ON e.src = cs.c_custkey
+  JOIN customer cd ON e.dst = cd.c_custkey
+  GROUP BY 1, 2
+)""",
+        "hedges AS MATERIALIZED (SELECT src, dst, w FROM hall WHERE src <> dst)",
+        "hnv AS (SELECT max(greatest(src, dst)) + 1 AS n FROM hall)",
+        # nation keys are dense [0, 25): filtering by the rollup's max
+        # reproduces spark.range(n) exactly (the customer-table trick of
+        # _SQL_COMMON, one level up the rollup hierarchy)
+        "hverts AS MATERIALIZED (SELECT CAST(n_nationkey AS BIGINT) AS id"
+        " FROM nation WHERE n_nationkey < (SELECT n FROM hnv))",
+        """hwdeg AS MATERIALIZED (
+  SELECT v.id, coalesce(sum(e.w), 0) AS wdeg
+  FROM hverts v LEFT JOIN hedges e ON e.src = v.id GROUP BY v.id
+)""",
+        "h0 AS (SELECT id, 1e0 / (SELECT n FROM hnv) AS rank FROM hverts)",
+    ]
+    for k in range(1, iters + 1):
+        p = f"h{k - 1}"
+        ctes.append(
+            f"""h{k} AS MATERIALIZED (
+  SELECT v.id,
+         (1e0 - {damp}e0) / (SELECT n FROM hnv)
+           + {damp}e0 * coalesce(s.acc, 0e0) AS rank
+  FROM hverts v LEFT JOIN (
+    SELECT e.dst AS id, sum(r.rank / d.wdeg * e.w) AS acc
+    FROM hedges e
+    JOIN {p} r ON e.src = r.id
+    JOIN hwdeg d ON e.src = d.id
+    GROUP BY e.dst
+  ) s USING (id)
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id, round(rank, {ROUND_RANK}) AS rank FROM h{iters} ORDER BY id"
+    )
+
+
 def closeness_sql(rounds: int = SSSP_ROUNDS, source: int = 0) -> str:
     """Weighted closeness per apps/closeness_centrality_weighted.gt:
     SSSP distances with unreached mapped to 0 (final_vertex_f)."""
@@ -694,6 +758,36 @@ def q_fused_pr_eigenvector(spark, sf_dir):
         "id",
         F.round("rank", ROUND_RANK).alias("rank"),
         F.round("ec", ROUND_RANK).alias("ec"),
+    )
+
+
+def _host_map(spark, sf_dir):
+    return load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"), F.col("c_nationkey").alias("group")
+    )
+
+
+def q_host_rollup(spark, sf_dir):
+    """The Common-Crawl host-webgraph construction: page-level edges
+    contracted to host (nation) level with link counts, intra-host
+    self-loops included (LinkGraph.contract)."""
+    g = graph(spark, sf_dir, "raw")
+    return g.contract(_host_map(spark, sf_dir)).select(
+        F.col("src").alias("src_host"),
+        F.col("dst").alias("dst_host"),
+        F.col("weight").alias("n_links"),
+    )
+
+
+def q_host_pagerank(spark, sf_dir):
+    """Weighted PageRank over the rolled-up host graph — rank flows
+    proportionally to page-level link counts."""
+    from graphit_spark.kernels import weighted_pagerank
+
+    g = graph(spark, sf_dir, "raw")
+    hg = LinkGraph(g.contract(_host_map(spark, sf_dir)), persist=False)
+    return weighted_pagerank(hg, max_iters=PR_ITERS).select(
+        "id", F.round("rank", ROUND_RANK).alias("rank")
     )
 
 
@@ -1644,6 +1738,8 @@ GRAPH_QUERIES: dict[str, tuple] = {
     "collab_filtering": (q_cf, cf_sql()),
     "eigenvector": (q_eigenvector, eigenvector_sql()),
     "fused_pr_eigenvector": (q_fused_pr_eigenvector, fused_pr_ec_sql()),
+    "host_graph_rollup": (q_host_rollup, HOST_ROLLUP_SQL),
+    "host_pagerank": (q_host_pagerank, host_pagerank_sql()),
     "closeness": (q_closeness, closeness_sql()),
     "sssp_delta_stepping": (q_sssp_delta, sssp_fixpoint_sql()),
     "astar": (q_astar, astar_sql()),

@@ -259,6 +259,38 @@ class LinkGraph:
             persist=self._persisted, num_vertices=self.num_vertices,
         )
 
+    def contract(self, mapping: DataFrame) -> DataFrame:
+        """Quotient/rollup edge table: map each endpoint through
+        ``mapping`` (columns ``id, group``) and count parallel edges —
+        ``(src, dst, weight)`` at the group level, self-loops (intra-group
+        links) INCLUDED.
+
+        This is the host-graph rollup of web-graph processing (page-level
+        links → host/domain-level counts, the shape of the published
+        Common-Crawl host webgraphs). Wrap the result in ``LinkGraph`` to
+        run kernels on the quotient graph — squish then removes the
+        intra-group self-loops, per simple-graph semantics; keep the raw
+        table when the intra-group counts themselves are the product.
+
+        Plan: two V-group-sized joins against the E-sized edge table
+        (Catalyst/AQE broadcasts the mapping when small) and one
+        map-side-combined groupBy — no extra shuffle of the edge table
+        beyond its cached src partitioning.
+        """
+        m = mapping.select(
+            F.col(mapping.columns[0]).cast("long").alias("id"),
+            F.col(mapping.columns[1]).cast("long").alias("group"),
+        )
+        return (
+            self.edges.join(m.withColumnRenamed("id", SRC), SRC)
+            .select(F.col("group").alias("__gsrc"), DST)
+            .join(m.withColumnRenamed("id", DST), DST)
+            .groupBy(
+                F.col("__gsrc").alias(SRC), F.col("group").alias(DST)
+            )
+            .agg(F.count("*").alias(WEIGHT))
+        )
+
     def relabel_by_degree(self) -> "LinkGraph":
         """Renumber vertices by decreasing out-degree (ties: old id asc) —
         GraphIt ``edges.relabel()`` (intrinsics.h:237-264). New id 0 is the

@@ -2,6 +2,7 @@ from graphit_spark.kernels.pagerank import (
     pagerank,
     pagerank_delta,
     personalized_pagerank,
+    weighted_pagerank,
 )
 from graphit_spark.kernels.components import connected_components
 from graphit_spark.kernels.labelprop import label_propagation
@@ -55,6 +56,7 @@ __all__ = [
     "pagerank",
     "pagerank_delta",
     "personalized_pagerank",
+    "weighted_pagerank",
     "connected_components",
     "label_propagation",
     "triangle_count",

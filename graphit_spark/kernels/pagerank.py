@@ -164,6 +164,76 @@ def pagerank(
     return result
 
 
+def weighted_pagerank(
+    graph: LinkGraph,
+    *,
+    damp: float = 0.85,
+    max_iters: int = 20,
+) -> DataFrame:
+    """PageRank over a weighted edge table: each superstep distributes
+    rank proportionally to edge weight —
+    ``contrib(s→d) = rank[s] * w(s,d) / Σ_e w(s,e)`` — the variant used
+    on rolled-up host graphs where weight = page-level link count
+    (LinkGraph.contract). Same reference recurrence otherwise (beta
+    shift, no dangling redistribution) and the same one-shuffle-pair
+    superstep plan as ``pagerank``: the per-src unit rank/out_wdeg ships
+    through the edges ⋈ state join and the weight multiply happens
+    edge-side before the map-side-combined groupBy(dst) sum.
+    """
+    if not graph.weighted:
+        raise ValueError("weighted_pagerank requires (src, dst, weight)")
+    own_cache = graph.ensure_persisted()
+    n = graph.num_vertices
+    beta = (1.0 - damp) / n
+
+    wdeg = (
+        graph.vertices()
+        .join(
+            graph.edges.groupBy(F.col("src").alias("id")).agg(
+                F.sum("weight").alias("out_wdeg")
+            ),
+            "id",
+            "left",
+        )
+        .select("id", F.coalesce("out_wdeg", F.lit(0)).alias("out_wdeg"))
+    )
+    state = wdeg.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(
+        eager=True
+    )
+    hint = "shuffle_hash" if n > 500_000 else None
+    prev = state
+    for _ in range(max_iters):
+        unit = state.filter(F.col("out_wdeg") > 0).select(
+            F.col("id").alias("src"),
+            (F.col("rank") / F.col("out_wdeg")).alias("unit"),
+        )
+        if hint:
+            unit = unit.hint(hint)
+        sums = (
+            graph.edges.join(unit, "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum(F.col("unit") * F.col("weight")).alias("gathered"))
+        )
+        state = (
+            state.join(sums, "id", "left")
+            .select(
+                "id",
+                "out_wdeg",
+                (
+                    F.lit(beta)
+                    + F.lit(damp) * F.coalesce("gathered", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        prev.unpersist()
+        prev = state
+    result = state.select("id", "rank")
+    if own_cache:
+        graph.unpersist()
+    return result
+
+
 def personalized_pagerank(
     graph: LinkGraph,
     source: int,

@@ -184,3 +184,58 @@ class TestFromCSR:
                 spark, indptr=np.array([0, 1]), indices=np.array([0]),
                 weighted=True, persist=False,
             )
+
+
+def test_contract_rolls_up_with_self_loops(spark):
+    """Host-rollup semantics: endpoints map through the group column,
+    parallel page links become counts, intra-group links stay as
+    self-loop rows (the Common-Crawl host-webgraph shape)."""
+    e = [(0, 1), (0, 2), (1, 2), (2, 3), (3, 0), (3, 1)]
+    g = LinkGraph.from_pairs(spark, e, persist=False)
+    m = spark.createDataFrame(
+        [(0, 10), (1, 10), (2, 11), (3, 11)], ["id", "group"]
+    )
+    got = {
+        (r["src"], r["dst"]): r["weight"]
+        for r in g.contract(m).collect()
+    }
+    # 0->1 intra(10,10); 0->2,1->2 (10,11)x2; 2->3 intra(11,11);
+    # 3->0,3->1 (11,10)x2
+    assert got == {(10, 10): 1, (10, 11): 2, (11, 11): 1, (11, 10): 2}
+
+
+def test_weighted_pagerank_matches_unweighted_on_unit_weights(spark):
+    """With all weights 1 the weight-proportional recurrence IS the
+    reference recurrence — both kernels must agree to float noise."""
+    from graphit_spark.kernels import pagerank, weighted_pagerank
+
+    e = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 0), (1, 3)]
+    g = LinkGraph.from_pairs(spark, e, persist=False)
+    gw = LinkGraph(
+        g.edges.withColumn("weight", F.lit(1)), squished=True, persist=False
+    )
+    pr = {r["id"]: r["rank"] for r in pagerank(g, max_iters=8).collect()}
+    wpr = {
+        r["id"]: r["rank"]
+        for r in weighted_pagerank(gw, max_iters=8).collect()
+    }
+    assert set(pr) == set(wpr)
+    assert all(abs(pr[i] - wpr[i]) < 1e-12 for i in pr)
+
+
+def test_weighted_pagerank_follows_weight_mass(spark):
+    """Rank must flow with the weights: from a single source splitting
+    3:1, the heavy destination ends up with exactly 3x the gathered
+    share (one iteration, hand-checkable)."""
+    from graphit_spark.kernels import weighted_pagerank
+
+    ew = [(0, 1, 3), (0, 2, 1)]
+    g = LinkGraph(
+        spark.createDataFrame(ew, ["src", "dst", "weight"]), persist=False
+    )
+    r = {x["id"]: x["rank"] for x in weighted_pagerank(g, max_iters=1).collect()}
+    n, damp = 3, 0.85
+    beta = (1 - damp) / n
+    assert abs(r[1] - (beta + damp * (1 / n) * 0.75)) < 1e-12
+    assert abs(r[2] - (beta + damp * (1 / n) * 0.25)) < 1e-12
+    assert abs(r[0] - beta) < 1e-12
