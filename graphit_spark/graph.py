@@ -291,6 +291,48 @@ class LinkGraph:
             .agg(F.count("*").alias(WEIGHT))
         )
 
+    def relabel_worth_it(
+        self, num_samples: int = 1000, seed: int = 17
+    ) -> bool:
+        """The GAPBS/reference worth-relabelling test (intrinsics.h:
+        239-256 ``builtin_relabel``): skip when average degree < 10,
+        else sample up to ``num_samples`` out-degrees of
+        positive-degree vertices (the reference's SourcePicker skips
+        degree-0 sources) and relabel only when the degree distribution
+        is skewed — ``sample_mean / 1.3 > sample_median``.
+
+        The reference samples with a seeded RNG; here the sample is the
+        ``num_samples`` smallest md5(id, seed) hashes — equally uniform
+        over vertices, but deterministic across runs and engines (the
+        engine's standard reproducible-draw device, kernels/walks.py).
+        At scale this plans as a TakeOrdered over the V-sized degree
+        table — no global sort materialization.
+        """
+        n, m = self.num_vertices, self.num_edges
+        if n == 0 or m // n < 10:
+            return False
+        sampled = (
+            self.out_degrees()
+            .filter(F.col("out_degree") > 0)
+            .orderBy(F.md5(F.concat_ws(",", F.col("id"), F.lit(seed))))
+            .limit(num_samples)
+            .select("out_degree")
+            .collect()
+        )
+        if not sampled:
+            return False
+        degs = sorted(r["out_degree"] for r in sampled)
+        mean = sum(degs) / len(degs)
+        median = degs[len(degs) // 2]
+        return mean / 1.3 > median
+
+    def relabel_if_worth_it(self, **kw) -> "LinkGraph":
+        """``edges.relabel()`` with the reference's sampling gate: the
+        degree-sorted renumbering only pays when high-degree vertices
+        exist to cluster (builtin_relabel returns the input graph
+        unchanged otherwise)."""
+        return self.relabel_by_degree() if self.relabel_worth_it(**kw) else self
+
     def relabel_by_degree(self) -> "LinkGraph":
         """Renumber vertices by decreasing out-degree (ties: old id asc) —
         GraphIt ``edges.relabel()`` (intrinsics.h:237-264). New id 0 is the

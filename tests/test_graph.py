@@ -239,3 +239,32 @@ def test_weighted_pagerank_follows_weight_mass(spark):
     assert abs(r[1] - (beta + damp * (1 / n) * 0.75)) < 1e-12
     assert abs(r[2] - (beta + damp * (1 / n) * 0.25)) < 1e-12
     assert abs(r[0] - beta) < 1e-12
+
+
+def test_relabel_worth_it_matches_reference_rule(spark):
+    """GAPBS builtin_relabel gate (intrinsics.h:239-256): dense-average
+    gate first, then mean/1.3 > median over sampled nonzero degrees."""
+    # avg degree < 10: never worth it, even though skew is extreme
+    hub = [(0, v) for v in range(1, 40)] + [(v, 0) for v in range(1, 40)]
+    g1 = LinkGraph.from_pairs(spark, hub, persist=False)
+    assert g1.relabel_worth_it() is False  # m/n ≈ 2 < 10
+
+    # avg degree ≥ 10, uniform degrees: mean ≈ median -> not worth it
+    n, d = 60, 12
+    uni = [(s, (s + k) % n) for s in range(n) for k in range(1, d + 1)]
+    g2 = LinkGraph.from_pairs(spark, uni, persist=False)
+    assert g2.relabel_worth_it() is False
+    assert g2.relabel_if_worth_it() is g2  # unchanged graph, like the ref
+
+    # avg degree ≥ 10 with hub skew: 7 hubs of degree 43 over a
+    # degree-7 background -> mean 12.04, median 7; 12.04/1.3 = 9.26 > 7
+    n = 50
+    hubs = [(h, v) for h in range(7) for v in range(7, n) if v != h]
+    tail = [(v, (v + 1) % n) for v in range(7, n)]
+    body = [(v, (v + k) % n) for v in range(7, n) for k in range(2, 8)]
+    g3 = LinkGraph.from_pairs(spark, hubs + tail + body, persist=False)
+    assert g3.relabel_worth_it() is True
+    relabeled = g3.relabel_if_worth_it()
+    assert relabeled is not g3
+    assert relabeled.num_vertices == g3.num_vertices
+    assert relabeled.num_edges == g3.num_edges
