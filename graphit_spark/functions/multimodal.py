@@ -2,10 +2,12 @@
 
 Images/audio/video ride through the engine as `binary` columns with a
 small typed header; decode / feature-extract / resize / frame-sample run
-as Arrow-batched mapInPandas operators. Two REAL formats decode with
+as Arrow-batched mapInPandas operators. Three REAL formats decode with
 the stdlib alone and exercise the full pipeline end to end: BMP
-(uncompressed 8/24-bpp → grayscale, resize re-encodes a readable BMP)
-and PCM WAV (via the `wave` module). Everything beyond those is STUBBED
+(uncompressed 8/24-bpp → grayscale, resize re-encodes a readable BMP),
+PNG (zlib inflate + all five scanline filters; gray/RGB/palette/alpha
+color types; resize re-encodes a readable grayscale PNG) and PCM WAV
+(via the `wave` module). Everything beyond those is STUBBED
 (this container has no PIL/ffmpeg): real libraries plug in behind the
 `_HAVE_PIL` import-try, and the deterministic fake container format
 ("FAKEIMG1/FAKEAUD1/FAKEVID1") keeps the Spark-side plumbing — binary
@@ -124,6 +126,135 @@ def encode_bmp_gray(arr) -> bytes:
     )
 
 
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _decode_png(raw: bytes):
+    """Non-interlaced 8-bit PNG → (h, w) uint8 grayscale ndarray, pure
+    stdlib (zlib inflate + the five scanline filters). Color types:
+    gray(0), RGB(2) via integer ITU-R 601 luminance, palette(3),
+    gray+alpha(4), RGBA(6). 16-bit depth / interlacing raise
+    NotImplementedError."""
+    import zlib
+
+    import numpy as np
+
+    if raw[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG")
+    pos, ihdr, plte, idat = 8, None, None, []
+    while pos + 8 <= len(raw):
+        ln = int.from_bytes(raw[pos:pos + 4], "big")
+        typ = raw[pos + 4:pos + 8]
+        data = raw[pos + 8:pos + 8 + ln]
+        pos += 12 + ln  # length + type + payload + crc
+        if typ == b"IHDR":
+            ihdr = data
+        elif typ == b"PLTE":
+            plte = data
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr
+    )
+    if depth != 8 or interlace != 0 or comp != 0 or filt != 0:
+        raise NotImplementedError(
+            f"PNG depth={depth} interlace={interlace} unsupported "
+            "(8-bit non-interlaced only)"
+        )
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    if channels is None:
+        raise ValueError(f"PNG color type {color} invalid")
+    stride = w * channels
+    dec = zlib.decompress(b"".join(idat))
+    if len(dec) < (stride + 1) * h:
+        raise ValueError("PNG scanline data truncated")
+    img = np.empty((h, stride), np.uint8)
+    prev = np.zeros(stride, np.int32)
+    for y in range(h):
+        f = dec[y * (stride + 1)]
+        line = np.frombuffer(
+            dec, np.uint8, stride, y * (stride + 1) + 1
+        ).astype(np.int32)
+        if f == 0:
+            cur = line
+        elif f == 1:  # Sub: + recon[x-bpp]; per-lane cumsum mod 256
+            cur = np.cumsum(line.reshape(w, channels), axis=0) & 0xFF
+            cur = cur.reshape(stride)
+        elif f == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif f in (3, 4):  # Average / Paeth: sequential in x
+            cur = np.zeros(stride, np.int32)
+            for x in range(stride):
+                a = cur[x - channels] if x >= channels else 0
+                b = prev[x]
+                if f == 3:
+                    cur[x] = (line[x] + ((a + b) >> 1)) & 0xFF
+                else:
+                    c = prev[x - channels] if x >= channels else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (
+                        b if pb <= pc else c
+                    )
+                    cur[x] = (line[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"PNG filter {f} invalid")
+        img[y] = cur.astype(np.uint8)
+        prev = cur
+    if color == 0:
+        return img
+    if color == 4:  # gray + alpha: luminance channel
+        return img.reshape(h, w, 2)[:, :, 0].copy()
+    if color == 3:
+        if plte is None:
+            raise ValueError("palette PNG without PLTE")
+        pal = np.frombuffer(plte, np.uint8).reshape(-1, 3).astype(np.int64)
+        lum = ((pal[:, 0] * 299 + pal[:, 1] * 587 + pal[:, 2] * 114)
+               // 1000).astype(np.uint8)
+        idx = img.reshape(h, w)
+        if int(idx.max(initial=0)) >= len(lum):
+            raise ValueError("PNG palette index out of range")
+        return lum[idx]
+    rgb = img.reshape(h, w, channels).astype(np.int64)  # 2 or 6
+    return (
+        (rgb[:, :, 0] * 299 + rgb[:, :, 1] * 587 + rgb[:, :, 2] * 114) // 1000
+    ).astype(np.uint8)
+
+
+def encode_png_gray(arr) -> bytes:
+    """(h, w) uint8 → 8-bit grayscale PNG (filter 0 scanlines), so
+    resized output stays a readable real-format image."""
+    import zlib
+
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    h, w = a.shape
+    scan = np.zeros((h, w + 1), np.uint8)
+    scan[:, 1:] = a
+    payload = zlib.compress(scan.tobytes(), 6)
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        body = typ + data
+        return (
+            len(data).to_bytes(4, "big")
+            + body
+            + (zlib.crc32(body) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    return (
+        PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", payload)
+        + chunk(b"IEND", b"")
+    )
+
+
 def _decode_wav(raw: bytes):
     """PCM WAV → (sample_rate, float64 samples, sample_width_bytes) via
     the stdlib wave module (mono mix for multi-channel)."""
@@ -203,6 +334,9 @@ def image_metadata(df: DataFrame, bin_col: str = "image") -> DataFrame:
                 elif raw[:2] == b"BM":
                     a, c = struct.unpack_from("<ii", raw, 18)
                     w.append(a); hh.append(abs(c)); fmt.append("bmp")
+                elif raw[:8] == PNG_MAGIC:
+                    a, c = struct.unpack_from(">II", raw, 16)  # IHDR w,h
+                    w.append(a); hh.append(c); fmt.append("png")
                 else:
                     w.append(None); hh.append(None); fmt.append("unknown")
             out = pdf[id_cols].copy()
@@ -233,12 +367,15 @@ def image_features(df: DataFrame, bin_col: str = "image") -> DataFrame:
                     arr = np.frombuffer(raw[16:], dtype=np.uint8)
                 elif raw[:2] == b"BM":
                     arr = _decode_bmp(raw).ravel()  # real decode path
+                elif raw[:8] == PNG_MAGIC:
+                    arr = _decode_png(raw).ravel()  # real decode path
                 elif _HAVE_PIL:  # pragma: no cover
                     raise NotImplementedError("real codec path not wired")
                 else:
                     raise NotImplementedError(
-                        "image decode beyond BMP needs PIL/ffmpeg — not in "
-                        "this container; BMP and FAKEIMG1 are supported"
+                        "image decode beyond BMP/PNG needs PIL/ffmpeg — not "
+                        "in this container; BMP, PNG and FAKEIMG1 are "
+                        "supported"
                     )
                 mean.append(float(arr.mean()) if arr.size else 0.0)
                 mn.append(int(arr.min()) if arr.size else 0)
@@ -339,26 +476,36 @@ def image_resize(
                     w, h = struct.unpack(">ii", raw[8:16])
                     arr = np.frombuffer(raw[16:16 + w * h], dtype=np.uint8)
                     arr = arr.reshape(h, w)
-                    is_bmp = False
+                    fmt = "fake"
                 elif raw[:2] == b"BM":
                     arr = _decode_bmp(raw)  # real decode path
                     h, w = arr.shape
-                    is_bmp = True
+                    fmt = "bmp"
+                elif raw[:8] == PNG_MAGIC:
+                    arr = _decode_png(raw)  # real decode path
+                    h, w = arr.shape
+                    fmt = "png"
                 else:
                     raise NotImplementedError(
-                        "image decode beyond BMP needs PIL/ffmpeg — not "
-                        "in this container; BMP and FAKEIMG1 are supported"
+                        "image decode beyond BMP/PNG needs PIL/ffmpeg — "
+                        "not in this container; BMP, PNG and FAKEIMG1 are "
+                        "supported"
                     )
                 ys = (np.arange(height) * h // height).clip(0, h - 1)
                 xs = (np.arange(width) * w // width).clip(0, w - 1)
                 resized = arr[np.ix_(ys, xs)]
-                out_bytes.append(
-                    encode_bmp_gray(resized)  # stays a readable BMP
-                    if is_bmp
-                    else IMG_MAGIC
-                    + struct.pack(">ii", width, height)
-                    + resized.tobytes()
-                )
+                # each real format round-trips to itself, so resized
+                # output feeds back through metadata/features
+                if fmt == "bmp":
+                    out_bytes.append(encode_bmp_gray(resized))
+                elif fmt == "png":
+                    out_bytes.append(encode_png_gray(resized))
+                else:
+                    out_bytes.append(
+                        IMG_MAGIC
+                        + struct.pack(">ii", width, height)
+                        + resized.tobytes()
+                    )
             out = pdf[id_cols].copy()
             out[bin_col] = out_bytes
             yield out

@@ -227,3 +227,155 @@ class TestRealCodecs:
         )
         with pytest.raises(Exception, match="decode beyond BMP"):
             image_features(df).collect()
+
+
+class TestPngCodec:
+    """PNG is the third real (stdlib-decodable) format: zlib inflate +
+    the five scanline filters, all color types at 8-bit depth."""
+
+    @staticmethod
+    def _png(w, h, color, rows, plte=None, filters=None):
+        """Hand-built PNG: `rows` is h scanlines of raw channel bytes;
+        `filters[y]` filters scanline y on encode (so decode must
+        invert it)."""
+        import struct
+        import zlib
+
+        def flt(y, line, prev, bpp):
+            f = (filters or [0] * h)[y]
+            out = bytearray()
+            for x, v in enumerate(line):
+                a = line[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                if f == 0:
+                    out.append(v)
+                elif f == 1:
+                    out.append((v - a) & 0xFF)
+                elif f == 2:
+                    out.append((v - b) & 0xFF)
+                elif f == 3:
+                    out.append((v - ((a + b) >> 1)) & 0xFF)
+                else:  # paeth
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (
+                        b if pb <= pc else c)
+                    out.append((v - pred) & 0xFF)
+            return bytes([f]) + bytes(out)
+
+        bpp = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
+        scan = b""
+        prev = bytes(w * bpp)
+        for y, line in enumerate(rows):
+            scan += flt(y, line, prev, bpp)
+            prev = line
+
+        def chunk(typ, data):
+            body = typ + data
+            return (len(data).to_bytes(4, "big") + body
+                    + (zlib.crc32(body) & 0xFFFFFFFF).to_bytes(4, "big"))
+
+        out = b"\x89PNG\r\n\x1a\n" + chunk(
+            b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0))
+        if plte is not None:
+            out += chunk(b"PLTE", plte)
+        return out + chunk(b"IDAT", zlib.compress(scan)) + chunk(b"IEND", b"")
+
+    def test_gray_roundtrip_all_filters(self):
+        import numpy as np
+
+        from graphit_spark.functions.multimodal import (
+            _decode_png, encode_png_gray,
+        )
+
+        rng = np.random.default_rng(7)
+        img = rng.integers(0, 256, (5, 9), dtype=np.uint8)
+        # encoder (filter 0) round trip
+        assert (_decode_png(encode_png_gray(img)) == img).all()
+        # every filter type must invert exactly
+        rows = [bytes(img[y]) for y in range(5)]
+        for f in (0, 1, 2, 3, 4):
+            raw = self._png(9, 5, 0, rows, filters=[f] * 5)
+            assert (_decode_png(raw) == img).all(), f"filter {f}"
+        # mixed filters per scanline
+        raw = self._png(9, 5, 0, rows, filters=[0, 1, 2, 3, 4])
+        assert (_decode_png(raw) == img).all()
+
+    def test_color_types_reduce_to_luminance(self):
+        import numpy as np
+
+        from graphit_spark.functions.multimodal import _decode_png
+
+        # RGB: pure red/green/blue pixels -> 601 integer luminance
+        rgb_rows = [bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])]
+        got = _decode_png(self._png(3, 1, 2, rgb_rows))
+        assert got.tolist() == [[76, 149, 29]]
+        # RGBA ignores alpha
+        rgba_rows = [bytes([255, 0, 0, 7, 0, 255, 0, 7])]
+        got = _decode_png(self._png(2, 1, 6, rgba_rows))
+        assert got.tolist() == [[76, 149]]
+        # palette indexes through PLTE luminance
+        plte = bytes([255, 0, 0, 0, 255, 0, 10, 10, 10])
+        got = _decode_png(self._png(3, 1, 3, [bytes([2, 0, 1])], plte=plte))
+        assert got.tolist() == [[10, 76, 149]]
+        # gray+alpha keeps the gray channel
+        got = _decode_png(self._png(2, 1, 4, [bytes([33, 0, 99, 255])]))
+        assert got.tolist() == [[33, 99]]
+
+    def test_png_through_pipeline_and_resize_stays_png(self, spark):
+        import numpy as np
+
+        from graphit_spark.functions.multimodal import (
+            _decode_png,
+            encode_png_gray,
+            image_features,
+            image_metadata,
+            image_resize,
+        )
+
+        img = (np.arange(96, dtype=np.uint8).reshape(8, 12) * 2)
+        df = spark.createDataFrame(
+            [(0, bytearray(encode_png_gray(img)))],
+            "doc_id long, image binary",
+        )
+        meta = image_metadata(df).collect()[0]
+        assert (meta["format"], meta["width"], meta["height"]) == ("png", 12, 8)
+        feats = image_features(df).collect()[0]
+        assert feats["px_mean"] == float(img.mean())
+        resized = image_resize(df, 6, 4).collect()[0]["image"]
+        arr = _decode_png(bytes(resized))
+        assert arr.shape == (4, 6)
+        m2 = image_metadata(
+            spark.createDataFrame([(0, bytearray(bytes(resized)))],
+                                  "doc_id long, image binary")
+        ).collect()[0]
+        assert (m2["format"], m2["width"], m2["height"]) == ("png", 6, 4)
+
+    def test_unsupported_png_variants_raise(self):
+        import struct
+        import zlib
+
+        import pytest
+
+        from graphit_spark.functions.multimodal import _decode_png
+
+        def chunk(typ, data):
+            body = typ + data
+            return (len(data).to_bytes(4, "big") + body
+                    + (zlib.crc32(body) & 0xFFFFFFFF).to_bytes(4, "big"))
+
+        # 16-bit depth
+        raw = (b"\x89PNG\r\n\x1a\n"
+               + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 16, 0, 0, 0, 0))
+               + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00\x00\x00"))
+               + chunk(b"IEND", b""))
+        with pytest.raises(NotImplementedError):
+            _decode_png(raw)
+        # interlaced
+        raw = (b"\x89PNG\r\n\x1a\n"
+               + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 8, 0, 0, 0, 1))
+               + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00"))
+               + chunk(b"IEND", b""))
+        with pytest.raises(NotImplementedError):
+            _decode_png(raw)
