@@ -233,6 +233,59 @@ def q_corpus_select_dedup(spark, sf_dir):
     return selected.join(dropped, "doc_id", "left_anti")
 
 
+CLUSTER_CC_ROUNDS = 10  # oracle label-propagation rounds (see twin)
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """Near-duplicate CLUSTERS: the transitive closure of the confirmed
+    near-dup pair relation, computed by the engine's own connected-
+    components kernel over the pair graph — the composition a real
+    pipeline needs (pairwise drop-the-larger under-merges chains:
+    A~B, B~C must land A,B,C in ONE cluster even when A~C fails the
+    threshold). Returns one row per document: (doc_id, cluster_id,
+    cluster_size) with cluster_id = min doc_id in the cluster and
+    singletons mapping to themselves.
+
+    Scale shape: LSH banding bucket join → candidate-gated exact
+    Jaccard (never corpus-quadratic) → CC on a graph whose edge count
+    is the number of confirmed pairs (≪ corpus); the CC superstep is
+    the same min-label gather the link-graph kernel ships
+    (kernels/components.py), so hub dups and long chains inherit its
+    direction switching and pointer jumping."""
+    from graphit_spark.graph import LinkGraph
+    from graphit_spark.kernels import connected_components
+
+    docs = load(spark, sf_dir, "documents")
+    cands = D.lsh_candidate_pairs(docs, k=MINHASH_K)
+    jac = D.jaccard_on_candidates(docs, cands)
+    pairs = (
+        jac.filter(F.col("jaccard") >= NEAR_DUP_JACCARD)
+        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .localCheckpoint(eager=True)
+    )
+    ids = docs.select(F.col("doc_id").cast("long").alias("doc_id"))
+    if pairs.isEmpty():
+        labeled = ids.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    else:
+        g = LinkGraph(pairs, persist=False)
+        comp = connected_components(g).select(
+            F.col("id").alias("doc_id"), F.col("comp").alias("cluster_id")
+        )
+        labeled = (
+            ids.join(comp, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+            )
+        )
+    sizes = labeled.groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_size")
+    )
+    return labeled.join(sizes, "cluster_id").select(
+        "doc_id", "cluster_id", "cluster_size"
+    )
+
+
 def q_events_hourly(spark, sf_dir):
     ev = load(spark, sf_dir, "events")
     return ev.groupBy(
@@ -475,6 +528,52 @@ def _jaccard_lsh_sql(k: int = MINHASH_K, rows_per_band: int = 2) -> str:
     return (
         "WITH " + _jaccard_lsh_ctes(k, rows_per_band)
         + "\nSELECT doc_a, doc_b, jaccard FROM jac ORDER BY doc_a, doc_b"
+    )
+
+
+def _dedup_clusters_sql(
+    k: int = MINHASH_K, rows_per_band: int = 2,
+    rounds: int = CLUSTER_CC_ROUNDS,
+) -> str:
+    """Twin of q_dedup_clusters: same LSH→Jaccard pair CTEs, then
+    `rounds` iterated min-label-propagation CTEs (the cc_sql pattern —
+    benchqueries.cc_sql) over the symmetrized pair graph. The Spark
+    side runs CC to convergence; `rounds`=10 over-covers the widest
+    near-dup chain the synthetic corpus produces (clusters are
+    small — checked by the parity gate itself)."""
+    ctes = [
+        _jaccard_lsh_ctes(k, rows_per_band),
+        f"""p AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM jac WHERE jaccard >= {NEAR_DUP_JACCARD}
+)""",
+        """psym AS MATERIALIZED (
+  SELECT doc_a AS s, doc_b AS d FROM p
+  UNION ALL SELECT doc_b AS s, doc_a AS d FROM p
+)""",
+        "c0 AS (SELECT doc_id, doc_id AS comp FROM documents)",
+    ]
+    for i in range(1, rounds + 1):
+        prev = f"c{i - 1}"
+        ctes.append(
+            f"""c{i} AS MATERIALIZED (
+  SELECT v.doc_id, least(v.comp, coalesce(m.mn, v.comp)) AS comp
+  FROM {prev} v LEFT JOIN (
+    SELECT e.d AS doc_id, min(l.comp) AS mn
+    FROM psym e JOIN {prev} l ON e.s = l.doc_id
+    GROUP BY e.d
+  ) m USING (doc_id)
+)"""
+        )
+    ctes.append(
+        f"csizes AS (SELECT comp, count(*) AS n FROM c{rounds} GROUP BY comp)"
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT c.doc_id, CAST(c.comp AS BIGINT) AS cluster_id,
+       CAST(s.n AS BIGINT) AS cluster_size
+FROM c{rounds} c JOIN csizes s ON c.comp = s.comp
+ORDER BY c.doc_id"""
     )
 
 
@@ -859,6 +958,7 @@ TEXT_QUERIES: dict[str, tuple] = {
     "dedup_simhash": (q_simhash, _simhash_sql()),
     "corpus_select": (q_corpus_select, _corpus_select_sql()),
     "corpus_select_dedup": (q_corpus_select_dedup, _corpus_select_dedup_sql()),
+    "dedup_clusters": (q_dedup_clusters, _dedup_clusters_sql()),
     "sim_lsh_topk": (q_lsh_topk, SQL_LSH_TOPK),
     "sim_lsh_multiprobe_topk": (q_lsh_multiprobe_topk, SQL_LSH_MULTIPROBE_TOPK),
     "sim_ivf_topk": (q_ivf_topk, SQL_IVF_TOPK),
