@@ -218,7 +218,12 @@ def q_corpus_select_dedup(spark, sf_dir):
     equi-join (never all-pairs); exact Jaccard runs only on candidate
     pairs with shingles built only for touched docs (semi-join prune).
     No cross join anywhere in the plan (asserted in test_plans.py)."""
-    docs = load(spark, sf_dir, "documents")
+    return corpus_select_dedup(load(spark, sf_dir, "documents"))
+
+
+def corpus_select_dedup(docs: DataFrame) -> DataFrame:
+    """DataFrame-level body of q_corpus_select_dedup (shared with the
+    jobs/run_curation.py spark-submit entry)."""
     selected = _corpus_selected(docs)
     # near-dup stage over the gate SURVIVORS only — shingling the full
     # corpus to then throw away the gated docs would be wasted work
@@ -252,10 +257,15 @@ def q_dedup_clusters(spark, sf_dir):
     the same min-label gather the link-graph kernel ships
     (kernels/components.py), so hub dups and long chains inherit its
     direction switching and pointer jumping."""
+    return dedup_clusters(load(spark, sf_dir, "documents"))
+
+
+def dedup_clusters(docs: DataFrame) -> DataFrame:
+    """DataFrame-level body of q_dedup_clusters (shared with the
+    jobs/run_curation.py spark-submit entry)."""
     from graphit_spark.graph import LinkGraph
     from graphit_spark.kernels import connected_components
 
-    docs = load(spark, sf_dir, "documents")
     cands = D.lsh_candidate_pairs(docs, k=MINHASH_K)
     jac = D.jaccard_on_candidates(docs, cands)
     pairs = (

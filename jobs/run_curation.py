@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""spark-submit entry point: training-corpus curation over a documents
+table — the data-pipeline twin of jobs/run_kernel.py.
+
+Cluster usage:
+    python jobs/package.py                       # builds dist/graphit_spark.zip
+    spark-submit --py-files dist/graphit_spark.zip \\
+        jobs/run_curation.py --stage dedup \\
+        --documents s3://bucket/documents/ --output s3://bucket/corpus/
+
+Local smoke:
+    python jobs/run_curation.py --stage clusters \\
+        --documents /root/testdata/sf0.001/documents.parquet \\
+        --output /tmp/clusters
+
+Stages (each also writes the previous stages' accounting):
+    select    quality/language/exact-dup gates only (corpus_select)
+    dedup     select + MinHash-LSH near-dup removal (corpus_select_dedup)
+    clusters  near-dup transitive clusters via the CC kernel
+              (dedup_clusters; one row per doc: cluster_id, cluster_size)
+
+Input schema: (doc_id:long, text:string, ...) — extra columns pass
+through untouched by the gates and are ignored by the dedup stages.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--stage", required=True,
+                   choices=["select", "dedup", "clusters"])
+    p.add_argument("--documents", required=True,
+                   help="parquet documents table (doc_id, text, ...)")
+    p.add_argument("--output", required=True)
+    args = p.parse_args()
+
+    from graphit_spark.session import get_spark
+    from graphit_spark import textqueries as T
+
+    spark = get_spark(app_name=f"graphit-curation-{args.stage}")
+    docs = spark.read.parquet(args.documents)
+    n_docs = docs.count()
+
+    t0 = time.time()
+    if args.stage == "select":
+        out = T._corpus_selected(docs)
+    elif args.stage == "dedup":
+        out = T.corpus_select_dedup(docs)
+    else:
+        out = T.dedup_clusters(docs)
+
+    out.write.mode("overwrite").parquet(args.output)
+    rows = spark.read.parquet(args.output).count()
+    print(json.dumps({
+        "stage": args.stage,
+        "input_docs": n_docs,
+        "output_rows": rows,
+        "elapsed_sec": round(time.time() - t0, 2),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
