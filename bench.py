@@ -123,6 +123,19 @@ def main() -> None:
         throughput["skew_hub_share"] = 0.3
         skew_e.unpersist()
 
+    # curation pipeline at bench sf: the two round-3 composition
+    # queries (gates + LSH near-dup removal; CC-kernel dup clustering)
+    if os.environ.get("BENCH_PIPELINE", "1") == "1":
+        from graphit_spark.textqueries import (
+            q_corpus_select_dedup,
+            q_dedup_clusters,
+        )
+
+        timed("corpus_select_dedup_sf",
+              lambda: q_corpus_select_dedup(spark, sf_dir).count())
+        timed("dedup_clusters_sf",
+              lambda: q_dedup_clusters(spark, sf_dir).count())
+
     # headline: PageRank on the synthetic power-law graph (BASELINE
     # metric). Best-of-N trials like the reference harness (10 trials,
     # graphit_eval/eval/table7/benchmark.py) — the sandbox host's
@@ -182,6 +195,33 @@ def main() -> None:
         throughput["pagerank_iterations_per_hour"] = round(
             3600.0 * iters / conv_time, 1
         )
+    # kernel fusion evidence (eigenvector_pr_fusion.gt analogue): one
+    # edge scan + one groupBy drives PR and EC together vs running the
+    # two kernels separately on the same graph. The edge-side shuffle
+    # halves; V-side join/checkpoint costs are shared, so the local
+    # ratio (~1.2-1.35x here) understates the cluster-scale win where
+    # the E-sized shuffle dominates.
+    if os.environ.get("BENCH_FUSION", "1") == "1":
+        from graphit_spark.kernels import (
+            eigenvector_centrality,
+            fused_pr_eigenvector,
+        )
+
+        fr = int(os.environ.get("BENCH_FUSION_ROUNDS", "5"))
+        f_times, s_times = [], []
+        for _ in range(2):  # alternated trials, min of each: the host's
+            t0 = time.time()  # minute-scale capacity swings would other-
+            fused_pr_eigenvector(g, rounds=fr).count()  # wise dominate
+            f_times.append(time.time() - t0)
+            t0 = time.time()
+            pagerank(g, max_iters=fr).count()
+            eigenvector_centrality(g, rounds=fr).count()
+            s_times.append(time.time() - t0)
+        t_fused, t_sep = min(f_times), min(s_times)
+        times["fused_pr_ec_synth"] = round(t_fused, 3)
+        times["separate_pr_ec_synth"] = round(t_sep, 3)
+        throughput["fusion_speedup"] = round(t_sep / t_fused, 3)
+
     throughput["synth_edges"] = num_edges
     throughput["synth_vertices"] = synth_v
     throughput["pr_iters"] = pr_iters
