@@ -49,6 +49,7 @@ def pagerank(
     tol: float | None = None,
     store: SnapshotStore | None = None,
     resume: bool = False,
+    init_ranks: DataFrame | None = None,
     use_adjacency: bool = False,
     join_strategy: str | None = None,
     metrics_out: dict | None = None,
@@ -60,6 +61,12 @@ def pagerank(
     None = fixed max_iters like the reference benchmark (20 iterations,
     graphit_eval/eval/table7/benchmark.py PR_ITERATIONS).
     resume: continue from the latest complete snapshot in `store`.
+    init_ranks: warm start from a previous run's (id, rank) — the
+    incremental path for evolving graphs (re-rank after a crawl delta):
+    vertices present in init_ranks start there, new vertices at 1/n.
+    The fixpoint is the same (the Jacobi iteration's limit doesn't
+    depend on the start vector); only the iteration count drops.
+    Ignored when `resume` finds a snapshot (the snapshot is newer).
     use_adjacency: scatter from CSR-like adjacency blocks (explode) rather
     than the flat edge table.
     join_strategy: explicit join hint for the per-superstep edges ⋈
@@ -78,6 +85,16 @@ def pagerank(
     if resume and store is not None and store.latest() is not None:
         start_iter = store.latest() + 1
         state = store.read(graph.spark, store.latest())
+    elif init_ranks is not None:
+        state = (
+            graph.out_degrees()
+            .join(init_ranks.select("id", "rank"), "id", "left")
+            .select(
+                "id",
+                "out_degree",
+                F.coalesce("rank", F.lit(1.0 / n)).alias("rank"),
+            )
+        )
     else:
         state = graph.out_degrees().withColumn("rank", F.lit(1.0 / n))
     state = state.localCheckpoint(eager=True)

@@ -41,6 +41,10 @@ def main() -> None:
     p.add_argument("--output", required=True)
     p.add_argument("--snapshots", help="SnapshotStore root for checkpoints")
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--init-ranks",
+                   help="pagerank warm start: parquet (id, rank) from a "
+                        "previous run (incremental re-rank after a crawl "
+                        "delta)")
     p.add_argument("--max-iters", type=int, default=20)
     p.add_argument("--tol", type=float, default=None)
     p.add_argument("--source", type=int, default=0, help="bfs/sssp source")
@@ -89,8 +93,11 @@ def main() -> None:
     if args.kernel == "pagerank":
         from graphit_spark.kernels import pagerank
 
+        init = (
+            spark.read.parquet(args.init_ranks) if args.init_ranks else None
+        )
         out = pagerank(g, max_iters=args.max_iters, tol=args.tol,
-                       store=store, resume=args.resume)
+                       store=store, resume=args.resume, init_ranks=init)
     elif args.kernel == "pagerank_delta":
         from graphit_spark.kernels import pagerank_delta
 

@@ -83,6 +83,48 @@ class TestPageRank:
         exp = pagerank_oracle(golden_edges, iters=100)
         assert np.allclose(res, exp, atol=1e-6)
 
+    def test_warm_start_incremental(self, spark, golden_edges):
+        """init_ranks = previous run's output: same fixpoint (the Jacobi
+        limit is start-independent), fewer iterations after a small
+        graph delta — the incremental re-rank path for crawl updates."""
+        g1 = LinkGraph.from_pairs(spark, golden_edges, persist=False)
+        prev = pagerank(g1, max_iters=200, tol=1e-9)
+
+        delta_edges = golden_edges + [(2, 9), (9, 4)]  # small crawl delta
+        g2 = LinkGraph.from_pairs(spark, delta_edges, persist=False)
+        cold_m, warm_m = {}, {}
+        cold = _ranks_array(
+            pagerank(g2, max_iters=200, tol=1e-9, metrics_out=cold_m),
+            g2.num_vertices,
+        )
+        warm = _ranks_array(
+            pagerank(g2, max_iters=200, tol=1e-9, init_ranks=prev,
+                     metrics_out=warm_m),
+            g2.num_vertices,
+        )
+        assert np.allclose(warm, cold, atol=1e-7)  # same fixpoint
+        assert warm_m["iterations"] < cold_m["iterations"]
+
+    def test_warm_start_new_vertices_default(self, spark):
+        """Vertices absent from init_ranks start at 1/n, present ones at
+        their given rank — checked via a single fixed-iteration step."""
+        g = LinkGraph.from_pairs(spark, [(0, 1), (1, 2), (2, 0), (3, 0)],
+                                 persist=False)
+        n = g.num_vertices
+        init = spark.createDataFrame(
+            [(0, 0.5), (1, 0.25)], "id long, rank double"
+        )
+        res = _ranks_array(
+            pagerank(g, max_iters=1, init_ranks=init), n
+        )
+        # one manual Jacobi step from [0.5, 0.25, 1/n, 1/n]
+        start = np.array([0.5, 0.25, 1.0 / n, 1.0 / n])
+        out_deg = np.array([1, 1, 1, 1])
+        exp = np.full(n, 0.15 / n)
+        for s, d in [(0, 1), (1, 2), (2, 0), (3, 0)]:
+            exp[d] += 0.85 * start[s] / out_deg[s]
+        assert np.allclose(res, exp, atol=1e-12)
+
 
 class TestPageRankDelta:
     def test_close_to_plain_pagerank(self, spark, golden_edges):
