@@ -86,6 +86,106 @@ def test_chain_merges_into_one_cluster(spark, chain_sf_dir):
     assert by_doc[21] == (21, 1)
 
 
+def _py_clusters(texts: dict[int, str]) -> dict[int, tuple[int, int]]:
+    """Independent pure-Python oracle: the same deterministic pipeline
+    (char shingles → md5 minhash → 2-row LSH bands → exact Jaccard →
+    union-find transitive closure) with none of the Spark code paths.
+    Returns {doc_id: (cluster_id, cluster_size)}."""
+    import hashlib
+
+    from graphit_spark.functions.dedup import (
+        MERSENNE31,
+        MINHASH_A,
+        MINHASH_B,
+        SHINGLE_LEN,
+        SHINGLE_STRIDE,
+    )
+    from graphit_spark.textqueries import MINHASH_K, NEAR_DUP_JACCARD
+
+    def shingles(t):
+        t = t.strip().lower()
+        n = max((len(t) - SHINGLE_LEN) // SHINGLE_STRIDE + 1, 1)
+        return {
+            t[i * SHINGLE_STRIDE:i * SHINGLE_STRIDE + SHINGLE_LEN]
+            for i in range(n)
+        }
+
+    def md5i(s):
+        # first 32 bits, matching functions/dedup.py md5_int
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    sh = {i: shingles(t) for i, t in texts.items()}
+    sig = {
+        i: [
+            min((MINHASH_A[t] * (md5i(x) % MERSENNE31) + MINHASH_B[t])
+                % MERSENNE31 for x in s)
+            for t in range(MINHASH_K)
+        ]
+        for i, s in sh.items()
+    }
+    bands = {i: [tuple(s[0:2]), tuple(s[2:4])] for i, s in sig.items()}
+    ids = sorted(texts)
+    parent = {i: i for i in ids}
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            if not any(x == y for x, y in zip(bands[a], bands[b])):
+                continue  # LSH did not propose the pair
+            inter = len(sh[a] & sh[b])
+            jac = round(inter / (len(sh[a]) + len(sh[b]) - inter), 6)
+            if jac >= NEAR_DUP_JACCARD:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    roots = {i: find(i) for i in ids}
+    sizes: dict[int, int] = {}
+    for r in roots.values():
+        sizes[r] = sizes.get(r, 0) + 1
+    return {i: (roots[i], sizes[roots[i]]) for i in ids}
+
+
+def test_randomized_corpus_matches_union_find_oracle(spark, tmp_path):
+    """80 seeded random docs (8 templates × per-doc token mutations at
+    mixed intensities, so near-dups, borderline pairs, and chains all
+    occur) — the Spark pipeline must equal the pure-Python union-find
+    oracle exactly, doc for doc."""
+    import random
+
+    rng = random.Random(20260817)
+    templates = [
+        [f"t{k}w{j:02d}" for j in range(50)] for k in range(8)
+    ]
+    texts = {}
+    for i in range(80):
+        base = list(templates[rng.randrange(8)])
+        n_mut = rng.choice([0, 1, 2, 3, 5, 8, 13, 21])
+        for _ in range(n_mut):
+            base[rng.randrange(len(base))] = f"m{rng.randrange(9999):04d}"
+        texts[i] = " ".join(base)
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(i, t, "en", "synthetic", len(t)) for i, t in texts.items()],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sf, "documents.parquet")
+    )
+    got = {
+        r.doc_id: (r.cluster_id, r.cluster_size)
+        for r in q_dedup_clusters(spark, sf).collect()
+    }
+    exp = _py_clusters(texts)
+    assert got == exp
+    # the fixture is non-trivial: some multi-doc cluster must exist
+    assert any(sz > 1 for _, sz in exp.values())
+
+
 def test_no_pairs_all_singletons(spark, tmp_path):
     """Empty pair graph: every doc is its own cluster (the CC-kernel
     branch is skipped entirely; no crash on a zero-edge graph)."""
