@@ -45,6 +45,9 @@ def main() -> None:
                    help="pagerank warm start: parquet (id, rank) from a "
                         "previous run (incremental re-rank after a crawl "
                         "delta)")
+    p.add_argument("--init-labels",
+                   help="cc warm start: parquet (id, comp) from a previous "
+                        "run — valid for edge-ADDITION deltas only")
     p.add_argument("--max-iters", type=int, default=20)
     p.add_argument("--tol", type=float, default=None)
     p.add_argument("--source", type=int, default=0, help="bfs/sssp source")
@@ -105,7 +108,11 @@ def main() -> None:
     elif args.kernel == "cc":
         from graphit_spark.kernels import connected_components
 
-        out = connected_components(g, store=store, resume=args.resume)
+        init_l = (
+            spark.read.parquet(args.init_labels) if args.init_labels else None
+        )
+        out = connected_components(g, store=store, resume=args.resume,
+                                   init_labels=init_l)
     elif args.kernel == "lpa":
         from graphit_spark.kernels import label_propagation
 

@@ -165,6 +165,26 @@ class TestConnectedComponents:
         got = connected_components(g, max_iters=30).collect()
         assert all(r["comp"] == 0 for r in got)
 
+    def test_warm_start_edge_additions(self, spark):
+        """init_labels from a previous run + edge-ADDITION delta: exact
+        cold-run answer (min-label propagation from per-component minima
+        converges to the merged component's min id). The delta merges
+        two separate components and grows the vertex universe."""
+        old_edges = [(0, 1), (1, 2), (5, 6), (6, 7), (10, 11)]
+        g1 = LinkGraph.from_pairs(spark, old_edges, persist=False)
+        prev = connected_components(g1)
+
+        new_edges = old_edges + [(2, 5), (11, 13)]  # merge + new vertex
+        g2 = LinkGraph.from_pairs(spark, new_edges, persist=False)
+        warm = {
+            r["id"]: r["comp"]
+            for r in connected_components(g2, init_labels=prev).collect()
+        }
+        exp = cc_oracle(new_edges)
+        assert len(warm) == len(exp)
+        for v, c in enumerate(exp):
+            assert warm[v] == c, f"vertex {v}"
+
 
 class TestLabelPropagation:
     @pytest.mark.parametrize("seed", [5])
