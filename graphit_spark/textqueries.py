@@ -241,6 +241,35 @@ def corpus_select_dedup(docs: DataFrame) -> DataFrame:
 CLUSTER_CC_ROUNDS = 10  # oracle label-propagation rounds (see twin)
 
 
+def q_corpus_select_cluster(spark, sf_dir):
+    """Curation with CLUSTER-canonical near-dup removal — the strongest
+    of the three corpus_select variants: gates first, then the full
+    transitive near-dup clustering (dedup_clusters) over the survivors,
+    keeping exactly one document per cluster (the min doc_id). Unlike
+    corpus_select_dedup's pairwise drop-the-larger, this removes every
+    non-canonical member of a chained cluster (A~B, B~C drops B AND C
+    even when A~C fails the threshold) — the semantics production
+    pipelines actually want.
+
+    Scale shape identical to dedup_clusters (LSH bucket join →
+    candidate-gated Jaccard → CC over confirmed pairs only) composed
+    after the one-pass gates; the survivors-only semi-join means the
+    shingle/CC cost shrinks with the gate selectivity."""
+    return corpus_select_cluster(load(spark, sf_dir, "documents"))
+
+
+def corpus_select_cluster(docs: DataFrame) -> DataFrame:
+    """DataFrame-level body of q_corpus_select_cluster (shared with the
+    jobs/run_curation.py spark-submit entry)."""
+    selected = _corpus_selected(docs)
+    sel_docs = docs.join(selected.select("doc_id"), "doc_id", "left_semi")
+    clusters = dedup_clusters(sel_docs)
+    keep = clusters.filter(
+        F.col("cluster_id") == F.col("doc_id")
+    ).select("doc_id")
+    return selected.join(keep, "doc_id", "left_semi")
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Near-duplicate CLUSTERS: the transitive closure of the confirmed
     near-dup pair relation, computed by the engine's own connected-
@@ -541,26 +570,20 @@ def _jaccard_lsh_sql(k: int = MINHASH_K, rows_per_band: int = 2) -> str:
     )
 
 
-def _dedup_clusters_sql(
-    k: int = MINHASH_K, rows_per_band: int = 2,
-    rounds: int = CLUSTER_CC_ROUNDS,
-) -> str:
-    """Twin of q_dedup_clusters: same LSH→Jaccard pair CTEs, then
-    `rounds` iterated min-label-propagation CTEs (the cc_sql pattern —
-    benchqueries.cc_sql) over the symmetrized pair graph. The Spark
-    side runs CC to convergence; `rounds`=10 over-covers the widest
-    near-dup chain the synthetic corpus produces (clusters are
-    small — checked by the parity gate itself)."""
+def _cc_label_ctes(rounds: int, universe_from: str) -> list[str]:
+    """Iterated min-label-propagation CTEs (the benchqueries.cc_sql
+    pattern) over the symmetrized jaccard>=threshold pair graph; the
+    vertex universe comes from `universe_from` (a table/CTE with a
+    doc_id column). Ends at CTE c{rounds} = (doc_id, comp)."""
     ctes = [
-        _jaccard_lsh_ctes(k, rows_per_band),
-        f"""p AS MATERIALIZED (
+        f"""pcc AS MATERIALIZED (
   SELECT doc_a, doc_b FROM jac WHERE jaccard >= {NEAR_DUP_JACCARD}
 )""",
         """psym AS MATERIALIZED (
-  SELECT doc_a AS s, doc_b AS d FROM p
-  UNION ALL SELECT doc_b AS s, doc_a AS d FROM p
+  SELECT doc_a AS s, doc_b AS d FROM pcc
+  UNION ALL SELECT doc_b AS s, doc_a AS d FROM pcc
 )""",
-        "c0 AS (SELECT doc_id, doc_id AS comp FROM documents)",
+        f"c0 AS (SELECT doc_id, doc_id AS comp FROM {universe_from})",
     ]
     for i in range(1, rounds + 1):
         prev = f"c{i - 1}"
@@ -574,6 +597,21 @@ def _dedup_clusters_sql(
   ) m USING (doc_id)
 )"""
         )
+    return ctes
+
+
+def _dedup_clusters_sql(
+    k: int = MINHASH_K, rows_per_band: int = 2,
+    rounds: int = CLUSTER_CC_ROUNDS,
+) -> str:
+    """Twin of q_dedup_clusters: same LSH→Jaccard pair CTEs, then
+    `rounds` iterated min-label-propagation CTEs (the cc_sql pattern —
+    benchqueries.cc_sql) over the symmetrized pair graph. The Spark
+    side runs CC to convergence; `rounds`=10 over-covers the widest
+    near-dup chain the synthetic corpus produces (clusters are
+    small — checked by the parity gate itself)."""
+    ctes = [_jaccard_lsh_ctes(k, rows_per_band)]
+    ctes += _cc_label_ctes(rounds, "documents")
     ctes.append(
         f"csizes AS (SELECT comp, count(*) AS n FROM c{rounds} GROUP BY comp)"
     )
@@ -585,6 +623,26 @@ SELECT c.doc_id, CAST(c.comp AS BIGINT) AS cluster_id,
 FROM c{rounds} c JOIN csizes s ON c.comp = s.comp
 ORDER BY c.doc_id"""
     )
+
+
+def _corpus_select_cluster_sql(rounds: int = CLUSTER_CC_ROUNDS) -> str:
+    """Gates → LSH→Jaccard among survivors → min-label clusters →
+    keep exactly the cluster-canonical doc (doc_id = cluster min)."""
+    ctes, body = _corpus_sel_parts()
+    jac = _jaccard_lsh_ctes(
+        docs_src="(SELECT d0.* FROM documents d0 JOIN sel USING (doc_id)) "
+    )
+    cc = ",\n".join(_cc_label_ctes(rounds, "sel"))
+    return f"""
+WITH {ctes},
+sel AS MATERIALIZED ({body}),
+{jac},
+{cc}
+SELECT s.doc_id, s.n_tokens, s.alpha_ratio, s.stopword_ratio
+FROM sel s JOIN c{rounds} c USING (doc_id)
+WHERE c.comp = s.doc_id
+ORDER BY doc_id
+"""
 
 
 def _simhash_sql(bits: int = 16) -> str:
@@ -968,6 +1026,7 @@ TEXT_QUERIES: dict[str, tuple] = {
     "dedup_simhash": (q_simhash, _simhash_sql()),
     "corpus_select": (q_corpus_select, _corpus_select_sql()),
     "corpus_select_dedup": (q_corpus_select_dedup, _corpus_select_dedup_sql()),
+    "corpus_select_cluster": (q_corpus_select_cluster, _corpus_select_cluster_sql()),
     "dedup_clusters": (q_dedup_clusters, _dedup_clusters_sql()),
     "sim_lsh_topk": (q_lsh_topk, SQL_LSH_TOPK),
     "sim_lsh_multiprobe_topk": (q_lsh_multiprobe_topk, SQL_LSH_MULTIPROBE_TOPK),

@@ -36,7 +36,7 @@ TEXT_QUERY_NAMES = [
     "doc_fingerprints", "dedup_exact", "dedup_minhash", "dedup_lsh_pairs",
     "dedup_simhash", "dedup_jaccard_lsh", "dedup_embedding_lsh",
     "sim_lsh_topk", "events_hourly", "events_sessions",
-    "corpus_select", "corpus_select_dedup",
+    "corpus_select", "corpus_select_dedup", "corpus_select_cluster",
 ]
 
 
@@ -218,3 +218,16 @@ def test_corpus_select_dedup_plan_is_bucketed(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
     assert "bkey" in plan  # LSH band-bucket equi-join key
+
+
+def test_corpus_select_cluster_plan_is_bucketed(spark):
+    """Same contract for the cluster-canonical variant: the candidate
+    stage feeding the CC clustering must be the LSH bucket equi-join.
+    (The CC kernel's own output is checkpoint-truncated, so only the
+    pre-CC stages are visible here — which are exactly the stages with
+    quadratic risk.)"""
+    from graphit_spark.textqueries import q_corpus_select_cluster
+
+    plan = _plan(q_corpus_select_cluster(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
