@@ -1711,6 +1711,131 @@ def q_node2vec_walks(spark, sf_dir):
     return node2vec_walks(g, WALK_LEN, p=N2V_P, q=N2V_Q, seed=WALK_SEED)
 
 
+def node2vec_alias_sql(walk_len: int = WALK_LEN, seed: int = WALK_SEED,
+                       p: float = N2V_P, q: float = N2V_Q) -> str:
+    """Twin of kernels/walks.py::node2vec_walks_alias — the per-(prev,
+    cur) alias blocks built by the SAME min-index Vose recursion as
+    alias_walks_sql, just partitioned by the 2-path prefix instead of
+    src. The oracle builds blocks for ALL 2-paths (fine at oracle
+    scale); the engine builds lazily for visited prefixes only — same
+    construction per pair either way. Bias weights (1/p, 1, 1/q) are
+    dyadic for the default p=4, q=0.25, so every partial sum — and
+    therefore every scaled/prob double — is bit-identical across
+    engines."""
+    prec = (1 << 31) - 1
+    rp, rq = repr(1.0 / p), repr(1.0 / q)
+    h1 = (
+        f"('0x' || substr(md5(CAST(w.walk_id AS VARCHAR) "
+        f"|| '_1_{seed}'), 1, 8))::BIGINT"
+    )
+    prefix = f"""
+adj AS MATERIALIZED (SELECT src, list_sort(list(dst)) AS nbrs
+       FROM edges GROUP BY src),
+conn AS MATERIALIZED (SELECT DISTINCT src AS prev, dst, 1 AS c FROM edges),
+cand2 AS MATERIALIZED (
+  SELECT e1.src AS prev, e1.dst AS cur, e2.dst,
+         CASE WHEN e2.dst = e1.src THEN {rp}
+              WHEN c.c IS NOT NULL THEN 1e0
+              ELSE {rq} END AS bias
+  FROM edges e1
+  JOIN edges e2 ON e1.dst = e2.src
+  LEFT JOIN conn c ON c.prev = e1.src AND c.dst = e2.dst
+),
+slots AS MATERIALIZED (
+  SELECT prev, cur, dst, bias,
+         CAST(row_number() OVER (PARTITION BY prev, cur ORDER BY dst) - 1
+              AS INT) AS idx,
+         CAST(count(*) OVER (PARTITION BY prev, cur) AS BIGINT) AS n,
+         sum(bias) OVER (PARTITION BY prev, cur) AS tot
+  FROM cand2),
+rec AS (
+  SELECT prev, cur, idx, dst, n,
+         (bias * n) / tot AS scaled,
+         FALSE AS fin, CAST(1.0 AS DOUBLE) AS prob, idx AS alias, 0 AS it
+  FROM slots
+  UNION ALL
+  SELECT prev, cur, idx, dst, n,
+         CASE WHEN idx = l_idx THEN (scaled + s_scaled) - 1e0 ELSE scaled END,
+         CASE WHEN idx = s_idx THEN TRUE ELSE fin END,
+         CASE WHEN idx = s_idx THEN scaled ELSE prob END,
+         CASE WHEN idx = s_idx THEN l_idx ELSE alias END,
+         it + 1
+  FROM (
+    SELECT q2.*,
+           max(CASE WHEN idx = s_idx THEN scaled END)
+             OVER (PARTITION BY prev, cur) AS s_scaled
+    FROM (
+      SELECT r.*,
+             min(CASE WHEN NOT fin AND scaled < 1e0 THEN idx END)
+               OVER (PARTITION BY prev, cur) AS s_idx,
+             min(CASE WHEN NOT fin AND scaled >= 1e0 THEN idx END)
+               OVER (PARTITION BY prev, cur) AS l_idx
+      FROM rec r
+    ) q2
+  )
+  WHERE s_idx IS NOT NULL AND l_idx IS NOT NULL
+),
+atab AS MATERIALIZED (
+  SELECT prev, cur, idx, dst, n, prob, alias
+  FROM (SELECT *, row_number() OVER (PARTITION BY prev, cur, idx
+                                     ORDER BY it DESC) AS rn FROM rec)
+  WHERE rn = 1
+)
+"""
+    ctes = [
+        _SQL_COMMON.strip(),
+        prefix.strip(),
+        "w0 AS (SELECT id AS walk_id, id AS v FROM verts)",
+        f"""s1 AS MATERIALIZED (
+  SELECT w.walk_id, w.v AS prev,
+         a.nbrs[CAST({h1} % len(a.nbrs) AS INT) + 1] AS v
+  FROM w0 w JOIN adj a ON w.v = a.src
+)""",
+    ]
+    for t in range(2, walk_len + 1):
+        slot_h = (
+            f"('0x' || substr(md5(CAST(w.walk_id AS VARCHAR) "
+            f"|| 'i_{t}_{seed}'), 1, 8))::BIGINT"
+        )
+        u_h = (
+            f"('0x' || substr(md5(CAST(w.walk_id AS VARCHAR) "
+            f"|| 'u_{t}_{seed}'), 1, 8))::BIGINT"
+        )
+        ctes.append(
+            f"""s{t} AS MATERIALIZED (
+  SELECT w.walk_id, w.v AS prev,
+         CASE WHEN CAST({u_h} % {prec} AS DOUBLE) / {prec}e0 < f.prob
+              THEN f.dst ELSE f2.dst END AS v
+  FROM s{t - 1} w
+  JOIN atab f ON f.prev = w.prev AND f.cur = w.v
+             AND f.idx = CAST({slot_h} % f.n AS INT)
+  JOIN atab f2 ON f2.prev = f.prev AND f2.cur = f.cur AND f2.idx = f.alias
+)"""
+        )
+    outs = ["SELECT walk_id, CAST(0 AS INT) AS step, v AS vertex FROM w0",
+            "SELECT walk_id, CAST(1 AS INT) AS step, v FROM s1"]
+    outs += [
+        f"SELECT walk_id, CAST({t} AS INT) AS step, v FROM s{t}"
+        for t in range(2, walk_len + 1)
+    ]
+    return (
+        "WITH RECURSIVE " + ",\n".join(ctes)
+        + f"\nSELECT * FROM ({' UNION ALL '.join(outs)}) ORDER BY walk_id, step"
+    )
+
+
+def q_node2vec_walks_alias(spark, sf_dir):
+    """Second-order walks via lazily-built per-(prev, cur) alias blocks
+    (O(1) draws; walks sharing a hub prefix share one block) vs the
+    recursive-CTE twin node2vec_alias_sql."""
+    from graphit_spark.kernels import node2vec_walks_alias
+
+    g = graph(spark, sf_dir, "raw")
+    return node2vec_walks_alias(
+        g, WALK_LEN, p=N2V_P, q=N2V_Q, seed=WALK_SEED
+    )
+
+
 def q_random_walks(spark, sf_dir):
     """Seeded deterministic random walks (getRandomOutNgh analogue +
     node2vec-style corpus sampling) vs the md5-draw twin (walks_sql)."""
@@ -1751,6 +1876,7 @@ GRAPH_QUERIES: dict[str, tuple] = {
     "weighted_random_walks": (q_weighted_random_walks, weighted_walks_sql()),
     "random_walks_alias": (q_random_walks_alias, alias_walks_sql()),
     "node2vec_walks": (q_node2vec_walks, node2vec_sql()),
+    "node2vec_walks_alias": (q_node2vec_walks_alias, node2vec_alias_sql()),
     "graph_stats": (q_graph_stats, graph_stats_sql()),
     "lpa_modularity": (q_modularity, modularity_sql()),
     "sweep_cut": (q_sweep_cut, sweep_cut_sql()),

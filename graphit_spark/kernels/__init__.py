@@ -24,7 +24,9 @@ from graphit_spark.kernels.setcover import set_cover
 from graphit_spark.kernels.sweepcut import sweep_cut
 from graphit_spark.kernels.walks import (
     build_alias_tables,
+    build_node2vec_alias_tables,
     node2vec_walks,
+    node2vec_walks_alias,
     random_in_neighbor,
     random_out_neighbor,
     random_walks,
@@ -42,6 +44,8 @@ __all__ = [
     "build_alias_tables",
     "weighted_random_walks",
     "node2vec_walks",
+    "node2vec_walks_alias",
+    "build_node2vec_alias_tables",
     "astar",
     "minimum_spanning_forest",
     "set_cover",

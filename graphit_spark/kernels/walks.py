@@ -366,6 +366,203 @@ def build_alias_tables(graph: LinkGraph):
     )
 
 
+def build_node2vec_alias_tables(
+    graph: LinkGraph,
+    pairs: DataFrame,
+    *,
+    p: float = 4.0,
+    q: float = 0.25,
+) -> DataFrame:
+    """(prev, cur, nbrs, prob, alias) — one alias block per directed
+    2-path prefix (prev → cur) in `pairs`, over cur's out-edges with
+    the node2vec bias (1/p return, 1 neighbor-of-prev, 1/q explore).
+    Same Vose min-index construction as build_alias_tables, so the same
+    recursive-CTE oracle pattern applies (benchqueries.
+    node2vec_alias_sql).
+
+    `pairs` restricts the build to the prefixes a caller actually
+    needs: materializing ALL |E| blocks costs the graph's two-hop mass
+    (Σ over edges (u,v) of outdeg(v)) — prohibitive on hub-heavy
+    graphs, which is why node2vec_walks_alias builds lazily per
+    frontier."""
+    import pandas as pd
+
+    edges = graph.edges
+    # pairs typically derives from the same edge DF (frontier prefixes,
+    # or the all-edges precompute) — qualify every join side explicitly
+    # so the analyzer never sees an ambiguous self-join attribute
+    pr = pairs.select("prev", "cur").dropDuplicates(["prev", "cur"]).alias("pr")
+    e = edges.alias("e")
+    pe = (
+        edges.select(
+            F.col("src").alias("prev"), F.col("dst"), F.lit(1).alias("conn")
+        )
+        .dropDuplicates(["prev", "dst"])
+        .alias("pe")
+    )
+    bias = (
+        F.when(F.col("c.dst") == F.col("c.prev"), F.lit(1.0 / p))
+        .when(F.col("pe.conn").isNotNull(), F.lit(1.0))
+        .otherwise(F.lit(1.0 / q))
+    )
+    cand = (
+        pr.join(e, F.col("pr.cur") == F.col("e.src"))
+        .select(
+            F.col("pr.prev").alias("prev"),
+            F.col("pr.cur").alias("cur"),
+            F.col("e.dst").alias("dst"),
+        )
+        .alias("c")
+        .join(
+            pe,
+            (F.col("c.prev") == F.col("pe.prev"))
+            & (F.col("c.dst") == F.col("pe.dst")),
+            "left",
+        )
+        .select(
+            F.col("c.prev").alias("prev"), F.col("c.cur").alias("cur"),
+            F.col("c.dst").alias("dst"), bias.alias("bias"),
+        )
+    )
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("dst")
+        dsts = pdf["dst"].tolist()
+        prob, alias = _alias_build(dsts, pdf["bias"].tolist())
+        return pd.DataFrame(
+            {
+                "prev": [pdf["prev"].iloc[0]],
+                "cur": [pdf["cur"].iloc[0]],
+                "nbrs": [dsts],
+                "prob": [prob],
+                "alias": [alias],
+            }
+        )
+
+    return cand.groupBy("prev", "cur").applyInPandas(
+        build,
+        "prev long, cur long, nbrs array<long>, prob array<double>, "
+        "alias array<int>",
+    )
+
+
+def node2vec_walks_alias(
+    graph: LinkGraph,
+    walk_len: int,
+    *,
+    p: float = 4.0,
+    q: float = 0.25,
+    seed: int = 0,
+    starts: DataFrame | None = None,
+    alias_tables: DataFrame | None = None,
+) -> DataFrame:
+    """Second-order biased walks with O(1) draws: per-(prev, cur) alias
+    blocks replace node2vec_walks' per-walk inverse-CDF window. The
+    blocks are built LAZILY per step for exactly the distinct (prev,
+    cur) prefixes in the frontier and memoized across steps, so
+
+    - walks sharing a prefix share ONE block: k walks sitting at the
+      same hub pair cost one O(deg) build + k O(1) draws, where the
+      window form pays k × deg candidate rows every step;
+    - a prefix revisited at a later step costs nothing (memo hit);
+    - nothing is built for the |E| - |visited| prefixes no walk
+      reaches — the full two-hop precompute the node2vec papers
+      warn about never happens.
+
+    Distribution-equivalent to node2vec_walks but a different
+    deterministic sampler (alias construction fixes a different
+    mapping), so seeds are not interchangeable between the two —
+    exactly the random_walks_alias ↔ weighted_random_walks
+    relationship. Draws hash (walk_id+'i'/'u', step, seed) like
+    random_walks_alias; construction floats are bit-reproducible in
+    SQL (dyadic biases for the default p=4, q=0.25 make every partial
+    sum exact), so the query gets a real DuckDB twin."""
+    own_cache = graph.ensure_persisted()
+    adj = graph.adjacency()
+    if starts is None:
+        cur = graph.vertices().select(
+            F.col("id").alias("walk_id"), F.col("id").alias("v")
+        )
+    else:
+        cur = starts.select(
+            F.col(starts.columns[0]).alias("walk_id"),
+            F.col(starts.columns[0]).alias("v"),
+        )
+    cur = cur.localCheckpoint(eager=True)
+    parts = [cur.select("walk_id", F.lit(0).alias("step"),
+                        F.col("v").alias("vertex"))]
+
+    # step 1: uniform draw (no previous vertex yet) — same as node2vec_walks
+    idx = _hash_mod(F.col("walk_id"), 1, seed, F.size("nbrs"))
+    state = (
+        cur.join(adj, cur["v"] == adj["src"])
+        .select(
+            "walk_id",
+            F.col("v").alias("prev"),
+            F.element_at("nbrs", (idx + 1).cast("int")).alias("v"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    parts.append(state.select("walk_id", F.lit(1).alias("step"),
+                              F.col("v").alias("vertex")))
+
+    prec = (1 << 31) - 1
+    cache = alias_tables
+    for t in range(2, walk_len + 1):
+        if alias_tables is None:
+            pairs = state.select(
+                "prev", F.col("v").alias("cur")
+            ).dropDuplicates(["prev", "cur"])
+            if cache is None:
+                built = build_node2vec_alias_tables(graph, pairs, p=p, q=q)
+                cache = built.localCheckpoint(eager=True)
+            else:
+                missing = pairs.join(
+                    cache.select("prev", "cur"), ["prev", "cur"], "left_anti"
+                )
+                built = build_node2vec_alias_tables(graph, missing, p=p, q=q)
+                old = cache
+                cache = cache.unionByName(built).localCheckpoint(eager=True)
+                old.unpersist()  # superseded memo — new one is materialized
+        at = cache.select(
+            F.col("prev").alias("aprev"), F.col("cur").alias("acur"),
+            "nbrs", "prob", "alias",
+        )
+        slot = _hash_mod(
+            F.concat(F.col("walk_id").cast("string"), F.lit("i")), t, seed,
+            F.size("nbrs"),
+        )
+        u = _hash_mod(
+            F.concat(F.col("walk_id").cast("string"), F.lit("u")), t, seed,
+            F.lit(prec),
+        ) / F.lit(float(prec))
+        keep = u < F.element_at("prob", (slot + 1).cast("int"))
+        picked = F.when(
+            keep, F.element_at("nbrs", (slot + 1).cast("int"))
+        ).otherwise(
+            F.element_at(
+                "nbrs",
+                (F.element_at("alias", (slot + 1).cast("int")) + 1).cast("int"),
+            )
+        )
+        state = (
+            state.join(
+                at,
+                (state["prev"] == at["aprev"]) & (state["v"] == at["acur"]),
+            )
+            .select("walk_id", F.col("v").alias("prev"), picked.alias("v"))
+            .localCheckpoint(eager=True)
+        )
+        parts.append(state.select("walk_id", F.lit(t).alias("step"),
+                                  F.col("v").alias("vertex")))
+    out = parts[0]
+    for pt in parts[1:]:
+        out = out.unionByName(pt)
+    if own_cache:
+        graph.unpersist()
+    return out
+
+
 def random_walks_alias(
     graph: LinkGraph,
     walk_len: int,

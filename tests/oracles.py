@@ -561,3 +561,73 @@ def alias_walks_oracle(edges, walk_len, seed=0):
             v = dsts[slot] if u < prob[slot] else dsts[alias[slot]]
             out.append((start, t, v))
     return sorted(out)
+
+
+def node2vec_alias_walks_oracle(edges, walk_len, p=4.0, q=0.25, seed=0):
+    """Mirror of kernels/walks.py::node2vec_walks_alias — uniform first
+    hop, then per-(prev, cur) Vose alias blocks (min-index pairing,
+    dst-ascending slots) with the slot/accept double-hash draw."""
+    import hashlib
+    import heapq
+
+    sq = squish(edges)
+    adj = {}
+    for s, d in sq:
+        adj.setdefault(s, []).append(d)
+    for s in adj:
+        adj[s].sort()
+    eset = set(sq)
+    prec = (1 << 31) - 1
+
+    def table(prev, cur):
+        nbrs = adj.get(cur)
+        if not nbrs:
+            return None
+        ws = [
+            1.0 / p if d == prev
+            else (1.0 if (prev, d) in eset else 1.0 / q)
+            for d in nbrs
+        ]
+        n = len(nbrs)
+        total = float(sum(ws))
+        scaled = [w * n / total for w in ws]
+        small = [i for i in range(n) if scaled[i] < 1.0]
+        large = [i for i in range(n) if scaled[i] >= 1.0]
+        heapq.heapify(small)
+        heapq.heapify(large)
+        prob = [1.0] * n
+        alias = list(range(n))
+        while small and large:
+            sm = heapq.heappop(small)
+            lg = large[0]
+            prob[sm] = scaled[sm]
+            alias[sm] = lg
+            scaled[lg] = (scaled[lg] + scaled[sm]) - 1.0
+            if scaled[lg] < 1.0:
+                heapq.heappop(large)
+                heapq.heappush(small, lg)
+        return nbrs, prob, alias
+
+    def h(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    out = []
+    for start in range(num_vertices(edges)):
+        v = start
+        out.append((start, 0, v))
+        nbrs = adj.get(v)
+        if not nbrs:
+            continue
+        prev, v = v, nbrs[h(f"{start}_1_{seed}") % len(nbrs)]
+        out.append((start, 1, v))
+        for t in range(2, walk_len + 1):
+            tab = table(prev, v)
+            if tab is None:
+                break
+            dsts, prob, alias = tab
+            slot = h(f"{start}i_{t}_{seed}") % len(dsts)
+            u = (h(f"{start}u_{t}_{seed}") % prec) / float(prec)
+            nxt = dsts[slot] if u < prob[slot] else dsts[alias[slot]]
+            prev, v = v, nxt
+            out.append((start, t, v))
+    return sorted(out)

@@ -694,6 +694,64 @@ class TestNode2vecWalks:
         assert returns >= 9
 
 
+class TestNode2vecAliasWalks:
+    def test_matches_python_mirror(self, spark):
+        from graphit_spark.kernels import node2vec_walks_alias
+        from tests.oracles import node2vec_alias_walks_oracle
+
+        edges = _rand_graph(30, 200, seed=8)
+        g = LinkGraph.from_pairs(spark, edges, persist=False)
+        got = sorted(
+            (r["walk_id"], r["step"], r["vertex"])
+            for r in node2vec_walks_alias(g, 4, seed=5).collect()
+        )
+        assert got == node2vec_alias_walks_oracle(edges, 4, seed=5)
+
+    def test_prebuilt_tables_match_lazy(self, spark):
+        """Passing the FULL precomputed (prev, cur) alias table yields
+        the same walks as the lazy per-frontier build."""
+        from graphit_spark.kernels import (
+            build_node2vec_alias_tables, node2vec_walks_alias,
+        )
+
+        edges = _rand_graph(20, 120, seed=3)
+        g = LinkGraph.from_pairs(spark, edges, persist=False)
+        all_pairs = g.edges.select(
+            F.col("src").alias("prev"), F.col("dst").alias("cur")
+        )
+        full = build_node2vec_alias_tables(g, all_pairs).localCheckpoint()
+        lazy = sorted(
+            (r["walk_id"], r["step"], r["vertex"])
+            for r in node2vec_walks_alias(g, 3, seed=2).collect()
+        )
+        pre = sorted(
+            (r["walk_id"], r["step"], r["vertex"])
+            for r in node2vec_walks_alias(
+                g, 3, seed=2, alias_tables=full
+            ).collect()
+        )
+        assert lazy == pre
+
+    def test_return_bias(self, spark):
+        """Same distributional sanity as node2vec_walks: p tiny makes
+        step 2 a return for most seeds."""
+        from graphit_spark.kernels import node2vec_walks_alias
+
+        edges = [(0, 1), (1, 0), (1, 2), (2, 1), (1, 3), (3, 1)]
+        g = LinkGraph.from_pairs(spark, edges, persist=False)
+        returns = 0
+        for seed in range(10):
+            rows = {
+                (r["walk_id"], r["step"]): r["vertex"]
+                for r in node2vec_walks_alias(
+                    g, 2, p=0.01, q=1.0, seed=seed
+                ).collect()
+            }
+            if rows.get((0, 2)) == 0:
+                returns += 1
+        assert returns >= 9
+
+
 class TestAliasWalks:
     @pytest.mark.parametrize("weighted", [False, True])
     def test_matches_python_mirror(self, spark, weighted):
