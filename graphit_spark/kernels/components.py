@@ -44,6 +44,7 @@ def connected_components(
     store: SnapshotStore | None = None,
     resume: bool = False,
     init_labels: DataFrame | None = None,
+    metrics_out: dict | None = None,
 ) -> DataFrame:
     """Returns (id, comp) where comp = min vertex id in the component.
 
@@ -51,6 +52,10 @@ def connected_components(
     edge-ADDITION delta (growing crawl); vertices not in init_labels
     start at their own id. Same fixpoint as a cold run — see the
     inline note — in fewer rounds. Not valid after edge removals.
+
+    metrics_out: if given, filled with {"iterations", "final_frontier"}
+    (rounds run in THIS call — after `resume`/warm start, the
+    incremental rounds only).
 
     Converges when a propagation round changes no label (frontier empty,
     cc.gt main loop). With pointer_jump=True each round also shortcuts
@@ -206,6 +211,9 @@ def connected_components(
         prev_ck = new_labels
         labels = new_labels.select("id", "comp")
         frontier = changed
+        if metrics_out is not None:
+            metrics_out["iterations"] = i + 1 - start_iter
+            metrics_out["final_frontier"] = frontier_size
         if frontier_size == 0:
             break
 

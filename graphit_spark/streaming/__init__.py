@@ -1,3 +1,7 @@
+from graphit_spark.streaming.incremental import (
+    incremental_cc_stream,
+    incremental_pagerank_stream,
+)
 from graphit_spark.streaming.ingest import (
     stream_pages_to_edges,
     windowed_event_counts,
@@ -9,4 +13,6 @@ __all__ = [
     "windowed_event_counts",
     "read_events_stream",
     "sessionize",
+    "incremental_pagerank_stream",
+    "incremental_cc_stream",
 ]

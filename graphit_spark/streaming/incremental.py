@@ -1,0 +1,134 @@
+"""Streaming incremental analytics: crawl deltas → warm-started kernels.
+
+Composes the streaming ingest path (streaming/ingest.py) with the
+kernels' warm-start contracts (kernels/pagerank.py `init_ranks`,
+kernels/components.py `init_labels`): each micro-batch of new edges
+appends to the accumulated edge table, then the kernel re-converges
+FROM THE PREVIOUS BATCH'S STATE instead of from scratch. The fixpoint
+is identical to a cold run on the grown graph (Jacobi limits and
+min-label fixpoints don't depend on the start vector; warm CC labels
+stay valid because edge ADDITIONS only merge components), so each
+batch pays only the iterations the delta actually perturbs.
+
+Every batch's converged state lands in a SnapshotStore iteration
+(= the streaming batch sequence), with per-partition lineage and the
+kernel's iteration/error metrics in the manifest — a killed stream
+restarts from the last committed batch via the stream checkpoint, and
+the warm start resumes from the last committed snapshot. GraphIt has
+no analogue (SURVEY.md §2.8: the reference is single-node batch); this
+is the engine's evolving-web-graph path.
+
+Scale shape: the accumulated edge table is a plain append-only parquet
+(Iceberg when jars are present — checkpoint.py backend note); each
+batch runs the same scale-audited superstep plan as batch PageRank/CC.
+The cost of a batch is O(warm iterations × E-scan), NOT O(cold
+iterations), and nothing driver-side grows with |E| or batch count.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession, functions as F
+
+from graphit_spark.checkpoint import SnapshotStore
+
+EDGE_SCHEMA = "src long, dst long"
+
+
+def _incremental_stream(
+    spark: SparkSession,
+    edges_dir: str,
+    work_dir: str,
+    kernel_name: str,
+    run_kernel,
+    max_files_per_trigger: int,
+):
+    from graphit_spark.graph import LinkGraph
+
+    store = SnapshotStore(os.path.join(work_dir, "snapshots"), kernel_name)
+    acc_dir = os.path.join(work_dir, "edges")
+
+    def process(batch_df, batch_id: int):
+        delta = batch_df.filter(F.col("src") != F.col("dst"))
+        delta.write.mode("append").parquet(acc_dir)
+        edges = spark.read.parquet(acc_dir)
+        g = LinkGraph(edges)
+        prev = store.latest()
+        init = store.read(spark, prev) if prev is not None else None
+        metrics: dict = {}
+        out = run_kernel(g, init, metrics)
+        store.write(
+            out,
+            (prev if prev is not None else -1) + 1,
+            metrics={"batch_id": int(batch_id), **metrics},
+        )
+        g.unpersist()
+
+    stream = (
+        spark.readStream.schema(EDGE_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(edges_dir)
+    )
+    return (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(process)
+        .option(
+            "checkpointLocation", os.path.join(work_dir, "stream_checkpoint")
+        )
+        .start()
+    ), store
+
+
+def incremental_pagerank_stream(
+    spark: SparkSession,
+    edges_dir: str,
+    work_dir: str,
+    *,
+    damp: float = 0.85,
+    tol: float = 1e-6,
+    max_iters: int = 100,
+    max_files_per_trigger: int = 4,
+):
+    """Start (and return, with its SnapshotStore) a streaming query that
+    maintains converged PageRank over an edge table growing under
+    `edges_dir`. Drive synchronously in tests with
+    q.processAllAvailable(); read the current ranks with
+    store.read(spark, store.latest())."""
+    from graphit_spark.kernels import pagerank
+
+    def run(g, init, metrics):
+        init_ranks = init.select("id", "rank") if init is not None else None
+        return pagerank(
+            g, damp=damp, tol=tol, max_iters=max_iters,
+            init_ranks=init_ranks, metrics_out=metrics,
+        )
+
+    return _incremental_stream(
+        spark, edges_dir, work_dir, "incremental_pagerank", run,
+        max_files_per_trigger,
+    )
+
+
+def incremental_cc_stream(
+    spark: SparkSession,
+    edges_dir: str,
+    work_dir: str,
+    *,
+    max_files_per_trigger: int = 4,
+):
+    """Streaming connected components with warm labels: additions only
+    merge components, so the previous labels are a valid start state
+    and each batch converges in O(merged-chain) rounds."""
+    from graphit_spark.kernels import connected_components
+
+    def run(g, init, metrics):
+        init_labels = init.select("id", "comp") if init is not None else None
+        return connected_components(
+            g, init_labels=init_labels, metrics_out=metrics
+        )
+
+    return _incremental_stream(
+        spark, edges_dir, work_dir, "incremental_cc", run,
+        max_files_per_trigger,
+    )
