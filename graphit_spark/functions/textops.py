@@ -77,12 +77,20 @@ def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def alpha_ratio(text: Column) -> Column:
+    """Fraction of characters that are ASCII letters, rounded to 6
+    places (the quality_features contract). Exposed as an expression so
+    compositions (corpus curation) can fuse it into one corpus scan."""
+    n_chars = F.length(text).cast("long")
+    alpha = F.length(F.regexp_replace(text, "[^a-zA-Z]", "")).cast("long")
+    return F.round(alpha / F.greatest(n_chars, F.lit(1)), 6)
+
+
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document quality scoring: length, token count, alpha ratio,
     punctuation density, mean token length. All integer/rounded-double."""
     t = F.col(text_col)
     n_chars = F.length(t).cast("long")
-    alpha = F.length(F.regexp_replace(t, "[^a-zA-Z]", "")).cast("long")
     punct = (
         _occurrences(t, ".") + _occurrences(t, ",") + _occurrences(t, "!")
         + _occurrences(t, "?")
@@ -92,7 +100,7 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         "doc_id",
         n_chars.alias("n_chars"),
         toks.alias("n_tokens"),
-        F.round(alpha / F.greatest(n_chars, F.lit(1)), 6).alias("alpha_ratio"),
+        alpha_ratio(t).alias("alpha_ratio"),
         F.round(punct / F.greatest(toks, F.lit(1)), 6).alias("punct_per_token"),
         F.round(n_chars / F.greatest(toks, F.lit(1)), 6).alias("mean_token_len"),
     )
@@ -110,20 +118,28 @@ def lang_scores(text: Column) -> list[tuple[str, Column]]:
     return out
 
 
-def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """n-gram-marker language guess: argmax marker count, ties resolved
-    by LANG_MARKERS order; 'und' (undetermined) when all scores are 0."""
-    scores = lang_scores(F.col(text_col))
+def lang_guess_col(text: Column) -> Column:
+    """n-gram-marker language guess as a single Column: argmax marker
+    count, ties resolved by LANG_MARKERS order; 'und' (undetermined)
+    when all scores are 0. Exposed as an expression so compositions
+    (corpus curation) can fuse it into one corpus scan."""
+    scores = lang_scores(text)
     # build the argmax as a when-chain: lang_i wins if its score is
     # strictly greater than every earlier lang and >= every later one.
     best_lang = F.lit("und")
     best_score = F.lit(0).cast("long")
     # fold right-to-left so earlier langs win ties
     for lang, score in reversed(scores):
-        beats = score >= best_score if lang != scores[-1][0] else score > F.lit(0)
         best_lang = F.when((score > F.lit(0)) & (score >= best_score), F.lit(lang)).otherwise(best_lang)
         best_score = F.when(score >= best_score, score).otherwise(best_score)
-    return df.select("doc_id", best_lang.alias("lang_guess"))
+    return best_lang
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, lang_guess) — see lang_guess_col."""
+    return df.select(
+        "doc_id", lang_guess_col(F.col(text_col)).alias("lang_guess")
+    )
 
 
 def fingerprint(text: Column, bits_hex: int = 15) -> Column:

@@ -164,6 +164,25 @@ def q_ivf_kmeans_topk(spark, sf_dir):
     )
 
 
+def q_hll_registers(spark, sf_dir):
+    """HyperLogLog register state over documents.text — the fixed
+    2^p-row sketch whose groupBy(bucket).max shuffle is bounded
+    regardless of corpus size (see functions/sketch.py)."""
+    from graphit_spark.functions import sketch as K
+
+    docs = load(spark, sf_dir, "documents")
+    return K.hll_registers(docs, F.col("text"))
+
+
+def q_hll_distinct(spark, sf_dir):
+    """Bit-deterministic HLL distinct-document estimate (exact integer
+    internals + the rounded estimate; matches the DuckDB twin exactly)."""
+    from graphit_spark.functions import sketch as K
+
+    docs = load(spark, sf_dir, "documents")
+    return K.hll_estimate(docs, F.col("text"))
+
+
 MIN_TOKENS = 20
 MIN_ALPHA = 0.6
 MAX_STOPWORD = 0.9
@@ -171,27 +190,33 @@ MAX_STOPWORD = 0.9
 
 def _corpus_selected(docs: DataFrame) -> DataFrame:
     """Shared curation gates: exact-dedup to canonical docs, quality
-    (length + alpha ratio), English-only, stopword-ratio cap. One pass
-    over documents + the tiny dedup aggregate; emits selected doc ids
-    with their accounting columns."""
+    (length + alpha ratio), English-only, stopword-ratio cap.
+
+    All four gate features are pure Column expressions (textops), so
+    they are computed in ONE fused documents scan inside a single
+    whole-stage-codegen span — no feature-vs-feature self-joins. The
+    only other touch of `documents` is exact_duplicates' (fingerprint,
+    doc_id) aggregate, which column-prunes to 2 columns and semi-joins
+    back on doc_id. Emits selected doc ids with accounting columns."""
     canon = D.exact_duplicates(docs).select(
         F.col("canonical_id").alias("doc_id")
     )
-    q = T.quality_features(docs).select("doc_id", "n_tokens", "alpha_ratio")
-    lang = T.lang_id(docs)
-    stats = T.token_stats(docs).select("doc_id", "stopword_ratio")
+    t = F.col("text")
+    feats = docs.select(
+        "doc_id",
+        T.token_count(t).alias("n_tokens"),
+        T.alpha_ratio(t).alias("alpha_ratio"),
+        F.round(T.stopword_ratio(t), 6).alias("stopword_ratio"),
+        T.lang_guess_col(t).alias("lang_guess"),
+    )
     return (
-        docs.select("doc_id")
-        .join(canon, "doc_id", "left_semi")
-        .join(q, "doc_id")
-        .join(lang, "doc_id")
-        .join(stats, "doc_id")
-        .filter(
+        feats.filter(
             (F.col("n_tokens") >= MIN_TOKENS)
             & (F.col("alpha_ratio") >= MIN_ALPHA)
             & (F.col("lang_guess") == "en")
             & (F.col("stopword_ratio") <= MAX_STOPWORD)
         )
+        .join(canon, "doc_id", "left_semi")
         .select("doc_id", "n_tokens", "alpha_ratio", "stopword_ratio")
     )
 
@@ -1005,6 +1030,65 @@ FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id
 """
 
 
+def _hll_sql_parts() -> str:
+    """Shared CTE text for the HLL twins — mirrors sketch.py bit for
+    bit (same p, same hash, same bit ops, same rho definition)."""
+    from graphit_spark.functions import sketch as K
+
+    m = 1 << K.HLL_P
+    w = K.HASH_BITS - K.HLL_P
+    return f"""
+WITH h AS (
+  SELECT ('0x' || substr(md5(text), 1, 15))::BIGINT AS h FROM documents
+),
+r AS (
+  SELECT (h & {m - 1}) AS bucket,
+         CASE WHEN instr(lpad(bin(h >> {K.HLL_P}), {w}, '0'), '1') = 0
+              THEN {w + 1}
+              ELSE instr(lpad(bin(h >> {K.HLL_P}), {w}, '0'), '1') END AS rho
+  FROM h
+),
+rg AS (SELECT bucket, max(rho) AS reg FROM r GROUP BY bucket),
+allb AS (SELECT range AS b FROM range({m})),
+regs AS (
+  SELECT CAST(b AS BIGINT) AS bucket, CAST(coalesce(reg, 0) AS BIGINT) AS reg
+  FROM allb LEFT JOIN rg ON allb.b = rg.bucket
+)"""
+
+
+def _hll_registers_sql() -> str:
+    return _hll_sql_parts() + "\nSELECT bucket, reg FROM regs ORDER BY bucket"
+
+
+def _hll_distinct_sql() -> str:
+    from graphit_spark.functions import sketch as K
+
+    m = 1 << K.HLL_P
+    w1 = K.HASH_BITS - K.HLL_P + 1
+    alpha_m2 = repr(K._alpha_m2(m))
+    scale = float(1 << w1)
+    return _hll_sql_parts() + f""",
+agg AS (
+  SELECT count(*) AS n_buckets,
+         CAST(sum(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS zero_buckets,
+         CAST(sum(1::BIGINT << CAST({w1} - reg AS INT)) AS BIGINT)
+           AS sum_scaled
+  FROM regs
+)
+SELECT n_buckets, zero_buckets, sum_scaled,
+       round(CASE WHEN (CAST({alpha_m2} AS DOUBLE) * CAST({scale!r} AS DOUBLE)
+                        / sum_scaled) <= CAST({2.5 * m} AS DOUBLE)
+                       AND zero_buckets > 0
+                  THEN CAST({float(m)!r} AS DOUBLE)
+                       * ln(CAST({float(m)!r} AS DOUBLE) / zero_buckets)
+                  ELSE CAST({alpha_m2} AS DOUBLE) * CAST({scale!r} AS DOUBLE)
+                       / sum_scaled END,
+             4) AS est_distinct
+FROM agg
+"""
+
+
 # Registry ORDER is deliberate: the driver's correctness run checked 50
 # of 51 registered queries in round 2, dropping exactly the LAST entry —
 # so the order below front-loads everything load-bearing (events queries
@@ -1033,6 +1117,8 @@ TEXT_QUERIES: dict[str, tuple] = {
     "sim_ivf_topk": (q_ivf_topk, SQL_IVF_TOPK),
     "sim_ivf_kmeans_topk": (q_ivf_kmeans_topk, _ivf_kmeans_sql()),
     "dedup_embedding_lsh": (q_embedding_dups_lsh, SQL_EMBEDDING_DUPS_LSH),
+    "hll_registers": (q_hll_registers, _hll_registers_sql()),
+    "hll_distinct": (q_hll_distinct, _hll_distinct_sql()),
     # -- documented all-pairs / brute-force baselines: keep LAST --------
     "sim_cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "dedup_ngram_jaccard": (q_ngram_jaccard, _jaccard_sql()),

@@ -220,6 +220,20 @@ def test_corpus_select_dedup_plan_is_bucketed(spark):
     assert "bkey" in plan  # LSH band-bucket equi-join key
 
 
+def test_corpus_select_gates_fuse_into_one_scan(spark):
+    """The four gate features (token count, alpha ratio, stopword
+    ratio, lang guess) are pure Column expressions, so the curation
+    gates must compile to exactly TWO documents scans — the fused
+    feature scan and exact_duplicates' (fingerprint, doc_id) aggregate
+    — joined by one semi-join. A plan with feature-vs-feature joins
+    (one scan per feature DataFrame) re-reads the crawl N times."""
+    from graphit_spark.textqueries import q_corpus_select
+
+    plan = _plan(q_corpus_select(spark, SF_DIR))
+    assert plan.count("Scan parquet") == 2
+    assert plan.count("Join") == 1 and "LeftSemi" in plan
+
+
 def test_corpus_select_cluster_plan_is_bucketed(spark):
     """Same contract for the cluster-canonical variant: the candidate
     stage feeding the CC clustering must be the LSH bucket equi-join.
