@@ -1,0 +1,112 @@
+"""Distinct-count sketching (HyperLogLog) for crawl-scale pipelines.
+
+A 100 TB corpus question — "how many distinct documents / urls are
+there?" — must not require the exact-dedup shuffle of one row per
+document. HyperLogLog answers it with a fixed 2^p-register state that
+partial-aggregates map-side (register merge = elementwise max, which is
+exactly what groupBy(bucket).max compiles to), so the shuffle carries at
+most 2^p short rows per partition regardless of input size.
+
+Spark ships approx_count_distinct (also HLL), but its estimate is not
+reproducible in an external oracle. This implementation is
+**bit-deterministic end to end** so the DuckDB twin matches exactly:
+
+- hash: first 15 md5 hex digits as a 60-bit BIGINT (the fingerprint
+  contract shared with dedup.py / textqueries.py);
+- bucket = low p bits (``h & (m-1)``), w = high ``60-p`` bits
+  (``h >> p``) — bit ops only, no float division anywhere;
+- rho(w) = position of the first 1-bit of w within its 52-bit width
+  (via ``instr(lpad(bin(w)))`` — identical in both engines), 53 if 0;
+- the harmonic sum is kept EXACT: sum(2^-reg) scaled by 2^53 is the
+  integer sum(1 << (53 - reg)) (reg <= 53, 2^p terms → fits BIGINT),
+  so no float-accumulation-order ambiguity exists;
+- the estimate is two IEEE ops on exact integers
+  (alpha_m * m^2 * 2^53 / sum_scaled), with the standard small-range
+  linear-counting correction (m * ln(m / zero_buckets)) when E <= 2.5m
+  and empty buckets exist; the final double is rounded to 4 places.
+
+Reference surface: the reference DSL has global reductions
+(vector.sum/max, SURVEY.md §2 #28) but no sketches; this extends the
+engine for the training-data-pipeline brief (approximate analytics a
+user would otherwise bolt on).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+HLL_P = 8  # 2^8 = 256 registers
+HASH_BITS = 60  # 15 md5 hex digits
+W_WIDTH = HASH_BITS - HLL_P  # 52 bits of rho material
+
+
+def _alpha_m2(m: int) -> float:
+    """alpha_m * m^2 (Flajolet et al. 2007) — embedded as the same
+    literal in the SQL twin, so the estimator arithmetic is identical."""
+    return (0.7213 / (1.0 + 1.079 / m)) * m * m
+
+
+def hash60(col: Column) -> Column:
+    """60-bit md5 hash (the textqueries fingerprint contract)."""
+    return F.conv(F.substring(F.md5(col.cast("binary")), 1, 15), 16, 10).cast(
+        "long"
+    )
+
+
+def hll_registers(
+    df: DataFrame, col: Column, p: int = HLL_P
+) -> DataFrame:
+    """(bucket, reg) — the 2^p HyperLogLog registers of ``col``, with
+    absent buckets materialized as reg 0. One column-pruned scan +
+    one groupBy(bucket).max whose map-side partial IS the HLL merge;
+    the shuffle is bounded by 2^p rows per input partition at any
+    input size."""
+    m = 1 << p
+    w_width = HASH_BITS - p
+    h = hash60(col)
+    w = F.shiftright(h, p)
+    rho = F.instr(F.lpad(F.bin(w), w_width, "0"), "1")
+    rho = F.when(rho == 0, F.lit(w_width + 1)).otherwise(rho)
+    regs = (
+        df.select(
+            (h.bitwiseAND(F.lit(m - 1))).alias("bucket"),
+            rho.cast("long").alias("rho"),
+        )
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("reg"))
+    )
+    all_buckets = df.sparkSession.range(m).select(
+        F.col("id").alias("bucket")
+    )
+    return (
+        all_buckets.join(regs, "bucket", "left")
+        .select("bucket", F.coalesce(F.col("reg"), F.lit(0)).alias("reg"))
+    )
+
+
+def hll_estimate(df: DataFrame, col: Column, p: int = HLL_P) -> DataFrame:
+    """Single-row (n_buckets, zero_buckets, sum_scaled, est_distinct):
+    the HLL cardinality estimate plus its exact integer internals
+    (auditable, and hash-comparable against the SQL twin)."""
+    m = 1 << p
+    w_width = HASH_BITS - p
+    regs = hll_registers(df, col, p)
+    term = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({w_width + 1} - reg AS INT))")
+    agg = regs.agg(
+        F.count("*").alias("n_buckets"),
+        F.sum((F.col("reg") == 0).cast("long")).alias("zero_buckets"),
+        F.sum(term).alias("sum_scaled"),
+    )
+    scale = float(1 << (w_width + 1))
+    raw = F.lit(_alpha_m2(m)) * F.lit(scale) / F.col("sum_scaled")
+    v = F.col("zero_buckets")
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (v > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v),
+    ).otherwise(raw)
+    return agg.select(
+        "n_buckets",
+        "zero_buckets",
+        "sum_scaled",
+        F.round(est, 4).alias("est_distinct"),
+    )
