@@ -295,6 +295,39 @@ def corpus_select_cluster(docs: DataFrame) -> DataFrame:
     return selected.join(keep, "doc_id", "left_semi")
 
 
+SAMPLE_BUDGET_DIVISOR = 4  # keep ~1/4 of the curated tokens
+
+
+def q_corpus_sample_budget(spark, sf_dir):
+    """Deterministic token-budget sampling of the curated corpus — the
+    step after curation in a real pretraining pipeline: hash-shuffle
+    the selected documents and take them in that order until ~1/4 of
+    the curated token mass is reached (greedy prefix; the boundary doc
+    is included). Fully deterministic (md5 shuffle key), so the twin
+    reproduces the sample bit for bit.
+
+    Scale shape: curation gates (one fused documents pass) → one range
+    shuffle of (doc_id, n_tokens, key) rows through the distributed
+    ordered_prefix_sum → filter. The budget is one scalar aggregate.
+    No single-partition Window, no driver iteration."""
+    return corpus_sample_budget(load(spark, sf_dir, "documents"))
+
+
+def corpus_sample_budget(docs: DataFrame) -> DataFrame:
+    """DataFrame-level body of q_corpus_sample_budget (shared with the
+    jobs/run_curation.py spark-submit entry)."""
+    from graphit_spark.functions import sampling as SA
+
+    selected = _corpus_selected(docs).localCheckpoint(eager=True)
+    total = selected.agg(F.sum("n_tokens")).first()[0] or 0
+    budget = int(total) // SAMPLE_BUDGET_DIVISOR
+    out = SA.token_budget_sample(
+        selected.select("doc_id", "n_tokens"), budget
+    )
+    selected.unpersist()
+    return out
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Near-duplicate CLUSTERS: the transitive closure of the confirmed
     near-dup pair relation, computed by the engine's own connected-
@@ -1004,6 +1037,36 @@ ORDER BY doc_id
 """
 
 
+def _corpus_sample_budget_sql() -> str:
+    """Gates → deterministic hash-shuffle order → running token total →
+    greedy prefix under budget = curated total // divisor. Same md5
+    key and the same inclusive-prefix / strict-before-budget rule as
+    functions/sampling.py, so the sample matches bit for bit."""
+    ctes, body = _corpus_sel_parts()
+    return f"""
+WITH {ctes},
+sel AS MATERIALIZED ({body}),
+keyed AS (
+  SELECT doc_id, n_tokens,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS skey
+  FROM sel
+),
+cum AS (
+  SELECT doc_id, n_tokens,
+         CAST(SUM(n_tokens) OVER (ORDER BY skey, doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS n_tokens_cum
+  FROM keyed
+)
+SELECT doc_id, n_tokens, n_tokens_cum
+FROM cum
+WHERE n_tokens_cum - n_tokens <
+      (SELECT CAST(SUM(n_tokens) AS BIGINT) // {SAMPLE_BUDGET_DIVISOR}
+       FROM sel)
+ORDER BY doc_id
+"""
+
+
 SQL_EVENTS_HOURLY = """
 SELECT date_trunc('hour', ts) AS hour, event_type,
        count(*) AS n, round(sum(value), 6) AS sum_value
@@ -1111,6 +1174,7 @@ TEXT_QUERIES: dict[str, tuple] = {
     "corpus_select": (q_corpus_select, _corpus_select_sql()),
     "corpus_select_dedup": (q_corpus_select_dedup, _corpus_select_dedup_sql()),
     "corpus_select_cluster": (q_corpus_select_cluster, _corpus_select_cluster_sql()),
+    "corpus_sample_budget": (q_corpus_sample_budget, _corpus_sample_budget_sql()),
     "dedup_clusters": (q_dedup_clusters, _dedup_clusters_sql()),
     "sim_lsh_topk": (q_lsh_topk, SQL_LSH_TOPK),
     "sim_lsh_multiprobe_topk": (q_lsh_multiprobe_topk, SQL_LSH_MULTIPROBE_TOPK),

@@ -16,8 +16,13 @@ Local smoke:
 Stages (each also writes the previous stages' accounting):
     select    quality/language/exact-dup gates only (corpus_select)
     dedup     select + MinHash-LSH near-dup removal (corpus_select_dedup)
+    cluster   select + cluster-canonical near-dup removal
+              (corpus_select_cluster; keeps min doc_id per cluster)
     clusters  near-dup transitive clusters via the CC kernel
               (dedup_clusters; one row per doc: cluster_id, cluster_size)
+    sample    select + deterministic token-budget sampling
+              (corpus_sample_budget; greedy md5-shuffled prefix holding
+              ~1/SAMPLE_BUDGET_DIVISOR of the curated tokens)
 
 Input schema: (doc_id:long, text:string, ...) — extra columns pass
 through untouched by the gates and are ignored by the dedup stages.
@@ -37,7 +42,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--stage", required=True,
-                   choices=["select", "dedup", "clusters"])
+                   choices=["select", "dedup", "cluster", "clusters",
+                            "sample"])
     p.add_argument("--documents", required=True,
                    help="parquet documents table (doc_id, text, ...)")
     p.add_argument("--output", required=True)
@@ -55,6 +61,10 @@ def main() -> None:
         out = T._corpus_selected(docs)
     elif args.stage == "dedup":
         out = T.corpus_select_dedup(docs)
+    elif args.stage == "cluster":
+        out = T.corpus_select_cluster(docs)
+    elif args.stage == "sample":
+        out = T.corpus_sample_budget(docs)
     else:
         out = T.dedup_clusters(docs)
 

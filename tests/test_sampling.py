@@ -1,0 +1,66 @@
+"""token_budget_sample: greedy deterministic-shuffle prefix semantics."""
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from graphit_spark.functions.sampling import sample_key, token_budget_sample
+
+
+def _key(i: int) -> int:
+    return int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+
+
+def _mkdf(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, n_tokens long")
+
+
+def _expected(rows, budget):
+    """Pure-Python reference: hash-order greedy prefix, boundary doc in."""
+    out, cum = {}, 0
+    for doc_id, n in sorted(rows, key=lambda r: (_key(r[0]), r[0])):
+        if cum < budget:
+            out[doc_id] = (n, cum + n)
+        cum += n
+    return out
+
+
+def test_sample_key_matches_python_md5(spark):
+    got = dict(
+        _mkdf(spark, [(i, 1) for i in range(20)])
+        .select("doc_id", sample_key(F.col("doc_id")).alias("k"))
+        .collect()
+    )
+    assert got == {i: _key(i) for i in range(20)}
+
+
+def test_greedy_prefix_semantics(spark):
+    rows = [(i, 10 + (i * 7) % 23) for i in range(50)]
+    total = sum(n for _, n in rows)
+    for budget in (0, 1, total // 4, total // 2, total, total + 100):
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["n_tokens_cum"])
+            for r in token_budget_sample(_mkdf(spark, rows), budget).collect()
+        }
+        assert got == _expected(rows, budget), f"budget={budget}"
+
+
+def test_budget_edges(spark):
+    rows = [(1, 100), (2, 100), (3, 100)]
+    df = _mkdf(spark, rows)
+    assert token_budget_sample(df, 0).count() == 0
+    assert token_budget_sample(df, -5).count() == 0
+    assert token_budget_sample(df, 10**9).count() == 3
+    # budget of 1 token still takes exactly the first document
+    assert token_budget_sample(df, 1).count() == 1
+    # sample reaches the budget whenever the corpus has enough tokens
+    kept = token_budget_sample(df, 150).agg(F.sum("n_tokens")).first()[0]
+    assert kept >= 150
+
+
+def test_deterministic_across_runs(spark):
+    rows = [(i, 5 + i % 11) for i in range(200)]
+    df = _mkdf(spark, rows)
+    a = sorted(tuple(r) for r in token_budget_sample(df, 300).collect())
+    b = sorted(tuple(r) for r in token_budget_sample(df, 300).collect())
+    assert a == b and len(a) > 0
