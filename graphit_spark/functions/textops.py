@@ -142,6 +142,46 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def word_ngrams(text: Column, n: int = 2) -> Column:
+    """Array of space-joined word n-grams of the lowercased whitespace
+    tokens; texts with fewer than n tokens yield an empty array. Pure
+    Column expression (sequence + transform + slice, no UDF), so the
+    downstream explode→count pipeline stays in whole-stage codegen."""
+    toks = F.split(F.lower(F.trim(text)), r"\s+")
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def top_ngrams(
+    df: DataFrame, text_col: str = "text", n: int = 2, k: int = 100
+) -> DataFrame:
+    """Corpus-level n-gram vocabulary counting — the first step of a
+    BPE/vocab build or boilerplate scan: (ngram, n_occurrences,
+    doc_freq), the k most frequent n-grams with ties broken by ngram
+    text so the cut is a total order (deterministic across engines).
+
+    Scale shape: explode → one groupBy(ngram) with map-side partial
+    aggregation (the classic word-count plan), then orderBy().limit(k)
+    compiles to TakeOrderedAndProject — per-partition top-k heaps
+    merged on the driver as P·k rows, never a full sort of the
+    vocabulary."""
+    grams = df.select(
+        "doc_id", F.explode(word_ngrams(F.col(text_col), n)).alias("ngram")
+    )
+    counts = grams.groupBy("ngram").agg(
+        F.count("*").alias("n_occurrences"),
+        F.countDistinct("doc_id").alias("doc_freq"),
+    )
+    return counts.orderBy(
+        F.desc("n_occurrences"), F.asc("ngram")
+    ).limit(k)
+
+
 def fingerprint(text: Column, bits_hex: int = 15) -> Column:
     """Deterministic 60-bit document fingerprint: md5 of the
     lower-trimmed text, first 15 hex digits as a BIGINT. Used for exact

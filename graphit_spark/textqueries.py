@@ -44,6 +44,21 @@ def q_fingerprints(spark, sf_dir):
     return T.fingerprints(load(spark, sf_dir, "documents"))
 
 
+NGRAM_N = 2
+NGRAM_TOP_K = 100
+
+
+def q_top_ngrams(spark, sf_dir):
+    """Corpus bigram vocabulary: the k most frequent word bigrams with
+    total occurrences and document frequency — the counting pass a
+    BPE/vocab build or boilerplate detector starts from. Deterministic
+    cut (ties broken by ngram text); the plan is explode → map-side-
+    combined groupBy → per-partition top-k (TakeOrderedAndProject)."""
+    return T.top_ngrams(
+        load(spark, sf_dir, "documents"), n=NGRAM_N, k=NGRAM_TOP_K
+    )
+
+
 def q_exact_dedup(spark, sf_dir):
     return D.exact_duplicates(load(spark, sf_dir, "documents"))
 
@@ -1037,6 +1052,31 @@ ORDER BY doc_id
 """
 
 
+def _top_ngrams_sql() -> str:
+    """Same tokenization (lower/trim/whitespace split), same n-gram
+    windows, same (count desc, ngram asc) total order as
+    textops.top_ngrams."""
+    last = f"len(t) - {NGRAM_N - 1}"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, {last}),
+                               i -> array_to_string(t[i:i+{NGRAM_N - 1}], ' ')))
+           AS ngram
+  FROM toks WHERE len(t) >= {NGRAM_N}
+)
+SELECT ngram, count(*) AS n_occurrences,
+       count(DISTINCT doc_id) AS doc_freq
+FROM grams GROUP BY ngram
+ORDER BY n_occurrences DESC, ngram
+LIMIT {NGRAM_TOP_K}
+"""
+
+
 def _corpus_sample_budget_sql() -> str:
     """Gates → deterministic hash-shuffle order → running token total →
     greedy prefix under budget = curated total // divisor. Same md5
@@ -1164,6 +1204,7 @@ TEXT_QUERIES: dict[str, tuple] = {
     "doc_lang_id": (q_lang_id, _lang_sql()),
     "doc_fingerprints": (q_fingerprints, SQL_FINGERPRINTS),
     "doc_token_stats": (q_token_stats, _token_stats_sql()),
+    "corpus_top_ngrams": (q_top_ngrams, _top_ngrams_sql()),
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
     "events_sessions": (q_events_sessions, SQL_EVENTS_SESSIONS),
     "dedup_exact": (q_exact_dedup, SQL_EXACT_DEDUP),
