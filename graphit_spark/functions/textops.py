@@ -182,6 +182,114 @@ def top_ngrams(
     ).limit(k)
 
 
+# Gopher-style repetition gates (Rae et al. 2021 §A1.1, public paper):
+# a document is repetition-clean when no single word dominates, no
+# single bigram dominates, and the vocabulary is not degenerate.
+REP_MAX_TOP_WORD_FRAC = 0.20
+REP_MAX_TOP_BIGRAM_FRAC = 0.18
+REP_MIN_UNIQUE_WORD_FRAC = 0.30
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Intra-document repetition metrics — the Gopher/C4-class quality
+    gate that catches boilerplate and degenerate (looping) text, which
+    length/stopword features miss: per doc, the fraction of tokens
+    taken by the most frequent word, by the most frequent bigram, and
+    the distinct-word fraction, plus the combined boolean gate.
+
+    Scale shape: ONE explode of (gram_n, gram) tagged structs (words
+    and bigrams in the same pass) → map-side-combined
+    groupBy(doc_id, gram_n, gram) → one groupBy(doc_id) rollup. Both
+    shuffles key on doc-sized cardinalities, and a pathological
+    multi-GB document distributes across tasks after the explode
+    instead of sitting in one row. No UDFs, no Windows."""
+    t = F.col(text_col)
+    words = F.split(F.lower(F.trim(t)), r"\s+")
+    tagged = F.concat(
+        F.transform(
+            words, lambda w: F.struct(F.lit(1).alias("gram_n"), w.alias("gram"))
+        ),
+        F.transform(
+            word_ngrams(t, 2),
+            lambda g: F.struct(F.lit(2).alias("gram_n"), g.alias("gram")),
+        ),
+    )
+    grams = df.select("doc_id", F.explode(tagged).alias("tg")).select(
+        "doc_id", F.col("tg.gram_n").alias("gram_n"), F.col("tg.gram").alias("gram")
+    )
+    counts = grams.groupBy("doc_id", "gram_n", "gram").agg(
+        F.count("*").alias("c")
+    )
+    is_w = F.col("gram_n") == 1
+    is_b = F.col("gram_n") == 2
+    agg = counts.groupBy("doc_id").agg(
+        F.sum(F.when(is_w, F.col("c"))).alias("n_words"),
+        F.count(F.when(is_w, F.lit(1))).alias("n_distinct_words"),
+        F.max(F.when(is_w, F.col("c"))).alias("top_word_c"),
+        F.coalesce(F.sum(F.when(is_b, F.col("c"))), F.lit(0)).alias("n_bigrams"),
+        F.coalesce(F.max(F.when(is_b, F.col("c"))), F.lit(0)).alias("top_bigram_c"),
+    )
+    top_word_frac = F.round(F.col("top_word_c") / F.col("n_words"), 6)
+    top_bigram_frac = F.round(
+        F.col("top_bigram_c") / F.greatest(F.col("n_bigrams"), F.lit(1)), 6
+    )
+    unique_word_frac = F.round(F.col("n_distinct_words") / F.col("n_words"), 6)
+    return agg.select(
+        "doc_id",
+        "n_words",
+        "n_distinct_words",
+        top_word_frac.alias("top_word_frac"),
+        top_bigram_frac.alias("top_bigram_frac"),
+        unique_word_frac.alias("unique_word_frac"),
+        (
+            (top_word_frac <= REP_MAX_TOP_WORD_FRAC)
+            & (top_bigram_frac <= REP_MAX_TOP_BIGRAM_FRAC)
+            & (unique_word_frac >= REP_MIN_UNIQUE_WORD_FRAC)
+        ).alias("repetition_ok"),
+    )
+
+
+# PII patterns — ASCII-only so the Java (Spark) and RE2 (DuckDB)
+# engines agree byte-for-byte. Kept deliberately simple: the point is
+# the scrub PLUMBING (count + global replace + verifiable output), not
+# a production PII model.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"[0-9]{3}-[0-9]{3}-[0-9]{4}"
+PII_IPV4_RE = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+
+
+def pii_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII scrubbing — the safety pass every training-data pipeline
+    runs before tokenization: per doc, counts of email / phone / IPv4
+    matches, a has_pii flag, and the md5 of the fully-redacted text
+    (emails→<EMAIL>, phones→<PHONE>, IPs→<IP>, applied in that order)
+    so the byte-exact redaction output is verifiable without shipping
+    the text. All native regexp_count/regexp_replace — one projection,
+    no shuffle, no UDF; redaction order matters (IPv4 would otherwise
+    match inside a numeric email local-part)."""
+    t = F.col(text_col)
+    n_email = F.regexp_count(t, F.lit(PII_EMAIL_RE)).cast("long")
+    n_phone = F.regexp_count(t, F.lit(PII_PHONE_RE)).cast("long")
+    n_ipv4 = F.regexp_count(t, F.lit(PII_IPV4_RE)).cast("long")
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>"),
+            PII_PHONE_RE,
+            "<PHONE>",
+        ),
+        PII_IPV4_RE,
+        "<IP>",
+    )
+    return df.select(
+        "doc_id",
+        n_email.alias("n_email"),
+        n_phone.alias("n_phone"),
+        n_ipv4.alias("n_ipv4"),
+        ((n_email + n_phone + n_ipv4) > 0).alias("has_pii"),
+        F.md5(redacted.cast("binary")).alias("redacted_md5"),
+    )
+
+
 def fingerprint(text: Column, bits_hex: int = 15) -> Column:
     """Deterministic 60-bit document fingerprint: md5 of the
     lower-trimmed text, first 15 hex digits as a BIGINT. Used for exact

@@ -59,6 +59,36 @@ def q_top_ngrams(spark, sf_dir):
     )
 
 
+def q_repetition(spark, sf_dir):
+    """Gopher-style intra-doc repetition gate: top-word / top-bigram /
+    unique-word fractions and the combined repetition_ok boolean. One
+    tagged explode, two doc-keyed aggregations, no UDFs."""
+    return T.repetition_stats(load(spark, sf_dir, "documents"))
+
+
+def q_pii(spark, sf_dir):
+    """PII scrub over a deterministically PII-salted corpus: the text
+    column is augmented from doc_id (an email, a phone, an IPv4) so
+    the detectors and the global redaction are exercised on every row
+    while inputs stay the driver's tables; output counts + md5 of the
+    redacted text (byte-exact redaction check without shipping text)."""
+    docs = load(spark, sf_dir, "documents")
+    salted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" reach user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com at 555-867-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" or 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".1"),
+        ).alias("text"),
+    )
+    return T.pii_stats(salted)
+
+
 def q_exact_dedup(spark, sf_dir):
     return D.exact_duplicates(load(spark, sf_dir, "documents"))
 
@@ -1077,6 +1107,81 @@ LIMIT {NGRAM_TOP_K}
 """
 
 
+def _repetition_sql() -> str:
+    """Same tokenization, same tagged word/bigram counting, same
+    rounded fractions and Gopher thresholds as
+    textops.repetition_stats."""
+    return f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, 1 AS gram_n, unnest(t) AS gram FROM toks
+  UNION ALL
+  SELECT doc_id, 2 AS gram_n,
+         unnest(list_transform(generate_series(1, len(t) - 1),
+                               i -> array_to_string(t[i:i+1], ' '))) AS gram
+  FROM toks WHERE len(t) >= 2
+),
+counts AS (
+  SELECT doc_id, gram_n, gram, count(*) AS c
+  FROM grams GROUP BY doc_id, gram_n, gram
+),
+agg AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN gram_n = 1 THEN c END) AS BIGINT) AS n_words,
+         CAST(count(CASE WHEN gram_n = 1 THEN 1 END) AS BIGINT)
+           AS n_distinct_words,
+         CAST(max(CASE WHEN gram_n = 1 THEN c END) AS BIGINT) AS top_word_c,
+         CAST(coalesce(sum(CASE WHEN gram_n = 2 THEN c END), 0) AS BIGINT)
+           AS n_bigrams,
+         CAST(coalesce(max(CASE WHEN gram_n = 2 THEN c END), 0) AS BIGINT)
+           AS top_bigram_c
+  FROM counts GROUP BY doc_id
+)
+SELECT doc_id, n_words, n_distinct_words,
+       round(top_word_c / n_words, 6) AS top_word_frac,
+       round(top_bigram_c / greatest(n_bigrams, 1), 6) AS top_bigram_frac,
+       round(n_distinct_words / n_words, 6) AS unique_word_frac,
+       (round(top_word_c / n_words, 6) <= {T.REP_MAX_TOP_WORD_FRAC}
+        AND round(top_bigram_c / greatest(n_bigrams, 1), 6)
+              <= {T.REP_MAX_TOP_BIGRAM_FRAC}
+        AND round(n_distinct_words / n_words, 6)
+              >= {T.REP_MIN_UNIQUE_WORD_FRAC}) AS repetition_ok
+FROM agg
+"""
+
+
+def _pii_sql() -> str:
+    """Same doc_id salting, same ASCII patterns, same redaction order
+    ('g' flag = Spark's replace-all) as q_pii/textops.pii_stats."""
+    em, ph, ip = T.PII_EMAIL_RE, T.PII_PHONE_RE, T.PII_IPV4_RE
+    return f"""
+WITH salted AS (
+  SELECT doc_id,
+         text || ' reach user' || CAST(doc_id AS VARCHAR)
+              || '@example.com at 555-867-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              || ' or 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1'
+           AS text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{em}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(text, '{ph}')) AS BIGINT) AS n_phone,
+       CAST(len(regexp_extract_all(text, '{ip}')) AS BIGINT) AS n_ipv4,
+       (len(regexp_extract_all(text, '{em}'))
+        + len(regexp_extract_all(text, '{ph}'))
+        + len(regexp_extract_all(text, '{ip}')) > 0) AS has_pii,
+       md5(regexp_replace(regexp_replace(regexp_replace(
+             text, '{em}', '<EMAIL>', 'g'),
+             '{ph}', '<PHONE>', 'g'),
+             '{ip}', '<IP>', 'g')) AS redacted_md5
+FROM salted
+"""
+
+
 def _corpus_sample_budget_sql() -> str:
     """Gates → deterministic hash-shuffle order → running token total →
     greedy prefix under budget = curated total // divisor. Same md5
@@ -1205,6 +1310,8 @@ TEXT_QUERIES: dict[str, tuple] = {
     "doc_fingerprints": (q_fingerprints, SQL_FINGERPRINTS),
     "doc_token_stats": (q_token_stats, _token_stats_sql()),
     "corpus_top_ngrams": (q_top_ngrams, _top_ngrams_sql()),
+    "doc_repetition": (q_repetition, _repetition_sql()),
+    "doc_pii_scrub": (q_pii, _pii_sql()),
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
     "events_sessions": (q_events_sessions, SQL_EVENTS_SESSIONS),
     "dedup_exact": (q_exact_dedup, SQL_EXACT_DEDUP),

@@ -1,8 +1,16 @@
-"""word_ngrams / top_ngrams: windowing, edge cases, deterministic cut."""
+"""word_ngrams / top_ngrams / repetition_stats / pii_stats: windowing,
+edge cases, deterministic cuts, gate thresholds, redaction order."""
+
+import hashlib
 
 from pyspark.sql import functions as F
 
-from graphit_spark.functions.textops import top_ngrams, word_ngrams
+from graphit_spark.functions.textops import (
+    pii_stats,
+    repetition_stats,
+    top_ngrams,
+    word_ngrams,
+)
 
 
 def _grams(spark, text, n=2):
@@ -30,3 +38,44 @@ def test_top_ngrams_counts_and_tiebreak(spark):
     assert got[0] == ("a b", 3, 2)
     # count-1 ties resolved by ngram text ascending
     assert [g for g, *_ in got] == ["a b", "b a", "b z"]
+
+
+def test_repetition_gate(spark):
+    rows = [
+        (1, "spam spam spam spam"),          # degenerate: one word dominates
+        (2, "one two three four five six seven eight nine ten"),  # clean
+        (3, "solo"),                          # single token, no bigrams
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in repetition_stats(df).collect()}
+    d = out[1]
+    assert (d.n_words, d.n_distinct_words) == (4, 1)
+    assert d.top_word_frac == 1.0 and d.top_bigram_frac == 1.0
+    assert d.unique_word_frac == 0.25 and not d.repetition_ok
+    c = out[2]
+    assert c.top_word_frac == 0.1 and c.unique_word_frac == 1.0
+    assert c.repetition_ok
+    s = out[3]
+    assert s.n_words == 1
+    assert s.top_bigram_frac == 0.0  # no bigrams → guarded division
+
+
+def test_pii_stats_counts_and_redaction(spark):
+    rows = [
+        (1, "mail a.b+c@ex-ample.org or call 555-123-4567 from 10.0.0.1"),
+        (2, "nothing sensitive here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in pii_stats(df).collect()}
+    hit = out[1]
+    assert (hit.n_email, hit.n_phone, hit.n_ipv4) == (1, 1, 1)
+    assert hit.has_pii
+    expected = "mail <EMAIL> or call <PHONE> from <IP>"
+    assert hit.redacted_md5 == hashlib.md5(expected.encode()).hexdigest()
+    clean = out[2]
+    assert (clean.n_email, clean.n_phone, clean.n_ipv4) == (0, 0, 0)
+    assert not clean.has_pii
+    # clean text passes through the three replaces byte-identical
+    assert clean.redacted_md5 == hashlib.md5(
+        b"nothing sensitive here"
+    ).hexdigest()
