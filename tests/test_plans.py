@@ -245,3 +245,30 @@ def test_corpus_select_cluster_plan_is_bucketed(spark):
     plan = _plan(q_corpus_select_cluster(spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_repetition_plan_shape(spark):
+    """doc_repetition must stay JVM-side (no Python eval), read the
+    documents table exactly once (words and bigrams share one tagged
+    explode), and keep the (doc_id, gram_n, gram) count partial before
+    its exchange — the map-side combine that absorbs a degenerate
+    document's repeated grams."""
+    from graphit_spark.textqueries import q_repetition
+
+    plan = _plan(q_repetition(spark, SF_DIR))
+    assert "EvalPython" not in plan
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Generate explode") == 1
+    assert "partial_count" in plan
+
+
+def test_pii_scrub_is_shuffle_free(spark):
+    """doc_pii_scrub is a single projection: count + replace + md5 per
+    row, no aggregation — the plan must contain no Exchange at all and
+    no Python eval (regexp_count/regexp_replace are JVM built-ins)."""
+    from graphit_spark.textqueries import q_pii
+
+    plan = _plan(q_pii(spark, SF_DIR))
+    assert "EvalPython" not in plan
+    assert "Exchange" not in plan
+    assert plan.count("Scan parquet") == 1
