@@ -290,6 +290,48 @@ def pii_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def tfidf_top_terms(
+    df: DataFrame, text_col: str = "text", k: int = 5
+) -> DataFrame:
+    """Per-document top-k characteristic terms by tf-idf — the keyword/
+    topic signal a corpus explorer or domain-mixer runs after curation.
+    idf is the log-free rational form (N+1)/(df+1): integer-ratio
+    arithmetic is bit-identical across engines, where ln() differs in
+    the last ulp between libm implementations and would poison a
+    value-hash comparison. Output (doc_id, term, tf, df, score) with a
+    total order per doc (score desc, term asc).
+
+    Scale shape: one explode → groupBy(doc_id, term) for tf (map-side
+    combined), vocabulary-sized groupBy(term) for df, an equi-join on
+    term, and a doc-partitioned Window for the top-k — every key is
+    doc- or vocabulary-sized, never corpus-quadratic; the corpus size N
+    is one scalar aggregate."""
+    from pyspark.sql import Window
+
+    n_docs = df.count()  # one scalar action, like the sampling budget
+    terms = df.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias(
+            "term"
+        ),
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = tf.join(dfreq, "term").withColumn(
+        "score",
+        F.round(
+            F.col("tf") * F.lit(float(n_docs + 1)) / (F.col("df") + F.lit(1.0)),
+            6,
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("doc_id", "term", "tf", "df", "score")
+    )
+
+
 def fingerprint(text: Column, bits_hex: int = 15) -> Column:
     """Deterministic 60-bit document fingerprint: md5 of the
     lower-trimmed text, first 15 hex digits as a BIGINT. Used for exact

@@ -59,6 +59,15 @@ def q_top_ngrams(spark, sf_dir):
     )
 
 
+TFIDF_K = 5
+
+
+def q_tfidf(spark, sf_dir):
+    """Per-document top-5 characteristic terms by (log-free) tf-idf —
+    see textops.tfidf_top_terms for the determinism + scale notes."""
+    return T.tfidf_top_terms(load(spark, sf_dir, "documents"), k=TFIDF_K)
+
+
 def q_repetition(spark, sf_dir):
     """Gopher-style intra-doc repetition gate: top-word / top-bigram /
     unique-word fractions and the combined repetition_ok boolean. One
@@ -1107,6 +1116,38 @@ LIMIT {NGRAM_TOP_K}
 """
 
 
+def _tfidf_sql() -> str:
+    """Same tokenization, same rational idf (N+1)/(df+1) with the same
+    left-to-right multiply-then-divide double arithmetic, same
+    (score desc, term asc) per-doc total order as
+    textops.tfidf_top_terms."""
+    return f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id,
+         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM toks GROUP BY doc_id, term
+),
+dfreq AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+),
+scored AS (
+  SELECT doc_id, term, tf, df,
+         round(tf * (SELECT count(*) + 1.0 FROM documents)
+                  / (df + 1.0), 6) AS score
+  FROM tf JOIN dfreq USING (term)
+)
+SELECT doc_id, term, tf, df, score FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, term
+  ) AS rn FROM scored
+) WHERE rn <= {TFIDF_K}
+"""
+
+
 def _repetition_sql() -> str:
     """Same tokenization, same tagged word/bigram counting, same
     rounded fractions and Gopher thresholds as
@@ -1311,6 +1352,7 @@ TEXT_QUERIES: dict[str, tuple] = {
     "doc_token_stats": (q_token_stats, _token_stats_sql()),
     "corpus_top_ngrams": (q_top_ngrams, _top_ngrams_sql()),
     "doc_repetition": (q_repetition, _repetition_sql()),
+    "doc_tfidf_terms": (q_tfidf, _tfidf_sql()),
     "doc_pii_scrub": (q_pii, _pii_sql()),
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
     "events_sessions": (q_events_sessions, SQL_EVENTS_SESSIONS),

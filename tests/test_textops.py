@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 from graphit_spark.functions.textops import (
     pii_stats,
     repetition_stats,
+    tfidf_top_terms,
     top_ngrams,
     word_ngrams,
 )
@@ -58,6 +59,28 @@ def test_repetition_gate(spark):
     s = out[3]
     assert s.n_words == 1
     assert s.top_bigram_frac == 0.0  # no bigrams → guarded division
+
+
+def test_tfidf_ranks_distinctive_terms(spark):
+    # "shared" appears in all 3 docs (df=3 → low idf); each doc's
+    # private term has df=1 → high idf and must rank first.
+    rows = [
+        (1, "shared apple apple"),
+        (2, "shared banana"),
+        (3, "shared cherry"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = tfidf_top_terms(df, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    top1 = by_doc[1][0]
+    # apple: tf=2, df=1 → score 2*(3+1)/(1+1) = 4.0
+    assert (top1.term, top1.tf, top1.df, top1.score) == ("apple", 2, 1, 4.0)
+    assert [r.term for r in by_doc[2]] == ["banana", "shared"]
+    # shared: tf=1, df=3 → 1*4/4 = 1.0 everywhere
+    assert by_doc[2][1].score == 1.0
+    assert all(len(v) == 2 for v in by_doc.values())
 
 
 def test_pii_stats_counts_and_redaction(spark):
