@@ -289,6 +289,29 @@ def cc_sql(rounds: int = CC_ROUNDS) -> str:
     )
 
 
+def scc_sql() -> str:
+    """Exact SCC oracle — DuckDB recursive transitive closure + mutual
+    reachability, scc = least mutual partner (incl. self). Round-free,
+    unlike the iterated-CTE twins: exact for ANY kernel convergence
+    path, so it pins the FW-BW peel's fixpoint, not its schedule."""
+    return f"""WITH RECURSIVE
+{_SQL_BLOCKED.strip()},
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+mutual AS MATERIALIZED (
+  SELECT r1.src AS v, r1.dst AS w
+  FROM reach r1 JOIN reach r2 ON r1.src = r2.dst AND r1.dst = r2.src
+)
+SELECT vt.id, CAST(least(vt.id, coalesce(min(m.w), vt.id)) AS BIGINT) AS scc
+FROM verts vt LEFT JOIN mutual m ON m.v = vt.id
+GROUP BY vt.id
+ORDER BY vt.id
+"""
+
+
 def lpa_sql(rounds: int = LPA_ROUNDS) -> str:
     ctes = [_SQL_BLOCKED.strip(),
             "l0 AS (SELECT id, id AS label FROM verts)"]
@@ -584,6 +607,13 @@ def q_cc(spark, sf_dir):
 
     g = graph(spark, sf_dir, "blocked")
     return connected_components(g)
+
+
+def q_scc(spark, sf_dir):
+    from graphit_spark.kernels import strongly_connected_components
+
+    g = graph(spark, sf_dir, "blocked")
+    return strongly_connected_components(g)
 
 
 def q_lpa(spark, sf_dir):
@@ -1850,6 +1880,7 @@ GRAPH_QUERIES: dict[str, tuple] = {
     "pagerank": (q_pagerank, pagerank_sql()),
     "out_degrees": (q_out_degrees, out_degrees_sql()),
     "connected_components": (q_cc, cc_sql()),
+    "strongly_connected": (q_scc, scc_sql()),
     "label_propagation": (q_lpa, lpa_sql()),
     "triangle_count": (q_triangle_count, triangle_count_sql()),
     "triangle_per_vertex": (q_tc_per_vertex, tc_per_vertex_sql()),

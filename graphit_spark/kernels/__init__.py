@@ -5,6 +5,7 @@ from graphit_spark.kernels.pagerank import (
     weighted_pagerank,
 )
 from graphit_spark.kernels.components import connected_components
+from graphit_spark.kernels.scc import strongly_connected_components
 from graphit_spark.kernels.labelprop import label_propagation
 from graphit_spark.kernels.triangles import triangle_count, triangle_count_per_vertex
 from graphit_spark.kernels.paths import bfs, sssp
@@ -36,6 +37,7 @@ from graphit_spark.kernels.walks import (
 
 __all__ = [
     "ppsp",
+    "strongly_connected_components",
     "sweep_cut",
     "random_in_neighbor",
     "random_out_neighbor",

@@ -631,3 +631,62 @@ def node2vec_alias_walks_oracle(edges, walk_len, p=4.0, q=0.25, seed=0):
             prev, v = v, nxt
             out.append((start, t, v))
     return sorted(out)
+
+
+def scc_oracle(edges):
+    """Iterative Tarjan over the squished directed graph; label = min
+    vertex id in the SCC — an algorithmically independent check of the
+    kernel's FW-BW peel (and of the DuckDB closure twin)."""
+    es = squish(edges)
+    n = num_vertices(edges)
+    adj = [[] for _ in range(n)]
+    for s, d in es:
+        adj[s].append(d)
+    index = [None] * n
+    low = [0] * n
+    on_stack = [False] * n
+    stack = []
+    labels = [0] * n
+    counter = [0]
+
+    def strongconnect(root):
+        work = [(root, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = counter[0]
+                counter[0] += 1
+                stack.append(v)
+                on_stack[v] = True
+            recurse = False
+            for i in range(pi, len(adj[v])):
+                w = adj[v][i]
+                if index[w] is None:
+                    work[-1] = (v, i + 1)
+                    work.append((w, 0))
+                    recurse = True
+                    break
+                if on_stack[w]:
+                    low[v] = min(low[v], index[w])
+            if recurse:
+                continue
+            work.pop()
+            if low[v] == index[v]:
+                comp = []
+                while True:
+                    w = stack.pop()
+                    on_stack[w] = False
+                    comp.append(w)
+                    if w == v:
+                        break
+                m = min(comp)
+                for w in comp:
+                    labels[w] = m
+            if work:
+                pv = work[-1][0]
+                low[pv] = min(low[pv], low[v])
+
+    for v in range(n):
+        if index[v] is None:
+            strongconnect(v)
+    return labels

@@ -795,3 +795,50 @@ class TestAliasWalks:
         total = sum(mass.values())
         for d, w in [(1, 6), (2, 3), (3, 1)]:
             assert abs(mass[d] / total - w / 10.0) < 1e-12
+
+
+class TestStronglyConnectedComponents:
+    def test_dag_of_cycles(self, spark):
+        # 3-cycle -> 2-cycle -> tail vertex; plus an isolated id via a
+        # squished self loop (the universe keeps max id + 1)
+        edges = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 3), (4, 5),
+                 (7, 7)]
+        from graphit_spark.kernels import strongly_connected_components
+        from tests.oracles import scc_oracle
+
+        g = LinkGraph.from_pairs(spark, edges, persist=False)
+        got = {
+            r["id"]: r["scc"]
+            for r in strongly_connected_components(g).collect()
+        }
+        exp = scc_oracle(edges)
+        assert len(got) == len(exp) == 8
+        for v, c in enumerate(exp):
+            assert got[v] == c, f"vertex {v}"
+
+    @pytest.mark.parametrize("seed", [3, 11, 42])
+    def test_random_directed(self, spark, seed):
+        from graphit_spark.kernels import strongly_connected_components
+        from tests.oracles import scc_oracle
+
+        edges = _rand_graph(60, 150, seed)
+        g = LinkGraph.from_pairs(spark, edges, persist=False)
+        metrics = {}
+        got = {
+            r["id"]: r["scc"]
+            for r in strongly_connected_components(
+                g, metrics_out=metrics
+            ).collect()
+        }
+        exp = scc_oracle(edges)
+        for v, c in enumerate(exp):
+            assert got[v] == c
+        assert metrics["outer_rounds"] >= 1
+
+    def test_acyclic_is_all_trivial(self, spark):
+        from graphit_spark.kernels import strongly_connected_components
+
+        edges = [(v, v + 1) for v in range(10)]
+        g = LinkGraph.from_pairs(spark, edges, persist=False)
+        got = strongly_connected_components(g).collect()
+        assert all(r["scc"] == r["id"] for r in got) and len(got) == 11
