@@ -28,6 +28,7 @@ from graphit_spark.graph import LinkGraph
 
 PR_ITERS = 10
 CC_ROUNDS = 8
+HITS_ROUNDS = 6
 LPA_ROUNDS = 4
 BFS_ROUNDS = 10
 SSSP_ROUNDS = 10
@@ -286,6 +287,52 @@ def cc_sql(rounds: int = CC_ROUNDS) -> str:
     return (
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT id, comp FROM l{rounds} ORDER BY id"
+    )
+
+
+def hits_sql(rounds: int = HITS_ROUNDS) -> str:
+    """Iterated-CTE HITS twin: same forward/transpose gathers, same L1
+    normalizers with the same zero-sum guard. Float contract as the
+    other iterated twins: both engines run the identical linear
+    recurrence; the normalizer sums differ only in sum order (~1e-15
+    relative) and there is no float-conditioned branch, so the
+    6-decimal rounding absorbs the residue."""
+    ctes = [_SQL_COMMON.strip().rstrip(","),
+            "h0 AS (SELECT id, 1e0 AS hub, 1e0 AS auth FROM verts)"]
+    for k in range(1, rounds + 1):
+        p = f"h{k - 1}"
+        ctes.append(
+            f"""ar{k} AS MATERIALIZED (
+  SELECT v.id, coalesce(s.x, 0e0) AS a
+  FROM verts v LEFT JOIN (
+    SELECT e.dst AS id, sum(h.hub) AS x
+    FROM edges e JOIN {p} h ON e.src = h.id GROUP BY e.dst
+  ) s USING (id)
+),
+an{k} AS MATERIALIZED (
+  SELECT id, a / (CASE WHEN (SELECT sum(a) FROM ar{k}) = 0 THEN 1e0
+                       ELSE (SELECT sum(a) FROM ar{k}) END) AS auth
+  FROM ar{k}
+),
+hr{k} AS MATERIALIZED (
+  SELECT v.id, coalesce(s.x, 0e0) AS h
+  FROM verts v LEFT JOIN (
+    SELECT e.src AS id, sum(a.auth) AS x
+    FROM edges e JOIN an{k} a ON e.dst = a.id GROUP BY e.src
+  ) s USING (id)
+),
+h{k} AS MATERIALIZED (
+  SELECT hr.id,
+         hr.h / (CASE WHEN (SELECT sum(h) FROM hr{k}) = 0 THEN 1e0
+                      ELSE (SELECT sum(h) FROM hr{k}) END) AS hub,
+         an.auth
+  FROM hr{k} hr JOIN an{k} an USING (id)
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id, round(hub, {ROUND_RANK}) AS hub,"
+        f" round(auth, {ROUND_RANK}) AS auth FROM h{rounds} ORDER BY id"
     )
 
 
@@ -607,6 +654,17 @@ def q_cc(spark, sf_dir):
 
     g = graph(spark, sf_dir, "blocked")
     return connected_components(g)
+
+
+def q_hits(spark, sf_dir):
+    from graphit_spark.kernels import hits
+
+    g = graph(spark, sf_dir, "raw")
+    return hits(g, rounds=HITS_ROUNDS).select(
+        "id",
+        F.round("hub", ROUND_RANK).alias("hub"),
+        F.round("auth", ROUND_RANK).alias("auth"),
+    )
 
 
 def q_scc(spark, sf_dir):
@@ -1881,6 +1939,7 @@ GRAPH_QUERIES: dict[str, tuple] = {
     "out_degrees": (q_out_degrees, out_degrees_sql()),
     "connected_components": (q_cc, cc_sql()),
     "strongly_connected": (q_scc, scc_sql()),
+    "hits": (q_hits, hits_sql()),
     "label_propagation": (q_lpa, lpa_sql()),
     "triangle_count": (q_triangle_count, triangle_count_sql()),
     "triangle_per_vertex": (q_tc_per_vertex, tc_per_vertex_sql()),

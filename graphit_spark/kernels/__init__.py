@@ -19,6 +19,7 @@ from graphit_spark.kernels.centrality import (
 )
 from graphit_spark.kernels.delta_stepping import sssp_delta_stepping
 from graphit_spark.kernels.fused import fused_pr_eigenvector
+from graphit_spark.kernels.hits import hits
 from graphit_spark.kernels.astar import astar, ppsp
 from graphit_spark.kernels.mst import minimum_spanning_forest
 from graphit_spark.kernels.setcover import set_cover
@@ -37,6 +38,7 @@ from graphit_spark.kernels.walks import (
 
 __all__ = [
     "ppsp",
+    "hits",
     "strongly_connected_components",
     "sweep_cut",
     "random_in_neighbor",

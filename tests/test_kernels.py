@@ -842,3 +842,51 @@ class TestStronglyConnectedComponents:
         g = LinkGraph.from_pairs(spark, edges, persist=False)
         got = strongly_connected_components(g).collect()
         assert all(r["scc"] == r["id"] for r in got) and len(got) == 11
+
+
+class TestHits:
+    @staticmethod
+    def _hits_numpy(edges, rounds=6):
+        from tests.oracles import num_vertices, squish
+
+        es = squish(edges)
+        n = num_vertices(edges)
+        hub = np.ones(n)
+        auth = np.ones(n)
+        for _ in range(rounds):
+            a = np.zeros(n)
+            for s, d in es:
+                a[d] += hub[s]
+            a /= a.sum() or 1.0
+            h = np.zeros(n)
+            for s, d in es:
+                h[s] += a[d]
+            h /= h.sum() or 1.0
+            hub, auth = h, a
+        return hub, auth
+
+    @pytest.mark.parametrize("seed", [3, 11])
+    def test_matches_numpy(self, spark, seed):
+        from graphit_spark.kernels import hits
+
+        edges = _rand_graph(50, 120, seed)
+        g = LinkGraph.from_pairs(spark, edges, persist=False)
+        got = {r["id"]: (r["hub"], r["auth"]) for r in hits(g).collect()}
+        ehub, eauth = self._hits_numpy(edges)
+        for v in range(len(ehub)):
+            assert got[v][0] == pytest.approx(ehub[v], abs=1e-9)
+            assert got[v][1] == pytest.approx(eauth[v], abs=1e-9)
+
+    def test_star_graph_semantics(self, spark):
+        from graphit_spark.kernels import hits
+
+        # hub 0 points at 1..4: vertex 0 is the only hub, 1..4 equal
+        # authorities, and authority mass sums to 1 (L1 contract)
+        edges = [(0, v) for v in range(1, 5)]
+        g = LinkGraph.from_pairs(spark, edges, persist=False)
+        rows = {r["id"]: r for r in hits(g, rounds=3).collect()}
+        assert rows[0]["hub"] == pytest.approx(1.0)
+        assert rows[0]["auth"] == pytest.approx(0.0)
+        for v in range(1, 5):
+            assert rows[v]["auth"] == pytest.approx(0.25)
+            assert rows[v]["hub"] == pytest.approx(0.0)
