@@ -29,6 +29,8 @@ from graphit_spark.graph import LinkGraph
 PR_ITERS = 10
 CC_ROUNDS = 8
 HITS_ROUNDS = 6
+TRUSS_K = 4
+TRUSS_ROUNDS = 24  # SQL twin round budget; idempotent past the fixpoint
 LPA_ROUNDS = 4
 BFS_ROUNDS = 10
 SSSP_ROUNDS = 10
@@ -359,6 +361,54 @@ ORDER BY vt.id
 """
 
 
+def truss_sql(k: int = TRUSS_K, rounds: int = TRUSS_ROUNDS) -> str:
+    """Iterated-CTE k-truss twin over the blocked graph: per round,
+    per-edge common-neighbor count (the triangle join) on the current
+    survivor set, drop support < k-2. Integer-exact; `rounds` only
+    needs to exceed the peel's fixpoint (extra rounds are no-ops —
+    measured 16 rounds at sf0.01 for k=4). The final SELECT re-scores
+    the fixpoint edges, matching the kernel's converged support."""
+    ctes = [_SQL_BLOCKED.strip(),
+            "u0 AS MATERIALIZED (SELECT src AS u, dst AS v FROM sym"
+            " WHERE src < dst)"]
+    for i in range(1, rounds + 1):
+        p = f"u{i - 1}"
+        ctes.append(
+            f"""b{i} AS MATERIALIZED (
+  SELECT u AS a, v AS b FROM {p} UNION ALL SELECT v, u FROM {p}
+),
+s{i} AS MATERIALIZED (
+  SELECT e.u, e.v, coalesce(c.sup, 0) AS sup
+  FROM {p} e LEFT JOIN (
+    SELECT e2.u, e2.v, count(*) AS sup
+    FROM {p} e2
+    JOIN b{i} n1 ON n1.a = e2.u
+    JOIN b{i} n2 ON n2.a = e2.v AND n2.b = n1.b
+    GROUP BY e2.u, e2.v
+  ) c USING (u, v)
+),
+u{i} AS MATERIALIZED (
+  SELECT u, v FROM s{i} WHERE sup >= {k - 2}
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT e.u AS src, e.v AS dst, CAST(coalesce(c.sup, 0) AS BIGINT) AS support
+FROM u{rounds} e LEFT JOIN (
+  SELECT e2.u, e2.v, count(*) AS sup
+  FROM u{rounds} e2
+  JOIN (SELECT u AS a, v AS b FROM u{rounds}
+        UNION ALL SELECT v, u FROM u{rounds}) n1 ON n1.a = e2.u
+  JOIN (SELECT u AS a, v AS b FROM u{rounds}
+        UNION ALL SELECT v, u FROM u{rounds}) n2
+    ON n2.a = e2.v AND n2.b = n1.b
+  GROUP BY e2.u, e2.v
+) c USING (u, v)
+ORDER BY src, dst"""
+    )
+
+
 def lpa_sql(rounds: int = LPA_ROUNDS) -> str:
     ctes = [_SQL_BLOCKED.strip(),
             "l0 AS (SELECT id, id AS label FROM verts)"]
@@ -672,6 +722,13 @@ def q_scc(spark, sf_dir):
 
     g = graph(spark, sf_dir, "blocked")
     return strongly_connected_components(g)
+
+
+def q_k_truss(spark, sf_dir):
+    from graphit_spark.kernels import k_truss
+
+    g = graph(spark, sf_dir, "blocked")
+    return k_truss(g, k=TRUSS_K, max_rounds=TRUSS_ROUNDS)
 
 
 def q_lpa(spark, sf_dir):
@@ -1940,6 +1997,7 @@ GRAPH_QUERIES: dict[str, tuple] = {
     "connected_components": (q_cc, cc_sql()),
     "strongly_connected": (q_scc, scc_sql()),
     "hits": (q_hits, hits_sql()),
+    "k_truss": (q_k_truss, truss_sql()),
     "label_propagation": (q_lpa, lpa_sql()),
     "triangle_count": (q_triangle_count, triangle_count_sql()),
     "triangle_per_vertex": (q_tc_per_vertex, tc_per_vertex_sql()),

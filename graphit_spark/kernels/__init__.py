@@ -10,6 +10,7 @@ from graphit_spark.kernels.labelprop import label_propagation
 from graphit_spark.kernels.triangles import triangle_count, triangle_count_per_vertex
 from graphit_spark.kernels.paths import bfs, sssp
 from graphit_spark.kernels.kcore import k_core, core_decomposition
+from graphit_spark.kernels.truss import k_truss
 from graphit_spark.kernels.bc import betweenness_centrality
 from graphit_spark.kernels.cf import collaborative_filtering
 from graphit_spark.kernels.centrality import (
@@ -38,6 +39,7 @@ from graphit_spark.kernels.walks import (
 
 __all__ = [
     "ppsp",
+    "k_truss",
     "hits",
     "strongly_connected_components",
     "sweep_cut",

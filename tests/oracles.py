@@ -690,3 +690,23 @@ def scc_oracle(edges):
         if index[v] is None:
             strongconnect(v)
     return labels
+
+
+def truss_oracle(edges, k):
+    """Naive set-based triangle-support peel to fixpoint; returns
+    {(u, v): support} for the k-truss of the symmetrized simple graph
+    (u < v, support measured at the fixpoint)."""
+    es = squish(edges)
+    cur = {(min(s, d), max(s, d)) for s, d in es}
+    while True:
+        adj = {}
+        for a, b in cur:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        sup = {
+            (a, b): len(adj[a] & adj[b]) for a, b in cur
+        }
+        keep = {e for e in cur if sup[e] >= k - 2}
+        if keep == cur:
+            return sup
+        cur = keep

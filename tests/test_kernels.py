@@ -890,3 +890,46 @@ class TestHits:
         for v in range(1, 5):
             assert rows[v]["auth"] == pytest.approx(0.25)
             assert rows[v]["hub"] == pytest.approx(0.0)
+
+
+class TestKTruss:
+    def test_two_cliques_and_a_bridge(self, spark):
+        from graphit_spark.kernels import k_truss
+        from tests.oracles import truss_oracle
+
+        # K4 on {0..3}, K4 on {10..13}, bridge 3-10, pendant 13-20
+        k4a = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+        k4b = [(a, b) for a in range(10, 14) for b in range(a + 1, 14)]
+        edges = k4a + k4b + [(3, 10), (13, 20)]
+        g = LinkGraph.from_pairs(spark, edges, persist=False)
+        got = {
+            (r["src"], r["dst"]): r["support"]
+            for r in k_truss(g, k=4).collect()
+        }
+        exp = truss_oracle(edges, 4)
+        assert got == exp
+        # the 4-truss is exactly the two cliques (support 2 everywhere)
+        assert set(got) == set(k4a) | set(k4b)
+        assert all(s == 2 for s in got.values())
+
+    @pytest.mark.parametrize("seed,k", [(3, 3), (11, 4)])
+    def test_random_matches_peel_oracle(self, spark, seed, k):
+        from graphit_spark.kernels import k_truss
+        from tests.oracles import truss_oracle
+
+        edges = _rand_graph(40, 180, seed)
+        g = LinkGraph.from_pairs(spark, edges, persist=False)
+        m = {}
+        got = {
+            (r["src"], r["dst"]): r["support"]
+            for r in k_truss(g, k=k, metrics_out=m).collect()
+        }
+        assert got == truss_oracle(edges, k)
+        assert m["rounds"] >= 1
+
+    def test_triangle_free_truss_is_empty(self, spark):
+        from graphit_spark.kernels import k_truss
+
+        edges = [(v, v + 1) for v in range(8)]  # path: no triangles
+        g = LinkGraph.from_pairs(spark, edges, persist=False)
+        assert k_truss(g, k=3).count() == 0
