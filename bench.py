@@ -45,8 +45,11 @@ def main() -> None:
     from graphit_spark.benchqueries import (
         q_bfs,
         q_cc,
+        q_hits,
+        q_k_truss,
         q_lpa,
         q_pagerank,
+        q_scc,
         q_triangle_count,
     )
     from graphit_spark.datagen import gen_pages
@@ -69,6 +72,10 @@ def main() -> None:
     timed("label_propagation_sf", lambda: q_lpa(spark, sf_dir).count())
     timed("triangle_count_sf", lambda: q_triangle_count(spark, sf_dir).collect())
     timed("bfs_sf", lambda: q_bfs(spark, sf_dir).count())
+    # round-3 kernels: directed bowtie SCC, HITS, k-truss peel
+    timed("scc_sf", lambda: q_scc(spark, sf_dir).count())
+    timed("hits_sf", lambda: q_hits(spark, sf_dir).count())
+    timed("k_truss_sf", lambda: q_k_truss(spark, sf_dir).count())
 
     # ingest throughput: Arrow extraction + url-dict + edge build, read
     # from a materialized pages table (generation is test-fixture work,

@@ -272,3 +272,24 @@ def test_pii_scrub_is_shuffle_free(spark):
     assert "EvalPython" not in plan
     assert "Exchange" not in plan
     assert plan.count("Scan parquet") == 1
+
+
+def test_min_gather_keeps_partial_agg(spark):
+    """The SCC/CC min-label gather must keep its aggregate partial
+    (map-side combine before the exchange) exactly like the PR sum
+    gather — built manually because kernel-internal rounds are
+    checkpoint-truncated in the returned plan."""
+    from pyspark.sql import functions as F
+
+    from graphit_spark.benchqueries import graph
+
+    g = graph(spark, SF_DIR, "blocked")
+    labels = g.vertices().select("id", F.col("id").alias("lab"))
+    gathered = (
+        g.edges.join(labels.select(F.col("id").alias("src"), "lab"), "src")
+        .groupBy(F.col("dst").alias("id"))
+        .agg(F.min("lab").alias("cand"))
+    )
+    plan = _plan(gathered)
+    assert "partial_min" in plan
+    assert "CartesianProduct" not in plan
