@@ -361,6 +361,44 @@ ORDER BY vt.id
 """
 
 
+def clustering_sql() -> str:
+    """Same triangle enumeration as tc_per_vertex_sql + symmetrized
+    degree; lcc = 2*tri/(deg*(deg-1)) with the same operation order as
+    the Spark expression (integer ratios in doubles — exact)."""
+    return (
+        "WITH " + _SQL_COMMON.strip()
+        + """,
+und AS (SELECT src, dst FROM sym WHERE src < dst),
+tris AS (
+  SELECT a.src AS x, a.dst AS y, b.dst AS z
+  FROM und a
+  JOIN und b ON a.dst = b.src
+  JOIN und c ON a.src = c.src AND b.dst = c.dst
+),
+corners AS (
+  SELECT x AS id FROM tris
+  UNION ALL SELECT y FROM tris
+  UNION ALL SELECT z FROM tris
+),
+tric AS (
+  SELECT v.id, CAST(coalesce(t.cnt, 0) AS BIGINT) AS tri_count
+  FROM verts v LEFT JOIN
+       (SELECT id, count(*) AS cnt FROM corners GROUP BY id) t USING (id)
+),
+sdeg AS (
+  SELECT v.id, CAST(coalesce(d.d, 0) AS BIGINT) AS degree
+  FROM verts v LEFT JOIN
+       (SELECT src AS id, count(*) AS d FROM sym GROUP BY src) d USING (id)
+)
+SELECT t.id, s.degree, t.tri_count,
+       round(CASE WHEN s.degree >= 2
+                  THEN 2e0 * t.tri_count / (s.degree * (s.degree - 1))
+                  ELSE 0e0 END, 6) AS lcc
+FROM tric t JOIN sdeg s ON t.id = s.id
+ORDER BY t.id"""
+    )
+
+
 def truss_sql(k: int = TRUSS_K, rounds: int = TRUSS_ROUNDS) -> str:
     """Iterated-CTE k-truss twin over the blocked graph: per round,
     per-edge common-neighbor count (the triangle join) on the current
@@ -722,6 +760,35 @@ def q_scc(spark, sf_dir):
 
     g = graph(spark, sf_dir, "blocked")
     return strongly_connected_components(g)
+
+
+def q_clustering(spark, sf_dir):
+    """Per-vertex local clustering coefficient — the classic graph-
+    structure statistic: lcc(v) = 2·tri(v) / (deg·(deg-1)) on the
+    symmetrized simple graph (0 when deg < 2). Pure composition of the
+    audited per-vertex triangle enumeration and the V-sized degree
+    table; the ratio is integer arithmetic in doubles, so the twin is
+    bit-deterministic."""
+    from graphit_spark.kernels import triangle_count_per_vertex
+
+    g = graph(spark, sf_dir, "raw")
+    und = g.symmetrize()
+    tri = triangle_count_per_vertex(g)
+    deg = und.out_degrees().select("id", F.col("out_degree").alias("degree"))
+    return tri.join(deg, "id").select(
+        "id",
+        "degree",
+        "tri_count",
+        F.round(
+            F.when(
+                F.col("degree") >= 2,
+                2.0
+                * F.col("tri_count")
+                / (F.col("degree") * (F.col("degree") - 1)),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("lcc"),
+    )
 
 
 def q_k_truss(spark, sf_dir):
@@ -1998,6 +2065,7 @@ GRAPH_QUERIES: dict[str, tuple] = {
     "strongly_connected": (q_scc, scc_sql()),
     "hits": (q_hits, hits_sql()),
     "k_truss": (q_k_truss, truss_sql()),
+    "clustering_coeff": (q_clustering, clustering_sql()),
     "label_propagation": (q_lpa, lpa_sql()),
     "triangle_count": (q_triangle_count, triangle_count_sql()),
     "triangle_per_vertex": (q_tc_per_vertex, tc_per_vertex_sql()),

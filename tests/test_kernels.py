@@ -933,3 +933,24 @@ class TestKTruss:
         edges = [(v, v + 1) for v in range(8)]  # path: no triangles
         g = LinkGraph.from_pairs(spark, edges, persist=False)
         assert k_truss(g, k=3).count() == 0
+
+
+def test_clustering_coeff_semantics(spark):
+    """Triangle 0-1-2 with pendant 2-3: lcc 1.0 / 1.0 / 1/3 / 0."""
+    from graphit_spark.kernels import triangle_count_per_vertex
+
+    edges = [(0, 1), (1, 2), (0, 2), (2, 3)]
+    g = LinkGraph.from_pairs(spark, edges, persist=False)
+    und = g.symmetrize()
+    tri = triangle_count_per_vertex(g)
+    deg = und.out_degrees().select("id", F.col("out_degree").alias("degree"))
+    got = {
+        r["id"]: round(
+            (2.0 * r["tri_count"] / (r["degree"] * (r["degree"] - 1)))
+            if r["degree"] >= 2
+            else 0.0,
+            6,
+        )
+        for r in tri.join(deg, "id").collect()
+    }
+    assert got == {0: 1.0, 1: 1.0, 2: 0.333333, 3: 0.0}
