@@ -361,6 +361,57 @@ ORDER BY vt.id
 """
 
 
+def pseudo_diameter_sql(rounds: int = BFS_ROUNDS) -> str:
+    """Double-BFS twin: same fixed round budget, same (dist desc, id
+    asc) farthest-vertex total order as q_pseudo_diameter."""
+    ctes = [_SQL_COMMON.strip(),
+            "d0 AS (SELECT id, CASE WHEN id = 0 THEN CAST(0 AS BIGINT) END"
+            " AS dist FROM verts)"]
+    for k in range(1, rounds + 1):
+        p = f"d{k - 1}"
+        ctes.append(
+            f"""d{k} AS MATERIALIZED (
+  SELECT v.id, least(v.dist, m.mn) AS dist
+  FROM {p} v LEFT JOIN (
+    SELECT e.dst AS id, min(l.dist) + 1 AS mn
+    FROM edges e JOIN {p} l ON e.src = l.id
+    WHERE l.dist IS NOT NULL
+    GROUP BY e.dst
+  ) m USING (id)
+)"""
+        )
+    ctes.append(
+        f"far AS MATERIALIZED (SELECT id, dist FROM d{rounds}"
+        " WHERE dist IS NOT NULL ORDER BY dist DESC, id LIMIT 1)"
+    )
+    ctes.append(
+        "f0 AS (SELECT id, CASE WHEN id = (SELECT id FROM far)"
+        " THEN CAST(0 AS BIGINT) END AS dist FROM verts)"
+    )
+    for k in range(1, rounds + 1):
+        p = f"f{k - 1}"
+        ctes.append(
+            f"""f{k} AS MATERIALIZED (
+  SELECT v.id, least(v.dist, m.mn) AS dist
+  FROM {p} v LEFT JOIN (
+    SELECT e.dst AS id, min(l.dist) + 1 AS mn
+    FROM edges e JOIN {p} l ON e.src = l.id
+    WHERE l.dist IS NOT NULL
+    GROUP BY e.dst
+  ) m USING (id)
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT CAST(0 AS BIGINT) AS start_id,
+       (SELECT id FROM far) AS far_id,
+       (SELECT dist FROM far) AS far_dist,
+       max(dist) AS pseudo_diameter
+FROM f{rounds} WHERE dist IS NOT NULL"""
+    )
+
+
 def clustering_sql() -> str:
     """Same triangle enumeration as tc_per_vertex_sql + symmetrized
     degree; lcc = 2*tri/(deg*(deg-1)) with the same operation order as
@@ -760,6 +811,33 @@ def q_scc(spark, sf_dir):
 
     g = graph(spark, sf_dir, "blocked")
     return strongly_connected_components(g)
+
+
+def q_pseudo_diameter(spark, sf_dir):
+    """Double-BFS pseudo-diameter (the standard GAPBS/graph-tool
+    heuristic): BFS from 0, hop to the farthest reached vertex (ties
+    to the min id — a total order), BFS again, report the farthest
+    distance found. Both sweeps run the fixed BFS_ROUNDS budget, so
+    the result is a deterministic lower bound shared with the twin
+    even on graphs deeper than the budget. Two frontier BFS runs plus
+    two scalar driver actions — never an O(V) collect."""
+    from graphit_spark.kernels import bfs
+
+    g = graph(spark, sf_dir, "raw")
+    d0 = bfs(g, 0, max_iters=BFS_ROUNDS)
+    far = (
+        d0.filter(F.col("dist").isNotNull())
+        .orderBy(F.desc("dist"), F.asc("id"))
+        .select("id", "dist")
+        .first()
+    )
+    d1 = bfs(g, int(far["id"]), max_iters=BFS_ROUNDS)
+    return d1.filter(F.col("dist").isNotNull()).agg(
+        F.lit(0).cast("long").alias("start_id"),
+        F.lit(int(far["id"])).cast("long").alias("far_id"),
+        F.lit(int(far["dist"])).cast("long").alias("far_dist"),
+        F.max("dist").alias("pseudo_diameter"),
+    )
 
 
 def q_clustering(spark, sf_dir):
@@ -2066,6 +2144,7 @@ GRAPH_QUERIES: dict[str, tuple] = {
     "hits": (q_hits, hits_sql()),
     "k_truss": (q_k_truss, truss_sql()),
     "clustering_coeff": (q_clustering, clustering_sql()),
+    "pseudo_diameter": (q_pseudo_diameter, pseudo_diameter_sql()),
     "label_propagation": (q_lpa, lpa_sql()),
     "triangle_count": (q_triangle_count, triangle_count_sql()),
     "triangle_per_vertex": (q_tc_per_vertex, tc_per_vertex_sql()),
