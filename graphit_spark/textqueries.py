@@ -349,6 +349,37 @@ def corpus_select_cluster(docs: DataFrame) -> DataFrame:
     return selected.join(keep, "doc_id", "left_semi")
 
 
+def q_corpus_select_full(spark, sf_dir):
+    """The COMPLETE curation pipeline — every gate family composed:
+    exact-dedup + quality + language + stopword gates (one fused
+    documents scan), the Gopher repetition gate (computed over gate
+    SURVIVORS only — the explode never touches rejected docs), then
+    cluster-canonical near-dup removal (LSH → candidate-gated Jaccard
+    → CC clustering) keeping the min-doc_id of every transitive
+    cluster. This is the end-to-end job a pretraining pipeline runs;
+    jobs/run_curation.py exposes the same composition for
+    spark-submit."""
+    return corpus_select_full(load(spark, sf_dir, "documents"))
+
+
+def corpus_select_full(docs: DataFrame) -> DataFrame:
+    """DataFrame-level body of q_corpus_select_full."""
+    selected = _corpus_selected(docs)
+    sel_docs = docs.join(selected.select("doc_id"), "doc_id", "left_semi")
+    rep_ok = (
+        T.repetition_stats(sel_docs)
+        .filter(F.col("repetition_ok"))
+        .select("doc_id")
+    )
+    selected2 = selected.join(rep_ok, "doc_id", "left_semi")
+    sel2_docs = docs.join(selected2.select("doc_id"), "doc_id", "left_semi")
+    clusters = dedup_clusters(sel2_docs)
+    keep = clusters.filter(
+        F.col("cluster_id") == F.col("doc_id")
+    ).select("doc_id")
+    return selected2.join(keep, "doc_id", "left_semi")
+
+
 SAMPLE_BUDGET_DIVISOR = 4  # keep ~1/4 of the curated tokens
 
 
@@ -757,6 +788,33 @@ ORDER BY doc_id
 """
 
 
+def _corpus_select_full_sql(rounds: int = CLUSTER_CC_ROUNDS) -> str:
+    """Gates → repetition gate over survivors → LSH→Jaccard→CC
+    clusters → keep the cluster-canonical doc. Every stage reuses the
+    lockstep CTE builders of its standalone twin."""
+    ctes, body = _corpus_sel_parts()
+    rep = _repetition_agg_ctes(
+        "(SELECT d0.* FROM documents d0 JOIN sel USING (doc_id)) "
+    )
+    jac = _jaccard_lsh_ctes(
+        docs_src="(SELECT d0.* FROM documents d0 JOIN sel2 USING (doc_id)) "
+    )
+    cc = ",\n".join(_cc_label_ctes(rounds, "sel2"))
+    return f"""
+WITH {ctes},
+sel AS MATERIALIZED ({body}),
+{rep},
+rep_ok AS MATERIALIZED (SELECT doc_id FROM ragg WHERE {_rep_gate_sql()}),
+sel2 AS MATERIALIZED (SELECT s.* FROM sel s JOIN rep_ok USING (doc_id)),
+{jac},
+{cc}
+SELECT s.doc_id, s.n_tokens, s.alpha_ratio, s.stopword_ratio
+FROM sel2 s JOIN c{rounds} c USING (doc_id)
+WHERE c.comp = s.doc_id
+ORDER BY doc_id
+"""
+
+
 def _simhash_sql(bits: int = 16) -> str:
     votes = ", ".join(
         f"sum((h // {1 << b}) % 2 * 2 - 1) AS v_{b}" for b in range(bits)
@@ -1148,28 +1206,27 @@ SELECT doc_id, term, tf, df, score FROM (
 """
 
 
-def _repetition_sql() -> str:
-    """Same tokenization, same tagged word/bigram counting, same
-    rounded fractions and Gopher thresholds as
-    textops.repetition_stats."""
-    return f"""
-WITH toks AS MATERIALIZED (
+def _repetition_agg_ctes(docs_src: str = "documents") -> str:
+    """CTE chain ending in `ragg` (per-doc word/bigram counts) over
+    `docs_src` — shared by _repetition_sql and the full-pipeline
+    curation twin so the tokenization and counting stay in lockstep."""
+    return f"""rtoks AS MATERIALIZED (
   SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
-  FROM documents
+  FROM {docs_src}
 ),
-grams AS (
-  SELECT doc_id, 1 AS gram_n, unnest(t) AS gram FROM toks
+rgrams AS (
+  SELECT doc_id, 1 AS gram_n, unnest(t) AS gram FROM rtoks
   UNION ALL
   SELECT doc_id, 2 AS gram_n,
          unnest(list_transform(generate_series(1, len(t) - 1),
                                i -> array_to_string(t[i:i+1], ' '))) AS gram
-  FROM toks WHERE len(t) >= 2
+  FROM rtoks WHERE len(t) >= 2
 ),
-counts AS (
+rcounts AS (
   SELECT doc_id, gram_n, gram, count(*) AS c
-  FROM grams GROUP BY doc_id, gram_n, gram
+  FROM rgrams GROUP BY doc_id, gram_n, gram
 ),
-agg AS (
+ragg AS MATERIALIZED (
   SELECT doc_id,
          CAST(sum(CASE WHEN gram_n = 1 THEN c END) AS BIGINT) AS n_words,
          CAST(count(CASE WHEN gram_n = 1 THEN 1 END) AS BIGINT)
@@ -1179,18 +1236,34 @@ agg AS (
            AS n_bigrams,
          CAST(coalesce(max(CASE WHEN gram_n = 2 THEN c END), 0) AS BIGINT)
            AS top_bigram_c
-  FROM counts GROUP BY doc_id
-)
+  FROM rcounts GROUP BY doc_id
+)"""
+
+
+def _rep_gate_sql() -> str:
+    """The Gopher gate predicate over ragg's raw counts — the exact
+    rounded expressions of textops.repetition_stats."""
+    return (
+        f"(round(top_word_c / n_words, 6) <= {T.REP_MAX_TOP_WORD_FRAC}"
+        f" AND round(top_bigram_c / greatest(n_bigrams, 1), 6)"
+        f" <= {T.REP_MAX_TOP_BIGRAM_FRAC}"
+        f" AND round(n_distinct_words / n_words, 6)"
+        f" >= {T.REP_MIN_UNIQUE_WORD_FRAC})"
+    )
+
+
+def _repetition_sql() -> str:
+    """Same tokenization, same tagged word/bigram counting, same
+    rounded fractions and Gopher thresholds as
+    textops.repetition_stats."""
+    return f"""
+WITH {_repetition_agg_ctes()}
 SELECT doc_id, n_words, n_distinct_words,
        round(top_word_c / n_words, 6) AS top_word_frac,
        round(top_bigram_c / greatest(n_bigrams, 1), 6) AS top_bigram_frac,
        round(n_distinct_words / n_words, 6) AS unique_word_frac,
-       (round(top_word_c / n_words, 6) <= {T.REP_MAX_TOP_WORD_FRAC}
-        AND round(top_bigram_c / greatest(n_bigrams, 1), 6)
-              <= {T.REP_MAX_TOP_BIGRAM_FRAC}
-        AND round(n_distinct_words / n_words, 6)
-              >= {T.REP_MIN_UNIQUE_WORD_FRAC}) AS repetition_ok
-FROM agg
+       {_rep_gate_sql()} AS repetition_ok
+FROM ragg
 """
 
 
@@ -1364,6 +1437,7 @@ TEXT_QUERIES: dict[str, tuple] = {
     "corpus_select": (q_corpus_select, _corpus_select_sql()),
     "corpus_select_dedup": (q_corpus_select_dedup, _corpus_select_dedup_sql()),
     "corpus_select_cluster": (q_corpus_select_cluster, _corpus_select_cluster_sql()),
+    "corpus_select_full": (q_corpus_select_full, _corpus_select_full_sql()),
     "corpus_sample_budget": (q_corpus_sample_budget, _corpus_sample_budget_sql()),
     "dedup_clusters": (q_dedup_clusters, _dedup_clusters_sql()),
     "sim_lsh_topk": (q_lsh_topk, SQL_LSH_TOPK),

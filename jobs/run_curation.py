@@ -18,6 +18,8 @@ Stages (each also writes the previous stages' accounting):
     dedup     select + MinHash-LSH near-dup removal (corpus_select_dedup)
     cluster   select + cluster-canonical near-dup removal
               (corpus_select_cluster; keeps min doc_id per cluster)
+    full      the complete pipeline: select + Gopher repetition gate
+              + cluster-canonical near-dup (corpus_select_full)
     clusters  near-dup transitive clusters via the CC kernel
               (dedup_clusters; one row per doc: cluster_id, cluster_size)
     sample    select + deterministic token-budget sampling
@@ -43,7 +45,7 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--stage", required=True,
                    choices=["select", "dedup", "cluster", "clusters",
-                            "sample"])
+                            "full", "sample"])
     p.add_argument("--documents", required=True,
                    help="parquet documents table (doc_id, text, ...)")
     p.add_argument("--output", required=True)
@@ -63,6 +65,8 @@ def main() -> None:
         out = T.corpus_select_dedup(docs)
     elif args.stage == "cluster":
         out = T.corpus_select_cluster(docs)
+    elif args.stage == "full":
+        out = T.corpus_select_full(docs)
     elif args.stage == "sample":
         out = T.corpus_sample_budget(docs)
     else:

@@ -37,6 +37,7 @@ TEXT_QUERY_NAMES = [
     "dedup_simhash", "dedup_jaccard_lsh", "dedup_embedding_lsh",
     "sim_lsh_topk", "events_hourly", "events_sessions",
     "corpus_select", "corpus_select_dedup", "corpus_select_cluster",
+    "corpus_select_full",
 ]
 
 
