@@ -22,12 +22,20 @@ every outer round peels at least one whole SCC, and removing whole
 SCCs can never split another (every vertex on a v -> w path between
 mutually-reachable v, w is itself in their SCC) — the peel is exact.
 
-Spark plan per propagation round: the frontier-restricted gather join
-+ min aggregate of connected_components (direction switch at the Ligra
-1/20 threshold, shuffle-hash V-side build on big graphs, one E-scan
-per round); per outer round two semi-joins shrink the edge table to
-the unassigned subgraph and are checkpointed so later rounds rescan
-only the residual graph (the FW-BW work bound), never the full crawl.
+Spark plan: the F and B fixpoints run FUSED in one loop — both
+directions' frontier-restricted gathers land in the same superstep
+state, so each round pays ONE checkpoint and ONE driver action for
+both directions (the separate-loop form paid two of each), and the
+F==B match at the end is a filter on the fused state instead of a
+V⋈V join. Each gather is the connected_components shape (direction
+switch at the Ligra 1/20 threshold — the frontier's degree sum is
+estimated as size x avg-degree here to avoid a per-round scalar
+action; shuffle-hash V-side build on big graphs; one E-scan per
+direction per round). Per outer round two semi-joins shrink the
+checkpointed edge table to the unassigned subgraph, so later rounds
+rescan only the residual graph (the FW-BW work bound), never the full
+crawl. A direction that converges early stops gathering while the
+other finishes.
 """
 
 from __future__ import annotations
@@ -38,75 +46,89 @@ from graphit_spark.graph import LinkGraph
 from graphit_spark.plans.traversal import choose_direction
 
 
-def _min_reach_fixpoint(
+def _fw_bw_fixpoint(
     edges: DataFrame,
+    tedges: DataFrame,
     verts: DataFrame,
-    degs: DataFrame,
     num_edges: int,
     num_verts: int,
     big_v: bool,
     max_iters: int,
 ) -> DataFrame:
-    """(id, lab) fixpoint of lab[dst] min= lab[src] over directed
-    `edges`, starting from lab = id. Frontier-restricted exactly like
-    connected_components' propagation loop (one E-scan per round);
-    `degs` is the (src, deg) table of THIS edge set, used for the
-    Ligra direction threshold."""
-    labels = verts.select("id", F.col("id").alias("lab")).localCheckpoint(
-        eager=True
-    )
-    frontier = labels.select("id")
-    frontier_size = num_verts
-    frontier_deg_sum = num_edges
-    prev = labels
-    for _ in range(max_iters):
-        direction = choose_direction(frontier_size, frontier_deg_sum, num_edges)
-        src_labels = labels.select(F.col("id").alias("src"), "lab")
+    """(id, flab, blab): joint fixpoint of lab[dst] min= lab[src] over
+    `edges` (flab) and `tedges` (blab), both starting from lab = id.
+    One checkpoint + one count action per round covers both
+    directions."""
+    avg_deg = max(num_edges / max(num_verts, 1), 1.0)
+    state = verts.select(
+        "id", F.col("id").alias("flab"), F.col("id").alias("blab")
+    ).localCheckpoint(eager=True)
+    ffront = state.select("id")
+    bfront = ffront
+    fsize = bsize = num_verts
+    f_done = b_done = False
+    prev = state
+
+    def gather(e: DataFrame, labcol: str, front: DataFrame, size: int,
+               tag: str) -> DataFrame:
+        direction = choose_direction(size, int(size * avg_deg), num_edges)
+        src_labels = state.select(
+            F.col("id").alias("src"), F.col(labcol).alias("lab")
+        )
         if direction == "sparse":
-            fr = frontier.select(F.col("id").alias("src"))
-            active = edges.join(F.broadcast(fr), "src", "left_semi")
+            fr = front.select(F.col("id").alias("src"))
+            active = e.join(F.broadcast(fr), "src", "left_semi")
             src_labels = F.broadcast(src_labels.join(F.broadcast(fr), "src"))
         else:
-            active = edges
-            if frontier_size < num_verts:
+            active = e
+            if size < num_verts:
                 src_labels = src_labels.join(
-                    frontier.select(F.col("id").alias("src")), "src", "left_semi"
+                    front.select(F.col("id").alias("src")), "src", "left_semi"
                 )
             if big_v:
                 src_labels = src_labels.hint("shuffle_hash")
-        mins = (
+        return (
             active.join(src_labels, "src")
             .groupBy(F.col("dst").alias("id"))
-            .agg(F.min("lab").alias("cand"))
+            .agg(F.min("lab").alias(f"{tag}cand"))
         )
-        new_labels = (
-            labels.join(mins, "id", "left")
-            .select(
-                "id",
-                F.least(F.col("lab"), F.coalesce("cand", F.col("lab"))).alias(
-                    "lab"
-                ),
-                (F.coalesce("cand", F.col("lab")) < F.col("lab")).alias("chg"),
+
+    for _ in range(max_iters):
+        joined = state
+        if not f_done:
+            joined = joined.join(
+                gather(edges, "flab", ffront, fsize, "f"), "id", "left"
             )
-            .localCheckpoint(eager=True)
-        )
-        changed = new_labels.filter("chg").select("id")
-        frontier_size = changed.count()
+        if not b_done:
+            joined = joined.join(
+                gather(tedges, "blab", bfront, bsize, "b"), "id", "left"
+            )
+        cols = [F.col("id")]
+        for done, labcol, tag in ((f_done, "flab", "f"), (b_done, "blab", "b")):
+            if done:
+                cols += [F.col(labcol), F.lit(False).alias(f"{tag}chg")]
+            else:
+                cand = F.coalesce(f"{tag}cand", F.col(labcol))
+                cols += [
+                    F.least(F.col(labcol), cand).alias(labcol),
+                    (cand < F.col(labcol)).alias(f"{tag}chg"),
+                ]
+        new_state = joined.select(*cols).localCheckpoint(eager=True)
+        row = new_state.agg(
+            F.sum(F.col("fchg").cast("int")).alias("fc"),
+            F.sum(F.col("bchg").cast("int")).alias("bc"),
+        ).collect()[0]
+        fsize, bsize = int(row["fc"] or 0), int(row["bc"] or 0)
         prev.unpersist()
-        prev = new_labels
-        labels = new_labels.select("id", "lab")
-        frontier = changed
-        if frontier_size == 0:
+        prev = new_state
+        state = new_state.select("id", "flab", "blab")
+        ffront = new_state.filter("fchg").select("id")
+        bfront = new_state.filter("bchg").select("id")
+        f_done = f_done or fsize == 0
+        b_done = b_done or bsize == 0
+        if f_done and b_done:
             break
-        if frontier_size > num_edges / 20:
-            frontier_deg_sum = num_edges
-        else:
-            frontier_deg_sum = int(
-                changed.join(degs, changed["id"] == degs["src"], "left")
-                .agg(F.coalesce(F.sum("deg"), F.lit(0)).alias("d"))
-                .collect()[0]["d"]
-            )
-    return labels
+    return state
 
 
 def strongly_connected_components(
@@ -141,26 +163,14 @@ def strongly_connected_components(
                 f"({n_active} vertices unassigned)"
             )
         big_v = n_active > 500_000
-        degs_f = (
-            edges.groupBy("src").agg(F.count("*").alias("deg"))
-            .localCheckpoint(eager=True)
-        )
         tedges = edges.select(
             F.col("dst").alias("src"), F.col("src").alias("dst")
         )
-        degs_b = (
-            tedges.groupBy("src").agg(F.count("*").alias("deg"))
-            .localCheckpoint(eager=True)
+        labs = _fw_bw_fixpoint(
+            edges, tedges, verts, num_edges, n_active, big_v, max_prop
         )
-        flab = _min_reach_fixpoint(
-            edges, verts, degs_f, num_edges, n_active, big_v, max_prop
-        ).withColumnRenamed("lab", "flab")
-        blab = _min_reach_fixpoint(
-            tedges, verts, degs_b, num_edges, n_active, big_v, max_prop
-        ).withColumnRenamed("lab", "blab")
         matched = (
-            flab.join(blab, "id")
-            .filter(F.col("flab") == F.col("blab"))
+            labs.filter(F.col("flab") == F.col("blab"))
             .select("id", F.col("flab").alias("scc"))
             .localCheckpoint(eager=True)
         )
@@ -178,7 +188,7 @@ def strongly_connected_components(
             .select("src", "dst")
             .localCheckpoint(eager=True)
         )
-        for df in (verts, edges, degs_f, degs_b, flab, blab):
+        for df in (verts, edges, labs):
             df.unpersist()
         verts, edges = new_verts, new_edges
         n_active = verts.count()
