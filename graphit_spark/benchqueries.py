@@ -840,6 +840,38 @@ def q_pseudo_diameter(spark, sf_dir):
     )
 
 
+def q_betweenness_pivots(spark, sf_dir):
+    """Pivot-sampled betweenness — the 100 TB scale path for the one
+    O(V·E) kernel: run Brandes from K deterministic pivots and scale
+    the summed dependencies by n/K (the standard pivot estimator;
+    deterministic pivots keep the twin exact). Each pivot's pass is
+    the audited single-source kernel; pivots are embarrassingly
+    parallel across a cluster, and K is the accuracy/cost dial exact
+    BC lacks entirely."""
+    from graphit_spark.kernels import betweenness_centrality
+
+    g = graph(spark, sf_dir, "raw")
+    own = g.ensure_persisted()
+    n = g.num_vertices
+    total = None
+    for s in range(BC_PIVOTS):
+        d = betweenness_centrality(g, s).select(
+            "id", F.col("bc").alias(f"d{s}")
+        )
+        total = d if total is None else total.join(d, "id")
+    if own:
+        g.unpersist()
+    expr = F.col("d0")
+    for s in range(1, BC_PIVOTS):
+        expr = expr + F.col(f"d{s}")
+    return total.select(
+        "id",
+        F.round(
+            F.lit(float(n)) / F.lit(float(BC_PIVOTS)) * expr, 6
+        ).alias("bc_est"),
+    )
+
+
 def q_clustering(spark, sf_dir):
     """Per-vertex local clustering coefficient — the classic graph-
     structure statistic: lcc(v) = 2·tri(v) / (deg·(deg-1)) on the
@@ -1120,21 +1152,19 @@ def astar_sql(target: int = 42, rounds: int = SSSP_FIXPOINT_ROUNDS) -> str:
     )
 
 
-def betweenness_sql(levels: int = BC_LEVELS, source: int = 0) -> str:
-    """Single-source Brandes as fixed-level CTEs: forward BFS depth +
-    path counts, then backward dependency accumulation. Mirrors
-    kernels/bc.py (reference apps/bc.gt: forward frontier stack, backward
-    over the transpose). `levels` must exceed the BFS depth; deeper CTE
-    rounds are no-ops on a converged depth table."""
+def _bc_chain_ctes(source: int, levels: int, prefix: str = "") -> list[str]:
+    """The single-source Brandes CTE chain (forward BFS depth + sigma,
+    backward delta), name-prefixed so multiple pivots can coexist in
+    one query. Ends at {prefix}depth and {prefix}del0."""
+    x = prefix
     ctes = [
-        _SQL_COMMON.strip(),
-        f"dep0 AS (SELECT id, CASE WHEN id = {source} THEN 0 END AS depth FROM verts)",
+        f"{x}dep0 AS (SELECT id, CASE WHEN id = {source} THEN 0 END AS depth FROM verts)",
     ]
     # forward: BFS depth (fixed-round min-propagation, converges <= levels)
     for k in range(1, levels + 1):
-        p = f"dep{k - 1}"
+        p = f"{x}dep{k - 1}"
         ctes.append(
-            f"""dep{k} AS MATERIALIZED (
+            f"""{x}dep{k} AS MATERIALIZED (
   SELECT v.id, least(v.depth, m.mn) AS depth
   FROM {p} v LEFT JOIN (
     SELECT e.dst AS id, min(l.depth) + 1 AS mn
@@ -1145,54 +1175,66 @@ def betweenness_sql(levels: int = BC_LEVELS, source: int = 0) -> str:
 )"""
         )
     ctes.append(
-        f"depth AS MATERIALIZED (SELECT id, depth FROM dep{levels})"
+        f"{x}depth AS MATERIALIZED (SELECT id, depth FROM {x}dep{levels})"
     )
     # forward: sigma (number of shortest paths), level by level
     ctes.append(
-        f"sig0 AS (SELECT id, CASE WHEN id = {source} THEN 1e0 END AS sigma FROM verts)"
+        f"{x}sig0 AS (SELECT id, CASE WHEN id = {source} THEN 1e0 END AS sigma FROM verts)"
     )
     for k in range(1, levels + 1):
-        p = f"sig{k - 1}"
+        p = f"{x}sig{k - 1}"
         ctes.append(
-            f"""sig{k} AS MATERIALIZED (
+            f"""{x}sig{k} AS MATERIALIZED (
   SELECT v.id,
          CASE WHEN d.depth = {k} THEN s.acc ELSE v.sigma END AS sigma
   FROM {p} v
-  JOIN depth d USING (id)
+  JOIN {x}depth d USING (id)
   LEFT JOIN (
     SELECT e.dst AS id, sum(l.sigma) AS acc
     FROM edges e
     JOIN {p} l ON e.src = l.id
-    JOIN depth du ON e.src = du.id AND du.depth = {k - 1}
+    JOIN {x}depth du ON e.src = du.id AND du.depth = {k - 1}
     WHERE l.sigma IS NOT NULL
     GROUP BY e.dst
   ) s USING (id)
 )"""
         )
-    ctes.append(f"sigma AS MATERIALIZED (SELECT id, sigma FROM sig{levels})")
+    ctes.append(
+        f"{x}sigma AS MATERIALIZED (SELECT id, sigma FROM {x}sig{levels})"
+    )
     # backward: delta, from the deepest level down
-    ctes.append(f"del{levels} AS (SELECT id, 0e0 AS delta FROM verts)")
+    ctes.append(f"{x}del{levels} AS (SELECT id, 0e0 AS delta FROM verts)")
     for k in range(levels - 1, -1, -1):
-        p = f"del{k + 1}"
+        p = f"{x}del{k + 1}"
         ctes.append(
-            f"""del{k} AS MATERIALIZED (
+            f"""{x}del{k} AS MATERIALIZED (
   SELECT v.id,
          CASE WHEN d.depth = {k} THEN coalesce(c.acc, 0e0)
               ELSE v.delta END AS delta
   FROM {p} v
-  JOIN depth d USING (id)
+  JOIN {x}depth d USING (id)
   LEFT JOIN (
     SELECT e.src AS id,
            sum(sv.sigma / sw.sigma * (1e0 + dl.delta)) AS acc
     FROM edges e
-    JOIN depth dw ON e.dst = dw.id AND dw.depth = {k + 1}
-    JOIN sigma sw ON e.dst = sw.id
-    JOIN sigma sv ON e.src = sv.id
+    JOIN {x}depth dw ON e.dst = dw.id AND dw.depth = {k + 1}
+    JOIN {x}sigma sw ON e.dst = sw.id
+    JOIN {x}sigma sv ON e.src = sv.id
     JOIN {p} dl ON e.dst = dl.id
     GROUP BY e.src
   ) c USING (id)
 )"""
         )
+    return ctes
+
+
+def betweenness_sql(levels: int = BC_LEVELS, source: int = 0) -> str:
+    """Single-source Brandes as fixed-level CTEs: forward BFS depth +
+    path counts, then backward dependency accumulation. Mirrors
+    kernels/bc.py (reference apps/bc.gt: forward frontier stack, backward
+    over the transpose). `levels` must exceed the BFS depth; deeper CTE
+    rounds are no-ops on a converged depth table."""
+    ctes = [_SQL_COMMON.strip()] + _bc_chain_ctes(source, levels)
     return (
         "WITH " + ",\n".join(ctes)
         + f"""
@@ -1203,6 +1245,44 @@ SELECT v.id,
 FROM verts v
 JOIN depth d USING (id)
 JOIN del0 l ON v.id = l.id
+ORDER BY v.id"""
+    )
+
+
+BC_PIVOTS = 4
+
+
+def betweenness_pivots_sql(
+    n_pivots: int = BC_PIVOTS, levels: int = BC_LEVELS
+) -> str:
+    """Pivot-sampled Brandes twin: one prefixed single-source chain per
+    deterministic pivot (0..K-1), estimate = (n / K) * sum of per-pivot
+    dependencies. Same per-chain float contract as betweenness_sql;
+    the cross-pivot sum is a K-term fold whose sum-order noise the
+    6-decimal rounding absorbs."""
+    ctes = [_SQL_COMMON.strip()]
+    for i in range(n_pivots):
+        ctes += _bc_chain_ctes(i, levels, prefix=f"p{i}")
+    terms = []
+    joins = []
+    for i in range(n_pivots):
+        terms.append(
+            f"CASE WHEN v.id = {i} THEN 0e0"
+            f" WHEN d{i}.depth IS NULL THEN 0e0"
+            f" ELSE l{i}.delta END"
+        )
+        joins.append(
+            f"JOIN p{i}depth d{i} USING (id)\n"
+            f"JOIN p{i}del0 l{i} ON v.id = l{i}.id"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT v.id,
+       round((SELECT n FROM nv) / {n_pivots}e0 * ({' + '.join(terms)}), 6)
+         AS bc_est
+FROM verts v
+{chr(10).join(joins)}
 ORDER BY v.id"""
     )
 
@@ -2155,6 +2235,7 @@ GRAPH_QUERIES: dict[str, tuple] = {
     "pagerank_delta": (q_pagerank_delta, pagerank_delta_sql()),
     "k_core": (q_kcore, kcore_sql()),
     "betweenness": (q_betweenness, betweenness_sql()),
+    "betweenness_pivots": (q_betweenness_pivots, betweenness_pivots_sql()),
     "collab_filtering": (q_cf, cf_sql()),
     "eigenvector": (q_eigenvector, eigenvector_sql()),
     "fused_pr_eigenvector": (q_fused_pr_eigenvector, fused_pr_ec_sql()),
