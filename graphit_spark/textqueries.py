@@ -477,6 +477,48 @@ def q_events_hourly(spark, sf_dir):
     )
 
 
+TRENDING_TOP_K = 3
+
+
+def q_events_trending(spark, sf_dir):
+    """Windowed top-k: per hour, the 3 most active users by event
+    count (integer rank, ties to the min user_id — a total order with
+    zero float risk), with their summed value as accounting. The
+    Window partitions by hour, so parallelism scales with the time
+    range — the trending-dashboard query shape."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "user_id"
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 6).alias("total_value"),
+    )
+    w = Window.partitionBy("hour").orderBy(
+        F.desc("n_events"), F.asc("user_id")
+    )
+    return (
+        hourly.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TRENDING_TOP_K)
+        .select("hour", "user_id", "n_events", "total_value")
+    )
+
+
+def q_events_json_stats(spark, sf_dir):
+    """Semi-structured column handling: extract props.k (a JSON int)
+    with the native JVM JSON path expression — no UDF — and aggregate
+    per event_type. Integer aggregates, exact twin."""
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
 def q_events_sessions(spark, sf_dir):
     from pyspark.sql import Window
 
@@ -1332,6 +1374,33 @@ SELECT date_trunc('hour', ts) AS hour, event_type,
 FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """
 
+SQL_EVENTS_TRENDING = f"""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hour, user_id,
+         CAST(count(*) AS BIGINT) AS n_events,
+         round(sum(value), 6) AS total_value
+  FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT hour, user_id, n_events, total_value,
+         row_number() OVER (PARTITION BY hour
+                            ORDER BY n_events DESC, user_id ASC) AS rn
+  FROM hourly
+)
+SELECT hour, user_id, n_events, total_value
+FROM ranked WHERE rn <= {TRENDING_TOP_K}
+ORDER BY hour, user_id
+"""
+
+SQL_EVENTS_JSON_STATS = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(min(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(max(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS max_k
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
 SQL_EVENTS_SESSIONS = """
 WITH marked AS (
   SELECT user_id, ts, event_id,
@@ -1428,6 +1497,8 @@ TEXT_QUERIES: dict[str, tuple] = {
     "doc_tfidf_terms": (q_tfidf, _tfidf_sql()),
     "doc_pii_scrub": (q_pii, _pii_sql()),
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
+    "events_trending": (q_events_trending, SQL_EVENTS_TRENDING),
+    "events_json_stats": (q_events_json_stats, SQL_EVENTS_JSON_STATS),
     "events_sessions": (q_events_sessions, SQL_EVENTS_SESSIONS),
     "dedup_exact": (q_exact_dedup, SQL_EXACT_DEDUP),
     "dedup_minhash": (q_minhash, _minhash_sql()),
