@@ -2,12 +2,14 @@
 
 Images/audio/video ride through the engine as `binary` columns with a
 small typed header; decode / feature-extract / resize / frame-sample run
-as Arrow-batched mapInPandas operators. Three REAL formats decode with
+as Arrow-batched mapInPandas operators. Five REAL formats decode with
 the stdlib alone and exercise the full pipeline end to end: BMP
 (uncompressed 8/24-bpp → grayscale, resize re-encodes a readable BMP),
 PNG (zlib inflate + all five scanline filters; gray/RGB/palette/alpha
-color types; resize re-encodes a readable grayscale PNG) and PCM WAV
-(via the `wave` module). Everything beyond those is STUBBED
+color types; resize re-encodes a readable grayscale PNG), GIF
+(full variable-width LZW + interlace + local color tables; resize
+re-encodes a readable GIF via literal-code LZW), netpbm PGM/PPM, and
+PCM WAV (via the `wave` module). Everything beyond those is STUBBED
 (this container has no PIL/ffmpeg): real libraries plug in behind the
 `_HAVE_PIL` import-try, and the deterministic fake container format
 ("FAKEIMG1/FAKEAUD1/FAKEVID1") keeps the Spark-side plumbing — binary
@@ -255,6 +257,220 @@ def encode_png_gray(arr) -> bytes:
     )
 
 
+GIF_MAGICS = (b"GIF87a", b"GIF89a")
+
+
+def _decode_pnm(raw: bytes):
+    """Netpbm binary P5 (PGM, grayscale) / P6 (PPM, RGB → integer
+    ITU-R 601 luminance) → (h, w) uint8 ndarray. Comments ('#' to end
+    of line) are honored anywhere in the header; maxval must fit a
+    byte."""
+    import numpy as np
+
+    if raw[:2] not in (b"P5", b"P6"):
+        raise ValueError("not a binary PGM/PPM")
+    toks: list[int] = []
+    i, n = 2, len(raw)
+    while len(toks) < 3 and i < n:
+        c = raw[i:i + 1]
+        if c == b"#":
+            while i < n and raw[i:i + 1] not in (b"\n", b"\r"):
+                i += 1
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while j < n and not raw[j:j + 1].isspace():
+                j += 1
+            toks.append(int(raw[i:j]))
+            i = j
+    i += 1  # exactly one whitespace byte separates maxval from pixels
+    w, h, maxval = toks
+    if maxval > 255:
+        raise NotImplementedError("16-bit PNM unsupported")
+    if raw[:2] == b"P5":
+        return np.frombuffer(raw, np.uint8, w * h, i).reshape(h, w).copy()
+    rgb = (
+        np.frombuffer(raw, np.uint8, w * h * 3, i)
+        .reshape(h, w, 3)
+        .astype(np.int64)
+    )
+    return (
+        (rgb[..., 0] * 299 + rgb[..., 1] * 587 + rgb[..., 2] * 114) // 1000
+    ).astype(np.uint8)
+
+
+def encode_pgm_gray(arr) -> bytes:
+    """(h, w) uint8 → binary PGM (P5) — the simplest real raster
+    format; resized output stays a readable real image."""
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    h, w = a.shape
+    return b"P5\n%d %d\n255\n" % (w, h) + a.tobytes()
+
+
+def _lzw_decode(data: bytes, min_code: int, expected: int) -> list:
+    """GIF variable-width LZW (LSB-first bit packing, CLEAR/EOI codes,
+    width growth to 12 bits). Returns at most `expected` pixel
+    indices; a truncated stream ends early rather than raising."""
+    clear = 1 << min_code
+    eoi = clear + 1
+    out: list = []
+    bitpos, nbits = 0, len(data) * 8
+    width = min_code + 1
+    dictionary: list | None = None
+    prev: list | None = None
+    while len(out) < expected:
+        if bitpos + width > nbits:
+            break  # truncated stream
+        byte = bitpos >> 3
+        code = (
+            int.from_bytes(data[byte:byte + 3], "little") >> (bitpos & 7)
+        ) & ((1 << width) - 1)
+        bitpos += width
+        if code == clear:
+            dictionary = [[j] for j in range(clear)] + [None, None]
+            width = min_code + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if dictionary is None:  # encoder skipped the leading CLEAR
+            dictionary = [[j] for j in range(clear)] + [None, None]
+        if prev is None:
+            entry = dictionary[code]
+            if entry is None:
+                raise ValueError("corrupt GIF LZW stream")
+        elif code < len(dictionary) and dictionary[code] is not None:
+            entry = dictionary[code]
+            dictionary.append(prev + entry[:1])
+        elif code == len(dictionary):
+            entry = prev + prev[:1]
+            dictionary.append(entry)
+        else:
+            raise ValueError("corrupt GIF LZW stream")
+        out += entry
+        prev = entry
+        if len(dictionary) == (1 << width) and width < 12:
+            width += 1
+    return out[:expected]
+
+
+def _decode_gif(raw: bytes):
+    """GIF87a/89a → (h, w) uint8 grayscale of the FIRST image block:
+    full variable-width LZW decode, interlace reorder, palette →
+    integer ITU-R 601 luminance. Transparency is ignored (the
+    transparent index keeps its palette color); animated GIFs decode
+    frame 1."""
+    import numpy as np
+
+    if raw[:6] not in GIF_MAGICS:
+        raise ValueError("not a GIF")
+    _sw, _sh, flags = struct.unpack_from("<HHB", raw, 6)
+    i = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        gct = np.frombuffer(raw, np.uint8, n * 3, i).reshape(n, 3)
+        i += n * 3
+    while i < len(raw):
+        b = raw[i]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension: label byte + data sub-blocks
+            i += 2
+            while raw[i] != 0:
+                i += 1 + raw[i]
+            i += 1
+            continue
+        if b != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+        _lx, _ty, w, h, iflags = struct.unpack_from("<HHHHB", raw, i + 1)
+        i += 10
+        pal = gct
+        if iflags & 0x80:  # local color table
+            n = 2 << (iflags & 7)
+            pal = np.frombuffer(raw, np.uint8, n * 3, i).reshape(n, 3)
+            i += n * 3
+        if pal is None:
+            raise ValueError("GIF image without a color table")
+        min_code = raw[i]
+        i += 1
+        data = bytearray()
+        while raw[i] != 0:
+            ln = raw[i]
+            data += raw[i + 1:i + 1 + ln]
+            i += 1 + ln
+        idx = _lzw_decode(bytes(data), min_code, w * h)
+        if len(idx) < w * h:
+            raise ValueError("GIF pixel data truncated")
+        px = np.array(idx, dtype=np.int64).reshape(h, w)
+        if iflags & 0x40:  # interlaced: rows stored in 4 passes
+            order = (
+                list(range(0, h, 8)) + list(range(4, h, 8))
+                + list(range(2, h, 4)) + list(range(1, h, 2))
+            )
+            out = np.empty_like(px)
+            out[order] = px
+            px = out
+        if int(px.max(initial=0)) >= len(pal):
+            raise ValueError("GIF pixel index beyond palette size")
+        lum = (
+            (pal[:, 0].astype(np.int64) * 299
+             + pal[:, 1].astype(np.int64) * 587
+             + pal[:, 2].astype(np.int64) * 114) // 1000
+        ).astype(np.uint8)
+        return lum[px]
+    raise ValueError("GIF contains no image block")
+
+
+def encode_gif_gray(arr) -> bytes:
+    """(h, w) uint8 → GIF87a with a 256-entry gray palette and
+    'uncompressed' LZW (literal 9-bit codes with periodic CLEARs so
+    the code width never grows) — a real, universally readable GIF.
+    Gray palette luminance is exact ((299+587+114)·g // 1000 == g), so
+    encode→decode round-trips bit-identically."""
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    h, w = a.shape
+    out = bytearray(b"GIF87a")
+    out += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)  # 256-entry GCT
+    for g in range(256):
+        out += bytes((g, g, g))
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    out.append(8)  # LZW minimum code size
+    clear, eoi = 256, 257
+    acc = nacc = 0
+    payload = bytearray()
+
+    def emit(code: int) -> None:
+        nonlocal acc, nacc
+        acc |= code << nacc
+        nacc += 9
+        while nacc >= 8:
+            payload.append(acc & 0xFF)
+            acc >>= 8
+            nacc -= 8
+
+    emit(clear)
+    for k, v in enumerate(a.ravel().tolist()):
+        emit(v)
+        # decoder dict grows by 1 per literal after the first; CLEAR
+        # before it reaches 512 so both sides stay at 9-bit codes
+        if (k + 1) % 250 == 0:
+            emit(clear)
+    emit(eoi)
+    if nacc:
+        payload.append(acc & 0xFF)
+    for j in range(0, len(payload), 255):
+        chunk = payload[j:j + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
 def _decode_wav(raw: bytes):
     """PCM WAV → (sample_rate, float64 samples, sample_width_bytes) via
     the stdlib wave module (mono mix for multi-channel)."""
@@ -337,6 +553,13 @@ def image_metadata(df: DataFrame, bin_col: str = "image") -> DataFrame:
                 elif raw[:8] == PNG_MAGIC:
                     a, c = struct.unpack_from(">II", raw, 16)  # IHDR w,h
                     w.append(a); hh.append(c); fmt.append("png")
+                elif raw[:6] in GIF_MAGICS:
+                    a, c = struct.unpack_from("<HH", raw, 6)
+                    w.append(a); hh.append(c); fmt.append("gif")
+                elif raw[:2] in (b"P5", b"P6"):
+                    arr = _decode_pnm(raw)  # header-light format
+                    w.append(arr.shape[1]); hh.append(arr.shape[0])
+                    fmt.append("pgm" if raw[:2] == b"P5" else "ppm")
                 else:
                     w.append(None); hh.append(None); fmt.append("unknown")
             out = pdf[id_cols].copy()
@@ -369,13 +592,16 @@ def image_features(df: DataFrame, bin_col: str = "image") -> DataFrame:
                     arr = _decode_bmp(raw).ravel()  # real decode path
                 elif raw[:8] == PNG_MAGIC:
                     arr = _decode_png(raw).ravel()  # real decode path
+                elif raw[:6] in GIF_MAGICS:
+                    arr = _decode_gif(raw).ravel()  # real decode path
+                elif raw[:2] in (b"P5", b"P6"):
+                    arr = _decode_pnm(raw).ravel()  # real decode path
                 elif _HAVE_PIL:  # pragma: no cover
                     raise NotImplementedError("real codec path not wired")
                 else:
                     raise NotImplementedError(
-                        "image decode beyond BMP/PNG needs PIL/ffmpeg — not "
-                        "in this container; BMP, PNG and FAKEIMG1 are "
-                        "supported"
+                        "image decode beyond BMP/PNG/GIF/PNM needs "
+                        "PIL/ffmpeg — not in this container"
                     )
                 mean.append(float(arr.mean()) if arr.size else 0.0)
                 mn.append(int(arr.min()) if arr.size else 0)
@@ -485,11 +711,18 @@ def image_resize(
                     arr = _decode_png(raw)  # real decode path
                     h, w = arr.shape
                     fmt = "png"
+                elif raw[:6] in GIF_MAGICS:
+                    arr = _decode_gif(raw)  # real decode path
+                    h, w = arr.shape
+                    fmt = "gif"
+                elif raw[:2] in (b"P5", b"P6"):
+                    arr = _decode_pnm(raw)  # real decode path
+                    h, w = arr.shape
+                    fmt = "pnm"
                 else:
                     raise NotImplementedError(
-                        "image decode beyond BMP/PNG needs PIL/ffmpeg — "
-                        "not in this container; BMP, PNG and FAKEIMG1 are "
-                        "supported"
+                        "image decode beyond BMP/PNG/GIF/PNM needs "
+                        "PIL/ffmpeg — not in this container"
                     )
                 ys = (np.arange(height) * h // height).clip(0, h - 1)
                 xs = (np.arange(width) * w // width).clip(0, w - 1)
@@ -500,6 +733,10 @@ def image_resize(
                     out_bytes.append(encode_bmp_gray(resized))
                 elif fmt == "png":
                     out_bytes.append(encode_png_gray(resized))
+                elif fmt == "gif":
+                    out_bytes.append(encode_gif_gray(resized))
+                elif fmt == "pnm":
+                    out_bytes.append(encode_pgm_gray(resized))
                 else:
                     out_bytes.append(
                         IMG_MAGIC

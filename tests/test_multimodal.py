@@ -222,10 +222,10 @@ class TestRealCodecs:
         from graphit_spark.functions.multimodal import image_features
 
         df = spark.createDataFrame(
-            [(0, bytearray(b"GIF89a not supported"))],
+            [(0, bytearray(b"\xff\xd8\xff\xe0 jpeg not supported"))],
             "doc_id long, image binary",
         )
-        with pytest.raises(Exception, match="decode beyond BMP"):
+        with pytest.raises(Exception, match="decode beyond BMP/PNG/GIF/PNM"):
             image_features(df).collect()
 
 
@@ -379,3 +379,101 @@ class TestPngCodec:
                + chunk(b"IEND", b""))
         with pytest.raises(NotImplementedError):
             _decode_png(raw)
+
+
+class TestGifPnmCodecs:
+    def test_gif_roundtrip_exact(self):
+        import numpy as np
+
+        from graphit_spark.functions.multimodal import (
+            _decode_gif,
+            encode_gif_gray,
+        )
+
+        rng = np.random.RandomState(11)
+        img = rng.randint(0, 256, (41, 29), dtype=np.uint8)
+        # gray palette luminance is exact, so the round-trip is bitwise
+        assert (_decode_gif(encode_gif_gray(img)) == img).all()
+
+    def test_gif_interlaced_and_extensions(self):
+        import struct
+
+        import numpy as np
+
+        from graphit_spark.functions.multimodal import (
+            _decode_gif,
+            encode_gif_gray,
+        )
+
+        img = np.arange(64, dtype=np.uint8).reshape(8, 8) * 3
+        raw = bytearray(encode_gif_gray(img))
+        # splice a GCE extension block before the image descriptor and
+        # flip the interlace flag, reordering rows into the 4 passes
+        idesc = raw.index(0x2C, 13 + 768)
+        gce = bytes([0x21, 0xF9, 4, 0, 0, 0, 0, 0])
+        h = 8
+        order = (
+            list(range(0, h, 8)) + list(range(4, h, 8))
+            + list(range(2, h, 4)) + list(range(1, h, 2))
+        )
+        inter = encode_gif_gray(img[order])  # rows stored in pass order
+        ib = bytearray(inter[13 + 768:])
+        ib[9] |= 0x40  # interlace flag in the image descriptor
+        spliced = bytes(raw[:idesc]) + gce + bytes(ib)
+        assert (_decode_gif(spliced) == img).all()
+
+    def test_pnm_pipeline_and_resize_stays_pgm(self, spark):
+        import numpy as np
+
+        from graphit_spark.functions.multimodal import (
+            _decode_pnm,
+            encode_pgm_gray,
+            image_features,
+            image_metadata,
+            image_resize,
+        )
+
+        img = (np.arange(60, dtype=np.uint8).reshape(6, 10) * 4)
+        df = spark.createDataFrame(
+            [(0, bytearray(encode_pgm_gray(img)))],
+            "doc_id long, image binary",
+        )
+        meta = image_metadata(df).collect()[0]
+        assert (meta["format"], meta["width"], meta["height"]) == ("pgm", 10, 6)
+        feats = image_features(df).collect()[0]
+        assert feats["px_mean"] == float(img.mean())
+        resized = image_resize(df, 5, 3).collect()[0]["image"]
+        assert (_decode_pnm(bytes(resized)).shape) == (3, 5)
+
+    def test_gif_through_pipeline_and_resize_stays_gif(self, spark):
+        import numpy as np
+
+        from graphit_spark.functions.multimodal import (
+            _decode_gif,
+            encode_gif_gray,
+            image_metadata,
+            image_resize,
+        )
+
+        img = np.arange(96, dtype=np.uint8).reshape(8, 12) * 2
+        df = spark.createDataFrame(
+            [(0, bytearray(encode_gif_gray(img)))],
+            "doc_id long, image binary",
+        )
+        meta = image_metadata(df).collect()[0]
+        assert (meta["format"], meta["width"], meta["height"]) == ("gif", 12, 8)
+        resized = image_resize(df, 6, 4).collect()[0]["image"]
+        arr = _decode_gif(bytes(resized))
+        assert arr.shape == (4, 6)
+        # nearest-neighbor resize of the encoder's exact round-trip
+        ys = (np.arange(4) * 8 // 4).clip(0, 7)
+        xs = (np.arange(6) * 12 // 6).clip(0, 11)
+        assert (arr == img[np.ix_(ys, xs)]).all()
+
+    def test_ppm_color_reduces_to_luminance(self):
+        from graphit_spark.functions.multimodal import _decode_pnm
+
+        # one red, one white pixel: ITU-R 601 integer luminance
+        raw = b"P6\n# rgb\n2 1\n255\n" + bytes((255, 0, 0, 255, 255, 255))
+        arr = _decode_pnm(raw)
+        assert arr[0, 0] == 255 * 299 // 1000 and arr[0, 1] == 255
