@@ -42,7 +42,7 @@ _CHECK_FIRST = [
     "betweenness", "betweenness_pivots", "collab_filtering", "eigenvector",
     "fused_pr_eigenvector", "host_pagerank", "closeness",
     "sssp_delta_stepping", "astar", "min_spanning_forest", "set_cover",
-    "core_numbers", "random_walks", "node2vec_walks_alias", "sweep_cut",
+    "random_walks", "node2vec_walks_alias", "sweep_cut",
     "personalized_pagerank", "local_cluster",
     # data-pipeline / text / events — one row per family
     "doc_token_stats", "corpus_top_ngrams", "doc_repetition",
@@ -51,7 +51,7 @@ _CHECK_FIRST = [
     "dedup_lsh_pairs", "dedup_jaccard_lsh", "dedup_simhash",
     "dedup_clusters", "dedup_embedding_lsh", "sim_lsh_multiprobe_topk",
     "sim_ivf_kmeans_topk", "corpus_select_full", "corpus_sample_budget",
-    "hll_distinct",
+    "corpus_decontaminate", "hll_distinct",
 ]
 
 

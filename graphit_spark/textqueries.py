@@ -68,6 +68,37 @@ def q_tfidf(spark, sf_dir):
     return T.tfidf_top_terms(load(spark, sf_dir, "documents"), k=TFIDF_K)
 
 
+DECONTAM_N = 13  # the GPT-3 decontamination window (public paper)
+DECONTAM_BENCH_MAX_DOC = 25  # doc_id < 25 plays the held-out benchmark
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination — the eval-integrity pass every
+    pretraining pipeline runs: flag training documents that share any
+    13-gram with the held-out benchmark set (here: doc_id < 25 plays
+    the benchmark), reporting the count of distinct shared 13-grams.
+
+    Scale shape: the benchmark gram set is tiny relative to the corpus
+    and joins BROADCAST against one explode of the training side — the
+    corpus is scanned once, nothing corpus-quadratic, and the
+    flagged-doc output is collision-sized."""
+    docs = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    bench = (
+        docs.filter(F.col("doc_id") < DECONTAM_BENCH_MAX_DOC)
+        .select(F.explode(T.word_ngrams(t, DECONTAM_N)).alias("g"))
+        .distinct()
+    )
+    train = docs.filter(F.col("doc_id") >= DECONTAM_BENCH_MAX_DOC).select(
+        "doc_id", F.explode(T.word_ngrams(t, DECONTAM_N)).alias("g")
+    )
+    return (
+        train.join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("g").alias("n_shared_13grams"))
+    )
+
+
 def q_repetition(spark, sf_dir):
     """Gopher-style intra-doc repetition gate: top-word / top-bigram /
     unique-word fractions and the combined repetition_ok boolean. One
@@ -1248,6 +1279,35 @@ SELECT doc_id, term, tf, df, score FROM (
 """
 
 
+def _decontaminate_sql() -> str:
+    """Same tokenization and 13-gram windows as q_decontaminate."""
+    n = DECONTAM_N
+    last = f"len(t) - {n - 1}"
+    gram = f"array_to_string(t[i:i+{n - 1}], ' ')"
+    return f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+  FROM documents
+),
+bench AS MATERIALIZED (
+  SELECT DISTINCT unnest(list_transform(generate_series(1, {last}),
+                                        i -> {gram})) AS g
+  FROM toks WHERE doc_id < {DECONTAM_BENCH_MAX_DOC} AND len(t) >= {n}
+),
+train AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, {last}),
+                               i -> {gram})) AS g
+  FROM toks WHERE doc_id >= {DECONTAM_BENCH_MAX_DOC} AND len(t) >= {n}
+)
+SELECT doc_id,
+       CAST(count(DISTINCT tr.g) AS BIGINT) AS n_shared_13grams
+FROM train tr JOIN bench b ON tr.g = b.g
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 def _repetition_agg_ctes(docs_src: str = "documents") -> str:
     """CTE chain ending in `ragg` (per-doc word/bigram counts) over
     `docs_src` — shared by _repetition_sql and the full-pipeline
@@ -1496,6 +1556,7 @@ TEXT_QUERIES: dict[str, tuple] = {
     "doc_repetition": (q_repetition, _repetition_sql()),
     "doc_tfidf_terms": (q_tfidf, _tfidf_sql()),
     "doc_pii_scrub": (q_pii, _pii_sql()),
+    "corpus_decontaminate": (q_decontaminate, _decontaminate_sql()),
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
     "events_trending": (q_events_trending, SQL_EVENTS_TRENDING),
     "events_json_stats": (q_events_json_stats, SQL_EVENTS_JSON_STATS),
