@@ -40,7 +40,7 @@ _CHECK_FIRST = [
     "k_truss", "clustering_coeff", "pseudo_diameter", "label_propagation",
     "triangle_count", "bfs", "sssp", "pagerank_delta", "k_core",
     "betweenness", "betweenness_pivots", "collab_filtering", "eigenvector",
-    "fused_pr_eigenvector", "host_pagerank", "closeness",
+    "fused_pr_eigenvector", "host_pagerank",
     "sssp_delta_stepping", "astar", "min_spanning_forest", "set_cover",
     "random_walks", "node2vec_walks_alias", "sweep_cut",
     "personalized_pagerank", "local_cluster",
@@ -51,7 +51,7 @@ _CHECK_FIRST = [
     "dedup_lsh_pairs", "dedup_jaccard_lsh", "dedup_simhash",
     "dedup_clusters", "dedup_embedding_lsh", "sim_lsh_multiprobe_topk",
     "sim_ivf_kmeans_topk", "corpus_select_full", "corpus_sample_budget",
-    "corpus_decontaminate", "hll_distinct",
+    "corpus_decontaminate", "corpus_inverted_index", "hll_distinct",
 ]
 
 

@@ -68,6 +68,33 @@ def q_tfidf(spark, sf_dir):
     return T.tfidf_top_terms(load(spark, sf_dir, "documents"), k=TFIDF_K)
 
 
+INDEX_MIN_DF = 5  # index only terms appearing in >= 5 documents
+
+
+def q_inverted_index(spark, sf_dir):
+    """Inverted-index construction — the search/retrieval build over
+    the corpus: term → sorted posting list (doc_ids) + document
+    frequency, for terms above a df floor. The classic index-build
+    plan: one explode → distinct (doc, term) → one groupBy(term) with
+    sorted collect — term-keyed shuffles only, postings arrays sorted
+    so the output is order-deterministic across engines."""
+    docs = load(spark, sf_dir, "documents")
+    terms = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+        ).alias("term"),
+    ).distinct()
+    return (
+        terms.groupBy("term")
+        .agg(
+            F.count("*").alias("df"),
+            F.sort_array(F.collect_list("doc_id")).alias("postings"),
+        )
+        .filter(F.col("df") >= INDEX_MIN_DF)
+    )
+
+
 DECONTAM_N = 13  # the GPT-3 decontamination window (public paper)
 DECONTAM_BENCH_MAX_DOC = 25  # doc_id < 25 plays the held-out benchmark
 
@@ -1279,6 +1306,23 @@ SELECT doc_id, term, tf, df, score FROM (
 """
 
 
+def _inverted_index_sql() -> str:
+    """Same tokenization, same sorted postings, same df floor as
+    q_inverted_index."""
+    return f"""
+WITH terms AS MATERIALIZED (
+  SELECT DISTINCT doc_id,
+         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+  FROM documents
+)
+SELECT term, CAST(count(*) AS BIGINT) AS df,
+       list(doc_id ORDER BY doc_id) AS postings
+FROM terms GROUP BY term
+HAVING count(*) >= {INDEX_MIN_DF}
+ORDER BY term
+"""
+
+
 def _decontaminate_sql() -> str:
     """Same tokenization and 13-gram windows as q_decontaminate."""
     n = DECONTAM_N
@@ -1557,6 +1601,7 @@ TEXT_QUERIES: dict[str, tuple] = {
     "doc_tfidf_terms": (q_tfidf, _tfidf_sql()),
     "doc_pii_scrub": (q_pii, _pii_sql()),
     "corpus_decontaminate": (q_decontaminate, _decontaminate_sql()),
+    "corpus_inverted_index": (q_inverted_index, _inverted_index_sql()),
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
     "events_trending": (q_events_trending, SQL_EVENTS_TRENDING),
     "events_json_stats": (q_events_json_stats, SQL_EVENTS_JSON_STATS),
