@@ -477,3 +477,54 @@ class TestGifPnmCodecs:
         raw = b"P6\n# rgb\n2 1\n255\n" + bytes((255, 0, 0, 255, 255, 255))
         arr = _decode_pnm(raw)
         assert arr[0, 0] == 255 * 299 // 1000 and arr[0, 1] == 255
+
+
+class TestCodecFuzz:
+    """Property fuzz: every gray image round-trips bit-exactly through
+    the real stdlib codecs (no Spark session needed)."""
+
+    def _fuzz(self, encode, decode):
+        import numpy as np
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=25, deadline=None)
+        @given(
+            st.integers(1, 40),
+            st.integers(1, 40),
+            st.integers(0, 2**32 - 1),
+        )
+        def prop(h, w, seed):
+            img = np.random.RandomState(seed).randint(
+                0, 256, (h, w), dtype=np.uint8
+            )
+            assert (decode(encode(img)) == img).all()
+
+        prop()
+
+    def test_gif_roundtrip_fuzz(self):
+        from graphit_spark.functions.multimodal import (
+            _decode_gif,
+            encode_gif_gray,
+        )
+
+        self._fuzz(encode_gif_gray, _decode_gif)
+
+    def test_pgm_roundtrip_fuzz(self):
+        from graphit_spark.functions.multimodal import (
+            _decode_pnm,
+            encode_pgm_gray,
+        )
+
+        self._fuzz(encode_pgm_gray, _decode_pnm)
+
+    def test_bmp_png_roundtrip_fuzz(self):
+        from graphit_spark.functions.multimodal import (
+            _decode_bmp,
+            _decode_png,
+            encode_bmp_gray,
+            encode_png_gray,
+        )
+
+        self._fuzz(encode_bmp_gray, _decode_bmp)
+        self._fuzz(encode_png_gray, _decode_png)

@@ -59,7 +59,9 @@ def test_all_pairs_baselines_are_the_only_ones(spark):
     for name, q in entrymod.queries().items():
         if name in ALL_PAIRS_BASELINES or name in TEXT_QUERY_NAMES:
             continue
-        if not name.startswith(("doc_", "dedup_", "sim_", "events_")):
+        if not name.startswith(
+            ("doc_", "dedup_", "sim_", "events_", "corpus_", "hll_")
+        ):
             continue  # graph queries audited separately (BENCH/PLANS.md)
         plan = _plan(q(spark, SF_DIR))
         assert "CartesianProduct" not in plan, name
@@ -294,3 +296,14 @@ def test_min_gather_keeps_partial_agg(spark):
     plan = _plan(gathered)
     assert "partial_min" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_decontaminate_benchmark_side_broadcasts(spark):
+    """corpus_decontaminate's benchmark gram set is tiny relative to
+    the corpus — the join must be a BroadcastHashJoin (the corpus side
+    is scanned once, never shuffled on the gram key)."""
+    from graphit_spark.textqueries import q_decontaminate
+
+    plan = _plan(q_decontaminate(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan
