@@ -770,9 +770,104 @@ FROM edges GROUP BY src ORDER BY src"""
     )
 
 
+HB_P = 4  # 16 HLL registers per ball — ranking precision (~26% rel err)
+HB_ROUNDS = 6  # fixed hop budget; idempotent past the directed diameter
+
+
+def hyperball_sql(p: int = HB_P, rounds: int = HB_ROUNDS) -> str:
+    """Twin of kernels/hyperball.hyperball_harmonic on the blocked
+    graph — same md5-of-decimal-string hash, same exact-integer
+    scaled-harmonic estimator, and the SAME precomputed repr literals
+    for the linear-counting branch (no ln(), no round() runs in either
+    engine), so every intermediate double — and therefore the value
+    hash — matches bit for bit."""
+    from graphit_spark.functions.sketch import HASH_BITS, _alpha_m2
+    from graphit_spark.kernels.hyperball import linear_counting_table
+
+    m = 1 << p
+    w = HASH_BITS - p
+    w1 = w + 1
+    cols = [f"r{i}" for i in range(m)]
+    sum_scaled = " + ".join(
+        f"(1::BIGINT << CAST({w1} - {c} AS INT))" for c in cols
+    )
+    zeros = " + ".join(f"(CASE WHEN {c} = 0 THEN 1 ELSE 0 END)" for c in cols)
+    raw = (
+        f"(CAST('{_alpha_m2(m)!r}' AS DOUBLE) * CAST('{float(1 << w1)!r}' AS DOUBLE)"
+        f" / ({sum_scaled}))"
+    )
+    lc = " ".join(
+        f"WHEN ({zeros}) = {z} THEN CAST('{v!r}' AS DOUBLE)"
+        for z, v in enumerate(linear_counting_table(p), start=1)
+    )
+    est = (
+        f"(CASE WHEN {raw} <= CAST('{2.5 * m!r}' AS DOUBLE)"
+        f" AND ({zeros}) > 0"
+        f" THEN (CASE {lc} END)"
+        f" ELSE {raw} END)"
+    )
+    rho = f"instr(lpad(bin(h >> {p}), {w}, '0'), '1')"
+    init_regs = ", ".join(
+        f"CASE WHEN (h & {m - 1}) = {i} THEN rho ELSE 0 END AS {c}"
+        for i, c in enumerate(cols)
+    )
+    ctes = [
+        _SQL_BLOCKED.strip().rstrip(","),
+        f"""hh AS (
+  SELECT id, ('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM verts
+)""",
+        f"""i0 AS (
+  SELECT id, {init_regs}
+  FROM (SELECT id, h,
+               CASE WHEN {rho} = 0 THEN {w1}
+                    ELSE {rho} END AS rho
+        FROM hh)
+)""",
+        f"s0 AS MATERIALIZED (SELECT id, {', '.join(cols)}, {est} AS est,"
+        f" 0e0 AS harm FROM i0)",
+    ]
+    for k in range(1, rounds + 1):
+        gmax = ", ".join(f"max(p.{c}) AS {c}" for c in cols)
+        merge = ", ".join(
+            f"greatest(s.{c}, coalesce(g.{c}, 0)) AS {c}" for c in cols
+        )
+        ctes.append(
+            f"""m{k} AS MATERIALIZED (
+  SELECT s.id, s.est AS prev_est, s.harm AS prev_harm, {merge}
+  FROM s{k - 1} s LEFT JOIN (
+    SELECT e.dst AS id, {gmax}
+    FROM edges e JOIN s{k - 1} p ON e.src = p.id
+    GROUP BY e.dst
+  ) g USING (id)
+)"""
+        )
+        ctes.append(
+            f"s{k} AS MATERIALIZED (SELECT id, {', '.join(cols)},"
+            f" {est} AS est,"
+            f" prev_harm + ({est} - prev_est)"
+            f" / CAST('{float(k)!r}' AS DOUBLE) AS harm FROM m{k})"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id, est AS ball, harm AS harmonic"
+        f" FROM s{rounds}"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Spark callables (the engine side)
 # ---------------------------------------------------------------------------
+
+
+def q_hyperball_harmonic(spark, sf_dir):
+    """HyperBall (Boldi-Vigna) harmonic centrality on the blocked graph
+    — HLL ball sketches grown one hop per superstep; the scale answer
+    to exact closeness (see kernels/hyperball.py docstring)."""
+    from graphit_spark.kernels import hyperball_harmonic
+
+    g = graph(spark, sf_dir, "blocked")
+    return hyperball_harmonic(g, p=HB_P, rounds=HB_ROUNDS)
 
 
 def q_pagerank(spark, sf_dir):
@@ -2242,6 +2337,7 @@ GRAPH_QUERIES: dict[str, tuple] = {
     "host_graph_rollup": (q_host_rollup, HOST_ROLLUP_SQL),
     "host_pagerank": (q_host_pagerank, host_pagerank_sql()),
     "closeness": (q_closeness, closeness_sql()),
+    "hyperball_harmonic": (q_hyperball_harmonic, hyperball_sql()),
     "sssp_delta_stepping": (q_sssp_delta, sssp_fixpoint_sql()),
     "astar": (q_astar, astar_sql()),
     "ppsp": (q_ppsp, astar_sql(target=PPSP_TARGET)),

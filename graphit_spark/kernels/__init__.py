@@ -20,6 +20,7 @@ from graphit_spark.kernels.centrality import (
 )
 from graphit_spark.kernels.delta_stepping import sssp_delta_stepping
 from graphit_spark.kernels.fused import fused_pr_eigenvector
+from graphit_spark.kernels.hyperball import hyperball_harmonic
 from graphit_spark.kernels.hits import hits
 from graphit_spark.kernels.astar import astar, ppsp
 from graphit_spark.kernels.mst import minimum_spanning_forest
@@ -63,6 +64,7 @@ __all__ = [
     "closeness_score",
     "eigenvector_centrality",
     "fused_pr_eigenvector",
+    "hyperball_harmonic",
     "pagerank",
     "pagerank_delta",
     "personalized_pagerank",

@@ -12,15 +12,18 @@ variant): per outer round, over the still-unassigned subgraph,
     B(v) = min id v has a directed path to    (same, on the transpose)
 
 and every vertex with F(v) == B(v) == c is assigned scc = c: F(v)=c
-means c reaches v and B(v)=c means v reaches c, so the match is
-mutual reachability with c — SOUND EVEN BEFORE THE FIXPOINT CONVERGES
-(a label value is only ever copied along real edges, so lab(v)=u
-always witnesses a real path u ->* v; early-stopped propagation just
-matches fewer vertices and costs an extra outer round, never assigns
-a wrong SCC). The minimum unassigned id always matches itself, so
-every outer round peels at least one whole SCC, and removing whole
-SCCs can never split another (every vertex on a v -> w path between
-mutually-reachable v, w is itself in their SCC) — the peel is exact.
+means c reaches v and B(v)=c means v reaches c, so every match is
+genuine mutual reachability with c (a label value is only ever copied
+along real edges, so lab(v)=u always witnesses a real path u ->* v).
+The PEEL, however, must remove whole SCCs: at the converged fixpoint
+F and B are constant on each SCC, so the matched set is a union of
+complete SCCs, and removing complete SCCs can never split another
+(every vertex on a v -> w path between mutually-reachable v, w is
+itself in their SCC) — an UNCONVERGED fixpoint could match a partial
+SCC whose removal cuts its remaining members apart, so the kernel
+raises rather than peel one (see strongly_connected_components).
+The minimum unassigned id always matches itself, so every outer
+round peels at least one SCC — the peel terminates and is exact.
 
 Spark plan: the F and B fixpoints run FUSED in one loop — both
 directions' frontier-restricted gathers land in the same superstep
@@ -54,11 +57,11 @@ def _fw_bw_fixpoint(
     num_verts: int,
     big_v: bool,
     max_iters: int,
-) -> DataFrame:
-    """(id, flab, blab): joint fixpoint of lab[dst] min= lab[src] over
-    `edges` (flab) and `tedges` (blab), both starting from lab = id.
-    One checkpoint + one count action per round covers both
-    directions."""
+) -> tuple[DataFrame, bool]:
+    """((id, flab, blab), converged): joint fixpoint of
+    lab[dst] min= lab[src] over `edges` (flab) and `tedges` (blab),
+    both starting from lab = id. One checkpoint + one count action per
+    round covers both directions."""
     avg_deg = max(num_edges / max(num_verts, 1), 1.0)
     state = verts.select(
         "id", F.col("id").alias("flab"), F.col("id").alias("blab")
@@ -127,8 +130,8 @@ def _fw_bw_fixpoint(
         f_done = f_done or fsize == 0
         b_done = b_done or bsize == 0
         if f_done and b_done:
-            break
-    return state
+            return state, True
+    return state, f_done and b_done
 
 
 def strongly_connected_components(
@@ -140,7 +143,20 @@ def strongly_connected_components(
 ) -> DataFrame:
     """Returns (id, scc) for every vertex in [0, n); scc = min vertex
     id of the strongly connected component (trivial SCCs map to the
-    vertex itself)."""
+    vertex itself).
+
+    Correctness requires the F/B fixpoints to CONVERGE before a peel:
+    matched vertices are always genuinely in SCC(c), but peeling a
+    PARTIAL SCC would cut paths between its remaining members, so an
+    unconverged fixpoint raises instead of mis-peeling (at the
+    converged fixpoint F and B are constant on each SCC, so the
+    matched set is a union of whole SCCs). max_prop is the dial for
+    deep graphs: it must exceed the residual subgraph's directed
+    diameter (label shortcutting — the cc_lp_pj.gt trick, valid here
+    because lab(v)=u and lab(u)=w witness w ->* v — would compress
+    this to O(log d) rounds, but costs two broadcast-map builds per
+    round; at local scale the plain propagation wins, so the shortcut
+    is left as the documented scale-up path)."""
     own_cache = graph.ensure_persisted()
     verts = graph.vertices().select("id").localCheckpoint(eager=True)
     edges = graph.edges.select("src", "dst").localCheckpoint(eager=True)
@@ -166,9 +182,16 @@ def strongly_connected_components(
         tedges = edges.select(
             F.col("dst").alias("src"), F.col("src").alias("dst")
         )
-        labs = _fw_bw_fixpoint(
+        labs, converged = _fw_bw_fixpoint(
             edges, tedges, verts, num_edges, n_active, big_v, max_prop
         )
+        if not converged:
+            labs.unpersist()
+            raise RuntimeError(
+                f"SCC fixpoint did not converge within max_prop={max_prop} "
+                "rounds — peeling an unconverged (partial) SCC would split "
+                "it; raise max_prop above the residual directed diameter"
+            )
         matched = (
             labs.filter(F.col("flab") == F.col("blab"))
             .select("id", F.col("flab").alias("scc"))

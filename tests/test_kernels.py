@@ -954,3 +954,20 @@ def test_clustering_coeff_semantics(spark):
         for r in tri.join(deg, "id").collect()
     }
     assert got == {0: 1.0, 1: 1.0, 2: 0.333333, 3: 0.0}
+
+
+def test_scc_refuses_unconverged_peel(spark):
+    """A 16-cycle's fixpoint needs ~16 propagation rounds; with
+    max_prop=5 the kernel must REFUSE rather than peel the partial
+    SCC it matched (removing part of an SCC would cut its remaining
+    members apart and assign them wrong ids). With an adequate budget
+    the same cycle resolves to a single SCC 0."""
+    from graphit_spark.kernels import strongly_connected_components
+
+    n = 16
+    edges = [(v, (v + 1) % n) for v in range(n)]
+    g = LinkGraph.from_pairs(spark, edges, persist=False)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        strongly_connected_components(g, max_prop=5)
+    got = strongly_connected_components(g, max_prop=20).collect()
+    assert len(got) == n and all(r["scc"] == 0 for r in got)
