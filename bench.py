@@ -46,6 +46,7 @@ def main() -> None:
         q_bfs,
         q_cc,
         q_hits,
+        q_hyperball_harmonic,
         q_k_truss,
         q_lpa,
         q_pagerank,
@@ -72,10 +73,12 @@ def main() -> None:
     timed("label_propagation_sf", lambda: q_lpa(spark, sf_dir).count())
     timed("triangle_count_sf", lambda: q_triangle_count(spark, sf_dir).collect())
     timed("bfs_sf", lambda: q_bfs(spark, sf_dir).count())
-    # round-3 kernels: directed bowtie SCC, HITS, k-truss peel
+    # round-3 kernels: directed bowtie SCC, HITS, k-truss peel,
+    # HyperBall harmonic centrality (the crawl-scale closeness path)
     timed("scc_sf", lambda: q_scc(spark, sf_dir).count())
     timed("hits_sf", lambda: q_hits(spark, sf_dir).count())
     timed("k_truss_sf", lambda: q_k_truss(spark, sf_dir).count())
+    timed("hyperball_sf", lambda: q_hyperball_harmonic(spark, sf_dir).count())
 
     # ingest throughput: Arrow extraction + url-dict + edge build, read
     # from a materialized pages table (generation is test-fixture work,

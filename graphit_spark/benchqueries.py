@@ -774,13 +774,15 @@ HB_P = 4  # 16 HLL registers per ball — ranking precision (~26% rel err)
 HB_ROUNDS = 6  # fixed hop budget; idempotent past the directed diameter
 
 
-def hyperball_sql(p: int = HB_P, rounds: int = HB_ROUNDS) -> str:
-    """Twin of kernels/hyperball.hyperball_harmonic on the blocked
-    graph — same md5-of-decimal-string hash, same exact-integer
-    scaled-harmonic estimator, and the SAME precomputed repr literals
-    for the linear-counting branch (no ln(), no round() runs in either
-    engine), so every intermediate double — and therefore the value
-    hash — matches bit for bit."""
+def _hyperball_ctes(p: int, rounds: int) -> list[str]:
+    """The shared CTE chain s0..s{rounds} of per-round HyperBall sketch
+    states on the blocked graph — same md5-of-decimal-string hash as the
+    kernel, same exact-integer scaled-harmonic estimator, and the SAME
+    precomputed repr literals for the linear-counting branch, QUOTED so
+    DuckDB's correctly-rounded string->double parse runs (an unquoted
+    numeric literal goes through DECIMAL and loses 1 ulp). No ln(), no
+    round() runs in either engine, so every intermediate double matches
+    the kernel's bit for bit."""
     from graphit_spark.functions.sketch import HASH_BITS, _alpha_m2
     from graphit_spark.kernels.hyperball import linear_counting_table
 
@@ -848,11 +850,55 @@ def hyperball_sql(p: int = HB_P, rounds: int = HB_ROUNDS) -> str:
             f" prev_harm + ({est} - prev_est)"
             f" / CAST('{float(k)!r}' AS DOUBLE) AS harm FROM m{k})"
         )
+    return ctes
+
+
+def hyperball_sql(p: int = HB_P, rounds: int = HB_ROUNDS) -> str:
+    """Twin of kernels/hyperball.hyperball_harmonic (see
+    _hyperball_ctes for the bit-determinism contract)."""
     return (
-        "WITH " + ",\n".join(ctes)
+        "WITH " + ",\n".join(_hyperball_ctes(p, rounds))
         + f"\nSELECT id, est AS ball, harm AS harmonic"
         f" FROM s{rounds}"
     )
+
+
+def neighborhood_sql(p: int = HB_P, rounds: int = HB_ROUNDS) -> str:
+    """Twin of kernels/hyperball.neighborhood_function: per round r,
+    the exact integer sum of floor(est * 10^NF_SCALE) over all vertices
+    (order-independent, unlike a double sum), divided back out."""
+    from graphit_spark.kernels.hyperball import NF_SCALE
+
+    scale = 10 ** NF_SCALE
+    rows = " UNION ALL ".join(
+        f"SELECT {k} AS r, CAST(sum(CAST(floor(est * CAST('{float(scale)!r}'"
+        f" AS DOUBLE)) AS BIGINT)) AS BIGINT)"
+        f" / CAST('{float(scale)!r}' AS DOUBLE) AS pairs FROM s{k}"
+        for k in range(0, rounds + 1)
+    )
+    return (
+        "WITH " + ",\n".join(_hyperball_ctes(p, rounds))
+        + f"\nSELECT r, pairs FROM ({rows}) ORDER BY r"
+    )
+
+
+def effective_diameter_sql(
+    p: int = HB_P, rounds: int = HB_ROUNDS, quantile: float = 0.9
+) -> str:
+    """Twin of kernels/hyperball.effective_diameter: smallest r with
+    N(r) >= quantile * N(rounds), over the neighborhood-function CTE."""
+    nf = neighborhood_sql(p, rounds)
+    return f"""WITH nf AS MATERIALIZED ({nf}),
+total AS (SELECT pairs AS pairs_total FROM nf WHERE r = {rounds}),
+hit AS (
+  SELECT min(r) AS effective_diameter
+  FROM nf, total
+  WHERE nf.pairs >= CAST('{quantile!r}' AS DOUBLE) * total.pairs_total
+)
+SELECT hit.effective_diameter,
+       nf.pairs AS pairs_covered,
+       total.pairs_total
+FROM hit JOIN nf ON nf.r = hit.effective_diameter, total"""
 
 
 # ---------------------------------------------------------------------------
@@ -868,6 +914,80 @@ def q_hyperball_harmonic(spark, sf_dir):
 
     g = graph(spark, sf_dir, "blocked")
     return hyperball_harmonic(g, p=HB_P, rounds=HB_ROUNDS)
+
+
+MIS_ROUNDS = 24  # shared Spark/twin budget; no-op past the settle round
+
+
+def mis_sql(rounds: int = MIS_ROUNDS) -> str:
+    """Twin of kernels/mis.maximal_independent_set on the blocked
+    graph: same string priority (md5 15-hex || '-' || zero-padded id, so
+    (hash, id) lexicographic order is plain string order and min() is a
+    string min), same both-endpoints-active gather, same fixed budget."""
+    pri = (
+        "substr(md5(CAST(id AS VARCHAR)), 1, 15) || '-' ||"
+        " lpad(CAST(id AS VARCHAR), 12, '0')"
+    )
+    ctes = [
+        _SQL_BLOCKED.strip().rstrip(","),
+        f"a0 AS MATERIALIZED (SELECT id, {pri} AS pri FROM verts)",
+    ]
+    for r in range(1, rounds + 1):
+        a = f"a{r - 1}"
+        ctes.append(
+            f"""w{r} AS MATERIALIZED (
+  SELECT a.id FROM {a} a LEFT JOIN (
+    SELECT q.id AS id, min(p.pri) AS mn
+    FROM sym e JOIN {a} p ON e.dst = p.id
+               JOIN {a} q ON e.src = q.id
+    GROUP BY q.id) n USING (id)
+  WHERE n.mn IS NULL OR a.pri < n.mn
+)"""
+        )
+        ctes.append(
+            f"""a{r} AS MATERIALIZED (
+  SELECT a.id, a.pri FROM {a} a
+  WHERE a.id NOT IN (SELECT id FROM w{r})
+    AND a.id NOT IN (SELECT e.dst FROM sym e JOIN w{r} w ON e.src = w.id)
+)"""
+        )
+    mis_union = " UNION ALL ".join(
+        f"SELECT id FROM w{r}" for r in range(1, rounds + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+mis AS (SELECT DISTINCT id FROM ({mis_union}))
+SELECT v.id, (m.id IS NOT NULL) AS in_mis
+FROM verts v LEFT JOIN mis m USING (id)"""
+    )
+
+
+def q_mis(spark, sf_dir):
+    """Deterministic greedy MIS (Luby-style) on the blocked graph."""
+    from graphit_spark.kernels import maximal_independent_set
+
+    g = graph(spark, sf_dir, "blocked")
+    return maximal_independent_set(g, rounds=MIS_ROUNDS)
+
+
+def q_neighborhood_function(spark, sf_dir):
+    """N(r) for r = 0..HB_ROUNDS on the blocked graph — the
+    distance-distribution readout of the HyperBall sketches."""
+    from graphit_spark.kernels import neighborhood_function
+
+    g = graph(spark, sf_dir, "blocked")
+    return neighborhood_function(g, p=HB_P, rounds=HB_ROUNDS)
+
+
+def q_effective_diameter(spark, sf_dir):
+    """90% effective diameter of the blocked graph off the
+    neighborhood function."""
+    from graphit_spark.kernels import effective_diameter
+
+    g = graph(spark, sf_dir, "blocked")
+    return effective_diameter(g, p=HB_P, rounds=HB_ROUNDS)
 
 
 def q_pagerank(spark, sf_dir):
@@ -2338,6 +2458,9 @@ GRAPH_QUERIES: dict[str, tuple] = {
     "host_pagerank": (q_host_pagerank, host_pagerank_sql()),
     "closeness": (q_closeness, closeness_sql()),
     "hyperball_harmonic": (q_hyperball_harmonic, hyperball_sql()),
+    "neighborhood_function": (q_neighborhood_function, neighborhood_sql()),
+    "effective_diameter": (q_effective_diameter, effective_diameter_sql()),
+    "maximal_independent_set": (q_mis, mis_sql()),
     "sssp_delta_stepping": (q_sssp_delta, sssp_fixpoint_sql()),
     "astar": (q_astar, astar_sql()),
     "ppsp": (q_ppsp, astar_sql(target=PPSP_TARGET)),

@@ -20,9 +20,14 @@ from graphit_spark.kernels.centrality import (
 )
 from graphit_spark.kernels.delta_stepping import sssp_delta_stepping
 from graphit_spark.kernels.fused import fused_pr_eigenvector
-from graphit_spark.kernels.hyperball import hyperball_harmonic
+from graphit_spark.kernels.hyperball import (
+    effective_diameter,
+    hyperball_harmonic,
+    neighborhood_function,
+)
 from graphit_spark.kernels.hits import hits
 from graphit_spark.kernels.astar import astar, ppsp
+from graphit_spark.kernels.mis import maximal_independent_set
 from graphit_spark.kernels.mst import minimum_spanning_forest
 from graphit_spark.kernels.setcover import set_cover
 from graphit_spark.kernels.sweepcut import sweep_cut
@@ -54,6 +59,7 @@ __all__ = [
     "node2vec_walks_alias",
     "build_node2vec_alias_tables",
     "astar",
+    "maximal_independent_set",
     "minimum_spanning_forest",
     "set_cover",
     "k_core",
@@ -64,7 +70,9 @@ __all__ = [
     "closeness_score",
     "eigenvector_centrality",
     "fused_pr_eigenvector",
+    "effective_diameter",
     "hyperball_harmonic",
+    "neighborhood_function",
     "pagerank",
     "pagerank_delta",
     "personalized_pagerank",

@@ -97,27 +97,12 @@ def _estimate_expr(p: int) -> F.Column:
     return F.when((raw <= F.lit(2.5 * m)) & (zeros > 0), lc).otherwise(raw)
 
 
-def hyperball_harmonic(
-    graph: LinkGraph,
-    p: int = 4,
-    rounds: int = 6,
-    join_strategy: str | None = None,
-) -> DataFrame:
-    """(id, ball, harmonic): HLL-estimated |B(id, rounds)| and the
-    harmonic-centrality estimate accumulated over `rounds` hops.
-
-    `rounds` is a fixed budget (the pseudo_diameter convention): past
-    the graph's directed diameter every extra round adds exactly 0 (the
-    registers are at their fixpoint), so a generous budget is idempotent
-    — and budget-parity is what makes the DuckDB twin exact.
-    """
+def _init_state(graph: LinkGraph, p: int) -> DataFrame:
+    """Round-0 sketch state (id, r0..r{m-1}, est, harm): vertex v alone
+    — register bucket(v) holds rho(v)."""
     m = 1 << p
     w = HASH_BITS - p
     cols = _reg_cols(p)
-    own_cache = graph.ensure_persisted()
-    edges = graph.edges.select("src", "dst")
-
-    # Initial sketch: vertex v alone — register bucket(v) holds rho(v).
     h = F.conv(
         F.substring(F.md5(F.col("id").cast("string").cast("binary")), 1, 15),
         16,
@@ -133,44 +118,81 @@ def hyperball_harmonic(
             for i, c in enumerate(cols)
         ],
     )
-    state = state.withColumn("est", _estimate_expr(p)).withColumn(
+    return state.withColumn("est", _estimate_expr(p)).withColumn(
         "harm", F.lit(0.0)
     )
-    state = state.localCheckpoint(eager=True)
 
+
+def _grow_one_hop(
+    state: DataFrame,
+    edges: DataFrame,
+    p: int,
+    r: int,
+    join_strategy: str | None,
+) -> DataFrame:
+    """One HyperBall superstep: register-wise max gather over `edges`
+    (map-side-combinable groupBy), greatest-merge into the state, fresh
+    est, telescoping harm update for hop r."""
+    cols = _reg_cols(p)
+    nbr = state.select(F.col("id").alias("src"), *cols)
+    if join_strategy:
+        nbr = nbr.hint(join_strategy)
+    gathered = (
+        edges.join(nbr, "src")
+        .groupBy(F.col("dst").alias("id"))
+        .agg(*[F.max(c).alias(f"g_{c}") for c in cols])
+    )
+    merged = state.join(gathered, "id", "left").select(
+        "id",
+        "est",
+        "harm",
+        *[
+            F.greatest(F.col(c), F.coalesce(F.col(f"g_{c}"), F.lit(0)))
+            .alias(c)
+            for c in cols
+        ],
+    )
+    new_est = _estimate_expr(p)
+    return merged.select(
+        "id",
+        *cols,
+        new_est.alias("est"),
+        (F.col("harm") + (new_est - F.col("est")) / F.lit(float(r))).alias(
+            "harm"
+        ),
+    )
+
+
+def _pick_join_strategy(
+    graph: LinkGraph, join_strategy: str | None
+) -> str | None:
     if join_strategy is None:
-        join_strategy = (
-            "shuffle_hash" if graph.num_vertices > 500_000 else None
-        )
+        return "shuffle_hash" if graph.num_vertices > 500_000 else None
+    return join_strategy
 
+
+def hyperball_harmonic(
+    graph: LinkGraph,
+    p: int = 4,
+    rounds: int = 6,
+    join_strategy: str | None = None,
+) -> DataFrame:
+    """(id, ball, harmonic): HLL-estimated |B(id, rounds)| and the
+    harmonic-centrality estimate accumulated over `rounds` hops.
+
+    `rounds` is a fixed budget (the pseudo_diameter convention): past
+    the graph's directed diameter every extra round adds exactly 0 (the
+    registers are at their fixpoint), so a generous budget is idempotent
+    — and budget-parity is what makes the DuckDB twin exact.
+    """
+    own_cache = graph.ensure_persisted()
+    edges = graph.edges.select("src", "dst")
+    join_strategy = _pick_join_strategy(graph, join_strategy)
+    state = _init_state(graph, p).localCheckpoint(eager=True)
     prev = state
     for r in range(1, rounds + 1):
-        nbr = state.select(F.col("id").alias("src"), *cols)
-        if join_strategy:
-            nbr = nbr.hint(join_strategy)
-        gathered = (
-            edges.join(nbr, "src")
-            .groupBy(F.col("dst").alias("id"))
-            .agg(*[F.max(c).alias(f"g_{c}") for c in cols])
-        )
-        merged = state.join(gathered, "id", "left").select(
-            "id",
-            "est",
-            "harm",
-            *[
-                F.greatest(F.col(c), F.coalesce(F.col(f"g_{c}"), F.lit(0)))
-                .alias(c)
-                for c in cols
-            ],
-        )
-        new_est = _estimate_expr(p)
-        state = merged.select(
-            "id",
-            *cols,
-            new_est.alias("est"),
-            (
-                F.col("harm") + (new_est - F.col("est")) / F.lit(float(r))
-            ).alias("harm"),
+        state = _grow_one_hop(
+            state, edges, p, r, join_strategy
         ).localCheckpoint(eager=True)
         prev.unpersist()
         prev = state
@@ -183,3 +205,92 @@ def hyperball_harmonic(
     if own_cache:
         graph.unpersist()
     return out
+
+
+# sum(est) over V must be order-INDEPENDENT for the SQL twin to match
+# bit for bit (a double sum's value depends on addition order, which
+# Spark does not fix across partitions) — so the neighborhood function
+# sums floor(est * 10^NF_SCALE) as exact integers instead. floor on
+# bit-identical doubles is deterministic; integer addition commutes.
+NF_SCALE = 4
+
+
+def neighborhood_function(
+    graph: LinkGraph,
+    p: int = 4,
+    rounds: int = 6,
+    join_strategy: str | None = None,
+) -> DataFrame:
+    """(r, pairs): the HLL-estimated neighborhood function N(r) =
+    sum over v of |B(v, r)| for r = 0..rounds — the number of (u, v)
+    pairs with d(u, v) <= r (Boldi-Vigna's primary output, and the
+    standard way to read a web graph's distance distribution /
+    effective diameter at crawl scale). `pairs` carries the exact
+    integer sum of the per-vertex estimates floored at 4 decimals
+    (see NF_SCALE note), divided back out — bit-identical to the twin.
+
+    One extra scalar aggregate action per round (the pagerank
+    error-norm discipline); the per-round state handling is exactly
+    hyperball_harmonic's."""
+    own_cache = graph.ensure_persisted()
+    edges = graph.edges.select("src", "dst")
+    join_strategy = _pick_join_strategy(graph, join_strategy)
+    scale = F.lit(float(10**NF_SCALE))
+    spark = graph.edges.sparkSession
+
+    def nf_row(r: int, st: DataFrame) -> tuple[int, int]:
+        row = st.agg(
+            F.sum(F.floor(F.col("est") * scale)).alias("s")
+        ).collect()[0]
+        return (r, int(row["s"]))
+
+    state = _init_state(graph, p).localCheckpoint(eager=True)
+    sums = [nf_row(0, state)]
+    prev = state
+    for r in range(1, rounds + 1):
+        state = _grow_one_hop(
+            state, edges, p, r, join_strategy
+        ).localCheckpoint(eager=True)
+        prev.unpersist()
+        prev = state
+        sums.append(nf_row(r, state))
+    state.unpersist()
+    if own_cache:
+        graph.unpersist()
+    out = spark.createDataFrame(sums, "r INT, pairs_scaled LONG")
+    return out.select(
+        "r", (F.col("pairs_scaled") / scale).alias("pairs")
+    )
+
+
+def effective_diameter(
+    graph: LinkGraph,
+    p: int = 4,
+    rounds: int = 6,
+    quantile: float = 0.9,
+    join_strategy: str | None = None,
+) -> DataFrame:
+    """One row (effective_diameter, pairs_covered, pairs_total): the
+    smallest hop count r with N(r) >= quantile * N(rounds) — the
+    standard '90% effective diameter' readout of the neighborhood
+    function (integer hop granularity, no interpolation, so the value
+    is bit-stable and twin-exact)."""
+    nf = neighborhood_function(graph, p, rounds, join_strategy)
+    total = nf.filter(F.col("r") == rounds).select(
+        F.col("pairs").alias("pairs_total")
+    )
+    hit = (
+        nf.crossJoin(total)  # 1-row broadcast total, rounds+1-row nf
+        .filter(F.col("pairs") >= F.lit(quantile) * F.col("pairs_total"))
+        .agg(F.min("r").alias("effective_diameter"))
+    )
+    covered = nf.select(F.col("r").alias("ed"), F.col("pairs"))
+    return (
+        hit.join(covered, hit["effective_diameter"] == covered["ed"])
+        .crossJoin(total)
+        .select(
+            "effective_diameter",
+            F.col("pairs").alias("pairs_covered"),
+            "pairs_total",
+        )
+    )

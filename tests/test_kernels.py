@@ -971,3 +971,25 @@ def test_scc_refuses_unconverged_peel(spark):
         strongly_connected_components(g, max_prop=5)
     got = strongly_connected_components(g, max_prop=20).collect()
     assert len(got) == n and all(r["scc"] == 0 for r in got)
+
+
+def test_mis_semantics(spark):
+    """Independence (no two MIS members adjacent) and maximality (every
+    non-member has a MIS neighbor) on a graph where the hash order
+    decides the winners; plus the isolated-vertex and empty-graph
+    edges."""
+    from graphit_spark.kernels import maximal_independent_set
+
+    # path 0-1-2-3-4 plus isolated vertex 6 (universe via max id 6)
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4), (5, 6)]
+    g = LinkGraph.from_pairs(spark, edges, persist=False)
+    got = {r["id"]: r["in_mis"] for r in maximal_independent_set(g).collect()}
+    assert set(got) == set(range(7))
+    members = {v for v, m in got.items() if m}
+    und = set()
+    for u, v in edges:
+        und.add((u, v))
+        und.add((v, u))
+    assert not any((u, v) in und for u in members for v in members)
+    for v in set(got) - members:
+        assert any((v, u) in und for u in members), f"{v} not maximal"
