@@ -41,7 +41,8 @@ _CHECK_FIRST = [
     "triangle_count", "bfs", "sssp", "pagerank_delta", "k_core",
     "betweenness", "betweenness_pivots", "collab_filtering", "eigenvector",
     "fused_pr_eigenvector", "hyperball_harmonic", "neighborhood_function",
-    "effective_diameter", "maximal_independent_set", "host_pagerank",
+    "effective_diameter", "maximal_independent_set", "greedy_coloring",
+    "host_pagerank",
     "sssp_delta_stepping", "astar", "min_spanning_forest", "set_cover",
     "random_walks", "node2vec_walks_alias", "sweep_cut",
     "personalized_pagerank", "local_cluster",

@@ -964,6 +964,82 @@ FROM verts v LEFT JOIN mis m USING (id)"""
     )
 
 
+# Shared Spark/twin budget; no-op past the settle round. The blocked
+# graph's longest decreasing-priority path is 32-35 at sf0.001-0.1
+# (dense 100-wide blocks, so JP's round count tracks the in-block
+# sequential chain, not log V) — 64 leaves the same headroom at the
+# next sf up.
+COLOR_ROUNDS = 64
+
+
+def coloring_sql(rounds: int = COLOR_ROUNDS) -> str:
+    """Twin of kernels/coloring.greedy_coloring on the blocked graph:
+    same string priority and local-min winner rule as mis_sql, plus the
+    exact-integer min-free-color step — candidates {0} ∪ {used+1} minus
+    the used set, all plain joins."""
+    pri = (
+        "substr(md5(CAST(id AS VARCHAR)), 1, 15) || '-' ||"
+        " lpad(CAST(id AS VARCHAR), 12, '0')"
+    )
+    ctes = [
+        _SQL_BLOCKED.strip().rstrip(","),
+        f"a0 AS MATERIALIZED (SELECT id, {pri} AS pri FROM verts)",
+        "col0 AS (SELECT CAST(NULL AS BIGINT) AS id,"
+        " CAST(NULL AS BIGINT) AS color WHERE false)",
+    ]
+    for r in range(1, rounds + 1):
+        a, c = f"a{r - 1}", f"col{r - 1}"
+        ctes.append(
+            f"""w{r} AS MATERIALIZED (
+  SELECT a.id FROM {a} a LEFT JOIN (
+    SELECT q.id AS id, min(p.pri) AS mn
+    FROM sym e JOIN {a} p ON e.dst = p.id
+               JOIN {a} q ON e.src = q.id
+    GROUP BY q.id) n USING (id)
+  WHERE n.mn IS NULL OR a.pri < n.mn
+)"""
+        )
+        ctes.append(
+            f"""u{r} AS MATERIALIZED (
+  SELECT DISTINCT w.id, c.color
+  FROM w{r} w JOIN sym e ON e.src = w.id
+              JOIN {c} c ON e.dst = c.id
+)"""
+        )
+        ctes.append(
+            f"""n{r} AS MATERIALIZED (
+  SELECT cand.id, min(cand.x) AS color FROM (
+    SELECT id, CAST(0 AS BIGINT) AS x FROM w{r}
+    UNION ALL SELECT id, color + 1 AS x FROM u{r}
+  ) cand LEFT JOIN u{r} u ON u.id = cand.id AND u.color = cand.x
+  WHERE u.id IS NULL GROUP BY cand.id
+)"""
+        )
+        ctes.append(
+            f"col{r} AS MATERIALIZED (SELECT id, color FROM {c}"
+            f" UNION ALL SELECT id, color FROM n{r})"
+        )
+        ctes.append(
+            f"""a{r} AS MATERIALIZED (
+  SELECT a.id, a.pri FROM {a} a
+  WHERE a.id NOT IN (SELECT id FROM n{r})
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT id, color FROM col{rounds}"
+    )
+
+
+def q_coloring(spark, sf_dir):
+    """Jones-Plassmann greedy coloring on the blocked graph."""
+    from graphit_spark.kernels import greedy_coloring
+
+    g = graph(spark, sf_dir, "blocked")
+    return greedy_coloring(g, rounds=COLOR_ROUNDS)
+
+
 def q_mis(spark, sf_dir):
     """Deterministic greedy MIS (Luby-style) on the blocked graph."""
     from graphit_spark.kernels import maximal_independent_set
@@ -2461,6 +2537,7 @@ GRAPH_QUERIES: dict[str, tuple] = {
     "neighborhood_function": (q_neighborhood_function, neighborhood_sql()),
     "effective_diameter": (q_effective_diameter, effective_diameter_sql()),
     "maximal_independent_set": (q_mis, mis_sql()),
+    "greedy_coloring": (q_coloring, coloring_sql()),
     "sssp_delta_stepping": (q_sssp_delta, sssp_fixpoint_sql()),
     "astar": (q_astar, astar_sql()),
     "ppsp": (q_ppsp, astar_sql(target=PPSP_TARGET)),

@@ -27,6 +27,7 @@ from graphit_spark.kernels.hyperball import (
 )
 from graphit_spark.kernels.hits import hits
 from graphit_spark.kernels.astar import astar, ppsp
+from graphit_spark.kernels.coloring import greedy_coloring
 from graphit_spark.kernels.mis import maximal_independent_set
 from graphit_spark.kernels.mst import minimum_spanning_forest
 from graphit_spark.kernels.setcover import set_cover
@@ -70,6 +71,7 @@ __all__ = [
     "closeness_score",
     "eigenvector_centrality",
     "fused_pr_eigenvector",
+    "greedy_coloring",
     "effective_diameter",
     "hyperball_harmonic",
     "neighborhood_function",

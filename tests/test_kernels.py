@@ -993,3 +993,45 @@ def test_mis_semantics(spark):
     assert not any((u, v) in und for u in members for v in members)
     for v in set(got) - members:
         assert any((v, u) in und for u in members), f"{v} not maximal"
+
+
+def test_coloring_semantics(spark):
+    """Proper coloring (adjacent vertices differ), dense colors
+    (0..max used), and exact agreement with the sequential greedy
+    coloring over the same priority order — the Jones-Plassmann
+    invariant."""
+    import hashlib
+
+    from graphit_spark.kernels import greedy_coloring
+
+    edges = _rand_graph(40, 120, seed=9)
+    g = LinkGraph.from_pairs(spark, edges, persist=False)
+    n = g.num_vertices
+    got = {r["id"]: r["color"] for r in greedy_coloring(g).collect()}
+    assert set(got) == set(range(n))
+
+    und = {}
+    for u, v in edges:
+        if u != v:
+            und.setdefault(u, set()).add(v)
+            und.setdefault(v, set()).add(u)
+    for u, nbrs in und.items():
+        for v in nbrs:
+            assert got[u] != got[v], f"edge {u}-{v} same color"
+
+    # sequential greedy over the identical (md5-hex || id) priority
+    def pri(v):
+        return (
+            hashlib.md5(str(v).encode()).hexdigest()[:15]
+            + "-"
+            + str(v).zfill(12)
+        )
+
+    exp = {}
+    for v in sorted(range(n), key=pri):
+        used = {exp[u] for u in und.get(v, ()) if u in exp}
+        c = 0
+        while c in used:
+            c += 1
+        exp[v] = c
+    assert got == exp
