@@ -34,7 +34,9 @@ def main() -> None:
                             "triangle_count", "bfs", "sssp",
                             "sssp_delta", "k_core", "core_numbers",
                             "betweenness", "eigenvector", "msf",
-                            "set_cover", "random_walks", "sweep_cut"])
+                            "set_cover", "random_walks", "sweep_cut",
+                            "scc", "hits", "k_truss", "hyperball",
+                            "neighborhood", "mis", "coloring"])
     p.add_argument("--edges", help="parquet edge table (src,dst[,weight])")
     p.add_argument("--pages", help="parquet pages table (extracted first)")
     p.add_argument("--synth-vertices", type=int, help="synthetic graph size")
@@ -157,6 +159,34 @@ def main() -> None:
         from graphit_spark.kernels import random_walks
 
         out = random_walks(g, args.walk_len, seed=args.seed)
+    elif args.kernel == "scc":
+        from graphit_spark.kernels import strongly_connected_components
+
+        out = strongly_connected_components(g)
+    elif args.kernel == "hits":
+        from graphit_spark.kernels import hits
+
+        out = hits(g, rounds=args.rounds)
+    elif args.kernel == "k_truss":
+        from graphit_spark.kernels import k_truss
+
+        out = k_truss(g, args.k)
+    elif args.kernel == "hyperball":
+        from graphit_spark.kernels import hyperball_harmonic
+
+        out = hyperball_harmonic(g, rounds=args.rounds)
+    elif args.kernel == "neighborhood":
+        from graphit_spark.kernels import neighborhood_function
+
+        out = neighborhood_function(g, rounds=args.rounds)
+    elif args.kernel == "mis":
+        from graphit_spark.kernels import maximal_independent_set
+
+        out = maximal_independent_set(g)
+    elif args.kernel == "coloring":
+        from graphit_spark.kernels import greedy_coloring
+
+        out = greedy_coloring(g)
     elif args.kernel == "sweep_cut":
         from pyspark.sql import functions as F
 

@@ -307,3 +307,56 @@ def test_decontaminate_benchmark_side_broadcasts(spark):
     plan = _plan(q_decontaminate(spark, SF_DIR))
     assert "BroadcastHashJoin" in plan
     assert "EvalPython" not in plan
+
+
+def test_hyperball_gather_keeps_partial_max(spark):
+    """The HyperBall register gather is one edge join + groupBy(dst)
+    with a max() PER REGISTER — every register's aggregate must stay
+    partial (map-side combine), so the shuffle carries at most one
+    m-register row per (dst, map partition), never the exploded
+    neighbor sketches. Built manually like the PR/min gathers (the
+    kernel's loop states are checkpoint-truncated)."""
+    from pyspark.sql import functions as F
+
+    from graphit_spark.benchqueries import graph
+    from graphit_spark.kernels.hyperball import _init_state, _reg_cols
+
+    g = graph(spark, SF_DIR, "blocked")
+    state = _init_state(g, p=4)
+    cols = _reg_cols(4)
+    gathered = (
+        g.edges.join(state.select(F.col("id").alias("src"), *cols), "src")
+        .groupBy(F.col("dst").alias("id"))
+        .agg(*[F.max(c).alias(f"g_{c}") for c in cols])
+    )
+    plan = _plan(gathered)
+    assert "partial_max" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    # the estimator is pure whole-stage-codegen expression work — no
+    # Python evaluation anywhere in the sketch pipeline
+    assert "EvalPython" not in _plan(state)
+
+
+def test_mis_gather_keeps_partial_string_min(spark):
+    """The MIS/coloring winner gather reduces the STRING priority with
+    min() — string min is map-side combinable too, and the plan must
+    keep the partial aggregate before the exchange."""
+    from pyspark.sql import functions as F
+
+    from graphit_spark.benchqueries import graph
+    from graphit_spark.kernels.mis import _priority_col
+
+    g = graph(spark, SF_DIR, "blocked")
+    active = g.vertices().select("id", _priority_col().alias("pri"))
+    sym = g.symmetrize().edges
+    gathered = (
+        sym.join(active.select(F.col("id").alias("dst"), "pri"), "dst")
+        .join(active.select(F.col("id").alias("src")), "src")
+        .groupBy("src")
+        .agg(F.min("pri").alias("mn"))
+    )
+    plan = _plan(gathered)
+    assert "partial_min" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
