@@ -36,7 +36,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # sim_lsh_topk, doc_token_stats subsumes doc_token_counts).
 _CHECK_FIRST = [
     # graph kernels — one row per family
-    "pagerank", "connected_components", "strongly_connected", "hits",
+    "pagerank", "connected_components", "strongly_connected", "web_bowtie",
+    "hits",
     "k_truss", "clustering_coeff", "pseudo_diameter", "label_propagation",
     "triangle_count", "bfs", "sssp", "pagerank_delta", "k_core",
     "betweenness", "betweenness_pivots", "collab_filtering", "eigenvector",
@@ -54,6 +55,8 @@ _CHECK_FIRST = [
     "dedup_clusters", "dedup_embedding_lsh", "sim_lsh_multiprobe_topk",
     "sim_ivf_kmeans_topk", "corpus_select_full", "corpus_sample_budget",
     "corpus_decontaminate", "corpus_inverted_index", "hll_distinct",
+    # structural one-row metrics (family: graph profile)
+    "graph_reciprocity", "degree_assortativity",
 ]
 
 

@@ -77,11 +77,53 @@ def weighted_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bowtie_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked intra-edges plus a deterministic block-level role
+    topology (period 8 over block index b, head vertex = b*BLOCK):
+    IN chain (p 0,1) -> core pair (p 2<->3) -> OUT chain (p 3,4), next
+    period via p5 +3, tendril branch p1 -> p6 (even periods only — odd
+    periods leave p6 isolated = DISCONNECTED), tube p1 -> p7 -> p4
+    bypassing the core. Produces all six Broder classes at sf0.01+."""
+    c = _num_customers(spark, sf_dir)
+    intra = blocked_edges(spark, sf_dir)
+    b = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % BLOCK == 0)
+        .select(
+            ((F.col("c_custkey") - F.col("c_custkey") % BLOCK) / BLOCK)
+            .cast("long")
+            .alias("b")
+        )
+    )
+    p = F.col("b") % 8
+    odd = ((F.col("b") / 8).cast("long") % 2) == 1
+    deltas = F.array(
+        F.when(p.isin(0, 1, 2, 4), F.lit(1)),
+        F.when(p == 3, F.lit(1)),
+        F.when(p == 3, F.lit(-1)),
+        F.when(p == 5, F.lit(3)),
+        F.when((p == 1) & ~odd, F.lit(5)),
+        F.when(p == 1, F.lit(6)),
+        F.when(p == 7, F.lit(-3)),
+    )
+    cross = (
+        b.select("b", F.explode(deltas).alias("d"))
+        .filter(F.col("d").isNotNull())
+        .select(
+            (F.col("b") * BLOCK).alias("src"),
+            ((F.col("b") + F.col("d")) * BLOCK).alias("dst"),
+        )
+        .filter((F.col("dst") >= 0) & (F.col("dst") < c))
+    )
+    return intra.unionByName(cross)
+
+
 def graph(spark: SparkSession, sf_dir: str, variant: str = "raw") -> LinkGraph:
     builders = {
         "raw": raw_edges,
         "blocked": blocked_edges,
         "weighted": weighted_edges,
+        "bowtie": bowtie_edges,
     }
     return LinkGraph(builders[variant](spark, sf_dir), persist=False)
 
@@ -122,6 +164,43 @@ verts AS MATERIALIZED (SELECT c_custkey AS id FROM customer
 sym AS MATERIALIZED (SELECT src, dst FROM edges
         UNION
         SELECT dst AS src, src AS dst FROM edges)
+"""
+
+
+_SQL_BOWTIE = f"""
+params AS (SELECT count(*) AS c FROM customer),
+intra AS MATERIALIZED (
+  SELECT o_custkey AS src,
+         (o_custkey - o_custkey % {BLOCK} + o_orderkey % {BLOCK})
+           % (SELECT c FROM params) AS dst
+  FROM orders
+),
+heads AS MATERIALIZED (
+  SELECT c_custkey // {BLOCK} AS b,
+         (c_custkey // {BLOCK}) % 8 AS p,
+         ((c_custkey // {BLOCK}) // 8) % 2 AS odd
+  FROM customer WHERE c_custkey % {BLOCK} = 0
+),
+crossed AS MATERIALIZED (
+  SELECT b * {BLOCK} AS src, (b + d) * {BLOCK} AS dst
+  FROM (
+    SELECT b, 1 AS d FROM heads WHERE p IN (0, 1, 2, 4)
+    UNION ALL SELECT b, 1 FROM heads WHERE p = 3
+    UNION ALL SELECT b, -1 FROM heads WHERE p = 3
+    UNION ALL SELECT b, 3 FROM heads WHERE p = 5
+    UNION ALL SELECT b, 5 FROM heads WHERE p = 1 AND odd = 0
+    UNION ALL SELECT b, 6 FROM heads WHERE p = 1
+    UNION ALL SELECT b, -3 FROM heads WHERE p = 7
+  ) r
+  WHERE (b + d) * {BLOCK} >= 0 AND (b + d) * {BLOCK} < (SELECT c FROM params)
+),
+raw AS MATERIALIZED (
+  SELECT src, dst FROM intra UNION ALL SELECT src, dst FROM crossed
+),
+edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+nv AS MATERIALIZED (SELECT max(greatest(src, dst)) + 1 AS n FROM raw),
+verts AS MATERIALIZED (SELECT c_custkey AS id FROM customer
+          WHERE c_custkey < (SELECT n FROM nv))
 """
 
 
@@ -2506,12 +2585,221 @@ def q_random_walks(spark, sf_dir):
     return random_walks(g, WALK_LEN, seed=WALK_SEED)
 
 
+def q_web_bowtie(spark, sf_dir):
+    """Broder bow-tie decomposition of the directed bowtie graph
+    variant: every vertex classified CORE / IN / OUT / TUBE / TENDRIL /
+    DISCONNECTED relative to the largest SCC (kernels/bowtie.py — the
+    SCC peel plus four BFS-shaped reachability fixpoints). The classic
+    web-crawl structure report; at sf0.01 all six classes are
+    populated (OUT 800, CORE 200, IN 200, TENDRIL/TUBE/DISC 100)."""
+    from graphit_spark.kernels import bowtie_classes
+
+    g = graph(spark, sf_dir, "bowtie")
+    return bowtie_classes(g)
+
+
+def web_bowtie_sql() -> str:
+    """Exact twin via the recursive transitive closure (same closure
+    CTE as scc_sql): class algebra over reach/mutual sets. Set
+    semantics end to end — no float, no round budget. NOTE: inside a
+    WITH RECURSIVE block DuckDB does NOT deduplicate a non-recursive
+    `base UNION step`-shaped CTE (it parses as the recursive pattern
+    and unions ALL), so every set CTE here is written
+    DISTINCT-over-UNION-ALL; EXCEPT is likewise rejected in that
+    position, hence the anti-joins."""
+    return f"""WITH RECURSIVE
+{_SQL_BOWTIE.strip()},
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+mutual AS MATERIALIZED (
+  SELECT r1.src AS v, r1.dst AS w
+  FROM reach r1 JOIN reach r2 ON r1.src = r2.dst AND r1.dst = r2.src
+),
+scc AS MATERIALIZED (
+  SELECT vt.id, least(vt.id, coalesce(min(m.w), vt.id)) AS scc
+  FROM verts vt LEFT JOIN mutual m ON m.v = vt.id
+  GROUP BY vt.id
+),
+core AS (
+  SELECT scc AS c FROM scc GROUP BY scc
+  ORDER BY count(*) DESC, scc ASC LIMIT 1
+),
+corev AS MATERIALIZED (SELECT id FROM scc WHERE scc = (SELECT c FROM core)),
+fwd AS MATERIALIZED (
+  SELECT DISTINCT id FROM (
+    SELECT id FROM corev
+    UNION ALL
+    SELECT r.dst AS id FROM reach r JOIN corev c ON r.src = c.id
+  ) u
+),
+bwd AS MATERIALIZED (
+  SELECT DISTINCT id FROM (
+    SELECT id FROM corev
+    UNION ALL
+    SELECT r.src AS id FROM reach r JOIN corev c ON r.dst = c.id
+  ) u
+),
+inn AS MATERIALIZED (
+  SELECT b.id FROM bwd b LEFT JOIN corev c ON b.id = c.id
+  WHERE c.id IS NULL
+),
+outt AS MATERIALIZED (
+  SELECT f.id FROM fwd f LEFT JOIN corev c ON f.id = c.id
+  WHERE c.id IS NULL
+),
+fi AS MATERIALIZED (
+  SELECT DISTINCT id FROM (
+    SELECT id FROM inn
+    UNION ALL
+    SELECT r.dst AS id FROM reach r JOIN inn i ON r.src = i.id
+  ) u
+),
+bo AS MATERIALIZED (
+  SELECT DISTINCT id FROM (
+    SELECT id FROM outt
+    UNION ALL
+    SELECT r.src AS id FROM reach r JOIN outt o ON r.dst = o.id
+  ) u
+)
+SELECT v.id,
+       CASE WHEN cv.id IS NOT NULL THEN 'CORE'
+            WHEN bw.id IS NOT NULL THEN 'IN'
+            WHEN fw.id IS NOT NULL THEN 'OUT'
+            WHEN f2.id IS NOT NULL AND b2.id IS NOT NULL THEN 'TUBE'
+            WHEN f2.id IS NOT NULL OR b2.id IS NOT NULL THEN 'TENDRIL'
+            ELSE 'DISCONNECTED' END AS bowtie
+FROM verts v
+LEFT JOIN corev cv ON v.id = cv.id
+LEFT JOIN bwd bw ON v.id = bw.id
+LEFT JOIN fwd fw ON v.id = fw.id
+LEFT JOIN fi f2 ON v.id = f2.id
+LEFT JOIN bo b2 ON v.id = b2.id
+ORDER BY v.id
+"""
+
+
+def q_reciprocity(spark, sf_dir):
+    """Link reciprocity of the raw directed graph: the fraction of
+    edges (u,v) whose reverse (v,u) also exists — a standard web/social
+    graph health metric. One self-equi-join on (dst,src) + one global
+    aggregate; the join is on the edge key, never all-pairs, and the
+    count(has_rev) avoids DuckDB's HUGEINT sum() so both engines emit
+    BIGINT."""
+    g = graph(spark, sf_dir, "raw")
+    e = g.edges.select("src", "dst")
+    rev = e.select(
+        F.col("dst").alias("src"),
+        F.col("src").alias("dst"),
+        F.lit(1).alias("has_rev"),
+    )
+    return (
+        e.join(rev, ["src", "dst"], "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_edges"),
+            F.count("has_rev").alias("n_reciprocal"),
+            F.round(
+                F.count("has_rev").cast("double") / F.count(F.lit(1)),
+                ROUND_RANK,
+            ).alias("reciprocity"),
+        )
+    )
+
+
+def reciprocity_sql() -> str:
+    return f"""WITH
+{_SQL_COMMON.strip()}
+SELECT count(*) AS n_edges,
+       count(r.src) AS n_reciprocal,
+       round(CAST(count(r.src) AS DOUBLE) / count(*), {ROUND_RANK})
+         AS reciprocity
+FROM edges e
+LEFT JOIN edges r ON r.src = e.dst AND r.dst = e.src
+"""
+
+
+def q_assortativity(spark, sf_dir):
+    """Degree assortativity of the raw directed graph: Pearson
+    correlation of (out-degree(src), in-degree(dst)) across directed
+    edges — negative on web-like graphs (hubs link to low-degree
+    pages). All sums are exact BIGINTs over integer degrees (sums of
+    doubles are shuffle-order-dependent; integer sums are not), with
+    ONE double expression at the end — bit-identical across engines
+    because every double op (mul/sub/sqrt/div) is IEEE
+    correctly-rounded. Two degree aggregations + two V-sized joins +
+    one global aggregate; at 10^12 edges the long products stay under
+    2^63 for degrees < ~3e6 (document relabel/decimal escape above
+    that)."""
+    g = graph(spark, sf_dir, "raw")
+    e = g.edges.select("src", "dst")
+    outd = e.groupBy("src").agg(F.count(F.lit(1)).alias("x"))
+    ind = e.groupBy("dst").agg(F.count(F.lit(1)).alias("y"))
+    j = e.join(outd, "src").join(ind, "dst")
+    s = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    num = n * F.col("sxy").cast("double") - sx * sy
+    denx = F.sqrt(n * F.col("sxx").cast("double") - sx * sx)
+    deny = F.sqrt(n * F.col("syy").cast("double") - sy * sy)
+    return s.select(
+        F.col("n").alias("n_edges"),
+        F.round(
+            F.when((denx > 0) & (deny > 0), num / (denx * deny)),
+            ROUND_RANK,
+        ).alias("assortativity"),
+    )
+
+
+def assortativity_sql() -> str:
+    return f"""WITH
+{_SQL_COMMON.strip()},
+outd AS MATERIALIZED (SELECT src, count(*) AS x FROM edges GROUP BY src),
+ind AS MATERIALIZED (SELECT dst, count(*) AS y FROM edges GROUP BY dst),
+s AS (
+  SELECT count(*) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM edges e JOIN outd USING (src) JOIN ind USING (dst)
+)
+SELECT n AS n_edges,
+       round(
+         CASE WHEN sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+               AND sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+              THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                      * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+         END, {ROUND_RANK}) AS assortativity
+FROM s
+"""
+
+
 GRAPH_QUERIES: dict[str, tuple] = {
     # name: (spark_callable, oracle_sql_or_None)
     "pagerank": (q_pagerank, pagerank_sql()),
     "out_degrees": (q_out_degrees, out_degrees_sql()),
     "connected_components": (q_cc, cc_sql()),
     "strongly_connected": (q_scc, scc_sql()),
+    "web_bowtie": (q_web_bowtie, web_bowtie_sql()),
+    "graph_reciprocity": (q_reciprocity, reciprocity_sql()),
+    "degree_assortativity": (q_assortativity, assortativity_sql()),
     "hits": (q_hits, hits_sql()),
     "k_truss": (q_k_truss, truss_sql()),
     "clustering_coeff": (q_clustering, clustering_sql()),

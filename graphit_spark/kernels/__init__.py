@@ -27,6 +27,7 @@ from graphit_spark.kernels.hyperball import (
 )
 from graphit_spark.kernels.hits import hits
 from graphit_spark.kernels.astar import astar, ppsp
+from graphit_spark.kernels.bowtie import bowtie_classes
 from graphit_spark.kernels.coloring import greedy_coloring
 from graphit_spark.kernels.mis import maximal_independent_set
 from graphit_spark.kernels.mst import minimum_spanning_forest
@@ -46,6 +47,7 @@ from graphit_spark.kernels.walks import (
 
 __all__ = [
     "ppsp",
+    "bowtie_classes",
     "k_truss",
     "hits",
     "strongly_connected_components",

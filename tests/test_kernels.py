@@ -1035,3 +1035,37 @@ def test_coloring_semantics(spark):
             c += 1
         exp[v] = c
     assert got == exp
+
+
+def test_bowtie_hand_graph(spark):
+    """Hand-built Broder bow-tie: 1<->2 core, 0 -> core (IN),
+    core -> 3 (OUT), 4 on an IN->OUT path bypassing core (TUBE),
+    5 reachable from IN only / 6 reaching OUT only (TENDRILs),
+    7 -> 8 off in their own island (DISCONNECTED)."""
+    from graphit_spark.kernels import bowtie_classes
+
+    edges = [
+        (1, 2), (2, 1),          # core SCC (the unique largest)
+        (0, 1),                  # IN
+        (2, 3),                  # OUT
+        (0, 4), (4, 3),          # TUBE
+        (0, 5),                  # TENDRIL (hangs off IN)
+        (6, 3),                  # TENDRIL (feeds OUT)
+        (7, 8),                  # DISCONNECTED island
+    ]
+    g = LinkGraph.from_pairs(spark, edges, persist=False)
+    got = {r["id"]: r["bowtie"] for r in bowtie_classes(g).collect()}
+    assert got == {
+        0: "IN", 1: "CORE", 2: "CORE", 3: "OUT", 4: "TUBE",
+        5: "TENDRIL", 6: "TENDRIL", 7: "DISCONNECTED", 8: "DISCONNECTED",
+    }
+
+
+def test_bowtie_edgeless(spark):
+    from graphit_spark.kernels import bowtie_classes
+
+    g = LinkGraph.from_pairs(spark, [(0, 0), (3, 3)], persist=False)
+    got = {r["id"]: r["bowtie"] for r in bowtie_classes(g).collect()}
+    # no edges survive squish: core = min-id trivial SCC, rest disconnected
+    assert got[0] == "CORE"
+    assert all(v == "DISCONNECTED" for k, v in got.items() if k != 0)
