@@ -57,6 +57,8 @@ _CHECK_FIRST = [
     "corpus_decontaminate", "corpus_inverted_index", "hll_distinct",
     # structural one-row metrics (family: graph profile)
     "graph_reciprocity", "degree_assortativity",
+    # exact distributed order statistics (family: corpus statistics)
+    "doc_token_percentiles",
 ]
 
 

@@ -1590,12 +1590,79 @@ FROM agg
 # early; scale-path dedup/ANN before their gated all-pairs baselines)
 # and keeps the three documented quadratic baselines at the tail, where
 # a cap or time budget loses the least information.
+PCTS = ("0.5", "0.9", "0.99")  # exact Python float reprs, shared verbatim
+
+
+def q_token_percentiles(spark, sf_dir):
+    """Exact order-statistic percentiles of per-document token counts,
+    computed the distributed way: value histogram (groupBy n_tokens) →
+    distributed ordered prefix sum over the value axis → smallest value
+    whose cumulative count reaches ceil(q·N) (type-1 / quantile_disc
+    semantics). No approx sketch and no corpus-sized driver collect —
+    the only shuffle after the histogram is |distinct lengths|-sized,
+    so the plan is unchanged at 10^12 documents. ceil(q·N) is one
+    IEEE-correctly-rounded double multiply on both engines, so the
+    twin bit-matches without rounding."""
+    from graphit_spark.plans.ranking import ordered_prefix_sum
+
+    docs = load(spark, sf_dir, "documents")
+    n = docs.count()
+    counts = (
+        docs.select(T.token_count(F.col("text")).alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    release: list = []
+    cum = ordered_prefix_sum(
+        counts, [F.col("v").asc()], ["c"], release=release
+    )
+    pcts = spark.createDataFrame(
+        [(float(p),) for p in PCTS], "pct double"
+    )
+    out = (
+        cum.crossJoin(F.broadcast(pcts))
+        .filter(
+            F.col("c_cum") >= F.ceil(F.col("pct") * F.lit(n)).cast("long")
+        )
+        .groupBy("pct")
+        .agg(F.min("v").alias("n_tokens"))
+        .localCheckpoint(eager=True)
+    )
+    for df in release:
+        df.unpersist()
+    return out
+
+
+def _token_percentiles_sql() -> str:
+    vals = " UNION ALL ".join(
+        f"SELECT CAST('{p}' AS DOUBLE) AS pct" for p in PCTS
+    )
+    return rf"""WITH
+counts AS MATERIALIZED (
+  SELECT CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS v,
+         count(*) AS c
+  FROM documents GROUP BY 1
+),
+cum AS MATERIALIZED (
+  SELECT v, CAST(sum(c) OVER (ORDER BY v) AS BIGINT) AS c_cum FROM counts
+),
+nn AS (SELECT count(*) AS n FROM documents),
+p AS ({vals})
+SELECT pct, min(v) AS n_tokens
+FROM cum, p, nn
+WHERE c_cum >= CAST(ceil(pct * n) AS BIGINT)
+GROUP BY pct
+ORDER BY pct
+"""
+
+
 TEXT_QUERIES: dict[str, tuple] = {
     "doc_token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
     "doc_quality": (q_quality, SQL_QUALITY),
     "doc_lang_id": (q_lang_id, _lang_sql()),
     "doc_fingerprints": (q_fingerprints, SQL_FINGERPRINTS),
     "doc_token_stats": (q_token_stats, _token_stats_sql()),
+    "doc_token_percentiles": (q_token_percentiles, _token_percentiles_sql()),
     "corpus_top_ngrams": (q_top_ngrams, _top_ngrams_sql()),
     "doc_repetition": (q_repetition, _repetition_sql()),
     "doc_tfidf_terms": (q_tfidf, _tfidf_sql()),
