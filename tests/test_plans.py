@@ -360,3 +360,50 @@ def test_mis_gather_keeps_partial_string_min(spark):
     assert "partial_min" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_bowtie_reach_superstep_plan_shape(spark):
+    """One bowtie reachability superstep (kernels/bowtie._reachable):
+    sparse-frontier semi-join must broadcast the frontier, the distinct
+    must be a partial+final HashAggregate (map-side combine), and the
+    anti-join against the reached set must never go nested-loop. Built
+    manually — the kernel's rounds are checkpoint-truncated in the
+    returned plan."""
+    from pyspark.sql import functions as F
+
+    from graphit_spark.benchqueries import graph
+
+    g = graph(spark, SF_DIR, "bowtie")
+    reached = g.vertices().select("id").filter(F.col("id") < 3)
+    fr = reached.select(F.col("id").alias("src"))
+    new = (
+        g.edges.join(F.broadcast(fr), "src", "left_semi")
+        .select(F.col("dst").alias("id"))
+        .distinct()
+        .join(reached, "id", "left_anti")
+    )
+    plan = _plan(new)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "BroadcastHashJoin" in plan  # the semi-join side
+    assert "HashAggregate" in plan  # the distinct, partial+final
+
+
+def test_percentile_histogram_keeps_partial_count(spark):
+    """doc_token_percentiles' only corpus-sized stage is the value
+    histogram — its count aggregate must stay partial (map-side
+    combine), so the shuffle after it is |distinct lengths|-sized."""
+    from pyspark.sql import functions as F
+
+    from graphit_spark.benchqueries import load
+    from graphit_spark.functions import textops as T
+
+    docs = load(spark, SF_DIR, "documents")
+    counts = (
+        docs.select(T.token_count(F.col("text")).alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    plan = _plan(counts)
+    assert "partial_count" in plan
+    assert "EvalPython" not in plan  # token_count is a native Column expr
