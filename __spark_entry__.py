@@ -39,6 +39,7 @@ _CHECK_FIRST = [
     "pagerank", "connected_components", "strongly_connected", "web_bowtie",
     "hits",
     "k_truss", "clustering_coeff", "pseudo_diameter", "label_propagation",
+    "louvain",
     "triangle_count", "bfs", "sssp", "pagerank_delta", "k_core",
     "betweenness", "betweenness_pivots", "collab_filtering", "eigenvector",
     "fused_pr_eigenvector", "hyperball_harmonic", "neighborhood_function",

@@ -2585,6 +2585,73 @@ def q_random_walks(spark, sf_dir):
     return random_walks(g, WALK_LEN, seed=WALK_SEED)
 
 
+LOUVAIN_ROUNDS = 6  # parity-alternating movers: ~rounds/2 full sweeps
+
+
+def q_louvain(spark, sf_dir):
+    """Louvain move phase (synchronous, integer-exact gains) on the
+    blocked graph — the modularity-driven upgrade over plain LPA
+    (kernels/louvain.py)."""
+    from graphit_spark.kernels import louvain_move
+
+    g = graph(spark, sf_dir, "blocked")
+    return louvain_move(g, rounds=LOUVAIN_ROUNDS)
+
+
+def louvain_sql(rounds: int = LOUVAIN_ROUNDS) -> str:
+    """Twin of kernels/louvain.louvain_move: identical integer score
+    2m*e_ic - k_i*tot'_c, identical (score desc, c asc) argmax, same
+    synthetic stay row, same round budget — BIGINT-only, so the hash
+    matches exactly."""
+    ctes = [
+        _SQL_BLOCKED.strip(),
+        """ldeg AS MATERIALIZED (
+  SELECT v.id, CAST(coalesce(d.d, 0) AS BIGINT) AS k
+  FROM verts v LEFT JOIN
+       (SELECT src AS id, count(*) AS d FROM sym GROUP BY src) d USING (id)
+)""",
+        "twom AS (SELECT count(*) AS m2 FROM sym)",
+        "lv0 AS (SELECT id, id AS c, k FROM ldeg)",
+    ]
+    for k in range(1, rounds + 1):
+        p = f"lv{k - 1}"
+        ctes.append(
+            f"""lv{k} AS MATERIALIZED (
+  SELECT p.id,
+         CASE WHEN p.id % 2 = {k % 2} THEN coalesce(b.new_c, p.c)
+              ELSE p.c END AS c, p.k
+  FROM {p} p LEFT JOIN (
+    SELECT id, c AS new_c FROM (
+      SELECT cand.id, cand.c,
+             row_number() OVER (PARTITION BY cand.id
+                                ORDER BY cand.score DESC, cand.c ASC) AS rn
+      FROM (
+        SELECT x.id, x.c,
+               (SELECT m2 FROM twom) * x.cnt
+                 - cur.k * (CASE WHEN x.c = cur.c THEN t.tot - cur.k
+                                 ELSE t.tot END) AS score
+        FROM (
+          SELECT id, c, max(cnt) AS cnt FROM (
+            SELECT e.src AS id, l.c, count(*) AS cnt
+            FROM sym e JOIN {p} l ON e.dst = l.id
+            GROUP BY e.src, l.c
+            UNION ALL
+            SELECT id, c, CAST(0 AS BIGINT) AS cnt FROM {p}
+          ) u GROUP BY id, c
+        ) x
+        JOIN (SELECT c, sum(k) AS tot FROM {p} GROUP BY c) t ON x.c = t.c
+        JOIN {p} cur ON x.id = cur.id
+      ) cand
+    ) r WHERE rn = 1
+  ) b USING (id)
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id, c AS community FROM lv{rounds} ORDER BY id"
+    )
+
+
 def q_web_bowtie(spark, sf_dir):
     """Broder bow-tie decomposition of the directed bowtie graph
     variant: every vertex classified CORE / IN / OUT / TUBE / TENDRIL /
@@ -2805,6 +2872,7 @@ GRAPH_QUERIES: dict[str, tuple] = {
     "clustering_coeff": (q_clustering, clustering_sql()),
     "pseudo_diameter": (q_pseudo_diameter, pseudo_diameter_sql()),
     "label_propagation": (q_lpa, lpa_sql()),
+    "louvain": (q_louvain, louvain_sql()),
     "triangle_count": (q_triangle_count, triangle_count_sql()),
     "triangle_per_vertex": (q_tc_per_vertex, tc_per_vertex_sql()),
     "bfs": (q_bfs, bfs_sql()),

@@ -1069,3 +1069,56 @@ def test_bowtie_edgeless(spark):
     # no edges survive squish: core = min-id trivial SCC, rest disconnected
     assert got[0] == "CORE"
     assert all(v == "DISCONNECTED" for k, v in got.items() if k != 0)
+
+
+def test_louvain_move_barbell(spark):
+    """Two triangles joined by one bridge: the move phase must collapse
+    each triangle into one community and keep the two apart. Expected
+    labels come from an independent Python mirror of the same
+    synchronous integer-score argmax."""
+    from graphit_spark.kernels import louvain_move
+
+    edges = [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 3), (2, 3)]
+    rounds = 6
+
+    # independent sequential mirror of the synchronous round
+    und = set()
+    for u, v in edges:
+        und.add((u, v))
+        und.add((v, u))
+    n = 6
+    k = {v: sum(1 for (a, _b) in und if a == v) for v in range(n)}
+    two_m = len(und)
+    comm = {v: v for v in range(n)}
+    for r in range(1, rounds + 1):
+        tot = {}
+        for v in range(n):
+            tot[comm[v]] = tot.get(comm[v], 0) + k[v]
+        new = {}
+        for v in range(n):
+            if v % 2 != r % 2:  # parity-alternating movers
+                new[v] = comm[v]
+                continue
+            cnt = {comm[v]: 0}  # synthetic stay row
+            for (a, b) in und:
+                if a == v:
+                    cnt[comm[b]] = cnt.get(comm[b], 0) + 1
+            best = None
+            for c, e in cnt.items():
+                t = tot[c] - k[v] if c == comm[v] else tot[c]
+                score = two_m * e - k[v] * t
+                if best is None or (score, -c) > best[0]:
+                    best = ((score, -c), c)
+            new[v] = best[1]
+        comm = new
+
+    g = LinkGraph.from_pairs(spark, edges, persist=False)
+    got = {
+        r["id"]: r["community"]
+        for r in louvain_move(g, rounds=rounds).collect()
+    }
+    assert got == comm
+    # structural sanity: each triangle one community, clusters apart
+    assert got[0] == got[1] == got[2]
+    assert got[3] == got[4] == got[5]
+    assert got[0] != got[3]
