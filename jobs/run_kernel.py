@@ -36,7 +36,8 @@ def main() -> None:
                             "betweenness", "eigenvector", "msf",
                             "set_cover", "random_walks", "sweep_cut",
                             "scc", "hits", "k_truss", "hyperball",
-                            "neighborhood", "mis", "coloring", "bowtie"])
+                            "neighborhood", "mis", "coloring", "bowtie",
+                            "louvain"])
     p.add_argument("--edges", help="parquet edge table (src,dst[,weight])")
     p.add_argument("--pages", help="parquet pages table (extracted first)")
     p.add_argument("--synth-vertices", type=int, help="synthetic graph size")
@@ -183,6 +184,10 @@ def main() -> None:
         from graphit_spark.kernels import bowtie_classes
 
         out = bowtie_classes(g)
+    elif args.kernel == "louvain":
+        from graphit_spark.kernels import louvain_move
+
+        out = louvain_move(g, rounds=args.rounds)
     elif args.kernel == "mis":
         from graphit_spark.kernels import maximal_independent_set
 
