@@ -41,7 +41,8 @@ _CHECK_FIRST = [
     # graph kernels
     "pagerank", "connected_components", "strongly_connected", "web_bowtie",
     "hits",
-    "k_truss", "pseudo_diameter", "label_propagation", "louvain",
+    "k_truss", "pseudo_diameter", "label_propagation",
+    "louvain_communities",
     "triangle_count", "bfs", "sssp", "pagerank_delta", "k_core",
     "betweenness", "collab_filtering", "eigenvector",
     "fused_pr_eigenvector", "hyperball_harmonic",
@@ -61,7 +62,8 @@ _CHECK_FIRST = [
     "corpus_decontaminate", "corpus_inverted_index", "hll_distinct",
     # ---- positions 51+: variants whose machinery a kept sibling
     # already exercises (checked when the driver scans deeper) ----
-    "clustering_coeff", "betweenness_pivots", "neighborhood_function",
+    "louvain", "clustering_coeff", "betweenness_pivots",
+    "neighborhood_function",
     "effective_diameter", "random_walks", "personalized_pagerank",
     "local_cluster", "events_hourly", "events_trending",
     "events_json_stats",

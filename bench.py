@@ -48,6 +48,7 @@ def main() -> None:
         q_hits,
         q_hyperball_harmonic,
         q_k_truss,
+        q_louvain,
         q_lpa,
         q_pagerank,
         q_scc,
@@ -71,6 +72,7 @@ def main() -> None:
     timed("pagerank_sf", lambda: q_pagerank(spark, sf_dir).count())
     timed("connected_components_sf", lambda: q_cc(spark, sf_dir).count())
     timed("label_propagation_sf", lambda: q_lpa(spark, sf_dir).count())
+    timed("louvain_sf", lambda: q_louvain(spark, sf_dir).count())
     timed("triangle_count_sf", lambda: q_triangle_count(spark, sf_dir).collect())
     timed("bfs_sf", lambda: q_bfs(spark, sf_dir).count())
     # round-3 kernels: directed bowtie SCC, HITS, k-truss peel,

@@ -2598,25 +2598,13 @@ def q_louvain(spark, sf_dir):
     return louvain_move(g, rounds=LOUVAIN_ROUNDS)
 
 
-def louvain_sql(rounds: int = LOUVAIN_ROUNDS) -> str:
-    """Twin of kernels/louvain.louvain_move: identical integer score
-    2m*e_ic - k_i*tot'_c, identical (score desc, c asc) argmax, same
-    synthetic stay row, same round budget — BIGINT-only, so the hash
-    matches exactly."""
-    ctes = [
-        _SQL_BLOCKED.strip(),
-        """ldeg AS MATERIALIZED (
-  SELECT v.id, CAST(coalesce(d.d, 0) AS BIGINT) AS k
-  FROM verts v LEFT JOIN
-       (SELECT src AS id, count(*) AS d FROM sym GROUP BY src) d USING (id)
-)""",
-        "twom AS (SELECT count(*) AS m2 FROM sym)",
-        "lv0 AS (SELECT id, id AS c, k FROM ldeg)",
-    ]
-    for k in range(1, rounds + 1):
-        p = f"lv{k - 1}"
-        ctes.append(
-            f"""lv{k} AS MATERIALIZED (
+def _louvain_round_cte(prefix: str, k: int, edges: str, wexpr: str) -> str:
+    """One synchronous move round as a CTE: identical integer score
+    2m*e_ic - k_i*tot'_c, (score desc, c asc) argmax, the synthetic
+    stay row, and the id-parity move gate. `wexpr` is the per-edge
+    weight aggregate (count(*) on the unit level, sum(e.w) coarse)."""
+    p = f"{prefix}{k - 1}"
+    return f"""{prefix}{k} AS MATERIALIZED (
   SELECT p.id,
          CASE WHEN p.id % 2 = {k % 2} THEN coalesce(b.new_c, p.c)
               ELSE p.c END AS c, p.k
@@ -2632,24 +2620,87 @@ def louvain_sql(rounds: int = LOUVAIN_ROUNDS) -> str:
                                  ELSE t.tot END) AS score
         FROM (
           SELECT id, c, max(cnt) AS cnt FROM (
-            SELECT e.src AS id, l.c, count(*) AS cnt
-            FROM sym e JOIN {p} l ON e.dst = l.id
+            SELECT e.src AS id, l.c, CAST({wexpr} AS BIGINT) AS cnt
+            FROM {edges} e JOIN {p} l ON e.dst = l.id
             GROUP BY e.src, l.c
             UNION ALL
             SELECT id, c, CAST(0 AS BIGINT) AS cnt FROM {p}
           ) u GROUP BY id, c
         ) x
-        JOIN (SELECT c, sum(k) AS tot FROM {p} GROUP BY c) t ON x.c = t.c
+        JOIN (SELECT c, CAST(sum(k) AS BIGINT) AS tot FROM {p} GROUP BY c) t
+          ON x.c = t.c
         JOIN {p} cur ON x.id = cur.id
       ) cand
     ) r WHERE rn = 1
   ) b USING (id)
 )"""
-        )
+
+
+def _louvain_level1_ctes(rounds: int) -> list[str]:
+    ctes = [
+        _SQL_BLOCKED.strip(),
+        """ldeg AS MATERIALIZED (
+  SELECT v.id, CAST(coalesce(d.d, 0) AS BIGINT) AS k
+  FROM verts v LEFT JOIN
+       (SELECT src AS id, count(*) AS d FROM sym GROUP BY src) d USING (id)
+)""",
+        "twom AS (SELECT count(*) AS m2 FROM sym)",
+        "lv0 AS (SELECT id, id AS c, k FROM ldeg)",
+    ]
+    for k in range(1, rounds + 1):
+        ctes.append(_louvain_round_cte("lv", k, "sym", "count(*)"))
+    return ctes
+
+
+def louvain_sql(rounds: int = LOUVAIN_ROUNDS) -> str:
+    """Twin of kernels/louvain.louvain_move — BIGINT-only, so the hash
+    matches exactly."""
     return (
-        "WITH " + ",\n".join(ctes)
+        "WITH " + ",\n".join(_louvain_level1_ctes(rounds))
         + f"\nSELECT id, c AS community FROM lv{rounds} ORDER BY id"
     )
+
+
+def louvain_communities_sql(rounds: int = LOUVAIN_ROUNDS) -> str:
+    """Twin of kernels/louvain.louvain_communities: level-1 rounds,
+    the community contraction (inter-community weights, self-loop rows
+    dropped, coarse k = level-1 community degree total), level-2
+    weighted rounds, composed assignment."""
+    ctes = _louvain_level1_ctes(rounds)
+    ctes.append(
+        f"""cedges AS MATERIALIZED (
+  SELECT a.c AS src, b.c AS dst, CAST(count(*) AS BIGINT) AS w
+  FROM sym e JOIN lv{rounds} a ON e.src = a.id
+             JOIN lv{rounds} b ON e.dst = b.id
+  WHERE a.c <> b.c
+  GROUP BY a.c, b.c
+)"""
+    )
+    ctes.append(
+        f"""cv0 AS MATERIALIZED (
+  SELECT c AS id, c AS c, CAST(sum(k) AS BIGINT) AS k
+  FROM lv{rounds} GROUP BY c
+)"""
+    )
+    for k in range(1, rounds + 1):
+        ctes.append(_louvain_round_cte("cv", k, "cedges", "sum(e.w)"))
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT l1.id, cv.c AS community
+FROM lv{rounds} l1 JOIN cv{rounds} cv ON l1.c = cv.id
+ORDER BY l1.id"""
+    )
+
+
+def q_louvain_communities(spark, sf_dir):
+    """Two-level Louvain: move phase, community contraction
+    (LinkGraph.contract — the host-rollup machinery), weighted move
+    phase on the quotient graph, composed assignment."""
+    from graphit_spark.kernels import louvain_communities
+
+    g = graph(spark, sf_dir, "blocked")
+    return louvain_communities(g, rounds_per_level=LOUVAIN_ROUNDS)
 
 
 def q_web_bowtie(spark, sf_dir):
@@ -2873,6 +2924,7 @@ GRAPH_QUERIES: dict[str, tuple] = {
     "pseudo_diameter": (q_pseudo_diameter, pseudo_diameter_sql()),
     "label_propagation": (q_lpa, lpa_sql()),
     "louvain": (q_louvain, louvain_sql()),
+    "louvain_communities": (q_louvain_communities, louvain_communities_sql()),
     "triangle_count": (q_triangle_count, triangle_count_sql()),
     "triangle_per_vertex": (q_tc_per_vertex, tc_per_vertex_sql()),
     "bfs": (q_bfs, bfs_sql()),

@@ -7,7 +7,7 @@ from graphit_spark.kernels.pagerank import (
 from graphit_spark.kernels.components import connected_components
 from graphit_spark.kernels.scc import strongly_connected_components
 from graphit_spark.kernels.labelprop import label_propagation
-from graphit_spark.kernels.louvain import louvain_move
+from graphit_spark.kernels.louvain import louvain_communities, louvain_move
 from graphit_spark.kernels.triangles import triangle_count, triangle_count_per_vertex
 from graphit_spark.kernels.paths import bfs, sssp
 from graphit_spark.kernels.kcore import k_core, core_decomposition
@@ -50,6 +50,7 @@ __all__ = [
     "ppsp",
     "bowtie_classes",
     "louvain_move",
+    "louvain_communities",
     "k_truss",
     "hits",
     "strongly_connected_components",

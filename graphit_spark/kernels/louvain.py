@@ -56,47 +56,24 @@ from pyspark.sql import DataFrame, functions as F
 from graphit_spark.graph import LinkGraph
 
 
-def louvain_move(
-    graph: LinkGraph,
-    *,
-    rounds: int = 6,
-    symmetrize: bool = True,
+def _move_rounds(
+    edges: DataFrame,
+    comm: DataFrame,
+    two_m: int,
+    rounds: int,
 ) -> DataFrame:
-    """Returns (id, community) after `rounds` synchronous Louvain move
-    rounds over the symmetrized simple graph; community ids are vertex
-    ids (each vertex starts in its own singleton)."""
-    g = graph.symmetrize() if symmetrize else graph
-    own_cache = g.ensure_persisted()
-    two_m = g.num_edges  # sym rows = 2m undirected edges
-
-    # vertex universe from the ORIGINAL graph — symmetrize() keeps
-    # num_vertices, but the degree join below must still cover every
-    # vertex (isolated ones get k = 0 and stay in their singleton)
-    deg = (
-        graph.vertices()
-        .select("id")
-        .join(g.out_degrees(), "id", "left")
-        .select(
-            "id",
-            F.coalesce(F.col("out_degree"), F.lit(0))
-            .cast("long")
-            .alias("k"),
-        )
-    )
-    deg = deg.localCheckpoint(eager=True)
-
-    comm = deg.select("id", F.col("id").alias("c"), "k")
-    comm = comm.localCheckpoint(eager=True)
-
+    """The move-phase loop over an explicit symmetric weighted edge
+    table (src, dst, w — self-loops excluded; self-loop weight belongs
+    in k, not in e_ic) and a community state (id, c, k). Returns the
+    final (id, c, k) state, localCheckpointed; the input `comm` must be
+    checkpointed by the caller and is released here when superseded."""
     for r in range(1, rounds + 1):
         tot = comm.groupBy("c").agg(F.sum("k").alias("tot"))
-        # e_ic: edges from i into community c (neighbor communities)
+        # e_ic: total edge weight from i into community c
         e_ic = (
-            g.edges.join(
-                comm.select(F.col("id").alias("dst"), "c"), "dst"
-            )
+            edges.join(comm.select(F.col("id").alias("dst"), "c"), "dst")
             .groupBy(F.col("src").alias("id"), "c")
-            .agg(F.count(F.lit(1)).alias("cnt"))
+            .agg(F.sum("w").alias("cnt"))
         )
         # synthetic stay row (cnt = 0) so every vertex has its current
         # community as a candidate even with no intra-community edge
@@ -141,9 +118,123 @@ def louvain_move(
         )
         comm.unpersist()
         comm = new_comm
+    return comm
+
+
+def louvain_move(
+    graph: LinkGraph,
+    *,
+    rounds: int = 6,
+    symmetrize: bool = True,
+) -> DataFrame:
+    """Returns (id, community) after `rounds` synchronous Louvain move
+    rounds over the symmetrized simple graph; community ids are vertex
+    ids (each vertex starts in its own singleton)."""
+    g = graph.symmetrize() if symmetrize else graph
+    own_cache = g.ensure_persisted()
+    two_m = g.num_edges  # sym rows = 2m undirected edges
+
+    # vertex universe from the ORIGINAL graph — symmetrize() keeps
+    # num_vertices, but the degree join below must still cover every
+    # vertex (isolated ones get k = 0 and stay in their singleton)
+    deg = (
+        graph.vertices()
+        .select("id")
+        .join(g.out_degrees(), "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("out_degree"), F.lit(0))
+            .cast("long")
+            .alias("k"),
+        )
+    )
+    deg = deg.localCheckpoint(eager=True)
+
+    comm = deg.select("id", F.col("id").alias("c"), "k")
+    comm = comm.localCheckpoint(eager=True)
+
+    edges_w = g.edges.select("src", "dst", F.lit(1).cast("long").alias("w"))
+    comm = _move_rounds(edges_w, comm, two_m, rounds)
 
     out = comm.select("id", F.col("c").alias("community"))
     deg.unpersist()
+    if own_cache:
+        g.unpersist()
+    return out
+
+
+def louvain_communities(
+    graph: LinkGraph,
+    *,
+    rounds_per_level: int = 6,
+    symmetrize: bool = True,
+) -> DataFrame:
+    """Two-level Louvain: the move phase, then the coarsening step of
+    Blondel et al. — contract each community to one vertex
+    (``LinkGraph.contract``, the host-rollup machinery), re-run the
+    move phase on the weighted quotient graph, and compose the two
+    assignments. Returns (id, community) where community is the
+    level-2 community of i's level-1 community.
+
+    The coarse level reuses the SAME integer score: coarse
+    k_a = tot_a from level 1 (the sum of member degrees — this counts
+    intra-community edges twice, exactly the self-loop convention
+    Louvain's coarse graph needs, so self-loop rows are dropped from
+    the quotient edge table rather than special-cased), coarse
+    e_ab = the contracted inter-community edge weight, and 2m is
+    unchanged — modularity is the same quantity at every level, so the
+    argmax stays integer-exact and the DuckDB twin hash-matches.
+
+    Plan: level 1 as louvain_move; the contraction is two
+    community-sized joins + one map-side-combined groupBy (the audited
+    host_graph_rollup shape); level 2 runs on a |communities|-sized
+    table. At crawl scale level 2 is orders of magnitude smaller than
+    level 1 — the classic Louvain speedup."""
+    g = graph.symmetrize() if symmetrize else graph
+    own_cache = g.ensure_persisted()
+    two_m = g.num_edges
+
+    deg = (
+        graph.vertices()
+        .select("id")
+        .join(g.out_degrees(), "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("out_degree"), F.lit(0))
+            .cast("long")
+            .alias("k"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    comm0 = deg.select("id", F.col("id").alias("c"), "k").localCheckpoint(
+        eager=True
+    )
+    edges_w = g.edges.select("src", "dst", F.lit(1).cast("long").alias("w"))
+    lvl1 = _move_rounds(edges_w, comm0, two_m, rounds_per_level)
+
+    # coarsen: communities become vertices, parallel edges sum to
+    # weights, intra-community rows dropped (their weight lives in tot)
+    mapping = lvl1.select("id", F.col("c").alias("group"))
+    coarse_edges = (
+        g.contract(mapping)
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst", F.col("weight").cast("long").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    tot1 = lvl1.groupBy("c").agg(F.sum("k").alias("k"))
+    comm1 = tot1.select(
+        F.col("c").alias("id"), F.col("c").alias("c"), "k"
+    ).localCheckpoint(eager=True)
+    lvl2 = _move_rounds(coarse_edges, comm1, two_m, rounds_per_level)
+
+    out = (
+        lvl1.select("id", F.col("c").alias("c1"))
+        .join(lvl2.select(F.col("id").alias("c1"), "c"), "c1")
+        .select("id", F.col("c").alias("community"))
+        .localCheckpoint(eager=True)
+    )
+    for df in (deg, lvl1, coarse_edges, lvl2):
+        df.unpersist()
     if own_cache:
         g.unpersist()
     return out
