@@ -2585,7 +2585,12 @@ def q_random_walks(spark, sf_dir):
     return random_walks(g, WALK_LEN, seed=WALK_SEED)
 
 
-LOUVAIN_ROUNDS = 6  # parity-alternating movers: ~rounds/2 full sweeps
+# parity-alternating movers: ~rounds/2 full sweeps. Measured on the
+# blocked sf0.01 graph (100-vertex block communities): Q(move) grows
+# 0.51 -> 0.73 -> 0.84 over 6/8/10 rounds and the two-level pass
+# reaches 0.88 at 10 — above LPA's 0.84 on its best-case graph — so 10
+# is the committed budget (shared with the SQL twins).
+LOUVAIN_ROUNDS = 10
 
 
 def q_louvain(spark, sf_dir):

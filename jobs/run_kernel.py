@@ -37,7 +37,7 @@ def main() -> None:
                             "set_cover", "random_walks", "sweep_cut",
                             "scc", "hits", "k_truss", "hyperball",
                             "neighborhood", "mis", "coloring", "bowtie",
-                            "louvain"])
+                            "louvain", "louvain_communities"])
     p.add_argument("--edges", help="parquet edge table (src,dst[,weight])")
     p.add_argument("--pages", help="parquet pages table (extracted first)")
     p.add_argument("--synth-vertices", type=int, help="synthetic graph size")
@@ -188,6 +188,10 @@ def main() -> None:
         from graphit_spark.kernels import louvain_move
 
         out = louvain_move(g, rounds=args.rounds)
+    elif args.kernel == "louvain_communities":
+        from graphit_spark.kernels import louvain_communities
+
+        out = louvain_communities(g, rounds_per_level=args.rounds)
     elif args.kernel == "mis":
         from graphit_spark.kernels import maximal_independent_set
 
