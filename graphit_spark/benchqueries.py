@@ -32,6 +32,12 @@ HITS_ROUNDS = 6
 TRUSS_K = 4
 TRUSS_ROUNDS = 24  # SQL twin round budget; idempotent past the fixpoint
 LPA_ROUNDS = 4
+# Louvain parity-alternating movers: ~rounds/2 full sweeps. Measured on
+# the blocked sf0.01 graph (100-vertex block communities): Q(move)
+# grows 0.51 -> 0.73 -> 0.84 over 6/8/10 rounds and the two-level pass
+# reaches 0.88 at 10 — above LPA's 0.84 on its best-case graph — so 10
+# is the committed budget (shared with the SQL twins).
+LOUVAIN_ROUNDS = 10
 BFS_ROUNDS = 10
 SSSP_ROUNDS = 10
 BLOCK = 100
@@ -2295,18 +2301,11 @@ def q_graph_stats(spark, sf_dir):
     )
 
 
-def modularity_sql(rounds: int = LPA_ROUNDS) -> str:
-    """Newman modularity of the LPA communities on the symmetrized
-    blocked graph: Q = Σ_c [ e_c/m - (d_c/2m)^2 ] with m = undirected
-    edge count (sym rows / 2), e_c = intra-community undirected edges,
-    d_c = total symmetric degree of c. Exact integer counts, one
-    rounded division at the end."""
-    inner = lpa_sql(rounds)
-    head, _, _tail = inner.rpartition("\nSELECT id, label FROM ")
-    return (
-        head
-        + f""",
-lab AS MATERIALIZED (SELECT id, label FROM l{rounds}),
+def _modularity_tail_sql(lab_select: str) -> str:
+    """Q = Σ_c [e_c/m - (d_c/2m)^2] over the `lab` partition from
+    `lab_select` — append to any CTE head that defines verts/sym."""
+    return f""",
+lab AS MATERIALIZED ({lab_select}),
 symdeg AS MATERIALIZED (
   SELECT v.id, CAST(coalesce(d.d, 0) AS BIGINT) AS deg
   FROM verts v LEFT JOIN
@@ -2331,6 +2330,23 @@ SELECT round(sum(e_in * 1e0 / (SELECT m FROM mm)
              - (d_c * 1e0 / (2 * (SELECT m FROM mm))) ^ 2), 6)
          AS modularity
 FROM comm"""
+
+
+def modularity_sql(rounds: int = LPA_ROUNDS) -> str:
+    """Newman modularity of the LPA communities on the symmetrized
+    blocked graph."""
+    head, _, _tail = lpa_sql(rounds).rpartition("\nSELECT id, label FROM ")
+    return head + _modularity_tail_sql(f"SELECT id, label FROM l{rounds}")
+
+
+def louvain_modularity_sql(rounds: int = LOUVAIN_ROUNDS) -> str:
+    """Same Q over the Louvain move-phase partition (twin of
+    q_louvain_modularity)."""
+    head, _, _tail = louvain_sql(rounds).rpartition(
+        "\nSELECT id, c AS community FROM "
+    )
+    return head + _modularity_tail_sql(
+        f"SELECT id, c AS label FROM lv{rounds}"
     )
 
 
@@ -2339,10 +2355,30 @@ def q_modularity(spark, sf_dir):
     the symmetrized blocked graph (one scalar row)."""
     from graphit_spark.kernels import label_propagation
 
-    g0 = graph(spark, sf_dir, "blocked")
-    g = g0.symmetrize()
+    g = graph(spark, sf_dir, "blocked").symmetrize()
     labels = label_propagation(graph(spark, sf_dir, "blocked"),
                                rounds=LPA_ROUNDS)
+    return _modularity_of(labels, g)
+
+
+def q_louvain_modularity(spark, sf_dir):
+    """The same Newman modularity over the Louvain move-phase
+    partition — the pair of rows (lpa_modularity, louvain_modularity)
+    is the in-engine community-quality comparison (at sf0.01: LPA 0.84
+    vs Louvain 0.84 move-only / 0.88 two-level)."""
+    from graphit_spark.kernels import louvain_move
+
+    g = graph(spark, sf_dir, "blocked").symmetrize()
+    labels = louvain_move(
+        graph(spark, sf_dir, "blocked"), rounds=LOUVAIN_ROUNDS
+    ).withColumnRenamed("community", "label")
+    return _modularity_of(labels, g)
+
+
+def _modularity_of(labels: DataFrame, g: LinkGraph) -> DataFrame:
+    """Q = Σ_c [e_c/m - (d_c/2m)^2] of a (id, label) partition over the
+    symmetrized graph `g` — exact integer counts, one rounded double
+    expression at the end."""
     deg = g.out_degrees().withColumnRenamed("out_degree", "deg")
     lab = labels.join(deg, "id", "left").select(
         "id", "label", F.coalesce("deg", F.lit(0)).alias("deg")
@@ -2583,14 +2619,6 @@ def q_random_walks(spark, sf_dir):
 
     g = graph(spark, sf_dir, "raw")
     return random_walks(g, WALK_LEN, seed=WALK_SEED)
-
-
-# parity-alternating movers: ~rounds/2 full sweeps. Measured on the
-# blocked sf0.01 graph (100-vertex block communities): Q(move) grows
-# 0.51 -> 0.73 -> 0.84 over 6/8/10 rounds and the two-level pass
-# reaches 0.88 at 10 — above LPA's 0.84 on its best-case graph — so 10
-# is the committed budget (shared with the SQL twins).
-LOUVAIN_ROUNDS = 10
 
 
 def q_louvain(spark, sf_dir):
@@ -2964,6 +2992,7 @@ GRAPH_QUERIES: dict[str, tuple] = {
     "node2vec_walks_alias": (q_node2vec_walks_alias, node2vec_alias_sql()),
     "graph_stats": (q_graph_stats, graph_stats_sql()),
     "lpa_modularity": (q_modularity, modularity_sql()),
+    "louvain_modularity": (q_louvain_modularity, louvain_modularity_sql()),
     "sweep_cut": (q_sweep_cut, sweep_cut_sql()),
     "personalized_pagerank": (q_ppr, ppr_sql()),
     "local_cluster": (q_local_cluster, local_cluster_sql()),
