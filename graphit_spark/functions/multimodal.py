@@ -8,13 +8,17 @@ the stdlib alone and exercise the full pipeline end to end: BMP
 PNG (zlib inflate + all five scanline filters; gray/RGB/palette/alpha
 color types; resize re-encodes a readable grayscale PNG), GIF
 (full variable-width LZW + interlace + local color tables; resize
-re-encodes a readable GIF via literal-code LZW), netpbm PGM/PPM, and
-PCM WAV (via the `wave` module). Everything beyond those is STUBBED
-(this container has no PIL/ffmpeg): real libraries plug in behind the
-`_HAVE_PIL` import-try, and the deterministic fake container format
-("FAKEIMG1/FAKEAUD1/FAKEVID1") keeps the Spark-side plumbing — binary
-schema, Arrow batch shape, partition-local decode, metadata structs —
-testable for the unsupported modalities (video).
+re-encodes a readable GIF via literal-code LZW), netpbm PGM/PPM,
+PCM WAV (via the `wave` module), and AVI video (real RIFF container
+parse; uncompressed 8-bpp DIB frame streams decode, frame_sample emits
+each kept frame as a readable BMP so the image operators compose
+downstream). Everything beyond those is STUBBED (this container has no
+PIL/ffmpeg — compressed video/image codecs genuinely need them): real
+libraries plug in behind the `_HAVE_PIL` import-try, and the
+deterministic fake container format ("FAKEIMG1/FAKEAUD1/FAKEVID1")
+keeps the Spark-side plumbing — binary schema, Arrow batch shape,
+partition-local decode, metadata structs — testable for the
+still-unsupported codecs.
 
 Fake container layout (big-endian):
     magic   8 bytes   b"FAKEIMG1" | b"FAKEAUD1" | b"FAKEVID1"
@@ -495,6 +499,145 @@ def _decode_wav(raw: bytes):
     return rate, arr, width
 
 
+def _walk_riff(raw: bytes, off: int, end: int):
+    """Yield (fourcc, list_type_or_None, data_off, data_size) for each
+    chunk in a RIFF region; LIST chunks report their subtype and their
+    payload region so callers can recurse."""
+    while off + 8 <= end:
+        fourcc = raw[off:off + 4]
+        size = struct.unpack_from("<I", raw, off + 4)[0]
+        data_off = off + 8
+        if fourcc == b"LIST":
+            yield fourcc, raw[data_off:data_off + 4], data_off + 4, size - 4
+        else:
+            yield fourcc, None, data_off, size
+        off = data_off + size + (size & 1)  # chunks are word-aligned
+
+
+def _avi_headers(raw: bytes):
+    """Header-only AVI probe → (width, height, n_frames, bpp,
+    compression, palette bytes|None, movi_region|None). Walks the RIFF
+    tree once, never touches frame payloads — the O(header) cost a real
+    metadata scan pays at scale."""
+    if raw[:4] != b"RIFF" or raw[8:12] != b"AVI ":
+        raise ValueError("not an AVI")
+    w = h = frames = bpp = comp = None
+    pal = movi = None
+
+    def walk(off, end):
+        nonlocal w, h, frames, bpp, comp, pal, movi
+        for fourcc, ltype, doff, dsz in _walk_riff(raw, off, end):
+            if fourcc == b"LIST" and ltype in (b"hdrl", b"strl"):
+                walk(doff, doff + dsz)
+            elif fourcc == b"LIST" and ltype == b"movi":
+                movi = (doff, doff + dsz)
+            elif fourcc == b"avih":
+                frames = struct.unpack_from("<I", raw, doff + 16)[0]
+                w = struct.unpack_from("<I", raw, doff + 32)[0]
+                h = struct.unpack_from("<I", raw, doff + 36)[0]
+            elif fourcc == b"strf" and bpp is None:
+                bw, bh = struct.unpack_from("<ii", raw, doff + 4)
+                bpp = struct.unpack_from("<H", raw, doff + 14)[0]
+                comp = struct.unpack_from("<I", raw, doff + 16)[0]
+                w, h = w or bw, h or abs(bh)
+                if dsz > 40:  # palette follows the BITMAPINFOHEADER
+                    pal = raw[doff + 40:doff + dsz]
+
+    walk(12, 12 + struct.unpack_from("<I", raw, 4)[0] - 4)
+    return w, h, frames, bpp, comp, pal, movi
+
+
+def _decode_avi(raw: bytes):
+    """Uncompressed 8-bpp DIB-in-AVI → list of (h, w) uint8 grayscale
+    frames. Real RIFF container parse (hdrl/avih dims, strl/strf
+    BITMAPINFOHEADER + palette, movi '00db'/'00dw' frame chunks,
+    bottom-up 4-byte-aligned rows, palette → ITU-R 601 luminance like
+    ``_decode_bmp``). Compressed streams (MJPG/H.264 fourccs, RLE)
+    raise NotImplementedError — those genuinely need ffmpeg."""
+    import numpy as np
+
+    w, h, _frames, bpp, comp, pal_raw, movi = _avi_headers(raw)
+    if w is None or movi is None:
+        raise ValueError("AVI missing avih/movi")
+    if comp != 0 or bpp != 8:
+        raise NotImplementedError(
+            f"AVI bpp={bpp} compression={comp:#x} unsupported "
+            "(only uncompressed 8-bpp DIB; compressed video needs ffmpeg)"
+        )
+    if pal_raw:
+        n_pal = min(len(pal_raw) // 4, 256)
+        pal = np.frombuffer(pal_raw, np.uint8, n_pal * 4).reshape(n_pal, 4)
+        lum = (
+            (pal[:, 2].astype(np.int64) * 299
+             + pal[:, 1].astype(np.int64) * 587
+             + pal[:, 0].astype(np.int64) * 114) // 1000
+        ).astype(np.uint8)
+    else:
+        lum = np.arange(256, dtype=np.uint8)  # identity: index == gray
+    row_bytes = (w + 3) & ~3
+    out = []
+    for fourcc, _lt, doff, dsz in _walk_riff(raw, movi[0], movi[1]):
+        if fourcc[2:4] in (b"db", b"dw") and dsz >= row_bytes * h:
+            px = np.frombuffer(raw, np.uint8, row_bytes * h, doff).reshape(
+                h, row_bytes
+            )[::-1, :w]  # DIB rows are bottom-up
+            if int(px.max(initial=0)) >= len(lum):
+                raise ValueError("AVI pixel index beyond palette size")
+            out.append(lum[px])
+    return out
+
+
+def encode_avi_gray(frames, fps: int = 10) -> bytes:
+    """List of (h, w) uint8 arrays → minimal standard AVI (one 'vids'
+    stream, uncompressed 8-bpp gray-palette DIB frames, idx1 index) —
+    the writer twin of ``_decode_avi`` so the video path round-trips a
+    REAL container format, mirroring encode_bmp_gray/encode_gif_gray."""
+    import numpy as np
+
+    frames = [np.asarray(f, dtype=np.uint8) for f in frames]
+    if not frames:
+        raise ValueError("need at least one frame")
+    h, w = frames[0].shape
+    row_bytes = (w + 3) & ~3
+    frame_sz = row_bytes * h
+
+    def chunk(fourcc: bytes, data: bytes) -> bytes:
+        return fourcc + struct.pack("<I", len(data)) + data + (
+            b"\x00" if len(data) & 1 else b""
+        )
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    avih = struct.pack(
+        "<10I", 1_000_000 // fps, frame_sz * fps, 0, 0x10, len(frames),
+        0, 1, frame_sz, w, h,
+    ) + b"\x00" * 16
+    strh = (
+        b"vidsDIB "
+        + struct.pack("<IHHIIIIIIIi", 0, 0, 0, 0, 1, fps, 0, len(frames),
+                      frame_sz, 0, 0)
+        + struct.pack("<4H", 0, 0, w, h)
+    )
+    pal = bytes(b for i in range(256) for b in (i, i, i, 0))
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 0, frame_sz,
+                       2835, 2835, 256, 0) + pal
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi_body, idx, off = b"", b"", 4
+    for f in frames:
+        if f.shape != (h, w):
+            raise ValueError("all frames must share one shape")
+        rows = np.zeros((h, row_bytes), dtype=np.uint8)
+        rows[:, :w] = f
+        data = rows[::-1].tobytes()
+        movi_body += chunk(b"00db", data)
+        idx += b"00db" + struct.pack("<III", 0x10, off, len(data))
+        off += 8 + len(data) + (len(data) & 1)
+    body = hdrl + lst(b"movi", movi_body) + chunk(b"idx1", idx)
+    return b"RIFF" + struct.pack("<I", len(body) + 4) + b"AVI " + body
+
+
 def _payload(seed: int, n: int) -> bytes:
     out = bytearray(n)
     h = (_A * seed + _B) % _M
@@ -560,6 +703,9 @@ def image_metadata(df: DataFrame, bin_col: str = "image") -> DataFrame:
                     arr = _decode_pnm(raw)  # header-light format
                     w.append(arr.shape[1]); hh.append(arr.shape[0])
                     fmt.append("pgm" if raw[:2] == b"P5" else "ppm")
+                elif raw[:4] == b"RIFF" and raw[8:12] == b"AVI ":
+                    a, c, _fr, _bpp, _cm, _p, _m = _avi_headers(raw)
+                    w.append(a); hh.append(c); fmt.append("avi")
                 else:
                     w.append(None); hh.append(None); fmt.append("unknown")
             out = pdf[id_cols].copy()
@@ -764,8 +910,23 @@ def frame_sample(df: DataFrame, bin_col: str = "video", every_n: int = 2) -> Dat
             rows.update({"frame_idx": [], "frame": []})
             for _, r in pdf.iterrows():
                 raw = bytes(r[bin_col])
+                if raw[:4] == b"RIFF" and raw[8:12] == b"AVI ":
+                    # real container path: sampled frames come back out
+                    # as readable 8-bpp BMPs so the image operators
+                    # (metadata/features/resize) compose downstream
+                    for k, fr_arr in enumerate(_decode_avi(raw)):
+                        if k % every_n:
+                            continue
+                        for c in id_cols:
+                            rows[c].append(r[c])
+                        rows["frame_idx"].append(k)
+                        rows["frame"].append(encode_bmp_gray(fr_arr))
+                    continue
                 if raw[:8] != VID_MAGIC:
-                    raise NotImplementedError("real video decode not available")
+                    raise NotImplementedError(
+                        "video decode beyond uncompressed-DIB AVI needs "
+                        "ffmpeg — not in this container"
+                    )
                 w, h, fr = struct.unpack(">iii", raw[8:20])
                 fsz = w * h
                 for k in range(0, fr, every_n):

@@ -8,7 +8,11 @@ from graphit_spark.kernels.components import connected_components
 from graphit_spark.kernels.scc import strongly_connected_components
 from graphit_spark.kernels.labelprop import label_propagation
 from graphit_spark.kernels.louvain import louvain_communities, louvain_move
-from graphit_spark.kernels.triangles import triangle_count, triangle_count_per_vertex
+from graphit_spark.kernels.triangles import (
+    triangle_count,
+    triangle_count_per_vertex,
+    worth_relabelling,
+)
 from graphit_spark.kernels.paths import bfs, sssp
 from graphit_spark.kernels.kcore import k_core, core_decomposition
 from graphit_spark.kernels.truss import k_truss
@@ -88,6 +92,7 @@ __all__ = [
     "label_propagation",
     "triangle_count",
     "triangle_count_per_vertex",
+    "worth_relabelling",
     "bfs",
     "sssp",
     "sssp_delta_stepping",

@@ -28,12 +28,65 @@ from pyspark.sql import DataFrame, functions as F
 from graphit_spark.graph import LinkGraph
 
 
-def triangle_count(graph: LinkGraph, *, relabel: bool = True) -> DataFrame:
-    """Global triangle count. Returns a 1-row DataFrame (triangles: long)."""
+def triangle_count(
+    graph: LinkGraph, *, relabel: bool | str = True
+) -> DataFrame:
+    """Global triangle count. Returns a 1-row DataFrame (triangles: long).
+
+    relabel=True (default) always degree-relabels — deterministic plan,
+    the right call on power-law web graphs. relabel="auto" mirrors the
+    reference's builtin_relabel guard (intrinsics.h:239-258): the
+    orientation/relabel step is skipped when `worth_relabelling` says the
+    degree distribution is too flat to pay for it. The count itself is
+    relabel-invariant either way.
+    """
     per_edge = _per_edge_intersections(graph, relabel)
     return per_edge.agg(
         F.coalesce(F.sum("tri"), F.lit(0)).cast("long").alias("triangles")
     )
+
+
+def worth_relabelling(graph: LinkGraph) -> bool:
+    """GAPBS/GraphIt "is degree-relabelling worth it" test
+    (intrinsics.h:239-256, GAPBS builder heuristic), as the exact
+    population statistic instead of a 1000-vertex random sample.
+
+    Reference semantics: skip when average degree < 10; otherwise
+    relabel iff sampled_mean / 1.3 > sampled_median, where the sample
+    draws only vertices with out-degree > 0 (SourcePicker skips
+    zero-degree ids) and median is the upper-middle order statistic
+    (samples[n/2] of the sorted sample). A random sample exists to make
+    the test O(1) on a serial machine; on Spark the exact statistic is
+    one aggregate over the V-sized degree table plus a driver-side
+    histogram of distinct degree VALUES (≲ thousands of rows on any web
+    graph — bounded by max-degree's distinct values, not by V), so we
+    compute it exactly and the decision becomes deterministic — which is
+    why "auto" is safe to expose at all (the reference's sampled variant
+    can flip between runs near the boundary).
+    """
+    n = graph.num_vertices
+    if n == 0:
+        return False
+    hist = (
+        graph.edges.groupBy("src")
+        .agg(F.count("*").alias("deg"))
+        .groupBy("deg")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    )
+    m = sum(r["deg"] * r["cnt"] for r in hist)
+    if m // n < 10:  # integer division, as the reference's int64 divide
+        return False
+    k = sum(r["cnt"] for r in hist)  # vertices with out-degree > 0
+    mean = m / k
+    # upper median: 0-indexed rank k//2 in ascending degree order
+    target, seen, median = k // 2, 0, 0
+    for r in sorted(hist, key=lambda r: r["deg"]):
+        seen += r["cnt"]
+        if seen > target:
+            median = r["deg"]
+            break
+    return mean / 1.3 > median
 
 
 def triangle_count_per_vertex(graph: LinkGraph, *, relabel: bool = False) -> DataFrame:
@@ -70,8 +123,10 @@ def triangle_count_per_vertex(graph: LinkGraph, *, relabel: bool = False) -> Dat
     )
 
 
-def _per_edge_intersections(graph: LinkGraph, relabel: bool) -> DataFrame:
+def _per_edge_intersections(graph: LinkGraph, relabel: bool | str) -> DataFrame:
     und = graph.symmetrize()
+    if relabel == "auto":
+        relabel = worth_relabelling(und)
     if relabel:
         und = und.relabel_by_degree()
     # Orient low-degree -> high-degree. After degree-desc relabel, larger

@@ -14,6 +14,7 @@ from graphit_spark.kernels import (
     sssp,
     triangle_count,
     triangle_count_per_vertex,
+    worth_relabelling,
 )
 from tests.oracles import (
     bfs_oracle,
@@ -216,6 +217,31 @@ class TestTriangles:
     def test_golden(self, spark, golden_edges, relabel):
         g = LinkGraph.from_pairs(spark, golden_edges, persist=False)
         got = triangle_count(g, relabel=relabel).collect()[0]["triangles"]
+        assert got == triangle_oracle(golden_edges)
+
+    def test_worth_relabelling_flat_vs_skewed(self, spark):
+        """The reference's builtin_relabel guard (intrinsics.h:239-258):
+        a flat degree distribution (mean ≈ median) declines the relabel,
+        a hub-skewed one (mean/1.3 > median) takes it, and any graph
+        with average degree < 10 declines regardless of shape."""
+        # k-regular-ish: every vertex has out-degree 12 → mean == median
+        flat = [(u, (u + d) % 40) for u in range(40) for d in range(1, 13)]
+        g_flat = LinkGraph.from_pairs(spark, flat, persist=False)
+        assert worth_relabelling(g_flat) is False
+        # 8 hubs of out-degree 39; the other 32 vertices have degree 4
+        # → m=440, n=40, avg=11, mean=11, upper median=4, 11/1.3 > 4
+        skew = [(h, v) for h in range(8) for v in range(40) if v != h]
+        skew += [(u, (u + d) % 40) for u in range(8, 40) for d in (1, 2, 3, 4)]
+        g_skew = LinkGraph.from_pairs(spark, skew, persist=False)
+        assert worth_relabelling(g_skew) is True
+        # sparse: average degree < 10 short-circuits to False even w/ hubs
+        sparse = [(0, v) for v in range(1, 30)] + [(1, 2), (3, 4)]
+        g_sparse = LinkGraph.from_pairs(spark, sparse, persist=False)
+        assert worth_relabelling(g_sparse) is False
+
+    def test_count_relabel_auto_invariant(self, spark, golden_edges):
+        g = LinkGraph.from_pairs(spark, golden_edges, persist=False)
+        got = triangle_count(g, relabel="auto").collect()[0]["triangles"]
         assert got == triangle_oracle(golden_edges)
 
     def test_per_vertex_sums_to_3x(self, spark, golden_edges):

@@ -528,3 +528,83 @@ class TestCodecFuzz:
 
         self._fuzz(encode_bmp_gray, _decode_bmp)
         self._fuzz(encode_png_gray, _decode_png)
+
+
+class TestAviCodec:
+    def _frames(self, n=6, h=5, w=7):
+        import numpy as np
+
+        return [
+            (np.arange(h * w, dtype=np.uint8).reshape(h, w) + 11 * k) % 251
+            for k in range(n)
+        ]
+
+    def test_roundtrip_exact(self):
+        from graphit_spark.functions.multimodal import (
+            _decode_avi,
+            encode_avi_gray,
+        )
+
+        frames = self._frames()
+        got = _decode_avi(encode_avi_gray(frames, fps=12))
+        assert len(got) == len(frames)
+        for a, b in zip(got, frames):
+            assert (a == b).all()
+
+    def test_header_probe_and_metadata(self, spark):
+        from graphit_spark.functions.multimodal import (
+            _avi_headers,
+            encode_avi_gray,
+            image_metadata,
+        )
+
+        raw = encode_avi_gray(self._frames(4, 3, 9))
+        w, h, frames, bpp, comp, pal, movi = _avi_headers(raw)
+        assert (w, h, frames, bpp, comp) == (9, 3, 4, 8, 0)
+        assert pal is not None and movi is not None
+        df = spark.createDataFrame(
+            [(0, bytearray(raw))], "doc_id long, video binary"
+        )
+        meta = image_metadata(df, bin_col="video").collect()[0]
+        assert (meta["width"], meta["height"], meta["format"]) == (9, 3, "avi")
+
+    def test_frame_sample_yields_readable_bmps(self, spark):
+        """The real-container path: sampled AVI frames come out as
+        decodable BMPs, so image_features composes downstream."""
+        from graphit_spark.functions.multimodal import (
+            _decode_bmp,
+            encode_avi_gray,
+            frame_sample,
+            image_features,
+        )
+
+        frames = self._frames(6, 5, 7)
+        df = spark.createDataFrame(
+            [(0, bytearray(encode_avi_gray(frames)))],
+            "doc_id long, video binary",
+        )
+        out = frame_sample(df, every_n=2).collect()
+        assert [r["frame_idx"] for r in out] == [0, 2, 4]
+        for r in out:
+            arr = _decode_bmp(bytes(r["frame"]))
+            assert (arr == frames[r["frame_idx"]]).all()
+        fr_df = spark.createDataFrame(
+            [(r["frame_idx"], bytearray(r["frame"])) for r in out],
+            "frame_idx long, image binary",
+        )
+        feats = {r["frame_idx"]: r["px_mean"] for r in image_features(fr_df).collect()}
+        assert feats[0] == float(frames[0].mean())
+
+    def test_compressed_stream_raises(self):
+        from graphit_spark.functions.multimodal import (
+            _decode_avi,
+            encode_avi_gray,
+        )
+        import pytest as _pytest
+
+        raw = bytearray(encode_avi_gray(self._frames(2)))
+        # flip strf biCompression to MJPG's fourcc value
+        strf_at = raw.find(b"strf")
+        raw[strf_at + 8 + 16:strf_at + 8 + 20] = b"MJPG"
+        with _pytest.raises(NotImplementedError):
+            _decode_avi(bytes(raw))
