@@ -62,7 +62,8 @@ _CHECK_FIRST = [
     "corpus_decontaminate", "corpus_inverted_index", "hll_distinct",
     # ---- positions 51+: variants whose machinery a kept sibling
     # already exercises (checked when the driver scans deeper) ----
-    "louvain", "clustering_coeff", "betweenness_pivots",
+    "louvain", "clustering_coeff", "triangle_count_approx",
+    "betweenness_pivots",
     "neighborhood_function",
     "effective_diameter", "random_walks", "personalized_pagerank",
     "local_cluster", "events_hourly", "events_trending",

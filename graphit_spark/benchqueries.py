@@ -621,6 +621,32 @@ JOIN und c ON a.src = c.src AND b.dst = c.dst"""
     )
 
 
+def triangle_count_approx_sql(sample_exp: int = 2, seed: int = 1) -> str:
+    """DOULION twin: identical md5 edge draw (first 32 md5 bits of
+    "{min}_{max}_{seed}" < 2^(32-sample_exp)), exact 3-way self-join
+    count on the kept set, integer scale by 8**sample_exp."""
+    thr = 2 ** (32 - sample_exp)
+    scale = 8 ** sample_exp
+    return (
+        "WITH " + _SQL_COMMON.strip()
+        + f""",
+und AS (SELECT src, dst FROM sym WHERE src < dst),
+kept AS MATERIALIZED (
+  SELECT src, dst FROM und
+  WHERE ('0x' || substr(md5(CAST(src AS VARCHAR) || '_' ||
+                            CAST(dst AS VARCHAR) || '_' || '{seed}'),
+                        1, 8))::BIGINT < {thr}
+),
+tri AS (SELECT count(*) AS t
+        FROM kept a
+        JOIN kept b ON a.dst = b.src
+        JOIN kept c ON a.src = c.src AND b.dst = c.dst)
+SELECT CAST(t AS BIGINT) AS sampled_triangles,
+       CAST(t * {scale} AS BIGINT) AS triangles_est
+FROM tri"""
+    )
+
+
 def tc_per_vertex_sql() -> str:
     return (
         "WITH " + _SQL_COMMON.strip()
@@ -1301,6 +1327,12 @@ def q_tc_per_vertex(spark, sf_dir):
     from graphit_spark.kernels import triangle_count_per_vertex
 
     return triangle_count_per_vertex(graph(spark, sf_dir, "raw"))
+
+
+def q_triangle_count_approx(spark, sf_dir):
+    from graphit_spark.kernels import triangle_count_approx
+
+    return triangle_count_approx(graph(spark, sf_dir, "raw"))
 
 
 def q_bfs(spark, sf_dir):
@@ -2959,6 +2991,8 @@ GRAPH_QUERIES: dict[str, tuple] = {
     "louvain": (q_louvain, louvain_sql()),
     "louvain_communities": (q_louvain_communities, louvain_communities_sql()),
     "triangle_count": (q_triangle_count, triangle_count_sql()),
+    "triangle_count_approx": (q_triangle_count_approx,
+                              triangle_count_approx_sql()),
     "triangle_per_vertex": (q_tc_per_vertex, tc_per_vertex_sql()),
     "bfs": (q_bfs, bfs_sql()),
     "sssp": (q_sssp, sssp_sql()),

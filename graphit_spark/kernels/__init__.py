@@ -10,6 +10,7 @@ from graphit_spark.kernels.labelprop import label_propagation
 from graphit_spark.kernels.louvain import louvain_communities, louvain_move
 from graphit_spark.kernels.triangles import (
     triangle_count,
+    triangle_count_approx,
     triangle_count_per_vertex,
     worth_relabelling,
 )
@@ -91,6 +92,7 @@ __all__ = [
     "connected_components",
     "label_propagation",
     "triangle_count",
+    "triangle_count_approx",
     "triangle_count_per_vertex",
     "worth_relabelling",
     "bfs",

@@ -46,6 +46,54 @@ def triangle_count(
     )
 
 
+def triangle_count_approx(
+    graph: LinkGraph, *, sample_exp: int = 2, seed: int = 1
+) -> DataFrame:
+    """DOULION sparsified triangle count (Tsourakakis et al., KDD'09) —
+    the 100 TB scale path when the exact count is too expensive: each
+    undirected edge is kept with probability p = 2**-sample_exp, the
+    exact kernel runs on the sparsified graph (E·p edges, hub adjacency
+    lists shrink by p), and the count scales by (1/p)^3 — an unbiased
+    estimator with variance ~ t/p^3.
+
+    The reference has no approximate TC (apps/tc.gt is exact); this is
+    the additional scale operator the same user would reach for on a
+    web-scale crawl. The coin flip is the engine's deterministic md5
+    draw (walks.py `_hash_mod` contract): first 32 md5 bits of
+    "{min}_{max}_{seed}" < 2^32·p, so the sample — and therefore the
+    output — is bit-reproducible and has an exact DuckDB twin. p a
+    power of two makes the scale factor 8**sample_exp exact integer
+    arithmetic on both engines.
+
+    Returns one row: (sampled_triangles long, triangles_est long).
+    """
+    und = graph.symmetrize()
+    # one row per undirected edge, oriented src > dst; the canonical
+    # draw string is "{min}_{max}_{seed}" = "{dst}_{src}_{seed}" here
+    oriented = und.edges.filter(F.col("src") > F.col("dst"))
+    s = F.concat_ws(
+        "_", F.col("dst").cast("string"), F.col("src").cast("string"),
+        F.lit(seed).cast("string"),
+    )
+    h = F.conv(F.substring(F.md5(s.cast("binary")), 1, 8), 16, 10).cast("long")
+    kept = oriented.filter(h < F.lit(2 ** (32 - sample_exp)))
+    adj = kept.groupBy("src").agg(
+        F.sort_array(F.collect_list("dst")).alias("nbrs")
+    )
+    a_src = adj.select(F.col("src").alias("e_src"), F.col("nbrs").alias("nbrs_s"))
+    a_dst = adj.select(F.col("src").alias("e_dst"), F.col("nbrs").alias("nbrs_d"))
+    per_edge = (
+        kept.join(a_src, kept["src"] == a_src["e_src"])
+        .join(a_dst, kept["dst"] == a_dst["e_dst"])
+        .select(F.size(F.array_intersect("nbrs_s", "nbrs_d")).alias("tri"))
+    )
+    sampled = F.coalesce(F.sum("tri"), F.lit(0)).cast("long")
+    return per_edge.agg(
+        sampled.alias("sampled_triangles"),
+        (sampled * F.lit(8 ** sample_exp)).cast("long").alias("triangles_est"),
+    )
+
+
 def worth_relabelling(graph: LinkGraph) -> bool:
     """GAPBS/GraphIt "is degree-relabelling worth it" test
     (intrinsics.h:239-256, GAPBS builder heuristic), as the exact

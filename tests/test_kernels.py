@@ -13,6 +13,7 @@ from graphit_spark.kernels import (
     pagerank_delta,
     sssp,
     triangle_count,
+    triangle_count_approx,
     triangle_count_per_vertex,
     worth_relabelling,
 )
@@ -238,6 +239,33 @@ class TestTriangles:
         sparse = [(0, v) for v in range(1, 30)] + [(1, 2), (3, 4)]
         g_sparse = LinkGraph.from_pairs(spark, sparse, persist=False)
         assert worth_relabelling(g_sparse) is False
+
+    def test_approx_matches_independent_md5_sample(self, spark):
+        """DOULION: the deterministic md5 edge draw and the count on the
+        kept set must equal an independent Python re-derivation, and the
+        estimate is exactly sampled * 8**sample_exp."""
+        import hashlib
+        from itertools import combinations
+
+        edges = _rand_graph(80, 900, seed=7)
+        und = {(min(u, v), max(u, v)) for u, v in edges if u != v}
+        kept = {
+            (a, b) for a, b in und
+            if int(hashlib.md5(f"{a}_{b}_1".encode()).hexdigest()[:8], 16)
+            < 2 ** 30
+        }
+        nbrs = {}
+        for a, b in kept:
+            nbrs.setdefault(a, set()).add(b)
+            nbrs.setdefault(b, set()).add(a)
+        expected = sum(
+            1 for v in nbrs for a, b in combinations(sorted(nbrs[v]), 2)
+            if (min(a, b), max(a, b)) in kept and v < a and v < b
+        )
+        g = LinkGraph.from_pairs(spark, edges, persist=False)
+        row = triangle_count_approx(g, sample_exp=2, seed=1).collect()[0]
+        assert row["sampled_triangles"] == expected
+        assert row["triangles_est"] == expected * 64
 
     def test_count_relabel_auto_invariant(self, spark, golden_edges):
         g = LinkGraph.from_pairs(spark, golden_edges, persist=False)
