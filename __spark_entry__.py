@@ -63,6 +63,7 @@ _CHECK_FIRST = [
     # ---- positions 51+: variants whose machinery a kept sibling
     # already exercises (checked when the driver scans deeper) ----
     "louvain", "clustering_coeff", "triangle_count_approx",
+    "corpus_decontaminate_bloom",
     "betweenness_pivots",
     "neighborhood_function",
     "effective_diameter", "random_walks", "personalized_pagerank",

@@ -1,4 +1,5 @@
-"""Distinct-count sketching (HyperLogLog) for crawl-scale pipelines.
+"""Sketches for crawl-scale pipelines: HyperLogLog distinct counting and
+a broadcastable Bloom membership pre-filter (both bit-deterministic).
 
 A 100 TB corpus question — "how many distinct documents / urls are
 there?" — must not require the exact-dedup shuffle of one row per
@@ -109,4 +110,95 @@ def hll_estimate(df: DataFrame, col: Column, p: int = HLL_P) -> DataFrame:
         "zero_buckets",
         "sum_scaled",
         F.round(est, 4).alias("est_distinct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter — broadcastable membership pre-filter
+# ---------------------------------------------------------------------------
+
+BLOOM_M_BITS = 1 << 16  # 65536 bits = 1024 BIGINT words
+BLOOM_K = 4
+
+
+def _bloom_positions(col: Column, k: int, m_bits: int) -> Column:
+    """Array of the k bit positions of ``col`` — position j is the
+    60-bit md5 of "{value}_{j}" mod m_bits (deterministic, same
+    arithmetic as the DuckDB twin)."""
+    return F.array(*[
+        F.pmod(
+            hash60(F.concat_ws("_", col.cast("string"), F.lit(str(j)))),
+            F.lit(m_bits),
+        )
+        for j in range(k)
+    ])
+
+
+def bloom_words(
+    df: DataFrame, col: Column, *, k: int = BLOOM_K, m_bits: int = BLOOM_M_BITS
+) -> DataFrame:
+    """Build the filter: (word long, bits long) — m_bits/64 BIGINT words
+    with the k md5-derived bits of every value OR-ed in. The whole
+    filter is at most m_bits/64 SHORT rows (1024 by default) — small
+    enough to broadcast to every executor no matter how large the
+    input that built it was; the build itself is one scan + a
+    word-keyed bit_or that partial-aggregates map-side.
+
+    Spark ships ``bloom_filter_agg`` internally, but its bit layout is
+    not reproducible in an external engine; this one is deterministic
+    md5 arithmetic end to end (same contract as hll_registers).
+    """
+    pos = F.explode(_bloom_positions(col, k, m_bits)).alias("pos")
+    return (
+        df.select(pos)
+        .select(
+            (F.col("pos") / 64).cast("long").alias("word"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))")
+            .alias("bit"),
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(bit)").alias("bits"))
+    )
+
+
+def bloom_prune(
+    df: DataFrame,
+    col: Column,
+    bloom: DataFrame,
+    *,
+    k: int = BLOOM_K,
+    m_bits: int = BLOOM_M_BITS,
+) -> DataFrame:
+    """Keep only the DISTINCT rows of ``df`` whose ``col`` MIGHT be in
+    the set the bloom was built from — never drops a true member
+    (duplicated input rows only inflate the per-row hit count, so the
+    survival test is ``hits >= k``, monotone under duplication);
+    false-positive rate ~(1-e^{-kn/m})^k, and false positives are the
+    caller's contract to remove with an exact confirm join. The probe
+    is k broadcast-joined word lookups per row — the 100 TB shape: the
+    corpus-sized side is scanned once against a ≤ m_bits/64-row
+    broadcast table, so the overwhelming share of rows dies before any
+    expensive exact join. ``df`` must not use column names __bloom_*.
+    """
+    probes = (
+        df.select("*", F.explode(_bloom_positions(col, k, m_bits))
+                  .alias("__bloom_pos"))
+        .select(
+            "*",
+            (F.col("__bloom_pos") / 64).cast("long").alias("__bloom_word"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(__bloom_pos % 64 AS INT))"
+            ).alias("__bloom_mask"),
+        )
+    )
+    b = bloom.select(
+        F.col("word").alias("__bloom_word"), F.col("bits").alias("__bloom_bits")
+    )
+    return (
+        probes.join(F.broadcast(b), "__bloom_word")
+        .filter(F.expr("(__bloom_bits & __bloom_mask) = __bloom_mask"))
+        .groupBy(*df.columns)
+        .agg(F.count("*").alias("__bloom_hits"))
+        .filter(F.col("__bloom_hits") >= k)
+        .drop("__bloom_hits")
     )

@@ -126,6 +126,45 @@ def q_decontaminate(spark, sf_dir):
     )
 
 
+def q_decontaminate_bloom(spark, sf_dir):
+    """Bloom-pre-filtered decontamination — same output contract as
+    q_decontaminate, different (bigger-corpus) plan: the benchmark's
+    13-gram set is folded into a 1024-word broadcastable bloom filter
+    (functions/sketch.py), the training side's grams are pruned against
+    it BEFORE any join on the gram strings, and only bloom survivors
+    reach the exact confirm join. Because a bloom has no false
+    negatives and the confirm join removes its false positives, the
+    result is provably identical to the exact query — so the DuckDB
+    twin is the exact 13-gram semantics, and the pruning itself is
+    asserted in tests/test_sketch.py (survivor count ≪ gram count,
+    output equality vs q_decontaminate).
+
+    Why this exists at 100 TB: the exact query broadcasts the full
+    benchmark gram set (strings — tens of MB per 1k docs and growing
+    with the benchmark suite); the bloom is a FIXED 8 KB regardless of
+    benchmark size, and the string join only sees the surviving sliver
+    of the corpus explode."""
+    from graphit_spark.functions import sketch as S
+
+    docs = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    bench = (
+        docs.filter(F.col("doc_id") < DECONTAM_BENCH_MAX_DOC)
+        .select(F.explode(T.word_ngrams(t, DECONTAM_N)).alias("g"))
+        .distinct()
+    )
+    bloom = S.bloom_words(bench, F.col("g"))
+    train = docs.filter(F.col("doc_id") >= DECONTAM_BENCH_MAX_DOC).select(
+        "doc_id", F.explode(T.word_ngrams(t, DECONTAM_N)).alias("g")
+    )
+    survivors = S.bloom_prune(train, F.col("g"), bloom)
+    return (
+        survivors.join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("g").alias("n_shared_13grams"))
+    )
+
+
 def q_repetition(spark, sf_dir):
     """Gopher-style intra-doc repetition gate: top-word / top-bigram /
     unique-word fractions and the combined repetition_ok boolean. One
@@ -1668,6 +1707,11 @@ TEXT_QUERIES: dict[str, tuple] = {
     "doc_tfidf_terms": (q_tfidf, _tfidf_sql()),
     "doc_pii_scrub": (q_pii, _pii_sql()),
     "corpus_decontaminate": (q_decontaminate, _decontaminate_sql()),
+    # bloom-pruned variant: output provably identical to the exact query
+    # (no false negatives + exact confirm join), so the twin is the same
+    # 13-gram semantics; the pruning is asserted in tests/test_sketch.py
+    "corpus_decontaminate_bloom": (q_decontaminate_bloom,
+                                   _decontaminate_sql()),
     "corpus_inverted_index": (q_inverted_index, _inverted_index_sql()),
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
     "events_trending": (q_events_trending, SQL_EVENTS_TRENDING),

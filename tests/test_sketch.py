@@ -59,3 +59,50 @@ def test_hll_shuffle_is_bounded(spark):
     df = spark.range(10000).select(F.concat(F.lit("d"), F.col("id")).alias("t"))
     plan = K.hll_registers(df, F.col("t"))._jdf.queryExecution().executedPlan().toString()
     assert "partial_max" in plan
+
+
+class TestBloom:
+    def test_no_false_negatives_and_prunes(self, spark):
+        """Every member survives the prune; the non-member survivor set
+        (false positives) is a sliver at n=2000, m=65536, k=4."""
+        members = spark.range(2000).select(
+            F.concat(F.lit("m-"), F.col("id")).alias("v")
+        )
+        bloom = K.bloom_words(members, F.col("v"))
+        # words table is broadcast-sized by construction
+        assert bloom.count() <= K.BLOOM_M_BITS // 64
+        probe = spark.range(10000).select(
+            F.when(F.col("id") < 2000, F.concat(F.lit("m-"), F.col("id")))
+            .otherwise(F.concat(F.lit("x-"), F.col("id"))).alias("v")
+        )
+        kept = set(r["v"] for r in K.bloom_prune(probe, F.col("v"), bloom).collect())
+        missing = [f"m-{i}" for i in range(2000) if f"m-{i}" not in kept]
+        assert missing == []  # bloom contract: no false negatives
+        fps = sum(1 for v in kept if v.startswith("x-"))
+        # (1-e^{-kn/m})^k at k=4, n=2000, m=65536 ≈ 1.6e-4 → E[fp] ≈ 1.3
+        assert fps < 40
+
+    def test_duplicated_rows_survive(self, spark):
+        """The >= k survival test is monotone under row duplication —
+        a duplicated member row must not be dropped (the == k form
+        would double-count probe hits and lose it)."""
+        members = spark.createDataFrame([("a",)], "v string")
+        bloom = K.bloom_words(members, F.col("v"))
+        dup = spark.createDataFrame([("a",), ("a",), ("b",)], "v string")
+        kept = sorted(r["v"] for r in K.bloom_prune(dup, F.col("v"), bloom).collect())
+        assert "a" in kept
+
+    def test_decontaminate_bloom_equals_exact(self, spark):
+        """The bloom-pruned decontamination query is output-identical
+        to the exact one (no false negatives + exact confirm join)."""
+        from graphit_spark.textqueries import q_decontaminate, q_decontaminate_bloom
+
+        exact = {
+            (r["doc_id"], r["n_shared_13grams"])
+            for r in q_decontaminate(spark, SF_DIR).collect()
+        }
+        pruned = {
+            (r["doc_id"], r["n_shared_13grams"])
+            for r in q_decontaminate_bloom(spark, SF_DIR).collect()
+        }
+        assert pruned == exact and len(exact) > 0
