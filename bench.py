@@ -74,6 +74,15 @@ def main() -> None:
     timed("label_propagation_sf", lambda: q_lpa(spark, sf_dir).count())
     timed("louvain_sf", lambda: q_louvain(spark, sf_dir).count())
     timed("triangle_count_sf", lambda: q_triangle_count(spark, sf_dir).collect())
+    # DOULION sparsified estimator (p=1/4): the TC scale path — should
+    # beat the exact kernel by roughly the sampled edge/intersect work
+    from graphit_spark.benchqueries import q_triangle_count_approx
+
+    approx = timed(
+        "triangle_approx_sf",
+        lambda: q_triangle_count_approx(spark, sf_dir).collect(),
+    )
+    throughput["triangle_approx_est"] = int(approx[0]["triangles_est"])
     timed("bfs_sf", lambda: q_bfs(spark, sf_dir).count())
     # round-3 kernels: directed bowtie SCC, HITS, k-truss peel,
     # HyperBall harmonic centrality (the crawl-scale closeness path)

@@ -153,6 +153,17 @@ def candidate_schedules(
         for p in parts:
             for d in deltas:
                 out.append({"shuffle_partitions": p, "delta": d})
+    elif kernel == "tc":
+        # the reference's relabel schedule decision (builtin_relabel,
+        # intrinsics.h:239-258). worth_relabelling() is the
+        # zero-measurement analogue of its sampling guard; the tuner
+        # measures both branches instead, but orders them so a
+        # measurement-budget-capped search tries the heuristic's pick
+        # first. Flat low-degree graphs list False first.
+        heur_first = stats.avg_degree >= 10 and stats.skew > 1.3
+        for p in parts:
+            for r in ([True, False] if heur_first else [False, True]):
+                out.append({"shuffle_partitions": p, "relabel": r})
     else:
         raise ValueError(f"no schedule space for kernel: {kernel}")
     return out
@@ -177,6 +188,10 @@ def _run_kernel(graph: LinkGraph, kernel: str, config: dict, rounds: int,
         from graphit_spark.kernels import sssp_delta_stepping
 
         sssp_delta_stepping(graph, source, max_rounds=rounds, **kconf).count()
+    elif kernel == "tc":
+        from graphit_spark.kernels import triangle_count
+
+        triangle_count(graph, **kconf).collect()  # rounds: TC is one-shot
     else:
         raise ValueError(kernel)
 

@@ -407,3 +407,36 @@ def test_percentile_histogram_keeps_partial_count(spark):
     plan = _plan(counts)
     assert "partial_count" in plan
     assert "EvalPython" not in plan  # token_count is a native Column expr
+
+
+def test_bloom_prune_probes_via_broadcast(spark):
+    """bloom_prune's word-table lookup must plan as a BroadcastHashJoin
+    (the corpus-sized probe side is scanned once against the ≤1024-row
+    bloom, never shuffled on the word key), all-JVM (no EvalPython),
+    and the bloom build's bit_or must keep its map-side partial."""
+    from pyspark.sql import functions as F
+
+    from graphit_spark.functions import sketch as K
+
+    members = spark.range(500).select(
+        F.concat(F.lit("m-"), F.col("id")).alias("v")
+    )
+    bloom = K.bloom_words(members, F.col("v"))
+    assert "partial_bit_or" in _plan(bloom)
+    probe = spark.range(20000).select(
+        F.concat(F.lit("p-"), F.col("id")).alias("v")
+    )
+    plan = _plan(K.bloom_prune(probe, F.col("v"), bloom))
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_decontaminate_bloom_plan_shape(spark):
+    """The end-to-end bloom-decontamination plan keeps both broadcast
+    stages: the 1024-word bloom probe and the exact confirm join."""
+    from graphit_spark.textqueries import q_decontaminate_bloom
+
+    plan = _plan(q_decontaminate_bloom(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "EvalPython" not in plan

@@ -151,3 +151,34 @@ def test_threshold_knob_preserves_semantics(spark):
     for frac in (10, 50):
         got = {r["id"]: r["dist"] for r in bfs(g, 0, threshold_fraction=frac).collect()}
         assert got == base, frac
+
+
+def test_tc_relabel_candidates_order_by_heuristic():
+    """The tc schedule space carries the reference's relabel decision
+    (builtin_relabel guard): hub-skewed dense graphs try relabel=True
+    first, flat or sparse ones try False first — so a budget-capped
+    search measures the heuristic's pick before its alternative."""
+    from graphit_spark.tune import GraphStats
+
+    skewed = GraphStats(num_vertices=10**6, num_edges=2 * 10**7,
+                        avg_degree=20.0, max_degree=10**5,
+                        skew=5000.0, mean_weight=None)
+    flat = GraphStats(num_vertices=10**6, num_edges=12 * 10**6,
+                      avg_degree=12.0, max_degree=13,
+                      skew=13 / 12.0, mean_weight=None)
+    sparse = GraphStats(num_vertices=10**6, num_edges=2 * 10**6,
+                        avg_degree=2.0, max_degree=10**4,
+                        skew=5000.0, mean_weight=None)
+    first = lambda stats: candidate_schedules(stats, "tc", parallelism=8)[0]
+    assert first(skewed)["relabel"] is True
+    assert first(flat)["relabel"] is False   # mean ≈ median regime
+    assert first(sparse)["relabel"] is False  # avg degree < 10 gate
+
+
+def test_autotune_tc_smoke(spark):
+    """End-to-end tc tuning on a real (tiny) graph — both relabel
+    branches measured, a winner recorded."""
+    g = _skewed_graph(spark)
+    rep = autotune(g, "tc", trials=1, rounds=1)
+    assert {c["config"]["relabel"] for c in rep["candidates"]} == {True, False}
+    assert "relabel" in rep["best"]
