@@ -126,42 +126,51 @@ def q_decontaminate(spark, sf_dir):
     )
 
 
-def q_decontaminate_bloom(spark, sf_dir):
-    """Bloom-pre-filtered decontamination — same output contract as
-    q_decontaminate, different (bigger-corpus) plan: the benchmark's
-    13-gram set is folded into a 1024-word broadcastable bloom filter
-    (functions/sketch.py), the training side's grams are pruned against
-    it BEFORE any join on the gram strings, and only bloom survivors
-    reach the exact confirm join. Because a bloom has no false
-    negatives and the confirm join removes its false positives, the
-    result is provably identical to the exact query — so the DuckDB
-    twin is the exact 13-gram semantics, and the pruning itself is
-    asserted in tests/test_sketch.py (survivor count ≪ gram count,
-    output equality vs q_decontaminate).
+def decontaminate_bloom(train_docs, bench_docs, n: int = DECONTAM_N):
+    """Bloom-pre-filtered decontamination over two document tables —
+    same output contract as the exact 13-gram rule, different
+    (bigger-corpus) plan: the benchmark's n-gram set is folded into a
+    1024-word broadcastable bloom filter (functions/sketch.py), the
+    training side's grams are pruned against it BEFORE any join on the
+    gram strings, and only bloom survivors reach the exact confirm
+    join. Because a bloom has no false negatives and the confirm join
+    removes its false positives, the result is provably identical to
+    the exact query.
 
     Why this exists at 100 TB: the exact query broadcasts the full
     benchmark gram set (strings — tens of MB per 1k docs and growing
     with the benchmark suite); the bloom is a FIXED 8 KB regardless of
     benchmark size, and the string join only sees the surviving sliver
-    of the corpus explode."""
+    of the corpus explode. Returns (doc_id, n_shared_13grams)."""
     from graphit_spark.functions import sketch as S
 
-    docs = load(spark, sf_dir, "documents")
     t = F.col("text")
     bench = (
-        docs.filter(F.col("doc_id") < DECONTAM_BENCH_MAX_DOC)
-        .select(F.explode(T.word_ngrams(t, DECONTAM_N)).alias("g"))
+        bench_docs.select(F.explode(T.word_ngrams(t, n)).alias("g"))
         .distinct()
     )
     bloom = S.bloom_words(bench, F.col("g"))
-    train = docs.filter(F.col("doc_id") >= DECONTAM_BENCH_MAX_DOC).select(
-        "doc_id", F.explode(T.word_ngrams(t, DECONTAM_N)).alias("g")
+    train = train_docs.select(
+        "doc_id", F.explode(T.word_ngrams(t, n)).alias("g")
     )
     survivors = S.bloom_prune(train, F.col("g"), bloom)
     return (
         survivors.join(F.broadcast(bench), "g")
         .groupBy("doc_id")
         .agg(F.countDistinct("g").alias("n_shared_13grams"))
+    )
+
+
+def q_decontaminate_bloom(spark, sf_dir):
+    """Driver registration of decontaminate_bloom with the same
+    benchmark split as q_decontaminate (doc_id < 25 plays the held-out
+    set). Output-identical to the exact query (see decontaminate_bloom),
+    so the DuckDB twin is the exact 13-gram semantics; the pruning
+    itself is asserted in tests/test_sketch.py."""
+    docs = load(spark, sf_dir, "documents")
+    return decontaminate_bloom(
+        docs.filter(F.col("doc_id") >= DECONTAM_BENCH_MAX_DOC),
+        docs.filter(F.col("doc_id") < DECONTAM_BENCH_MAX_DOC),
     )
 
 

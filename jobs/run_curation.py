@@ -25,6 +25,11 @@ Stages (each also writes the previous stages' accounting):
     sample    select + deterministic token-budget sampling
               (corpus_sample_budget; greedy md5-shuffled prefix holding
               ~1/SAMPLE_BUDGET_DIVISOR of the curated tokens)
+    decontaminate  flag training docs sharing any 13-gram with a
+              held-out benchmark table (--benchmark, second parquet);
+              bloom-pruned: an 8 KB broadcast filter kills the
+              non-matching corpus explode before the exact confirm
+              join (decontaminate_bloom)
 
 Input schema: (doc_id:long, text:string, ...) — extra columns pass
 through untouched by the gates and are ignored by the dedup stages.
@@ -45,11 +50,16 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--stage", required=True,
                    choices=["select", "dedup", "cluster", "clusters",
-                            "full", "sample"])
+                            "full", "sample", "decontaminate"])
     p.add_argument("--documents", required=True,
                    help="parquet documents table (doc_id, text, ...)")
     p.add_argument("--output", required=True)
+    p.add_argument("--benchmark",
+                   help="held-out benchmark parquet (doc_id, text, ...);"
+                        " required for --stage decontaminate")
     args = p.parse_args()
+    if args.stage == "decontaminate" and not args.benchmark:
+        p.error("--stage decontaminate requires --benchmark")
 
     from graphit_spark.session import get_spark
     from graphit_spark import textqueries as T
@@ -69,6 +79,9 @@ def main() -> None:
         out = T.corpus_select_full(docs)
     elif args.stage == "sample":
         out = T.corpus_sample_budget(docs)
+    elif args.stage == "decontaminate":
+        bench = spark.read.parquet(args.benchmark)
+        out = T.decontaminate_bloom(docs, bench)
     else:
         out = T.dedup_clusters(docs)
 
