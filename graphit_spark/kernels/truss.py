@@ -8,20 +8,36 @@ Not in the reference's app set; built from the same two §2 primitives
 its TC and k-core kernels use — sorted-adjacency `intersectNeighbor`
 (apps/tc.gt) and iterated peel-until-stable (apps/kcore.gt).
 
-Per round, on the surviving undirected subgraph:
-  1. orient every edge from its lower (degree, id) endpoint — the
-     arboricity bound from triangles.py: the hub's full neighbor list
-     is never the intersected side, forward degree is O(sqrt(E));
-  2. enumerate triangles once via sorted-array `array_intersect` +
-     explode (each triangle exactly once on the oriented DAG);
-  3. every triangle credits its three undirected edges; support =
-     per-edge credit count (map-side combined);
-  4. drop edges with support < k-2.
-Repeat until no edge drops. Peeling is monotone (supports only
-decrease as edges leave), so the fixpoint is the standard unique
-k-truss. One count action per round; each round's survivor set is
-checkpointed and the superseded one released, so later rounds rescan
-only the residual subgraph.
+Algorithm (hybrid peel — dense recount / sparse decrement, the same
+direction-switch idea as the Ligra frontier threshold):
+  1. ONE full triangle enumeration scores every edge's support —
+     degree-oriented DAG + sorted-array `array_intersect`, the audited
+     triangle_count shape (the hub's list is never the intersected
+     side, forward degree O(sqrt(E)));
+  2. a DENSE peel round (>= 1/DENSE_FRACTION of alive edges below
+     threshold — the early avalanche on power-law graphs) drops the
+     peeled edges and recounts support on the survivor set: one full
+     enumeration of the (much smaller) residual graph, exactly what
+     every round of the naive algorithm pays;
+  3. a SPARSE peel round (the long tail) only enumerates triangles
+     INCIDENT TO THE PEELED EDGES: each peeled edge proposes common
+     neighbors from its LOWER-DEGREE endpoint's alive adjacency
+     (sum(min-degree) work — never a hub's full list unless both
+     endpoints are hubs), one membership join confirms the closing
+     edge, triangles found from two peeled edges are deduplicated by
+     their sorted vertex triple, and each dead triangle decrements its
+     surviving edges' support by exactly 1.
+Support only decreases, so the fixpoint is the standard unique
+k-truss, identical to recount-from-scratch peeling — but the tail
+rounds' triangle work is proportional to the peel frontier's degree
+sum, not to the residual subgraph (the full-recount form pays ~6
+E-scans plus an E-sized collect_list + intersect EVERY round; at web
+scale, with hundreds of peel rounds, that recount is the whole cost).
+Two driver actions per round; each round's state is checkpointed and
+the superseded checkpoint released. The pure-decrement form without
+the dense branch was measured pathological on the sf0.1 power-law
+graph: the round-1 avalanche makes candidate generation quadratic in
+hub degree.
 """
 
 from __future__ import annotations
@@ -31,96 +47,212 @@ from pyspark.sql import DataFrame, functions as F
 from graphit_spark.graph import LinkGraph
 
 
+def _full_support(und: DataFrame) -> DataFrame:
+    """(u, v, support) for every undirected edge (u < v) of ``und`` —
+    one degree-oriented sorted-adjacency triangle enumeration, each
+    triangle crediting its three edges (map-side combined count)."""
+    both = und.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
+        und.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    )
+    deg = both.groupBy("a").agg(F.count("*").alias("d"))
+    du = deg.select(F.col("a").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("a").alias("v"), F.col("d").alias("dv"))
+    keyed = und.join(du, "u").join(dv, "v")
+    fwd = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = keyed.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("t"),
+    )
+    adj = oriented.groupBy("s").agg(
+        F.sort_array(F.collect_list("t")).alias("nbrs")
+    )
+    a_s = adj.select(F.col("s").alias("es"), F.col("nbrs").alias("nbrs_s"))
+    a_t = adj.select(F.col("s").alias("et"), F.col("nbrs").alias("nbrs_t"))
+    tris = (
+        oriented.join(a_s, oriented["s"] == a_s["es"])
+        .join(a_t, oriented["t"] == a_t["et"])
+        .select(
+            "s",
+            "t",
+            F.explode(F.array_intersect("nbrs_s", "nbrs_t")).alias("w"),
+        )
+    )
+    tri_edges = None
+    for x, y in (("s", "t"), ("s", "w"), ("t", "w")):
+        part = tris.select(
+            F.least(F.col(x), F.col(y)).alias("u"),
+            F.greatest(F.col(x), F.col(y)).alias("v"),
+        )
+        tri_edges = part if tri_edges is None else tri_edges.unionAll(part)
+    sup = tri_edges.groupBy("u", "v").agg(F.count("*").alias("support"))
+    return und.join(sup, ["u", "v"], "left").select(
+        "u", "v", F.coalesce("support", F.lit(0)).alias("support")
+    )
+
+
+#: a peel round touching >= 1/8 of the alive edges recounts instead of
+#: decrementing (the Ligra-style density switch; see module docstring)
+DENSE_FRACTION = 8
+
+
+def _decrement_round(
+    scored: DataFrame, peel: DataFrame, k: int
+) -> DataFrame:
+    """One sparse peel round: enumerate only the triangles that die
+    with ``peel`` and subtract them from the survivors' supports.
+
+    Candidates come from the LOWER-DEGREE endpoint of each peeled edge
+    (sum(min-degree(peel)) proposals — the same skew-safety argument as
+    the degree-oriented DAG in _full_support: a hub's full adjacency is
+    only walked when both endpoints are hubs). The peel side is
+    frontier-sized, so AQE plans these joins as broadcasts."""
+    alive = scored.select("u", "v")  # pre-removal edge set
+    both = alive.select(
+        F.col("u").alias("a"), F.col("v").alias("b")
+    ).unionAll(alive.select(F.col("v").alias("a"), F.col("u").alias("b")))
+    deg = both.groupBy("a").agg(F.count("*").alias("d"))
+    # orient each peeled edge (p, q) so deg(p) <= deg(q): proposals walk
+    # p's adjacency, membership of (q, w) is a hash-join lookup
+    keyed = (
+        peel.join(
+            deg.select(F.col("a").alias("u"), F.col("d").alias("du")), "u"
+        )
+        .join(
+            deg.select(F.col("a").alias("v"), F.col("d").alias("dv")), "v"
+        )
+    )
+    low_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    pq = keyed.select(
+        F.when(low_first, F.col("u")).otherwise(F.col("v")).alias("p"),
+        F.when(low_first, F.col("v")).otherwise(F.col("u")).alias("q"),
+    )
+    cand = (
+        both.join(pq, F.col("a") == F.col("p"))
+        .filter(F.col("b") != F.col("q"))
+        .select(
+            "p",
+            "q",
+            F.col("b").alias("w"),
+            F.least(F.col("q"), F.col("b")).alias("cu"),
+            F.greatest(F.col("q"), F.col("b")).alias("cv"),
+        )
+    )
+    # confirm the closing edge (q, w) is alive -> real triangles;
+    # dedupe by sorted triple (a triangle with 2-3 peeled edges is
+    # proposed once per peeled edge but must decrement once)
+    closing = alive.select(F.col("u").alias("cu"), F.col("v").alias("cv"))
+    tri = (
+        cand.join(closing, ["cu", "cv"])
+        .select(F.array_sort(F.array("p", "q", "w")).alias("t"))
+        .distinct()
+    )
+    dead_edges = None
+    for i, j in ((0, 1), (0, 2), (1, 2)):
+        part = tri.select(
+            F.col("t").getItem(i).alias("u"),
+            F.col("t").getItem(j).alias("v"),
+        )
+        dead_edges = part if dead_edges is None else dead_edges.unionAll(part)
+    dec = dead_edges.groupBy("u", "v").agg(F.count("*").alias("dec"))
+    surv = scored.join(peel, ["u", "v"], "left_anti")
+    return surv.join(dec, ["u", "v"], "left").select(
+        "u",
+        "v",
+        (F.col("support") - F.coalesce("dec", F.lit(0))).alias("support"),
+    )
+
+
 def k_truss(
     graph: LinkGraph,
     k: int = 4,
     *,
     max_rounds: int = 24,
     metrics_out: dict | None = None,
+    work_dir: str | None = None,
 ) -> DataFrame:
     """Returns (src, dst, support) for the edges of the k-truss of the
     symmetrized simple graph, src < dst, support = triangles per edge
     within the truss (all >= k-2). Raises if the peel has not reached
-    its fixpoint within max_rounds."""
+    its fixpoint within max_rounds.
+
+    Round state is spilled to parquet under ``work_dir`` (the engine's
+    SnapshotStore discipline) instead of localCheckpoint: an iterated
+    localCheckpoint chain in THIS loop shape was measured to degrade
+    superlinearly past ~10 rounds (execution time x4 per round with
+    flat plans, bounded storage, and constant job counts — see
+    BENCH/PLANS.md), while the parquet roundtrip stays flat. work_dir
+    defaults to the SparkContext checkpoint dir when set, else a
+    driver-local temp dir (fine on local[N]; pass a shared path on a
+    real cluster). A temp dir the kernel created itself is removed on
+    success; a caller-supplied or checkpoint-dir path is left as-is
+    (its two state files are the resume surface)."""
+    import shutil
+    import tempfile
+
+    spark = graph.spark
     own_cache = graph.ensure_persisted()
+    cleanup = False
+    if work_dir is None:
+        work_dir = spark.sparkContext.getCheckpointDir()
+        if work_dir is not None:
+            work_dir = work_dir + "/ktruss_spill"
+        else:
+            work_dir = tempfile.mkdtemp(prefix="ktruss_spill_")
+            cleanup = True
+
+    spill_seq = [0]  # alternate two slots; never write the slot in use
+
+    def spill(df: DataFrame) -> DataFrame:
+        path = f"{work_dir}/state_{spill_seq[0] % 2}"
+        spill_seq[0] += 1
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
     sym = graph.symmetrize()
-    und = (
-        sym.edges.filter(F.col("src") < F.col("dst"))
-        .select(F.col("src").alias("u"), F.col("dst").alias("v"))
-        .localCheckpoint(eager=True)
+    und = sym.edges.filter(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
     )
-    n_edges = und.count()
-    rounds = 0
-    support = None
+    scored = spill(_full_support(und))
+    n_alive = scored.count()
+    rounds = 1  # the full scoring pass
     while True:
-        both = und.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
-            und.select(F.col("v").alias("a"), F.col("u").alias("b"))
-        )
-        deg = both.groupBy("a").agg(F.count("*").alias("d"))
-        du = deg.select(F.col("a").alias("u"), F.col("d").alias("du"))
-        dv = deg.select(F.col("a").alias("v"), F.col("d").alias("dv"))
-        keyed = und.join(du, "u").join(dv, "v")
-        fwd = (F.col("du") < F.col("dv")) | (
-            (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
-        )
-        oriented = keyed.select(
-            F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("s"),
-            F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("t"),
-        )
-        adj = oriented.groupBy("s").agg(
-            F.sort_array(F.collect_list("t")).alias("nbrs")
-        )
-        a_s = adj.select(F.col("s").alias("es"), F.col("nbrs").alias("nbrs_s"))
-        a_t = adj.select(F.col("s").alias("et"), F.col("nbrs").alias("nbrs_t"))
-        tris = (
-            oriented.join(a_s, oriented["s"] == a_s["es"])
-            .join(a_t, oriented["t"] == a_t["et"])
-            .select(
-                "s",
-                "t",
-                F.explode(F.array_intersect("nbrs_s", "nbrs_t")).alias("w"),
-            )
-        )
-        # each triangle (s, t, w) credits its three undirected edges
-        tri_edges = None
-        for x, y in (("s", "t"), ("s", "w"), ("t", "w")):
-            part = tris.select(
-                F.least(F.col(x), F.col(y)).alias("u"),
-                F.greatest(F.col(x), F.col(y)).alias("v"),
-            )
-            tri_edges = part if tri_edges is None else tri_edges.unionAll(part)
-        sup = tri_edges.groupBy("u", "v").agg(F.count("*").alias("support"))
-        scored = (
-            und.join(sup, ["u", "v"], "left")
-            .select(
-                "u",
-                "v",
-                F.coalesce("support", F.lit(0)).alias("support"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        keep = scored.filter(F.col("support") >= k - 2)
-        n_keep = keep.count()
-        rounds += 1
-        if n_keep == n_edges:
-            support = scored
-            und.unpersist()
+        # peel is a filter over the parquet-backed state — cheap to
+        # re-evaluate, no checkpoint needed
+        peel = scored.filter(F.col("support") < k - 2).select("u", "v")
+        n_peel = peel.count()
+        if n_peel == 0:
             break
-        if rounds >= max_rounds:
-            scored.unpersist()
-            und.unpersist()
+        rounds += 1
+        if rounds > max_rounds:
             raise RuntimeError(
                 f"k_truss did not converge within max_rounds={max_rounds}"
             )
-        new_und = keep.select("u", "v").localCheckpoint(eager=True)
-        und.unpersist()
-        scored.unpersist()
-        und = new_und
-        n_edges = n_keep
+        if n_peel * DENSE_FRACTION >= n_alive:
+            # dense round: recount on the survivor set (one full
+            # enumeration of the residual graph — the avalanche regime)
+            surv_edges = scored.filter(F.col("support") >= k - 2).select(
+                "u", "v"
+            )
+            new_scored = _full_support(surv_edges)
+        else:
+            new_scored = _decrement_round(scored, peel, k)
+        scored = spill(new_scored)
+        n_alive -= n_peel
     if own_cache:
         graph.unpersist()
     if metrics_out is not None:
         metrics_out["rounds"] = rounds
-    return support.select(
+    out = scored.select(
         F.col("u").alias("src"), F.col("v").alias("dst"), "support"
     )
+    if cleanup:
+        # the result still reads from the spill dir — one final eager
+        # localCheckpoint detaches it (a single checkpoint is fine; it
+        # is the ITERATED chain that degrades), then drop the files
+        out = out.localCheckpoint(eager=True)
+        shutil.rmtree(work_dir, ignore_errors=True)
+    return out
