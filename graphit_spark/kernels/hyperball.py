@@ -34,6 +34,20 @@ Spark plan (per superstep, the only loop):
   - localCheckpoint(eager) truncates lineage; superseded checkpoints
     are released (the pagerank discipline).
 
+SYSTOLIC gather (Boldi-Vigna §5's "systolic computation", which is
+exactly the reference's applyModified change-tracking, SURVEY §2.3):
+each round's state carries a `chg` flag — did any register grow? — and
+the next gather's src side is restricted to flagged vertices. Sound
+because register max-merge is monotone and idempotent: an unchanged
+neighbor's round-(r-1) registers were already absorbed into v at round
+r, so re-sending them is a no-op; by induction the per-round state is
+BIT-IDENTICAL to the full gather's (pinned in tests), and the fixed-
+budget DuckDB twin needs no change. When no vertex changed the loop
+stops early — every further round adds exactly 0 to `harm` — so the
+budget stays twin-exact while the work tracks register saturation
+(late rounds on a web graph mutate few sketches even while balls keep
+growing; this is what makes crawl-diameter budgets affordable).
+
 Bit-determinism contract (shared with functions/sketch.py): the hash is
 the first 15 md5 hex digits of the DECIMAL STRING of the vertex id —
 identical in DuckDB (md5(CAST(id AS VARCHAR))) — and the estimator is
@@ -98,8 +112,9 @@ def _estimate_expr(p: int) -> F.Column:
 
 
 def _init_state(graph: LinkGraph, p: int) -> DataFrame:
-    """Round-0 sketch state (id, r0..r{m-1}, est, harm): vertex v alone
-    — register bucket(v) holds rho(v)."""
+    """Round-0 sketch state (id, r0..r{m-1}, est, harm, chg): vertex v
+    alone — register bucket(v) holds rho(v); every vertex starts
+    changed (its round-0 sketch has never been sent)."""
     m = 1 << p
     w = HASH_BITS - p
     cols = _reg_cols(p)
@@ -118,8 +133,10 @@ def _init_state(graph: LinkGraph, p: int) -> DataFrame:
             for i, c in enumerate(cols)
         ],
     )
-    return state.withColumn("est", _estimate_expr(p)).withColumn(
-        "harm", F.lit(0.0)
+    return (
+        state.withColumn("est", _estimate_expr(p))
+        .withColumn("harm", F.lit(0.0))
+        .withColumn("chg", F.lit(True))
     )
 
 
@@ -129,12 +146,16 @@ def _grow_one_hop(
     p: int,
     r: int,
     join_strategy: str | None,
+    systolic: bool = True,
 ) -> DataFrame:
     """One HyperBall superstep: register-wise max gather over `edges`
     (map-side-combinable groupBy), greatest-merge into the state, fresh
-    est, telescoping harm update for hop r."""
+    est, telescoping harm update for hop r. With ``systolic`` the
+    gather's src side is only the vertices flagged changed last round
+    (bit-identical state either way — see module docstring)."""
     cols = _reg_cols(p)
-    nbr = state.select(F.col("id").alias("src"), *cols)
+    src_side = state.filter(F.col("chg")) if systolic else state
+    nbr = src_side.select(F.col("id").alias("src"), *cols)
     if join_strategy:
         nbr = nbr.hint(join_strategy)
     gathered = (
@@ -142,10 +163,15 @@ def _grow_one_hop(
         .groupBy(F.col("dst").alias("id"))
         .agg(*[F.max(c).alias(f"g_{c}") for c in cols])
     )
+    grew = None
+    for c in cols:
+        g = F.coalesce(F.col(f"g_{c}") > F.col(c), F.lit(False))
+        grew = g if grew is None else grew | g
     merged = state.join(gathered, "id", "left").select(
         "id",
         "est",
         "harm",
+        grew.alias("chg"),
         *[
             F.greatest(F.col(c), F.coalesce(F.col(f"g_{c}"), F.lit(0)))
             .alias(c)
@@ -160,6 +186,7 @@ def _grow_one_hop(
         (F.col("harm") + (new_est - F.col("est")) / F.lit(float(r))).alias(
             "harm"
         ),
+        "chg",
     )
 
 
@@ -176,6 +203,7 @@ def hyperball_harmonic(
     p: int = 4,
     rounds: int = 6,
     join_strategy: str | None = None,
+    systolic: bool = True,
 ) -> DataFrame:
     """(id, ball, harmonic): HLL-estimated |B(id, rounds)| and the
     harmonic-centrality estimate accumulated over `rounds` hops.
@@ -183,7 +211,11 @@ def hyperball_harmonic(
     `rounds` is a fixed budget (the pseudo_diameter convention): past
     the graph's directed diameter every extra round adds exactly 0 (the
     registers are at their fixpoint), so a generous budget is idempotent
-    — and budget-parity is what makes the DuckDB twin exact.
+    — and budget-parity is what makes the DuckDB twin exact. The
+    systolic gather (module docstring) prunes each round's src side to
+    last round's changed sketches and stops once nothing changed; both
+    are no-ops on the result, pinned against ``systolic=False`` in
+    tests.
     """
     own_cache = graph.ensure_persisted()
     edges = graph.edges.select("src", "dst")
@@ -192,10 +224,12 @@ def hyperball_harmonic(
     prev = state
     for r in range(1, rounds + 1):
         state = _grow_one_hop(
-            state, edges, p, r, join_strategy
+            state, edges, p, r, join_strategy, systolic
         ).localCheckpoint(eager=True)
         prev.unpersist()
         prev = state
+        if systolic and state.filter(F.col("chg")).limit(1).count() == 0:
+            break  # every remaining round adds exactly 0
 
     out = state.select(
         "id",
@@ -220,6 +254,7 @@ def neighborhood_function(
     p: int = 4,
     rounds: int = 6,
     join_strategy: str | None = None,
+    systolic: bool = True,
 ) -> DataFrame:
     """(r, pairs): the HLL-estimated neighborhood function N(r) =
     sum over v of |B(v, r)| for r = 0..rounds — the number of (u, v)
@@ -249,11 +284,17 @@ def neighborhood_function(
     prev = state
     for r in range(1, rounds + 1):
         state = _grow_one_hop(
-            state, edges, p, r, join_strategy
+            state, edges, p, r, join_strategy, systolic
         ).localCheckpoint(eager=True)
         prev.unpersist()
         prev = state
         sums.append(nf_row(r, state))
+        if systolic and state.filter(F.col("chg")).limit(1).count() == 0:
+            # N(r) is at its fixpoint: every remaining round repeats
+            # the same integer sum
+            fix = sums[-1][1]
+            sums.extend((q, fix) for q in range(r + 1, rounds + 1))
+            break
     state.unpersist()
     if own_cache:
         graph.unpersist()

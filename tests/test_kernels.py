@@ -1176,3 +1176,49 @@ def test_louvain_move_barbell(spark):
     assert got[0] == got[1] == got[2]
     assert got[3] == got[4] == got[5]
     assert got[0] != got[3]
+
+
+class TestHyperballSystolic:
+    """The systolic (changed-sketch-only) gather must be a pure
+    optimization: bit-identical output to the full gather, including
+    the early-stop rounds (which add exactly 0 to harm / repeat N(r))."""
+
+    @pytest.mark.parametrize("seed", [5, 21])
+    def test_harmonic_equals_full_gather(self, spark, seed):
+        from graphit_spark.kernels.hyperball import hyperball_harmonic
+
+        g = LinkGraph.from_pairs(spark, _rand_graph(60, 200, seed), persist=False)
+        # generous budget so the systolic path early-stops before it
+        sys_rows = {
+            r["id"]: (r["ball"], r["harmonic"])
+            for r in hyperball_harmonic(g, p=4, rounds=12).collect()
+        }
+        full_rows = {
+            r["id"]: (r["ball"], r["harmonic"])
+            for r in hyperball_harmonic(
+                g, p=4, rounds=12, systolic=False
+            ).collect()
+        }
+        assert sys_rows == full_rows  # bit-exact, no tolerance
+
+    def test_neighborhood_function_pads_early_stop(self, spark):
+        from graphit_spark.kernels.hyperball import neighborhood_function
+
+        # path graph: directed diameter 5, budget 9 -> early stop pads
+        g = LinkGraph.from_pairs(
+            spark, [(v, v + 1) for v in range(5)], persist=False
+        )
+        sys_nf = {
+            r["r"]: r["pairs"]
+            for r in neighborhood_function(g, p=4, rounds=9).collect()
+        }
+        full_nf = {
+            r["r"]: r["pairs"]
+            for r in neighborhood_function(
+                g, p=4, rounds=9, systolic=False
+            ).collect()
+        }
+        assert sys_nf == full_nf
+        assert sorted(sys_nf) == list(range(10))
+        # fixpoint reached at the diameter: padded rounds repeat it
+        assert sys_nf[9] == sys_nf[5]
