@@ -1159,6 +1159,75 @@ def q_mis(spark, sf_dir):
     return maximal_independent_set(g, rounds=MIS_ROUNDS)
 
 
+#: shared Spark/twin budget for maximal matching; no-op past the
+#: settle round (measured: 5 rounds at sf0.001, 7 at sf0.01, 8 at
+#: sf0.1 — each round matches a constant fraction of the alive edges)
+MATCH_ROUNDS = 24
+
+
+def q_matching(spark, sf_dir):
+    """Deterministic parallel greedy maximal matching on the blocked
+    graph — (id, mate) pairs, the edge-contraction/pairing primitive
+    (kernels/matching.py)."""
+    from graphit_spark.kernels import maximal_matching
+
+    g = graph(spark, sf_dir, "blocked")
+    return maximal_matching(g, rounds=MATCH_ROUNDS)
+
+
+def matching_sql(rounds: int = MATCH_ROUNDS) -> str:
+    """Twin of kernels/matching.maximal_matching on the blocked graph:
+    same unique string edge priority (md5 of 'u_v' || '-' || padded
+    endpoint ids, so min() is a plain string min), same
+    locally-minimum-at-both-endpoints rule, same fixed budget."""
+    epri = (
+        "substr(md5(CAST(u AS VARCHAR) || '_' || CAST(v AS VARCHAR)), 1, 15)"
+        " || '-' || lpad(CAST(u AS VARCHAR), 12, '0')"
+        " || lpad(CAST(v AS VARCHAR), 12, '0')"
+    )
+    ctes = [
+        _SQL_BLOCKED.strip().rstrip(","),
+        f"""e0 AS MATERIALIZED (
+  SELECT u, v, {epri} AS epri
+  FROM (SELECT src AS u, dst AS v FROM sym WHERE src < dst))""",
+    ]
+    for r in range(1, rounds + 1):
+        e = f"e{r - 1}"
+        ctes.append(
+            f"""vm{r} AS MATERIALIZED (
+  SELECT x, min(epri) AS mn FROM (
+    SELECT u AS x, epri FROM {e}
+    UNION ALL
+    SELECT v AS x, epri FROM {e}) b GROUP BY x)"""
+        )
+        ctes.append(
+            f"""m{r} AS MATERIALIZED (
+  SELECT e.u, e.v FROM {e} e
+  JOIN vm{r} a ON e.u = a.x AND e.epri = a.mn
+  JOIN vm{r} b ON e.v = b.x AND e.epri = b.mn)"""
+        )
+        ctes.append(
+            f"""e{r} AS MATERIALIZED (
+  SELECT e.u, e.v, e.epri FROM {e} e
+  WHERE e.u NOT IN (SELECT u FROM m{r} UNION ALL SELECT v FROM m{r})
+    AND e.v NOT IN (SELECT u FROM m{r} UNION ALL SELECT v FROM m{r}))"""
+        )
+    m_union = " UNION ALL ".join(
+        f"SELECT u, v FROM m{r}" for r in range(1, rounds + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+matched AS (SELECT u, v FROM ({m_union})),
+pairs AS (SELECT u AS id, v AS mate FROM matched
+          UNION ALL
+          SELECT v AS id, u AS mate FROM matched)
+SELECT vv.id, COALESCE(p.mate, -1) AS mate
+FROM verts vv LEFT JOIN pairs p USING (id)"""
+    )
+
+
 def q_neighborhood_function(spark, sf_dir):
     """N(r) for r = 0..HB_ROUNDS on the blocked graph — the
     distance-distribution readout of the HyperBall sketches."""
@@ -3012,6 +3081,7 @@ GRAPH_QUERIES: dict[str, tuple] = {
     "neighborhood_function": (q_neighborhood_function, neighborhood_sql()),
     "effective_diameter": (q_effective_diameter, effective_diameter_sql()),
     "maximal_independent_set": (q_mis, mis_sql()),
+    "maximal_matching": (q_matching, matching_sql()),
     "greedy_coloring": (q_coloring, coloring_sql()),
     "sssp_delta_stepping": (q_sssp_delta, sssp_fixpoint_sql()),
     "astar": (q_astar, astar_sql()),

@@ -36,6 +36,7 @@ from graphit_spark.kernels.astar import astar, ppsp
 from graphit_spark.kernels.bowtie import bowtie_classes
 from graphit_spark.kernels.coloring import greedy_coloring
 from graphit_spark.kernels.mis import maximal_independent_set
+from graphit_spark.kernels.matching import maximal_matching
 from graphit_spark.kernels.mst import minimum_spanning_forest
 from graphit_spark.kernels.setcover import set_cover
 from graphit_spark.kernels.sweepcut import sweep_cut
@@ -71,6 +72,7 @@ __all__ = [
     "build_node2vec_alias_tables",
     "astar",
     "maximal_independent_set",
+    "maximal_matching",
     "minimum_spanning_forest",
     "set_cover",
     "k_core",

@@ -36,7 +36,7 @@ def main() -> None:
                             "betweenness", "eigenvector", "msf",
                             "set_cover", "random_walks", "sweep_cut",
                             "scc", "hits", "k_truss", "hyperball",
-                            "neighborhood", "mis", "coloring", "bowtie",
+                            "neighborhood", "mis", "matching", "coloring", "bowtie",
                             "louvain", "louvain_communities"])
     p.add_argument("--edges", help="parquet edge table (src,dst[,weight])")
     p.add_argument("--pages", help="parquet pages table (extracted first)")
@@ -196,6 +196,10 @@ def main() -> None:
         from graphit_spark.kernels import maximal_independent_set
 
         out = maximal_independent_set(g)
+    elif args.kernel == "matching":
+        from graphit_spark.kernels import maximal_matching
+
+        out = maximal_matching(g)
     elif args.kernel == "coloring":
         from graphit_spark.kernels import greedy_coloring
 

@@ -1222,3 +1222,64 @@ class TestHyperballSystolic:
         assert sorted(sys_nf) == list(range(10))
         # fixpoint reached at the diameter: padded rounds repeat it
         assert sys_nf[9] == sys_nf[5]
+
+
+class TestMaximalMatching:
+    @staticmethod
+    def _matching_oracle(edges):
+        """Sequential greedy matching over the kernel's exact priority
+        order — the parallel local-min rule must equal this."""
+        import hashlib
+
+        und = set()
+        for a, b in edges:
+            if a != b:
+                und.add((min(a, b), max(a, b)))
+
+        def pri(e):
+            u, v = e
+            h = hashlib.md5(f"{u}_{v}".encode()).hexdigest()[:15]
+            return f"{h}-{u:012d}-{v:012d}"  # '-' sep < digits in ASCII
+
+        mate = {}
+        for u, v in sorted(und, key=pri):
+            if u not in mate and v not in mate:
+                mate[u] = v
+                mate[v] = u
+        return mate
+
+    def test_path_and_triangle(self, spark):
+        from graphit_spark.kernels import maximal_matching
+
+        edges = [(0, 1), (1, 2), (2, 3), (10, 11), (11, 12), (12, 10)]
+        g = LinkGraph.from_pairs(spark, edges, persist=False)
+        got = {
+            r["id"]: r["mate"] for r in maximal_matching(g).collect()
+        }
+        exp = self._matching_oracle(edges)
+        n = max(max(a, b) for a, b in edges) + 1
+        assert got == {v: exp.get(v, -1) for v in range(n)}
+        # structure: a matching (symmetric, degree <= 1)
+        for v, m in got.items():
+            if m != -1:
+                assert got[m] == v
+
+    @pytest.mark.parametrize("seed", [2, 9, 17])
+    def test_random_matches_greedy_oracle(self, spark, seed):
+        from graphit_spark.kernels import maximal_matching
+
+        edges = _rand_graph(50, 200, seed)
+        g = LinkGraph.from_pairs(spark, edges, persist=False)
+        got = {
+            r["id"]: r["mate"] for r in maximal_matching(g).collect()
+        }
+        exp = self._matching_oracle(edges)
+        n = max(max(a, b) for a, b in edges) + 1
+        assert got == {v: exp.get(v, -1) for v in range(n)}
+
+    def test_edgeless_graph(self, spark):
+        from graphit_spark.kernels import maximal_matching
+
+        g = LinkGraph.from_pairs(spark, [(0, 0), (3, 3)], persist=False)
+        got = {r["id"]: r["mate"] for r in maximal_matching(g).collect()}
+        assert got == {v: -1 for v in range(4)}

@@ -440,3 +440,30 @@ def test_decontaminate_bloom_plan_shape(spark):
     plan = _plan(q_decontaminate_bloom(spark, SF_DIR))
     assert plan.count("BroadcastHashJoin") >= 2
     assert "EvalPython" not in plan
+
+
+def test_matching_gather_keeps_partial_string_min(spark):
+    """The matching vertex-min gather reduces the STRING edge priority
+    with min() over the endpoint-keyed union — it must stay map-side
+    combinable (partial_min before the exchange), and the union must
+    not introduce any nested-loop join."""
+    from pyspark.sql import functions as F
+
+    from graphit_spark.benchqueries import graph
+    from graphit_spark.kernels.matching import _edge_priority
+
+    g = graph(spark, SF_DIR, "blocked")
+    alive = (
+        g.symmetrize()
+        .edges.filter(F.col("src") < F.col("dst"))
+        .select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .withColumn("epri", _edge_priority())
+    )
+    ends = alive.select(F.col("u").alias("x"), "epri").unionAll(
+        alive.select(F.col("v").alias("x"), "epri")
+    )
+    plan = _plan(ends.groupBy("x").agg(F.min("epri").alias("mn")))
+    assert "partial_min" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "EvalPython" not in plan
