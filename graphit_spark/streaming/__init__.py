@@ -2,6 +2,7 @@ from graphit_spark.streaming.incremental import (
     incremental_cc_stream,
     incremental_pagerank_stream,
 )
+from graphit_spark.streaming.dedup import dedup_stream
 from graphit_spark.streaming.ingest import (
     stream_pages_to_edges,
     windowed_event_counts,
@@ -9,6 +10,7 @@ from graphit_spark.streaming.ingest import (
 from graphit_spark.streaming.windows import read_events_stream, sessionize
 
 __all__ = [
+    "dedup_stream",
     "stream_pages_to_edges",
     "windowed_event_counts",
     "read_events_stream",

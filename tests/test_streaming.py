@@ -410,3 +410,110 @@ class TestIncrementalKernels:
             r["id"]: r["comp"] for r in connected_components(g).collect()
         }
         assert got == cold
+
+
+class TestStreamingDedup:
+    """applyInPandasWithState first-seen exact dedup (streaming/dedup.py)."""
+
+    @staticmethod
+    def _write(spark, path, rows, mode):
+        spark.createDataFrame(
+            rows, "doc_id long, text string"
+        ).coalesce(1).write.mode(mode).parquet(path)
+
+    @staticmethod
+    def _stream(spark, path):
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType(), True),
+                T.StructField("text", T.StringType(), True),
+            ]
+        )
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(path)
+        )
+
+    def test_first_seen_across_microbatches(self, spark, tmp_path):
+        from graphit_spark.streaming import dedup_stream
+
+        d, ck = str(tmp_path / "docs"), str(tmp_path / "ck")
+        # batch A: two distinct texts, one batch-internal dup (keep min id)
+        self._write(
+            spark, d, [(7, "alpha"), (3, "alpha"), (5, "beta")], "overwrite"
+        )
+        q = (
+            dedup_stream(self._stream(spark, d))
+            .writeStream.format("memory")
+            .queryName("dedup_out")
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = {
+                r["doc_hash"]: (r["doc_id"], r["text_len"])
+                for r in spark.sql("SELECT * FROM dedup_out").collect()
+            }
+            import hashlib
+
+            h = lambda t: hashlib.md5(t.encode()).hexdigest()
+            assert got == {h("alpha"): (3, 5), h("beta"): (5, 4)}
+            # batch B: later copies of alpha/beta suppressed; new text emits
+            self._write(
+                spark, d, [(9, "alpha"), (10, "beta"), (11, "gamma")], "append"
+            )
+            q.processAllAvailable()
+            got = {
+                r["doc_hash"]: r["doc_id"]
+                for r in spark.sql("SELECT * FROM dedup_out").collect()
+            }
+            assert got == {h("alpha"): 3, h("beta"): 5, h("gamma"): 11}
+        finally:
+            q.stop()
+
+    def test_matches_batch_keep_set_in_order(self, spark, tmp_path):
+        """In doc_id-ordered delivery the streamed keep set equals the
+        batch dedup_exact canonical (min doc_id per hash) keep set."""
+        import random
+
+        from graphit_spark.streaming import dedup_stream
+
+        rng = random.Random(4)
+        texts = [f"doc-{rng.randrange(20)}" for _ in range(60)]
+        rows = [(i, t) for i, t in enumerate(texts)]
+        d, ck = str(tmp_path / "docs2"), str(tmp_path / "ck2")
+        # three in-order files -> three micro-batches
+        for j in range(3):
+            self._write(
+                spark, d, rows[j * 20 : (j + 1) * 20],
+                "overwrite" if j == 0 else "append",
+            )
+        q = (
+            dedup_stream(self._stream(spark, d))
+            .writeStream.format("memory")
+            .queryName("dedup_out2")
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            streamed = {
+                (r["doc_hash"], r["doc_id"])
+                for r in spark.sql("SELECT * FROM dedup_out2").collect()
+            }
+        finally:
+            q.stop()
+        batch = {
+            (r["doc_hash"], r["keep_id"])
+            for r in spark.createDataFrame(rows, "doc_id long, text string")
+            .groupBy(F.md5(F.col("text").cast("binary")).alias("doc_hash"))
+            .agg(F.min("doc_id").alias("keep_id"))
+            .collect()
+        }
+        assert streamed == batch
