@@ -62,6 +62,7 @@ _CHECK_FIRST = [
     "corpus_decontaminate", "corpus_inverted_index", "hll_distinct",
     # ---- positions 51+: variants whose machinery a kept sibling
     # already exercises (checked when the driver scans deeper) ----
+    "link_prediction",
     "louvain", "maximal_matching", "clustering_coeff",
     "triangle_count_approx",
     "corpus_decontaminate_bloom",

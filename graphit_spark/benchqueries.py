@@ -42,6 +42,8 @@ BFS_ROUNDS = 10
 SSSP_ROUNDS = 10
 BLOCK = 100
 ROUND_RANK = 6
+LINKPRED_MIN_CN = 2
+LINKPRED_TOPK = 5
 
 _TABLES = [
     "region", "nation", "customer", "supplier", "part",
@@ -532,6 +534,51 @@ SELECT t.id, s.degree, t.tri_count,
                   ELSE 0e0 END, 6) AS lcc
 FROM tric t JOIN sdeg s ON t.id = s.id
 ORDER BY t.id"""
+    )
+
+
+def link_prediction_sql(
+    min_cn: int = LINKPRED_MIN_CN, topk: int = LINKPRED_TOPK
+) -> str:
+    """Same wedge enumeration / RA weighting as the kernel: sym degrees,
+    center self-join with u < v, HAVING cn floor, anti-join vs existing
+    edges, integer-keyed per-u top-k (cn desc, v asc). ra and jaccard
+    round at 6 like every float column (sum order is the only drift)."""
+    return (
+        "WITH " + _SQL_BLOCKED.strip()
+        + f""",
+sdeg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS d
+         FROM sym GROUP BY src),
+wedge AS (
+  SELECT a.dst AS u, b.dst AS v, a.src AS w
+  FROM sym a JOIN sym b ON a.src = b.src AND a.dst < b.dst
+),
+cand AS (
+  SELECT u, v, CAST(count(*) AS BIGINT) AS cn, sum(1e0 / d.d) AS ra_raw
+  FROM wedge JOIN sdeg d ON wedge.w = d.id
+  GROUP BY u, v
+  HAVING count(*) >= {min_cn}
+),
+nonadj AS (
+  SELECT c.u, c.v, c.cn, c.ra_raw
+  FROM cand c LEFT JOIN sym e ON c.u = e.src AND c.v = e.dst
+  WHERE e.src IS NULL
+),
+scored AS (
+  SELECT n.u, n.v, n.cn,
+         round(n.cn / (du.d + dv.d - n.cn), 6) AS jaccard,
+         round(n.ra_raw, 6) AS ra
+  FROM nonadj n
+  JOIN sdeg du ON n.u = du.id
+  JOIN sdeg dv ON n.v = dv.id
+),
+ranked AS (
+  SELECT u, v, cn, jaccard, ra,
+         row_number() OVER (PARTITION BY u ORDER BY cn DESC, v) AS rk
+  FROM scored
+)
+SELECT u, v, cn, jaccard, ra FROM ranked WHERE rk <= {topk}
+ORDER BY u, v"""
     )
 
 
@@ -1377,6 +1424,16 @@ def q_k_truss(spark, sf_dir):
 
     g = graph(spark, sf_dir, "blocked")
     return k_truss(g, k=TRUSS_K, max_rounds=TRUSS_ROUNDS)
+
+
+def q_link_prediction(spark, sf_dir):
+    """Top-5 link predictions per vertex on the blocked graph (bounded
+    degrees by construction, so the wedge fan-out needs no center cap
+    here; the kernel exposes one for power-law inputs)."""
+    from graphit_spark.kernels import link_prediction
+
+    g = graph(spark, sf_dir, "blocked")
+    return link_prediction(g, min_cn=LINKPRED_MIN_CN, topk=LINKPRED_TOPK)
 
 
 def q_lpa(spark, sf_dir):
@@ -3054,6 +3111,7 @@ GRAPH_QUERIES: dict[str, tuple] = {
     "degree_assortativity": (q_assortativity, assortativity_sql()),
     "hits": (q_hits, hits_sql()),
     "k_truss": (q_k_truss, truss_sql()),
+    "link_prediction": (q_link_prediction, link_prediction_sql()),
     "clustering_coeff": (q_clustering, clustering_sql()),
     "pseudo_diameter": (q_pseudo_diameter, pseudo_diameter_sql()),
     "label_propagation": (q_lpa, lpa_sql()),

@@ -32,6 +32,7 @@ from graphit_spark.kernels.hyperball import (
     neighborhood_function,
 )
 from graphit_spark.kernels.hits import hits
+from graphit_spark.kernels.linkpred import link_prediction
 from graphit_spark.kernels.astar import astar, ppsp
 from graphit_spark.kernels.bowtie import bowtie_classes
 from graphit_spark.kernels.coloring import greedy_coloring
@@ -59,6 +60,7 @@ __all__ = [
     "louvain_communities",
     "k_truss",
     "hits",
+    "link_prediction",
     "strongly_connected_components",
     "sweep_cut",
     "random_in_neighbor",

@@ -1283,3 +1283,74 @@ class TestMaximalMatching:
         g = LinkGraph.from_pairs(spark, [(0, 0), (3, 3)], persist=False)
         got = {r["id"]: r["mate"] for r in maximal_matching(g).collect()}
         assert got == {v: -1 for v in range(4)}
+
+
+class TestLinkPrediction:
+    @staticmethod
+    def _oracle(edges, min_cn=1):
+        """Brute-force CN/Jaccard/RA over the squished symmetric graph."""
+        nbrs: dict[int, set[int]] = {}
+        for a, b in edges:
+            if a == b:
+                continue
+            nbrs.setdefault(a, set()).add(b)
+            nbrs.setdefault(b, set()).add(a)
+        out = {}
+        ids = sorted(nbrs)
+        for i, u in enumerate(ids):
+            for v in ids[i + 1:]:
+                if v in nbrs[u]:
+                    continue
+                common = nbrs[u] & nbrs[v]
+                if len(common) < min_cn:
+                    continue
+                cn = len(common)
+                jacc = round(cn / (len(nbrs[u]) + len(nbrs[v]) - cn), 6)
+                ra = round(sum(1.0 / len(nbrs[w]) for w in common), 6)
+                out[(u, v)] = (cn, jacc, ra)
+        return out
+
+    @pytest.mark.parametrize("seed,n,m", [(4, 25, 90), (11, 40, 160)])
+    def test_scores_match_bruteforce(self, spark, seed, n, m):
+        from graphit_spark.kernels import link_prediction
+
+        edges = _rand_graph(n, m, seed)
+        g = LinkGraph.from_pairs(spark, edges, persist=False)
+        got = {
+            (r["u"], r["v"]): (r["cn"], r["jaccard"], r["ra"])
+            for r in link_prediction(g, min_cn=1).collect()
+        }
+        want = self._oracle(edges, min_cn=1)
+        assert set(got) == set(want)
+        for k in want:
+            assert got[k][0] == want[k][0], k
+            assert abs(got[k][1] - want[k][1]) <= 1e-6, k
+            assert abs(got[k][2] - want[k][2]) <= 1e-6, k
+
+    def test_topk_keeps_best_by_integer_key(self, spark):
+        from graphit_spark.kernels import link_prediction
+
+        # star: center 0 with leaves 1..6 — every leaf pair shares
+        # exactly one common neighbor (0); per-u top-2 keeps lowest v
+        edges = [(0, v) for v in range(1, 7)]
+        g = LinkGraph.from_pairs(spark, edges, persist=False)
+        rows = link_prediction(g, min_cn=1, topk=2).collect()
+        per_u = {}
+        for r in rows:
+            per_u.setdefault(r["u"], []).append(r["v"])
+        for u, vs in per_u.items():
+            # ties on cn=1 break by v asc: the two smallest ids above u
+            expect = [v for v in range(1, 7) if v > u][:2]
+            assert sorted(vs) == expect, (u, vs)
+
+    def test_center_degree_cap_drops_hub_wedges(self, spark):
+        from graphit_spark.kernels import link_prediction
+
+        # hub 0 (degree 5) + a low-degree wedge 10-1-20
+        edges = [(0, v) for v in range(1, 6)] + [(10, 1), (1, 20)]
+        g = LinkGraph.from_pairs(spark, edges, persist=False)
+        capped = link_prediction(g, min_cn=1, max_center_degree=4).collect()
+        pairs = {(r["u"], r["v"]) for r in capped}
+        # wedges through hub 0 are gone; the degree-3 center 1 survives
+        assert (10, 20) in pairs
+        assert all(not (1 <= u <= 5 and 1 <= v <= 5) for u, v in pairs)
