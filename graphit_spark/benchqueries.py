@@ -44,6 +44,7 @@ BLOCK = 100
 ROUND_RANK = 6
 LINKPRED_MIN_CN = 2
 LINKPRED_TOPK = 5
+SALSA_ROUNDS = 6
 
 _TABLES = [
     "region", "nation", "customer", "supplier", "part",
@@ -422,6 +423,60 @@ h{k} AS MATERIALIZED (
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT id, round(hub, {ROUND_RANK}) AS hub,"
         f" round(auth, {ROUND_RANK}) AS auth FROM h{rounds} ORDER BY id"
+    )
+
+
+def salsa_sql(rounds: int = SALSA_ROUNDS) -> str:
+    """Iterated-CTE SALSA twin: the HITS recurrence with per-edge
+    stochastic weights 1/in_deg(dst) and 1/out_deg(src) built once in
+    an `ew` CTE — exactly the kernel's pre-attached eweights table.
+    Float contract as hits_sql (linear recurrence, sum-order noise only,
+    6-decimal rounding)."""
+    ctes = [
+        _SQL_COMMON.strip().rstrip(","),
+        """odeg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS d
+         FROM edges GROUP BY src),
+ideg AS (SELECT dst AS id, CAST(count(*) AS BIGINT) AS d
+         FROM edges GROUP BY dst),
+ew AS MATERIALIZED (
+  SELECT e.src, e.dst, 1e0 / o.d AS inv_out, 1e0 / i.d AS inv_in
+  FROM edges e JOIN odeg o ON e.src = o.id JOIN ideg i ON e.dst = i.id
+),
+s0 AS (SELECT id, 1e0 AS hub, 1e0 AS auth FROM verts)""",
+    ]
+    for k in range(1, rounds + 1):
+        p = f"s{k - 1}"
+        ctes.append(
+            f"""hr{k} AS MATERIALIZED (
+  SELECT v.id, coalesce(s.x, 0e0) AS h
+  FROM verts v LEFT JOIN (
+    SELECT e.src AS id, sum(p.auth * e.inv_in) AS x
+    FROM ew e JOIN {p} p ON e.dst = p.id GROUP BY e.src
+  ) s USING (id)
+),
+hn{k} AS MATERIALIZED (
+  SELECT id, h / (CASE WHEN (SELECT sum(h) FROM hr{k}) = 0 THEN 1e0
+                       ELSE (SELECT sum(h) FROM hr{k}) END) AS hub
+  FROM hr{k}
+),
+ar{k} AS MATERIALIZED (
+  SELECT v.id, coalesce(s.x, 0e0) AS a
+  FROM verts v LEFT JOIN (
+    SELECT e.dst AS id, sum(hh.hub * e.inv_out) AS x
+    FROM ew e JOIN hn{k} hh ON e.src = hh.id GROUP BY e.dst
+  ) s USING (id)
+),
+s{k} AS MATERIALIZED (
+  SELECT hn.id, hn.hub,
+         ar.a / (CASE WHEN (SELECT sum(a) FROM ar{k}) = 0 THEN 1e0
+                      ELSE (SELECT sum(a) FROM ar{k}) END) AS auth
+  FROM hn{k} hn JOIN ar{k} ar USING (id)
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id, round(hub, {ROUND_RANK}) AS hub,"
+        f" round(auth, {ROUND_RANK}) AS auth FROM s{rounds} ORDER BY id"
     )
 
 
@@ -1318,6 +1373,17 @@ def q_hits(spark, sf_dir):
 
     g = graph(spark, sf_dir, "raw")
     return hits(g, rounds=HITS_ROUNDS).select(
+        "id",
+        F.round("hub", ROUND_RANK).alias("hub"),
+        F.round("auth", ROUND_RANK).alias("auth"),
+    )
+
+
+def q_salsa(spark, sf_dir):
+    from graphit_spark.kernels import salsa
+
+    g = graph(spark, sf_dir, "raw")
+    return salsa(g, rounds=SALSA_ROUNDS).select(
         "id",
         F.round("hub", ROUND_RANK).alias("hub"),
         F.round("auth", ROUND_RANK).alias("auth"),
@@ -3110,6 +3176,7 @@ GRAPH_QUERIES: dict[str, tuple] = {
     "graph_reciprocity": (q_reciprocity, reciprocity_sql()),
     "degree_assortativity": (q_assortativity, assortativity_sql()),
     "hits": (q_hits, hits_sql()),
+    "salsa": (q_salsa, salsa_sql()),
     "k_truss": (q_k_truss, truss_sql()),
     "link_prediction": (q_link_prediction, link_prediction_sql()),
     "clustering_coeff": (q_clustering, clustering_sql()),

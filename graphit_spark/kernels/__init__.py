@@ -33,6 +33,7 @@ from graphit_spark.kernels.hyperball import (
 )
 from graphit_spark.kernels.hits import hits
 from graphit_spark.kernels.linkpred import link_prediction
+from graphit_spark.kernels.salsa import salsa
 from graphit_spark.kernels.astar import astar, ppsp
 from graphit_spark.kernels.bowtie import bowtie_classes
 from graphit_spark.kernels.coloring import greedy_coloring
@@ -61,6 +62,7 @@ __all__ = [
     "k_truss",
     "hits",
     "link_prediction",
+    "salsa",
     "strongly_connected_components",
     "sweep_cut",
     "random_in_neighbor",

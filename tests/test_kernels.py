@@ -1354,3 +1354,62 @@ class TestLinkPrediction:
         # wedges through hub 0 are gone; the degree-3 center 1 survives
         assert (10, 20) in pairs
         assert all(not (1 <= u <= 5 and 1 <= v <= 5) for u, v in pairs)
+
+
+class TestSalsa:
+    @staticmethod
+    def _salsa_numpy(edges, rounds=6):
+        from tests.oracles import num_vertices, squish
+
+        es = squish(edges)
+        n = num_vertices(edges)
+        od = np.zeros(n)
+        idg = np.zeros(n)
+        for s, d in es:
+            od[s] += 1
+            idg[d] += 1
+        hub = np.ones(n)
+        auth = np.ones(n)
+        for _ in range(rounds):
+            h = np.zeros(n)
+            for s, d in es:
+                h[s] += auth[d] / idg[d]
+            h /= h.sum() or 1.0
+            a = np.zeros(n)
+            for s, d in es:
+                a[d] += h[s] / od[s]
+            a /= a.sum() or 1.0
+            hub, auth = h, a
+        return hub, auth
+
+    @pytest.mark.parametrize("seed", [5, 13])
+    def test_matches_numpy(self, spark, seed):
+        from graphit_spark.kernels import salsa
+
+        edges = _rand_graph(50, 120, seed)
+        g = LinkGraph.from_pairs(spark, edges, persist=False)
+        got = {r["id"]: (r["hub"], r["auth"]) for r in salsa(g).collect()}
+        ehub, eauth = self._salsa_numpy(edges)
+        for v in range(len(ehub)):
+            assert got[v][0] == pytest.approx(ehub[v], abs=1e-9)
+            assert got[v][1] == pytest.approx(eauth[v], abs=1e-9)
+
+    def test_stochastic_vs_hits_on_fan(self, spark):
+        from graphit_spark.kernels import salsa
+
+        # two hubs: 0 points at 1..4, 5 points only at 1. Under HITS
+        # hub 0 dominates by raw fan-out; SALSA's stochastic steps give
+        # both hubs equal total out-weight, so hub 5's score stays a
+        # fixed share: at the fixpoint hub scores are (within the
+        # bipartite component) proportional to out-degree — 4/5 vs 1/5.
+        # 12 rounds get within ~1e-4 of the fixpoint (geometric mixing);
+        # the exact-recurrence parity vs numpy is the test above.
+        edges = [(0, v) for v in range(1, 5)] + [(5, 1)]
+        g = LinkGraph.from_pairs(spark, edges, persist=False)
+        rows = {r["id"]: r for r in salsa(g, rounds=12).collect()}
+        assert rows[0]["hub"] == pytest.approx(0.8, abs=1e-3)
+        assert rows[5]["hub"] == pytest.approx(0.2, abs=1e-3)
+        # authority fixpoint proportional to in-degree: 1 gets 2/5
+        assert rows[1]["auth"] == pytest.approx(0.4, abs=1e-3)
+        for v in (2, 3, 4):
+            assert rows[v]["auth"] == pytest.approx(0.2, abs=1e-3)
