@@ -62,7 +62,7 @@ _CHECK_FIRST = [
     "corpus_decontaminate", "corpus_inverted_index", "hll_distinct",
     # ---- positions 51+: variants whose machinery a kept sibling
     # already exercises (checked when the driver scans deeper) ----
-    "link_prediction",
+    "link_prediction", "salsa", "cms_heavy_hitters",
     "louvain", "maximal_matching", "clustering_coeff",
     "triangle_count_approx",
     "corpus_decontaminate_bloom",

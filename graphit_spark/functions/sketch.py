@@ -202,3 +202,63 @@ def bloom_prune(
         .filter(F.col("__bloom_hits") >= k)
         .drop("__bloom_hits")
     )
+
+
+# --- Count-Min sketch: frequency estimation in fixed space --------------
+
+CMS_D = 4  # hash rows
+CMS_W = 512  # columns per row
+
+
+def _cms_cell(r_col: Column, tok_col: Column, w: int) -> Column:
+    """Column index of token `tok` in hash row `r`: the 60-bit md5
+    fingerprint of "r_tok" mod w — same hash contract as hash60, with
+    the row index salted into the hashed string so the d rows are
+    independent draws (Cormode & Muthukrishnan 2005)."""
+    return F.pmod(
+        hash60(F.concat_ws("_", r_col.cast("string"), tok_col)), F.lit(w)
+    )
+
+
+def count_min_cells(
+    words: DataFrame, tok_col: str = "tok", d: int = CMS_D, w: int = CMS_W
+) -> DataFrame:
+    """(r, c, cnt) — the d×w Count-Min sketch of a token stream.
+
+    The 100 TB shape: the explode multiplies the stream by d BEFORE the
+    groupBy, but map-side partial aggregation collapses every partition
+    to ≤ d·w short rows, so the shuffle is O(d·w) per partition at any
+    input size — the same bounded-state argument as hll_registers.
+    Sketch merge across corpora = cell-wise sum (which is exactly what
+    a further groupBy(r, c).sum compiles to). Absent cells are true
+    zeros and omitted."""
+    rows = words.select(
+        F.col(tok_col).alias("tok"),
+        F.explode(F.array(*[F.lit(r) for r in range(d)])).alias("r"),
+    )
+    return (
+        rows.groupBy("r", _cms_cell(F.col("r"), F.col("tok"), w).alias("c"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_estimates(
+    tokens: DataFrame,
+    cells: DataFrame,
+    tok_col: str = "tok",
+    d: int = CMS_D,
+    w: int = CMS_W,
+) -> DataFrame:
+    """(tok, cms_est) — point estimates min_r sketch[r][c_r(tok)] for
+    each probe token. The sketch is ≤ d·w rows, so the probe join is a
+    broadcast; estimates are exact integers (never under the true
+    count, over only on hash collisions)."""
+    probes = tokens.select(
+        F.col(tok_col).alias("tok"),
+        F.explode(F.array(*[F.lit(r) for r in range(d)])).alias("r"),
+    ).select("tok", "r", _cms_cell(F.col("r"), F.col("tok"), w).alias("c"))
+    return (
+        probes.join(F.broadcast(cells), ["r", "c"])
+        .groupBy("tok")
+        .agg(F.min("cnt").alias("cms_est"))
+    )

@@ -324,6 +324,34 @@ def q_ivf_kmeans_topk(spark, sf_dir):
     )
 
 
+CMS_TOPK = 20
+
+
+def q_cms_heavy_hitters(spark, sf_dir):
+    """Count-Min heavy hitters: the exact top-k corpus tokens next to
+    their Count-Min point estimates — (token, exact_cnt, cms_est),
+    cms_est ≥ exact_cnt by construction, equal in the absence of
+    collisions. The exact side is the audit (cheap at test sf); at
+    100 TB the sketch side is the survivor — a d×w cell grid whose
+    shuffle is bounded per partition while the exact count's
+    groupBy(token) shuffle grows with the vocabulary."""
+    from graphit_spark.functions import sketch as K
+
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+        ).alias("tok")
+    ).filter(F.col("tok") != "")
+    exact = words.groupBy("tok").agg(F.count("*").alias("exact_cnt"))
+    topk = exact.orderBy(F.desc("exact_cnt"), F.asc("tok")).limit(CMS_TOPK)
+    cells = K.count_min_cells(words)
+    est = K.cms_estimates(topk.select("tok"), cells)
+    return topk.join(est, "tok").select(
+        F.col("tok").alias("token"), "exact_cnt", "cms_est"
+    )
+
+
 def q_hll_registers(spark, sf_dir):
     """HyperLogLog register state over documents.text — the fixed
     2^p-row sketch whose groupBy(bucket).max shuffle is bounded
@@ -1599,6 +1627,47 @@ regs AS (
 )"""
 
 
+def _cms_heavy_hitters_sql() -> str:
+    """Count-Min twin: identical md5-mod cell hash ("r_tok" salted),
+    identical exact top-k total order (count desc, token asc)."""
+    from graphit_spark.functions import sketch as K
+
+    d, w, k = K.CMS_D, K.CMS_W, CMS_TOPK
+    return f"""WITH words AS MATERIALIZED (
+  SELECT t.tok FROM documents doc,
+  LATERAL (SELECT unnest(string_split_regex(lower(trim(doc.text)), '\\s+'))
+           AS tok) t
+  WHERE t.tok <> ''
+),
+rs AS (SELECT range AS r FROM range({d})),
+cells AS MATERIALIZED (
+  SELECT r,
+         ('0x' || substr(md5(CAST(r AS VARCHAR) || '_' || tok), 1, 15))::BIGINT
+           % {w} AS c,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM words CROSS JOIN rs
+  GROUP BY 1, 2
+),
+exact AS MATERIALIZED (
+  SELECT tok, CAST(count(*) AS BIGINT) AS exact_cnt FROM words GROUP BY tok
+),
+topk AS MATERIALIZED (
+  SELECT tok, exact_cnt FROM exact ORDER BY exact_cnt DESC, tok LIMIT {k}
+),
+probes AS (
+  SELECT t.tok, r.r,
+         ('0x' || substr(md5(CAST(r.r AS VARCHAR) || '_' || t.tok), 1, 15))::BIGINT
+           % {w} AS c
+  FROM topk t CROSS JOIN rs r
+)
+SELECT p.tok AS token, tk.exact_cnt, min(ce.cnt) AS cms_est
+FROM probes p
+JOIN cells ce ON p.r = ce.r AND p.c = ce.c
+JOIN topk tk ON p.tok = tk.tok
+GROUP BY p.tok, tk.exact_cnt
+ORDER BY token"""
+
+
 def _hll_registers_sql() -> str:
     return _hll_sql_parts() + "\nSELECT bucket, reg FROM regs ORDER BY bucket"
 
@@ -1744,6 +1813,7 @@ TEXT_QUERIES: dict[str, tuple] = {
     "dedup_embedding_lsh": (q_embedding_dups_lsh, SQL_EMBEDDING_DUPS_LSH),
     "hll_registers": (q_hll_registers, _hll_registers_sql()),
     "hll_distinct": (q_hll_distinct, _hll_distinct_sql()),
+    "cms_heavy_hitters": (q_cms_heavy_hitters, _cms_heavy_hitters_sql()),
     # -- documented all-pairs / brute-force baselines: keep LAST --------
     "sim_cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "dedup_ngram_jaccard": (q_ngram_jaccard, _jaccard_sql()),

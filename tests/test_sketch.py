@@ -106,3 +106,51 @@ class TestBloom:
             for r in q_decontaminate_bloom(spark, SF_DIR).collect()
         }
         assert pruned == exact and len(exact) > 0
+
+
+class TestCountMin:
+    def _stream(self, spark):
+        # zipf-ish: token k appears ~ 600/k times, k = 1..30
+        rows = []
+        for k in range(1, 31):
+            rows += [(f"tok{k:02d}",)] * (600 // k)
+        return spark.createDataFrame(rows, "tok string")
+
+    def test_never_underestimates_and_tight_without_collisions(self, spark):
+        words = self._stream(spark)
+        cells = K.count_min_cells(words)
+        exact = {
+            r["tok"]: r["cnt"]
+            for r in words.groupBy("tok").agg(F.count("*").alias("cnt")).collect()
+        }
+        est = {
+            r["tok"]: r["cms_est"]
+            for r in K.cms_estimates(
+                words.select("tok").distinct(), cells
+            ).collect()
+        }
+        assert set(est) == set(exact)
+        for t, e in exact.items():
+            assert est[t] >= e, t
+            # 30 distinct tokens in 4x512 cells: collisions essentially
+            # impossible, the min row is exact
+            assert est[t] == e, t
+
+    def test_merge_is_cellwise_sum(self, spark):
+        a = self._stream(spark)
+        b = spark.createDataFrame([("tok01",)] * 50 + [("new",)] * 9, "tok string")
+        def grid(df):
+            return {
+                (r["r"], r["c"]): r["cnt"]
+                for r in K.count_min_cells(df).collect()
+            }
+        ga, gb, gu = grid(a), grid(b), grid(a.unionAll(b))
+        for key in set(ga) | set(gb):
+            assert gu[key] == ga.get(key, 0) + gb.get(key, 0), key
+
+    def test_bounded_cell_grid(self, spark):
+        words = self._stream(spark)
+        cells = K.count_min_cells(words).collect()
+        assert all(0 <= r["r"] < K.CMS_D for r in cells)
+        assert all(0 <= r["c"] < K.CMS_W for r in cells)
+        assert len(cells) <= K.CMS_D * K.CMS_W
