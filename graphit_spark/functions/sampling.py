@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from graphit_spark.plans.ranking import ordered_prefix_sum
+from graphit_spark.plans.ranking import dense_rank_ids, ordered_prefix_sum
 
 
 def sample_key(col: Column) -> Column:
@@ -68,6 +68,62 @@ def token_budget_sample(
     out = (
         cum.filter(F.col(cum_col) - F.col(token_col) < F.lit(int(budget)))
         .select(id_col, token_col, cum_col)
+        .localCheckpoint(eager=True)
+    )
+    for cached in release:
+        cached.unpersist()
+    return out
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    num: int,
+    den: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact proportional per-stratum sample: within every stratum keep
+    the first ceil(n_s · num/den) rows in deterministic (sample_key, id)
+    order — language-balanced corpus downsampling where Bernoulli
+    hashing would only hit the fraction in expectation. The quota is
+    pure integer arithmetic ((n_s·num + den − 1) div den), so the keep
+    set is bit-reproducible and exactly matched by the SQL twin.
+
+    Scale shape: the naive plan — row_number() PARTITION BY stratum —
+    serializes each stratum through one task (a language at crawl scale
+    is ~the corpus). Instead: ONE global range-ranked pass over
+    (stratum, key, id) via dense_rank_ids (P parallel bucket sorts), a
+    strata-sized aggregate for per-stratum base ranks + counts
+    (broadcast back), and per-stratum rank = global_rank − base. No
+    task ever holds more than a range bucket.
+
+    Returns (id, stratum, stratum_rank) with the 0-based per-stratum
+    rank kept for auditability.
+    """
+    keyed = df.select(
+        F.col(id_col),
+        F.col(strata_col),
+        sample_key(F.col(id_col)).alias("skey"),
+    )
+    release: list = []
+    ranked = dense_rank_ids(
+        keyed,
+        [F.asc(strata_col), F.asc("skey"), F.asc(id_col)],
+        out_col="__grank",
+        release=release,
+    )
+    per_stratum = ranked.groupBy(strata_col).agg(
+        F.min("__grank").alias("__base"),
+        F.count("*").alias("__n"),
+    )
+    # integer `div`, not float `/`: exact for any stratum size (float
+    # division of a >2^53 numerator could round across the quota line)
+    quota = F.expr(f"(__n * {int(num)} + {int(den) - 1}) div {int(den)}")
+    out = (
+        ranked.join(F.broadcast(per_stratum), strata_col)
+        .withColumn("stratum_rank", F.col("__grank") - F.col("__base"))
+        .filter(F.col("stratum_rank") < quota)
+        .select(id_col, strata_col, "stratum_rank")
         .localCheckpoint(eager=True)
     )
     for cached in release:

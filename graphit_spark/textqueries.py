@@ -547,6 +547,27 @@ def corpus_sample_budget(docs: DataFrame) -> DataFrame:
     return out
 
 
+STRATA_NUM, STRATA_DEN = 1, 4  # keep 1/4 of each language
+
+
+def q_corpus_sample_stratified(spark, sf_dir):
+    """Language-proportional deterministic sampling: within every lang
+    stratum keep exactly ceil(n_lang/4) documents in md5-shuffle order
+    — the balanced-downsampling companion to the token-budget sample
+    (a plain hash threshold only hits the fraction in expectation;
+    pretraining language mixes are specified exactly). One global
+    range-ranked pass + a strata-sized broadcast — no per-stratum
+    single-task Window (see functions/sampling.py)."""
+    from graphit_spark.functions import sampling as SA
+
+    return SA.stratified_sample(
+        load(spark, sf_dir, "documents").select("doc_id", "lang"),
+        "lang",
+        STRATA_NUM,
+        STRATA_DEN,
+    )
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Near-duplicate CLUSTERS: the transitive closure of the confirmed
     near-dup pair relation, computed by the engine's own connected-
@@ -1548,6 +1569,30 @@ ORDER BY doc_id
 """
 
 
+def _corpus_sample_stratified_sql() -> str:
+    """Per-stratum row_number in the same (skey, doc_id) order; quota =
+    (n·num + den−1) // den in integer arithmetic — the keep set is
+    exactly the kernel's."""
+    return f"""
+WITH keyed AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS skey
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY skey, doc_id) - 1
+           AS stratum_rank,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM keyed
+)
+SELECT doc_id, lang, CAST(stratum_rank AS BIGINT) AS stratum_rank
+FROM ranked
+WHERE stratum_rank < (n * {STRATA_NUM} + {STRATA_DEN - 1}) // {STRATA_DEN}
+ORDER BY doc_id
+"""
+
+
 SQL_EVENTS_HOURLY = """
 SELECT date_trunc('hour', ts) AS hour, event_type,
        count(*) AS n, round(sum(value), 6) AS sum_value
@@ -1805,6 +1850,8 @@ TEXT_QUERIES: dict[str, tuple] = {
     "corpus_select_cluster": (q_corpus_select_cluster, _corpus_select_cluster_sql()),
     "corpus_select_full": (q_corpus_select_full, _corpus_select_full_sql()),
     "corpus_sample_budget": (q_corpus_sample_budget, _corpus_sample_budget_sql()),
+    "corpus_sample_stratified": (q_corpus_sample_stratified,
+                                 _corpus_sample_stratified_sql()),
     "dedup_clusters": (q_dedup_clusters, _dedup_clusters_sql()),
     "sim_lsh_topk": (q_lsh_topk, SQL_LSH_TOPK),
     "sim_lsh_multiprobe_topk": (q_lsh_multiprobe_topk, SQL_LSH_MULTIPROBE_TOPK),

@@ -64,3 +64,62 @@ def test_deterministic_across_runs(spark):
     a = sorted(tuple(r) for r in token_budget_sample(df, 300).collect())
     b = sorted(tuple(r) for r in token_budget_sample(df, 300).collect())
     assert a == b and len(a) > 0
+
+
+# --- stratified_sample ----------------------------------------------------
+
+
+def _mk_strata_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, lang string")
+
+
+def _expected_strata(rows, num, den):
+    by_lang: dict[str, list[int]] = {}
+    for doc_id, lang in rows:
+        by_lang.setdefault(lang, []).append(doc_id)
+    keep = {}
+    for lang, ids in by_lang.items():
+        ids.sort(key=lambda i: (_key(i), i))
+        quota = (len(ids) * num + den - 1) // den
+        for rank, i in enumerate(ids[:quota]):
+            keep[i] = (lang, rank)
+    return keep
+
+
+def test_stratified_exact_quotas_and_order(spark):
+    from graphit_spark.functions.sampling import stratified_sample
+
+    rows = [(i, ["en", "de", "fr"][i % 3]) for i in range(90)]
+    rows += [(1000 + i, "zh") for i in range(7)]  # odd-sized stratum
+    got = {
+        r["doc_id"]: (r["lang"], r["stratum_rank"])
+        for r in stratified_sample(
+            _mk_strata_df(spark, rows), "lang", 1, 4
+        ).collect()
+    }
+    assert got == _expected_strata(rows, 1, 4)
+
+
+def test_stratified_full_and_empty_fractions(spark):
+    from graphit_spark.functions.sampling import stratified_sample
+
+    rows = [(i, "en" if i < 5 else "de") for i in range(12)]
+    df = _mk_strata_df(spark, rows)
+    # num == den keeps everything
+    assert stratified_sample(df, "lang", 1, 1).count() == 12
+    # ceil semantics: 1/100 of a 5-doc stratum still keeps 1 doc
+    kept = stratified_sample(df, "lang", 1, 100).groupBy("lang").count()
+    assert {r["lang"]: r["count"] for r in kept.collect()} == {
+        "en": 1, "de": 1,
+    }
+
+
+def test_stratified_no_single_task_window(spark):
+    """Plan guard: the per-stratum rank must come from the range-ranked
+    pass, never from a global or per-stratum unpartitioned Window over
+    the full table (the crawl-scale bottleneck)."""
+    from graphit_spark.functions.sampling import stratified_sample
+
+    rows = [(i, "en") for i in range(100)]  # one giant stratum
+    out = stratified_sample(_mk_strata_df(spark, rows), "lang", 1, 2)
+    assert out.count() == 50  # and the localCheckpoint ran the plan
