@@ -45,6 +45,7 @@ ROUND_RANK = 6
 LINKPRED_MIN_CN = 2
 LINKPRED_TOPK = 5
 SALSA_ROUNDS = 6
+COOC_WINDOW = 2
 
 _TABLES = [
     "region", "nation", "customer", "supplier", "part",
@@ -2307,10 +2308,11 @@ WALK_LEN = 4
 WALK_SEED = 7
 
 
-def walks_sql(walk_len: int = WALK_LEN, seed: int = WALK_SEED) -> str:
-    """Exact twin of kernels/walks.py::random_walks — the seeded-hash
-    neighbor draw is md5-prefix arithmetic over the sorted adjacency
-    list, reproducible bit for bit in SQL."""
+def _walks_parts(
+    walk_len: int = WALK_LEN, seed: int = WALK_SEED
+) -> tuple[list, str]:
+    """Shared CTE builder for the random-walk twins: returns the CTE
+    list and the UNION ALL select producing (walk_id, step, vertex)."""
     ctes = [
         _SQL_COMMON.strip(),
         "adj AS MATERIALIZED (SELECT src, list_sort(list(dst)) AS nbrs "
@@ -2333,9 +2335,40 @@ def walks_sql(walk_len: int = WALK_LEN, seed: int = WALK_SEED) -> str:
         f"SELECT walk_id, CAST({t} AS INT) AS step, v AS vertex FROM w{t}"
         for t in range(0, walk_len + 1)
     )
+    return ctes, outs
+
+
+def walks_sql(walk_len: int = WALK_LEN, seed: int = WALK_SEED) -> str:
+    """Exact twin of kernels/walks.py::random_walks — the seeded-hash
+    neighbor draw is md5-prefix arithmetic over the sorted adjacency
+    list, reproducible bit for bit in SQL."""
+    ctes, outs = _walks_parts(walk_len, seed)
     return (
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT * FROM ({outs}) ORDER BY walk_id, step"
+    )
+
+
+def walk_cooccurrence_sql(
+    walk_len: int = WALK_LEN,
+    seed: int = WALK_SEED,
+    window: int = COOC_WINDOW,
+) -> str:
+    """Twin of kernels/walks.py::walk_cooccurrence over the same walk
+    table: within-walk (center, context) pairs at step distance
+    1..window, counted per directed pair — integer-exact."""
+    ctes, outs = _walks_parts(walk_len, seed)
+    ctes.append(f"wk AS MATERIALIZED (SELECT * FROM ({outs}))")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT a.vertex AS u, b.vertex AS v, CAST(count(*) AS BIGINT) AS cnt
+FROM wk a JOIN wk b
+  ON a.walk_id = b.walk_id
+ AND abs(a.step - b.step) <= {window}
+ AND a.step <> b.step
+GROUP BY a.vertex, b.vertex
+ORDER BY u, v"""
     )
 
 
@@ -2845,6 +2878,20 @@ def q_random_walks(spark, sf_dir):
     return random_walks(g, WALK_LEN, seed=WALK_SEED)
 
 
+def q_walk_cooccurrence(spark, sf_dir):
+    """DeepWalk skip-gram pairs: deterministic random walks → within-
+    walk (center, context) pair counts at distance ≤ COOC_WINDOW — the
+    graph-embedding training-data pipeline composed from the engine's
+    own walk sampler."""
+    from graphit_spark.kernels import random_walks
+    from graphit_spark.kernels.walks import walk_cooccurrence
+
+    g = graph(spark, sf_dir, "raw")
+    return walk_cooccurrence(
+        random_walks(g, WALK_LEN, seed=WALK_SEED), window=COOC_WINDOW
+    )
+
+
 def q_louvain(spark, sf_dir):
     """Louvain move phase (synchronous, integer-exact gains) on the
     blocked graph — the modularity-driven upgrade over plain LPA
@@ -3215,6 +3262,7 @@ GRAPH_QUERIES: dict[str, tuple] = {
     "set_cover": (q_set_cover, set_cover_sql()),
     "core_numbers": (q_core_numbers, core_numbers_sql()),
     "random_walks": (q_random_walks, walks_sql()),
+    "walk_cooccurrence": (q_walk_cooccurrence, walk_cooccurrence_sql()),
     "weighted_random_walks": (q_weighted_random_walks, weighted_walks_sql()),
     "random_walks_alias": (q_random_walks_alias, alias_walks_sql()),
     "node2vec_walks": (q_node2vec_walks, node2vec_sql()),

@@ -631,3 +631,38 @@ def random_walks_alias(
     if own_cache:
         graph.unpersist()
     return out
+
+
+def walk_cooccurrence(walks: DataFrame, window: int = 2) -> DataFrame:
+    """Skip-gram pair extraction over a walk table — the DeepWalk /
+    node2vec training-data step (Perozzi et al. KDD'14): every
+    (center, context) vertex pair that co-occurs within `window` steps
+    of the same walk, counted per directed pair. Returns (u, v, cnt).
+
+    The walk table is any of this module's outputs
+    ((walk_id, step, vertex) — random_walks, weighted_random_walks,
+    node2vec_walks, or their alias variants), so the sampler and the
+    pair extraction compose freely.
+
+    Scale shape: a self-join keyed on walk_id — each key holds at most
+    walk_len+1 rows, so the join fan-out is bounded by (walk_len+1)·2w
+    per walk regardless of graph size or hubs (the hub's popularity
+    shows up as MANY walk_ids, which partition evenly) — then one
+    map-side-combined groupBy(u, v). No skew special-case needed:
+    walk_id is unique-ish by construction.
+    """
+    a = walks.select(
+        "walk_id", F.col("step").alias("si"), F.col("vertex").alias("u")
+    )
+    b = walks.select(
+        "walk_id", F.col("step").alias("sj"), F.col("vertex").alias("v")
+    )
+    return (
+        a.join(b, "walk_id")
+        .filter(
+            (F.abs(F.col("si") - F.col("sj")) <= window)
+            & (F.col("si") != F.col("sj"))
+        )
+        .groupBy("u", "v")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )

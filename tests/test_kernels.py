@@ -1413,3 +1413,48 @@ class TestSalsa:
         assert rows[1]["auth"] == pytest.approx(0.4, abs=1e-3)
         for v in (2, 3, 4):
             assert rows[v]["auth"] == pytest.approx(0.2, abs=1e-3)
+
+
+class TestWalkCooccurrence:
+    def test_pairs_match_bruteforce(self, spark):
+        from graphit_spark.kernels import random_walks
+        from graphit_spark.kernels.walks import walk_cooccurrence
+
+        edges = _rand_graph(30, 120, 7)
+        g = LinkGraph.from_pairs(spark, edges, persist=False)
+        walks = random_walks(g, 5, seed=3).collect()
+        by_walk: dict[int, dict[int, int]] = {}
+        for r in walks:
+            by_walk.setdefault(r["walk_id"], {})[r["step"]] = r["vertex"]
+        want: dict[tuple[int, int], int] = {}
+        W = 2
+        for steps in by_walk.values():
+            for si, u in steps.items():
+                for sj, v in steps.items():
+                    if si != sj and abs(si - sj) <= W:
+                        want[(u, v)] = want.get((u, v), 0) + 1
+        got = {
+            (r["u"], r["v"]): r["cnt"]
+            for r in walk_cooccurrence(
+                random_walks(g, 5, seed=3), window=W
+            ).collect()
+        }
+        assert got == want
+
+    def test_symmetric_total_mass(self, spark):
+        from graphit_spark.kernels import random_walks
+        from graphit_spark.kernels.walks import walk_cooccurrence
+
+        g = LinkGraph.from_pairs(
+            spark, [(i, (i + 1) % 10) for i in range(10)], persist=False
+        )
+        cooc = walk_cooccurrence(random_walks(g, 4, seed=1), window=2)
+        tot_uv = cooc.groupBy().agg(F.sum("cnt")).first()[0]
+        # every (u,v) pair has its (v,u) mirror: total mass is even and
+        # the table equals its own transpose
+        sym = {
+            (r["u"], r["v"]): r["cnt"] for r in cooc.collect()
+        }
+        assert tot_uv % 2 == 0
+        for (u, v), c in sym.items():
+            assert sym.get((v, u)) == c
