@@ -63,7 +63,7 @@ _CHECK_FIRST = [
     # ---- positions 51+: variants whose machinery a kept sibling
     # already exercises (checked when the driver scans deeper) ----
     "link_prediction", "salsa", "cms_heavy_hitters",
-    "corpus_sample_stratified", "walk_cooccurrence",
+    "corpus_sample_stratified", "walk_cooccurrence", "scc_condensation",
     "louvain", "maximal_matching", "clustering_coeff",
     "triangle_count_approx",
     "corpus_decontaminate_bloom",

@@ -46,6 +46,7 @@ LINKPRED_MIN_CN = 2
 LINKPRED_TOPK = 5
 SALSA_ROUNDS = 6
 COOC_WINDOW = 2
+LAYER_ROUNDS = 24
 
 _TABLES = [
     "region", "nation", "customer", "supplier", "part",
@@ -502,6 +503,55 @@ FROM verts vt LEFT JOIN mutual m ON m.v = vt.id
 GROUP BY vt.id
 ORDER BY vt.id
 """
+
+
+def scc_condensation_sql(rounds: int = LAYER_ROUNDS) -> str:
+    """Exact SCC labels via the recursive closure (scc_sql's CTEs, on
+    the bowtie edge builder), then the same monotone max-layer
+    recurrence as the kernel with the same round budget — identical
+    results even short of the fixpoint, exact at it (integer-only)."""
+    ctes = [
+        f"""{_SQL_BOWTIE.strip()},
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+mutual AS MATERIALIZED (
+  SELECT r1.src AS v, r1.dst AS w
+  FROM reach r1 JOIN reach r2 ON r1.src = r2.dst AND r1.dst = r2.src
+),
+scc AS MATERIALIZED (
+  SELECT vt.id, least(vt.id, coalesce(min(m.w), vt.id)) AS scc
+  FROM verts vt LEFT JOIN mutual m ON m.v = vt.id
+  GROUP BY vt.id
+),
+cond AS MATERIALIZED (
+  SELECT DISTINCT ls.scc AS cu, ld.scc AS cv
+  FROM edges e JOIN scc ls ON e.src = ls.id JOIN scc ld ON e.dst = ld.id
+  WHERE ls.scc <> ld.scc
+),
+l0 AS (SELECT DISTINCT scc AS c, CAST(0 AS BIGINT) AS layer FROM scc)"""
+    ]
+    for k in range(1, rounds + 1):
+        p = f"l{k - 1}"
+        ctes.append(
+            f"""l{k} AS MATERIALIZED (
+  SELECT l.c, greatest(l.layer, coalesce(u.cand, 0)) AS layer
+  FROM {p} l LEFT JOIN (
+    SELECT ce.cv AS c, max(pp.layer) + 1 AS cand
+    FROM cond ce JOIN {p} pp ON ce.cu = pp.c
+    GROUP BY ce.cv
+  ) u USING (c)
+)"""
+        )
+    return (
+        "WITH RECURSIVE " + ",\n".join(ctes)
+        + f"""
+SELECT s.id, CAST(s.scc AS BIGINT) AS scc, l.layer
+FROM scc s JOIN l{rounds} l ON s.scc = l.c
+ORDER BY s.id"""
+    )
 
 
 def pseudo_diameter_sql(rounds: int = BFS_ROUNDS) -> str:
@@ -1396,6 +1446,17 @@ def q_scc(spark, sf_dir):
 
     g = graph(spark, sf_dir, "blocked")
     return strongly_connected_components(g)
+
+
+def q_scc_condensation(spark, sf_dir):
+    """Condensation-DAG topological layers over the bowtie graph (the
+    variant with real IN→CORE→OUT chain structure): per vertex
+    (id, scc, layer) where layer is the longest SCC-chain depth — the
+    processing order a layered crawl analysis sweeps."""
+    from graphit_spark.kernels.scc import condensation_layers
+
+    g = graph(spark, sf_dir, "bowtie")
+    return condensation_layers(g, max_rounds=LAYER_ROUNDS)
 
 
 def q_pseudo_diameter(spark, sf_dir):
@@ -3219,6 +3280,7 @@ GRAPH_QUERIES: dict[str, tuple] = {
     "out_degrees": (q_out_degrees, out_degrees_sql()),
     "connected_components": (q_cc, cc_sql()),
     "strongly_connected": (q_scc, scc_sql()),
+    "scc_condensation": (q_scc_condensation, scc_condensation_sql()),
     "web_bowtie": (q_web_bowtie, web_bowtie_sql()),
     "graph_reciprocity": (q_reciprocity, reciprocity_sql()),
     "degree_assortativity": (q_assortativity, assortativity_sql()),

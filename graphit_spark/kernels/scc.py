@@ -228,3 +228,90 @@ def strongly_connected_components(
     for part in assigned_parts[1:]:
         out = out.unionByName(part)
     return out
+
+
+def condensation_layers(
+    graph: LinkGraph,
+    labels: DataFrame | None = None,
+    *,
+    max_rounds: int = 24,
+) -> DataFrame:
+    """Condensation-DAG topological depth: (id, scc, layer) with
+    layer = length of the longest SCC-chain leading into the vertex's
+    component (sources at 0) — the web-graph processing order: layer L
+    can only be influenced by layers < L, so crawl analyses and
+    incremental recomputations sweep layers in order. Contracting SCCs
+    always yields a DAG, so the recurrence
+
+        layer(c) = max(layer(c), 1 + max over predecessors)
+
+    is monotone, idempotent past its fixpoint, and converges in
+    depth-of-DAG rounds. ``max_rounds`` is the shared round budget with
+    the SQL twin; the driver early-stops on no-change, which by
+    idempotence equals running the full budget.
+
+    Spark plan: two V-sized label joins project the edge table onto
+    components once (distinct → the condensation is usually orders of
+    magnitude smaller than E), then each round is one broadcast-sized
+    join + map-side-combined groupBy(max) over the condensation — the
+    per-round cost scales with the DAG, not the graph. One scalar
+    action per round; superseded checkpoints released.
+    """
+    own_cache = graph.ensure_persisted()
+    if labels is None:
+        labels = strongly_connected_components(graph)
+    labels = labels.localCheckpoint(eager=True)
+    ls = labels.select(F.col("id").alias("src"), F.col("scc").alias("cu"))
+    ld = labels.select(F.col("id").alias("dst"), F.col("scc").alias("cv"))
+    cond = (
+        graph.edges.join(ls, "src")
+        .join(ld, "dst")
+        .filter(F.col("cu") != F.col("cv"))
+        .select("cu", "cv")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    layer = (
+        labels.select(F.col("scc").alias("c"))
+        .distinct()
+        .withColumn("layer", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        cand = (
+            cond.join(layer, cond["cu"] == layer["c"])
+            .groupBy(F.col("cv").alias("c"))
+            .agg((F.max("layer") + 1).alias("cand"))
+        )
+        new_layer = (
+            layer.join(cand, "c", "left")
+            .select(
+                "c",
+                F.greatest(
+                    F.col("layer"), F.coalesce("cand", F.lit(0))
+                ).alias("layer"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_layer.join(
+                layer.select("c", F.col("layer").alias("old")), "c"
+            )
+            .filter(F.col("layer") != F.col("old"))
+            .count()
+        )
+        layer.unpersist()
+        layer = new_layer
+        if changed == 0:
+            break
+    out = (
+        labels.join(layer, labels["scc"] == layer["c"])
+        .select("id", "scc", "layer")
+        .localCheckpoint(eager=True)
+    )
+    labels.unpersist()
+    cond.unpersist()
+    layer.unpersist()
+    if own_cache:
+        graph.unpersist()
+    return out

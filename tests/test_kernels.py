@@ -1458,3 +1458,68 @@ class TestWalkCooccurrence:
         assert tot_uv % 2 == 0
         for (u, v), c in sym.items():
             assert sym.get((v, u)) == c
+
+
+class TestCondensationLayers:
+    @staticmethod
+    def _oracle(edges):
+        """Brute force: Tarjan-free SCC via mutual reachability, then
+        longest-path layering of the condensation by relaxation."""
+        from tests.oracles import num_vertices, squish
+
+        es = squish(edges)
+        n = num_vertices(edges)
+        adj: dict[int, set[int]] = {v: set() for v in range(n)}
+        for s, d in es:
+            adj[s].add(d)
+
+        def reach(v):
+            seen, stack = {v}, [v]
+            while stack:
+                x = stack.pop()
+                for y in adj[x]:
+                    if y not in seen:
+                        seen.add(y)
+                        stack.append(y)
+            return seen
+
+        r = {v: reach(v) for v in range(n)}
+        scc = {}
+        for v in range(n):
+            members = [w for w in r[v] if v in r[w]]
+            scc[v] = min(members + [v])
+        cond = {
+            (scc[s], scc[d]) for s, d in es if scc[s] != scc[d]
+        }
+        layer = {c: 0 for c in set(scc.values())}
+        for _ in range(len(layer)):
+            for cu, cv in cond:
+                layer[cv] = max(layer[cv], layer[cu] + 1)
+        return {v: (scc[v], layer[scc[v]]) for v in range(n)}
+
+    def test_chain_of_cycles(self, spark):
+        from graphit_spark.kernels.scc import condensation_layers
+
+        # three 3-cycles chained + a tendril: layers 0, 1, 2, 3
+        edges = [(0, 1), (1, 2), (2, 0),
+                 (2, 10), (10, 11), (11, 12), (12, 10),
+                 (12, 20), (20, 21), (21, 22), (22, 20),
+                 (22, 30)]
+        g = LinkGraph.from_pairs(spark, edges, persist=False)
+        got = {
+            r["id"]: (r["scc"], r["layer"])
+            for r in condensation_layers(g).collect()
+        }
+        assert got == self._oracle(edges)
+
+    @pytest.mark.parametrize("seed,n,m", [(6, 25, 60), (17, 35, 90)])
+    def test_random_matches_bruteforce(self, spark, seed, n, m):
+        from graphit_spark.kernels.scc import condensation_layers
+
+        edges = _rand_graph(n, m, seed)
+        g = LinkGraph.from_pairs(spark, edges, persist=False)
+        got = {
+            r["id"]: (r["scc"], r["layer"])
+            for r in condensation_layers(g).collect()
+        }
+        assert got == self._oracle(edges)
