@@ -60,7 +60,7 @@ def test_all_pairs_baselines_are_the_only_ones(spark):
         if name in ALL_PAIRS_BASELINES or name in TEXT_QUERY_NAMES:
             continue
         if not name.startswith(
-            ("doc_", "dedup_", "sim_", "events_", "corpus_", "hll_")
+            ("doc_", "dedup_", "sim_", "events_", "corpus_", "hll_", "cms_")
         ):
             continue  # graph queries audited separately (BENCH/PLANS.md)
         plan = _plan(q(spark, SF_DIR))
@@ -467,3 +467,64 @@ def test_matching_gather_keeps_partial_string_min(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
     assert "EvalPython" not in plan
+
+
+def test_link_prediction_plan_shape(spark):
+    """The wedge enumeration must be an equi-join on the center (never
+    a nested loop over pairs), the pair aggregation must keep its
+    map-side partial, and the adjacency anti-join must stay a hash
+    join."""
+    q = entrymod.queries()["link_prediction"]
+    plan = _plan(q(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_cms_sketch_keeps_partial_count_and_broadcast_probe(spark):
+    """Count-Min cells must partial-aggregate map-side (the bounded-
+    shuffle contract) and the probe join against the d*w cell grid
+    must broadcast."""
+    q = entrymod.queries()["cms_heavy_hitters"]
+    plan = _plan(q(spark, SF_DIR))
+    assert "partial_count" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_walk_cooccurrence_no_cartesian(spark):
+    """The skip-gram pair join is keyed on walk_id — a missing key
+    would explode into a per-walk cross product."""
+    q = entrymod.queries()["walk_cooccurrence"]
+    plan = _plan(q(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "partial_count" in plan
+
+
+def test_stratified_sample_no_global_window(spark):
+    """corpus_sample_stratified must rank via the range-partitioned
+    pass: no unpartitioned Window (the 'No Partition Defined' single-
+    task plan) may appear."""
+    q = entrymod.queries()["corpus_sample_stratified"]
+    df = q(spark, SF_DIR)
+    plan = _plan(df)
+    # localCheckpointed result: the plan is the checkpoint scan; build
+    # the internal plan again without the checkpoint for the assert
+    from graphit_spark.functions.sampling import sample_key, stratified_sample
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    keyed = docs.select("doc_id", "lang", sample_key(F.col("doc_id")).alias("skey"))
+    from graphit_spark.plans.ranking import dense_rank_ids
+
+    ranked = dense_rank_ids(
+        keyed, [F.asc("lang"), F.asc("skey"), F.asc("doc_id")],
+        out_col="__grank",
+    )
+    inner = _plan(ranked)
+    assert "Window" in inner  # per-bucket window exists...
+    # ...but always partitioned by the range bucket, never global
+    for line in inner.splitlines():
+        if "Window [" in line or "Window(" in line:
+            assert "__pid" in line, line
