@@ -93,6 +93,88 @@ def extract_both_udf(html: pd.Series) -> pd.DataFrame:
     return pd.DataFrame({"text": text, "links": links})
 
 
+ANCHOR_RE = re.compile(r'<a href="([^"]*)"[^>]*>(.*?)</a>', re.DOTALL)
+
+
+def _clean_text(s: str) -> str:
+    """The contract's text normalization (tag strip → the four entities
+    in order → whitespace collapse) applied to an arbitrary fragment."""
+    s = TAG_RE.sub(" ", s)
+    for pat, rep in ENTITIES:
+        s = s.replace(pat, rep)
+    return WS_RE.sub(" ", s).strip()
+
+
+def reference_extract_anchors(html: bytes) -> list[tuple[str, str]]:
+    """Per-row reference for anchor extraction — the companion contract
+    to reference_extract (frozen the same way):
+      anchors = every (href, anchor_text) pair matched in document
+      order by ``<a href="([^"]*)"[^>]*>(.*?)</a>`` (double-quoted
+      href, non-greedy body, DOTALL so anchors may span lines);
+      anchor_text is then normalized by the SAME tag/entity/whitespace
+      rules as the main text contract.
+    The href stream is a SUBSET of reference_extract's links (only
+    well-formed ``<a>`` pairs produce anchor text), so edge derivation
+    keeps using the cheaper links UDF."""
+    s = html.decode("utf-8", errors="replace")
+    return [(href, _clean_text(body)) for href, body in ANCHOR_RE.findall(s)]
+
+
+_ANCHOR_TYPE = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("href", T.StringType()),
+            T.StructField("anchor", T.StringType()),
+        ]
+    )
+)
+
+
+@F.pandas_udf(_ANCHOR_TYPE)
+def extract_anchors_udf(html: pd.Series) -> pd.Series:
+    """Vectorized anchors — one Arrow batch, one decode; per-row regex
+    only inside the C-backed findall (no Spark-row Python)."""
+    s = _decode_series(html)
+
+    def row(x: str):
+        return [
+            {"href": href, "anchor": _clean_text(body)}
+            for href, body in ANCHOR_RE.findall(x)
+        ]
+
+    return s.map(row)
+
+
+def anchor_terms(pages: DataFrame, url_ids: DataFrame) -> DataFrame:
+    """Inlink anchor-term index: (dst, term, n) — for every page, the
+    terms other pages use when linking TO it, the classic web-search
+    relevance signal (anchor text describes the target better than the
+    target describes itself). Composition: anchors UDF → explode →
+    target-id join (the url dictionary) → whitespace term explode →
+    map-side-combined count. Targets outside the dictionary are
+    dropped (same universe rule as pages_to_edges)."""
+    flat = pages.select(
+        F.explode(extract_anchors_udf("html")).alias("a")
+    ).select(
+        F.col("a.href").alias("target"), F.col("a.anchor").alias("anchor")
+    )
+    dst_ids = url_ids.select(
+        F.col("url").alias("target"), F.col("id").alias("dst")
+    )
+    return (
+        flat.join(dst_ids, "target")
+        .select(
+            "dst",
+            F.explode(
+                F.split(F.lower(F.trim(F.col("anchor"))), r"\s+")
+            ).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .groupBy("dst", "term")
+        .agg(F.count("*").alias("n"))
+    )
+
+
 def extract_pages(pages: DataFrame) -> DataFrame:
     """pages(url, warc_ts, html, text, lang) → (url, text, links).
 

@@ -164,3 +164,84 @@ try:
             assert got[i] == reference_extract(p), p
 except ImportError:  # pragma: no cover
     pass
+
+
+class TestAnchors:
+    def test_reference_anchor_contract(self):
+        from graphit_spark.extract import reference_extract_anchors
+
+        html = (
+            b'<p>x</p><a href="http://a/">First &amp; best</a>'
+            b'<a href="http://b/" class="z">\n two\n lines </a>'
+            b'<a name="no-href">skipped</a>'
+            b'<a href="http://c/"><b>bold</b> text</a>'
+        )
+        assert reference_extract_anchors(html) == [
+            ("http://a/", "First & best"),
+            ("http://b/", "two lines"),
+            ("http://c/", "bold text"),
+        ]
+
+    def test_vectorized_matches_reference(self, spark):
+        from graphit_spark.datagen import gen_pages
+        from graphit_spark.extract import (
+            extract_anchors_udf,
+            reference_extract_anchors,
+        )
+
+        pages = gen_pages(spark, 60)
+        got = {
+            r["url"]: [(a["href"], a["anchor"]) for a in r["a"]]
+            for r in pages.select(
+                "url", extract_anchors_udf("html").alias("a")
+            ).collect()
+        }
+        for r in pages.select("url", "html").collect():
+            assert got[r["url"]] == reference_extract_anchors(
+                bytes(r["html"])
+            ), r["url"]
+
+    def test_anchor_hrefs_subset_of_links(self, spark):
+        from graphit_spark.datagen import gen_pages
+        from graphit_spark.extract import (
+            reference_extract,
+            reference_extract_anchors,
+        )
+
+        for r in gen_pages(spark, 30).select("html").collect():
+            h = bytes(r["html"])
+            _text, links = reference_extract(h)
+            hrefs = [a for a, _ in reference_extract_anchors(h)]
+            it = iter(links)
+            assert all(x in it for x in hrefs)  # ordered subsequence
+
+    def test_anchor_terms_index(self, spark):
+        from graphit_spark.extract import anchor_terms, build_url_ids
+        from graphit_spark.extract import extract_pages
+
+        rows = [
+            ("u0", b'<a href="u1">alpha beta</a><a href="u2">alpha</a>'),
+            ("u1", b'<a href="u2">beta Beta</a>'),
+            ("u2", b"no links"),
+        ]
+        import datetime
+
+        pages = spark.createDataFrame(
+            [
+                (u, datetime.datetime(2024, 1, 1), h, "", "en")
+                for u, h in rows
+            ],
+            "url string, warc_ts timestamp, html binary, text string, lang string",
+        )
+        ids = build_url_ids(extract_pages(pages))
+        idmap = {r["url"]: r["id"] for r in ids.collect()}
+        got = {
+            (r["dst"], r["term"]): r["n"]
+            for r in anchor_terms(pages, ids).collect()
+        }
+        assert got == {
+            (idmap["u1"], "alpha"): 1,
+            (idmap["u1"], "beta"): 1,
+            (idmap["u2"], "alpha"): 1,
+            (idmap["u2"], "beta"): 2,
+        }
