@@ -3164,6 +3164,78 @@ ORDER BY v.id
 """
 
 
+def q_motif_counts(spark, sf_dir):
+    """Directed triad motif census (the two 3-edge motifs): feed-forward
+    loops (u→v→w plus the shortcut u→w — the hierarchy signal) and
+    directed 3-cycles (u→v→w→u — the feedback signal), on the raw
+    squished digraph. Each FFL is a unique (u,v,w) triple; each cycle
+    is canonicalized at its minimum vertex so it counts exactly once.
+
+    Plan: two-path enumeration = one self-equi-join on the middle
+    vertex (Σ in·out per center — the directed analogue of the wedge
+    cost; TC's degree orientation cannot apply because edge DIRECTION
+    is the signal), then one hash join confirms the closing edge.
+    Never all-pairs; both counts come off the same two-path table in
+    one pass (kernels/triangles.py directed_motifs)."""
+    from graphit_spark.kernels.triangles import directed_motifs
+
+    return directed_motifs(graph(spark, sf_dir, "raw"))
+
+
+def motif_counts_sql() -> str:
+    return f"""WITH
+{_SQL_COMMON.strip()},
+paths AS MATERIALIZED (
+  SELECT a.src AS u, a.dst AS v, b.dst AS w
+  FROM edges a JOIN edges b ON a.dst = b.src
+  WHERE a.src <> b.dst
+)
+SELECT CAST(count(f.src) AS BIGINT) AS feed_forward,
+       CAST(count(CASE WHEN c.src IS NOT NULL AND p.u < p.v AND p.u < p.w
+                       THEN 1 END) AS BIGINT) AS cycles
+FROM paths p
+LEFT JOIN edges f ON f.src = p.u AND f.dst = p.w
+LEFT JOIN edges c ON c.src = p.w AND c.dst = p.u
+"""
+
+
+def q_degree_histogram(spark, sf_dir):
+    """Log2-bucketed out-degree distribution of the squished raw graph
+    — the first plot of any web-graph study (power-law exponent eyeball)
+    and the skew evidence the schedule choices key off. Integer-exact
+    buckets via bit length (never floor(log2(double)), whose 1-ulp error
+    flips exact powers of two): bucket = len(bin(deg)) - 1, degree-0
+    vertices at bucket -1. One V-sized aggregate over the cached degree
+    table."""
+    g = graph(spark, sf_dir, "raw")
+    deg = g.out_degrees()
+    bucket = F.when(F.col("out_degree") == 0, F.lit(-1)).otherwise(
+        F.length(F.bin(F.col("out_degree"))) - 1
+    )
+    return (
+        deg.groupBy(bucket.cast("long").alias("bucket"))
+        .agg(
+            F.count("*").alias("n_vertices"),
+            F.min("out_degree").alias("min_degree"),
+            F.max("out_degree").alias("max_degree"),
+        )
+    )
+
+
+def degree_histogram_sql() -> str:
+    return f"""WITH
+{_SQL_COMMON.strip()}
+SELECT CAST(CASE WHEN out_degree = 0 THEN -1
+            ELSE length(bin(out_degree)) - 1 END AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_vertices,
+       min(out_degree) AS min_degree,
+       max(out_degree) AS max_degree
+FROM deg
+GROUP BY 1
+ORDER BY bucket
+"""
+
+
 def q_reciprocity(spark, sf_dir):
     """Link reciprocity of the raw directed graph: the fraction of
     edges (u,v) whose reverse (v,u) also exists — a standard web/social
@@ -3283,6 +3355,8 @@ GRAPH_QUERIES: dict[str, tuple] = {
     "scc_condensation": (q_scc_condensation, scc_condensation_sql()),
     "web_bowtie": (q_web_bowtie, web_bowtie_sql()),
     "graph_reciprocity": (q_reciprocity, reciprocity_sql()),
+    "motif_counts": (q_motif_counts, motif_counts_sql()),
+    "degree_histogram": (q_degree_histogram, degree_histogram_sql()),
     "degree_assortativity": (q_assortativity, assortativity_sql()),
     "hits": (q_hits, hits_sql()),
     "salsa": (q_salsa, salsa_sql()),

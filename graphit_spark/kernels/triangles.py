@@ -197,3 +197,43 @@ def _per_edge_intersections(graph: LinkGraph, relabel: bool | str) -> DataFrame:
             F.size(F.array_intersect("nbrs_s", "nbrs_d")).alias("tri"),
         )
     )
+
+
+def directed_motifs(graph: LinkGraph) -> DataFrame:
+    """Directed triad motif census — the two 3-edge motifs over the
+    squished digraph: feed-forward loops (u→v→w with the shortcut u→w,
+    the hierarchy signal) and directed 3-cycles (u→v→w→u, the feedback
+    signal; canonicalized at the minimum vertex so each counts once).
+    The directed refinement of `intersectNeighbor` triangle counting
+    (apps/tc.gt): TC's degree orientation cannot apply because the edge
+    DIRECTION is the signal, so the plan is two-path enumeration — one
+    self-equi-join on the middle vertex (Σ in·out per center) — plus
+    ONE hash join per closing direction off the same two-path table.
+    Returns one row (feed_forward, cycles)."""
+    e = graph.edges.select("src", "dst")
+    ab = e.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    bc = e.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    paths = ab.join(bc, "v").filter(F.col("u") != F.col("w"))
+    close_fwd = e.select(
+        F.col("src").alias("u"), F.col("dst").alias("w"),
+        F.lit(1).alias("is_ffl"),
+    )
+    close_back = e.select(
+        F.col("src").alias("w"), F.col("dst").alias("u"),
+        F.lit(1).alias("is_cyc"),
+    )
+    scored = (
+        paths.join(close_fwd, ["u", "w"], "left")
+        .join(close_back, ["u", "w"], "left")
+    )
+    return scored.agg(
+        F.count("is_ffl").cast("long").alias("feed_forward"),
+        F.count(
+            F.when(
+                F.col("is_cyc").isNotNull()
+                & (F.col("u") < F.col("v"))
+                & (F.col("u") < F.col("w")),
+                1,
+            )
+        ).cast("long").alias("cycles"),
+    )

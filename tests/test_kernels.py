@@ -1523,3 +1523,47 @@ class TestCondensationLayers:
             for r in condensation_layers(g).collect()
         }
         assert got == self._oracle(edges)
+
+
+
+class TestDirectedMotifs:
+    @staticmethod
+    def _oracle(edges):
+        from tests.oracles import squish
+
+        es = set(squish(edges))
+        ffl = sum(
+            1
+            for (u, v) in es
+            for (v2, w) in es
+            if v2 == v and u != w and (u, w) in es
+        )
+        cyc = sum(
+            1
+            for (u, v) in es
+            for (v2, w) in es
+            if v2 == v and u != w and (w, u) in es and u < v and u < w
+        )
+        return ffl, cyc
+
+    def test_known_motifs(self, spark):
+        from graphit_spark.kernels.triangles import directed_motifs
+
+        # one FFL (0->1->2, 0->2); one 3-cycle (3->4->5->3); one triangle
+        # whose path closes BOTH ways (6->7->8, 6->8, 8->6): FFL and cycle
+        edges = [(0, 1), (1, 2), (0, 2),
+                 (3, 4), (4, 5), (5, 3),
+                 (6, 7), (7, 8), (6, 8), (8, 6)]
+        g = LinkGraph.from_pairs(spark, edges, persist=False)
+        row = directed_motifs(g).collect()[0]
+        assert (row["feed_forward"], row["cycles"]) == self._oracle(edges)
+        assert row["feed_forward"] == 2 and row["cycles"] == 2
+
+    @pytest.mark.parametrize("seed,n,m", [(8, 20, 80), (21, 30, 140)])
+    def test_random_matches_bruteforce(self, spark, seed, n, m):
+        from graphit_spark.kernels.triangles import directed_motifs
+
+        edges = _rand_graph(n, m, seed)
+        g = LinkGraph.from_pairs(spark, edges, persist=False)
+        row = directed_motifs(g).collect()[0]
+        assert (row["feed_forward"], row["cycles"]) == self._oracle(edges)
