@@ -37,7 +37,9 @@ def main() -> None:
                             "set_cover", "random_walks", "sweep_cut",
                             "scc", "hits", "k_truss", "hyperball",
                             "neighborhood", "mis", "matching", "coloring", "bowtie",
-                            "louvain", "louvain_communities"])
+                            "louvain", "louvain_communities", "salsa",
+                            "link_prediction", "condensation",
+                            "motifs", "walk_cooccurrence"])
     p.add_argument("--edges", help="parquet edge table (src,dst[,weight])")
     p.add_argument("--pages", help="parquet pages table (extracted first)")
     p.add_argument("--synth-vertices", type=int, help="synthetic graph size")
@@ -59,6 +61,8 @@ def main() -> None:
     p.add_argument("--delta", type=int, default=4, help="delta-stepping width")
     p.add_argument("--walk-len", type=int, default=4, help="random walk steps")
     p.add_argument("--seed", type=int, default=0, help="random walk seed")
+    p.add_argument("--max-center-degree", type=int, default=None,
+                   help="link_prediction hub wedge-center cap")
     args = p.parse_args()
 
     from graphit_spark import LinkGraph, SnapshotStore
@@ -204,6 +208,30 @@ def main() -> None:
         from graphit_spark.kernels import greedy_coloring
 
         out = greedy_coloring(g)
+    elif args.kernel == "salsa":
+        from graphit_spark.kernels import salsa
+
+        out = salsa(g, rounds=args.rounds)
+    elif args.kernel == "link_prediction":
+        from graphit_spark.kernels import link_prediction
+
+        out = link_prediction(g, min_cn=2, topk=args.k,
+                              max_center_degree=args.max_center_degree)
+    elif args.kernel == "condensation":
+        from graphit_spark.kernels.scc import condensation_layers
+
+        out = condensation_layers(g)
+    elif args.kernel == "motifs":
+        from graphit_spark.kernels.triangles import directed_motifs
+
+        out = directed_motifs(g)
+    elif args.kernel == "walk_cooccurrence":
+        from graphit_spark.kernels import random_walks
+        from graphit_spark.kernels.walks import walk_cooccurrence
+
+        out = walk_cooccurrence(
+            random_walks(g, args.walk_len, seed=args.seed)
+        )
     elif args.kernel == "sweep_cut":
         from pyspark.sql import functions as F
 
