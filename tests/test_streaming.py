@@ -517,3 +517,86 @@ class TestStreamingDedup:
             .collect()
         }
         assert streamed == batch
+
+
+class TestCmsStream:
+    """Streaming Count-Min maintenance: snapshot == batch sketch of the
+    union after every wave; replay-safe via the manifest batch_id."""
+
+    DOCS = [
+        (0, "alpha beta alpha"),
+        (1, "beta gamma"),
+        (2, "alpha alpha delta"),
+        (3, "gamma gamma gamma epsilon"),
+    ]
+
+    def _write_docs(self, spark, rows, docs_dir, mode):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode(mode).parquet(docs_dir)
+
+    @staticmethod
+    def _grid(df):
+        return {(r["r"], r["c"]): r["cnt"] for r in df.collect()}
+
+    def test_snapshot_equals_batch_union(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from graphit_spark.functions import sketch as K
+        from graphit_spark.streaming import cms_stream
+
+        docs_dir = str(tmp_path / "docs_in")
+        work = str(tmp_path / "work")
+        self._write_docs(spark, self.DOCS[:2], docs_dir, "overwrite")
+        q, store = cms_stream(spark, docs_dir, work)
+        try:
+            q.processAllAvailable()
+            assert store.latest() == 0
+            self._write_docs(spark, self.DOCS[2:], docs_dir, "append")
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        assert store.latest() == 1
+
+        words = (
+            spark.createDataFrame(self.DOCS, "doc_id long, text string")
+            .select(
+                F.explode(
+                    F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+                ).alias("tok")
+            )
+            .filter(F.col("tok") != "")
+        )
+        assert self._grid(store.read(spark, 1)) == self._grid(
+            K.count_min_cells(words)
+        )
+        man = store.manifest(1)
+        assert man["metrics"]["batch_tokens"] == 7
+        assert "batch_id" in man["metrics"]
+
+    def test_restart_does_not_double_count(self, spark, tmp_path):
+        from graphit_spark.streaming import cms_stream
+
+        docs_dir = str(tmp_path / "docs_in")
+        work = str(tmp_path / "work")
+        self._write_docs(spark, self.DOCS[:2], docs_dir, "overwrite")
+        q, store = cms_stream(spark, docs_dir, work)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        base = self._grid(store.read(spark, store.latest()))
+
+        # restart on the same checkpoint with no new data: no new
+        # snapshot, no re-merge
+        q2, store2 = cms_stream(spark, docs_dir, work)
+        try:
+            q2.processAllAvailable()
+            n0 = store2.latest()
+            # a new wave after the restart still merges correctly
+            self._write_docs(spark, self.DOCS[2:], docs_dir, "append")
+            q2.processAllAvailable()
+        finally:
+            q2.stop()
+        assert self._grid(store2.read(spark, n0)) == base
+        assert store2.latest() > n0
