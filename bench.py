@@ -88,6 +88,11 @@ def main() -> None:
     # HyperBall harmonic centrality (the crawl-scale closeness path)
     timed("scc_sf", lambda: q_scc(spark, sf_dir).count())
     timed("hits_sf", lambda: q_hits(spark, sf_dir).count())
+    from graphit_spark.benchqueries import q_link_prediction, q_salsa
+
+    timed("salsa_sf", lambda: q_salsa(spark, sf_dir).count())
+    timed("link_prediction_sf",
+          lambda: q_link_prediction(spark, sf_dir).count())
     timed("k_truss_sf", lambda: q_k_truss(spark, sf_dir).count())
     timed("hyperball_sf", lambda: q_hyperball_harmonic(spark, sf_dir).count())
 
