@@ -3236,6 +3236,153 @@ ORDER BY bucket
 """
 
 
+CHURN_TOPK = 50
+CHURN_MOD = 11
+
+
+def churn_extra_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic crawl delta: one extra link per order with
+    o_orderkey % CHURN_MOD == 0, target (o_orderkey*3 + 1) % |C| —
+    the twin reproduces it verbatim."""
+    c = _num_customers(spark, sf_dir)
+    return load(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % CHURN_MOD == 0
+    ).select(
+        F.col("o_custkey").alias("src"),
+        ((F.col("o_orderkey") * 3 + 1) % F.lit(c)).alias("dst"),
+    )
+
+
+def q_rank_churn(spark, sf_dir):
+    """Evolving-web rank turnover: PageRank before/after a
+    deterministic crawl delta, reported as one row — edge counts, edges
+    added, top-K membership turnover, and the L1 rank shift. The
+    question an operator of a continuously-recrawled index actually
+    asks ("how much did this crawl move the ranking?").
+
+    Determinism contract: ranks are rounded to 6 BEFORE the top-K total
+    order (round(rank) desc, id asc) — after rounding both engines hold
+    bit-equal values (the pagerank query's proven contract), so the
+    K-boundary can never flip on 1-ulp noise. Top-K itself compiles to
+    TakeOrderedAndProject (per-partition heaps), never a global sort.
+    The O(1) driver scalars (counts) follow the graph_stats precedent."""
+    from graphit_spark.kernels import pagerank
+
+    old_raw = raw_edges(spark, sf_dir)
+    g_old = LinkGraph(old_raw, persist=False)
+    g_new = LinkGraph(
+        old_raw.unionByName(churn_extra_edges(spark, sf_dir)), persist=False
+    )
+    ro = pagerank(g_old, max_iters=PR_ITERS).select(
+        "id", F.round("rank", ROUND_RANK).alias("r_old")
+    )
+    rn = pagerank(g_new, max_iters=PR_ITERS).select(
+        "id", F.round("rank", ROUND_RANK).alias("r_new")
+    )
+    tko = ro.orderBy(F.desc("r_old"), F.asc("id")).limit(
+        CHURN_TOPK
+    ).select("id")
+    tkn = rn.orderBy(F.desc("r_new"), F.asc("id")).limit(
+        CHURN_TOPK
+    ).select("id")
+    turnover = tko.join(tkn, "id", "left_anti").count()
+    n_added = (
+        g_new.edges.join(g_old.edges, ["src", "dst"], "left_anti").count()
+    )
+    j = ro.join(rn, "id", "full").select(
+        F.coalesce("r_old", F.lit(0.0)).alias("r_old"),
+        F.coalesce("r_new", F.lit(0.0)).alias("r_new"),
+    )
+    return j.agg(
+        F.lit(g_old.num_edges).cast("long").alias("n_edges_old"),
+        F.lit(g_new.num_edges).cast("long").alias("n_edges_new"),
+        F.lit(n_added).cast("long").alias("n_added"),
+        F.lit(turnover).cast("long").alias("topk_turnover"),
+        F.round(
+            F.sum(F.abs(F.col("r_new") - F.col("r_old"))), ROUND_RANK
+        ).alias("l1_shift"),
+    )
+
+
+def rank_churn_sql(iters: int = PR_ITERS) -> str:
+    """Two full PR recurrences (old edges / delta edges) + the same
+    rounded-then-ranked top-K total order and L1 shift."""
+    ctes = [
+        _SQL_COMMON.strip().rstrip(","),
+        f"""extra AS (
+  SELECT o_custkey AS src,
+         (o_orderkey * 3 + 1) % (SELECT c FROM params) AS dst
+  FROM orders WHERE o_orderkey % {CHURN_MOD} = 0
+),
+rawn AS MATERIALIZED (SELECT src, dst FROM raw
+        UNION ALL SELECT src, dst FROM extra),
+edgesn AS MATERIALIZED (SELECT DISTINCT src, dst FROM rawn WHERE src <> dst),
+nvn AS (SELECT max(greatest(src, dst)) + 1 AS n FROM rawn),
+vertsn AS MATERIALIZED (SELECT c_custkey AS id FROM customer
+          WHERE c_custkey < (SELECT n FROM nvn)),
+degn AS MATERIALIZED (
+  SELECT v.id, CAST(coalesce(d.d, 0) AS BIGINT) AS out_degree
+  FROM vertsn v LEFT JOIN
+       (SELECT src AS id, count(*) AS d FROM edgesn GROUP BY src) d
+  USING (id)
+),
+r0 AS (SELECT id, 1e0 / (SELECT n FROM nv) AS rank FROM verts),
+s0 AS (SELECT id, 1e0 / (SELECT n FROM nvn) AS rank FROM vertsn)""",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"""r{k} AS MATERIALIZED (
+  SELECT v.id,
+         (1e0 - 0.85e0) / (SELECT n FROM nv)
+           + 0.85e0 * coalesce(s.acc, 0e0) AS rank
+  FROM verts v LEFT JOIN (
+    SELECT e.dst AS id, sum(r.rank / d.out_degree) AS acc
+    FROM edges e
+    JOIN r{k - 1} r ON e.src = r.id
+    JOIN deg d ON e.src = d.id
+    GROUP BY e.dst
+  ) s USING (id)
+),
+s{k} AS MATERIALIZED (
+  SELECT v.id,
+         (1e0 - 0.85e0) / (SELECT n FROM nvn)
+           + 0.85e0 * coalesce(s.acc, 0e0) AS rank
+  FROM vertsn v LEFT JOIN (
+    SELECT e.dst AS id, sum(r.rank / d.out_degree) AS acc
+    FROM edgesn e
+    JOIN s{k - 1} r ON e.src = r.id
+    JOIN degn d ON e.src = d.id
+    GROUP BY e.dst
+  ) s USING (id)
+)"""
+        )
+    ctes.append(
+        f"""ro AS MATERIALIZED (SELECT id, round(rank, {ROUND_RANK}) AS r FROM r{iters}),
+rnw AS MATERIALIZED (SELECT id, round(rank, {ROUND_RANK}) AS r FROM s{iters}),
+tko AS MATERIALIZED (SELECT id FROM ro ORDER BY r DESC, id LIMIT {CHURN_TOPK}),
+tkn AS MATERIALIZED (SELECT id FROM rnw ORDER BY r DESC, id LIMIT {CHURN_TOPK}),
+jj AS MATERIALIZED (
+  SELECT coalesce(o.r, 0e0) AS r_old, coalesce(n.r, 0e0) AS r_new
+  FROM ro o FULL JOIN rnw n ON o.id = n.id
+)"""
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_edges_old,
+       (SELECT CAST(count(*) AS BIGINT) FROM edgesn) AS n_edges_new,
+       (SELECT CAST(count(*) AS BIGINT)
+        FROM edgesn en LEFT JOIN edges eo
+          ON en.src = eo.src AND en.dst = eo.dst
+        WHERE eo.src IS NULL) AS n_added,
+       (SELECT CAST(count(*) AS BIGINT)
+        FROM tko LEFT JOIN tkn ON tko.id = tkn.id
+        WHERE tkn.id IS NULL) AS topk_turnover,
+       (SELECT round(sum(abs(r_new - r_old)), {ROUND_RANK}) FROM jj)
+         AS l1_shift"""
+    )
+
+
 def q_reciprocity(spark, sf_dir):
     """Link reciprocity of the raw directed graph: the fraction of
     edges (u,v) whose reverse (v,u) also exists — a standard web/social
@@ -3356,6 +3503,7 @@ GRAPH_QUERIES: dict[str, tuple] = {
     "web_bowtie": (q_web_bowtie, web_bowtie_sql()),
     "graph_reciprocity": (q_reciprocity, reciprocity_sql()),
     "motif_counts": (q_motif_counts, motif_counts_sql()),
+    "rank_churn": (q_rank_churn, rank_churn_sql()),
     "degree_histogram": (q_degree_histogram, degree_histogram_sql()),
     "degree_assortativity": (q_assortativity, assortativity_sql()),
     "hits": (q_hits, hits_sql()),
