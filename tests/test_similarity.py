@@ -98,3 +98,50 @@ def test_lsh_dup_pairs_subset_of_all_pairs(spark, emb):
     }
     assert lsh <= allp  # bucketing can only miss, never invent
     assert len(lsh) > 0
+
+
+class TestInt8Quantization:
+    def test_quantize_values(self, spark):
+        from pyspark.sql import functions as F
+
+        from graphit_spark.functions.similarity import quantize_int8
+
+        df = spark.createDataFrame(
+            [(0, [1.0, -0.5, 0.25]), (1, [0.0, 0.0, 0.0])],
+            "vec_id long, embedding array<double>",
+        )
+        got = {
+            r["vec_id"]: list(r["q"])
+            for r in df.select(
+                "vec_id", quantize_int8(F.col("embedding")).alias("q")
+            ).collect()
+        }
+        # scale = 127/1.0: [127, -63, 32] (floor(-63.5+0.5) = -63,
+        # floor(31.75+0.5) = 32); zero vector stays zero
+        assert got[0] == [127, -63, 32]
+        assert got[1] == [0, 0, 0]
+        assert all(-128 <= x <= 127 for xs in got.values() for x in xs)
+
+    def test_int8_topk_high_overlap_with_float(self, spark):
+        from pyspark.sql import functions as F
+
+        from graphit_spark.functions.similarity import (
+            brute_force_topk,
+            int8_topk,
+        )
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        queries = emb.filter(F.col("vec_id") < 3)
+
+        def tops(df):
+            out = {}
+            for r in df.collect():
+                out.setdefault(r["query_id"], set()).add(r["vec_id"])
+            return out
+
+        exact = tops(brute_force_topk(emb, queries, k=10))
+        quant = tops(int8_topk(emb, queries, k=10))
+        assert set(exact) == set(quant)
+        for qid in exact:
+            inter = len(exact[qid] & quant[qid])
+            assert inter >= 8, (qid, inter)  # recall@10 >= 0.8 per query
