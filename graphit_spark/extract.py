@@ -93,7 +93,8 @@ def extract_both_udf(html: pd.Series) -> pd.DataFrame:
     return pd.DataFrame({"text": text, "links": links})
 
 
-ANCHOR_RE = re.compile(r'<a href="([^"]*)"[^>]*>(.*?)</a>', re.DOTALL)
+ANCHOR_OPEN_RE = re.compile(r'<a href="([^"]*)"[^>]*>')
+ANCHOR_CLOSE = "</a>"
 
 
 def _clean_text(s: str) -> str:
@@ -108,16 +109,44 @@ def _clean_text(s: str) -> str:
 def reference_extract_anchors(html: bytes) -> list[tuple[str, str]]:
     """Per-row reference for anchor extraction — the companion contract
     to reference_extract (frozen the same way):
-      anchors = every (href, anchor_text) pair matched in document
-      order by ``<a href="([^"]*)"[^>]*>(.*?)</a>`` (double-quoted
-      href, non-greedy body, DOTALL so anchors may span lines);
-      anchor_text is then normalized by the SAME tag/entity/whitespace
-      rules as the main text contract.
-    The href stream is a SUBSET of reference_extract's links (only
-    well-formed ``<a>`` pairs produce anchor text), so edge derivation
-    keeps using the cheaper links UDF."""
+      scan openers ``<a href="([^"]*)"[^>]*>`` (double-quoted href) in
+      document order; each opener's anchor body runs to the NEAREST
+      following ``</a>`` and scanning resumes after it (matched spans
+      are consumed, so anchors never nest); an opener with no closer is
+      skipped. The body is then normalized by the SAME
+      tag/entity/whitespace rules as the main text contract.
+    Deliberately a manual scan, not ``<a ...>(.*?)</a>`` findall: the
+    lazy-DOTALL regex rescans to end-of-document for EVERY unclosed
+    opener (O(openers·len) on truncated crawl HTML, a real executor
+    stall risk); this loop is one pass. On well-formed pages the two
+    are identical. The href stream is a SUBSET of reference_extract's
+    links (only closed ``<a>`` pairs produce anchor text), so edge
+    derivation keeps using the cheaper links UDF."""
+    import bisect
+
     s = html.decode("utf-8", errors="replace")
-    return [(href, _clean_text(body)) for href, body in ANCHOR_RE.findall(s)]
+    # all closer positions up front (one pass) — a per-opener s.find()
+    # would rescan to EOF for every closer-less opener, which is the
+    # exact quadratic blowup this implementation exists to avoid
+    closers: list[int] = []
+    c = s.find(ANCHOR_CLOSE)
+    while c != -1:
+        closers.append(c)
+        c = s.find(ANCHOR_CLOSE, c + 1)
+    out: list[tuple[str, str]] = []
+    pos = 0
+    while True:
+        m = ANCHOR_OPEN_RE.search(s, pos)
+        if m is None:
+            break
+        j = bisect.bisect_left(closers, m.end())
+        if j == len(closers):
+            pos = m.end()
+            continue
+        end = closers[j]
+        out.append((m.group(1), _clean_text(s[m.end():end])))
+        pos = end + len(ANCHOR_CLOSE)
+    return out
 
 
 _ANCHOR_TYPE = T.ArrayType(
@@ -132,17 +161,16 @@ _ANCHOR_TYPE = T.ArrayType(
 
 @F.pandas_udf(_ANCHOR_TYPE)
 def extract_anchors_udf(html: pd.Series) -> pd.Series:
-    """Vectorized anchors — one Arrow batch, one decode; per-row regex
-    only inside the C-backed findall (no Spark-row Python)."""
-    s = _decode_series(html)
-
-    def row(x: str):
-        return [
-            {"href": href, "anchor": _clean_text(body)}
-            for href, body in ANCHOR_RE.findall(x)
+    """Arrow-batched anchors: one decode per batch, then the SAME
+    linear scan as the reference (shared code → byte-identical by
+    construction; no Spark-row Python — the per-document loop is the
+    contract's single pass, Arrow only batches the transfer)."""
+    return html.map(
+        lambda b: [
+            {"href": href, "anchor": anchor}
+            for href, anchor in reference_extract_anchors(b)
         ]
-
-    return s.map(row)
+    )
 
 
 def anchor_terms(pages: DataFrame, url_ids: DataFrame) -> DataFrame:

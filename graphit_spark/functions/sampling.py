@@ -115,12 +115,19 @@ def stratified_sample(
     per_stratum = ranked.groupBy(strata_col).agg(
         F.min("__grank").alias("__base"),
         F.count("*").alias("__n"),
-    )
+    ).withColumnRenamed(strata_col, "__stratum")
     # integer `div`, not float `/`: exact for any stratum size (float
     # division of a >2^53 numerator could round across the quota line)
     quota = F.expr(f"(__n * {int(num)} + {int(den) - 1}) div {int(den)}")
     out = (
-        ranked.join(F.broadcast(per_stratum), strata_col)
+        # null-safe join: a NULL stratum (e.g. lang unset) is a real
+        # stratum with its own quota — an equi-join would silently drop
+        # every NULL row, diverging from row_number() PARTITION BY
+        # semantics (which keep NULL as a group)
+        ranked.join(
+            F.broadcast(per_stratum),
+            F.col(strata_col).eqNullSafe(F.col("__stratum")),
+        )
         .withColumn("stratum_rank", F.col("__grank") - F.col("__base"))
         .filter(F.col("stratum_rank") < quota)
         .select(id_col, strata_col, "stratum_rank")

@@ -64,7 +64,12 @@ def link_prediction(
     rank rounding). With ``topk``, keeps the k best candidates per u by
     (cn desc, v asc) — an integer sort key, so the cut is exact.
     """
+    # persist the symmetrized graph: sym feeds the wedge self-join
+    # (both sides), the adjacency anti-join, AND the degree table —
+    # without the cache the E∪Eᵀ squish shuffle re-runs ~4×. The result
+    # is checkpointed below, so the cache is released before returning.
     und = graph.symmetrize()
+    und.ensure_persisted()
     sym = und.edges.select("src", "dst")
     deg = und.out_degrees().select(
         F.col("id").alias("w"), F.col("out_degree").alias("w_deg")
@@ -125,4 +130,6 @@ def link_prediction(
             .filter(F.col("rk") <= topk)
             .drop("rk")
         )
-    return scored
+    out = scored.localCheckpoint(eager=True)
+    und.unpersist()
+    return out

@@ -64,8 +64,13 @@ def cms_stream(
                 F.split(F.lower(F.trim(F.col("text"))), r"\s+")
             ).alias("tok")
         ).filter(F.col("tok") != "")
-        delta = K.count_min_cells(words, d=d, w=w)
-        n_toks = words.count()
+        # one tokenize pass per batch: checkpoint the ≤ d·w-row delta
+        # grid, then derive the token count from it (each token lands in
+        # exactly d cells, so Σcnt == d·tokens) instead of re-scanning
+        delta = K.count_min_cells(words, d=d, w=w).localCheckpoint(
+            eager=True
+        )
+        n_toks = (delta.agg(F.sum("cnt")).first()[0] or 0) // d
         if prev_it is not None:
             prev = store.read(spark, prev_it)
             merged = (
@@ -80,6 +85,7 @@ def cms_stream(
             (prev_it if prev_it is not None else -1) + 1,
             metrics={"batch_id": int(batch_id), "batch_tokens": int(n_toks)},
         )
+        delta.unpersist()
 
     stream = (
         spark.readStream.schema(DOC_SCHEMA)

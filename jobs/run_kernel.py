@@ -63,6 +63,8 @@ def main() -> None:
     p.add_argument("--seed", type=int, default=0, help="random walk seed")
     p.add_argument("--max-center-degree", type=int, default=None,
                    help="link_prediction hub wedge-center cap")
+    p.add_argument("--min-cn", type=int, default=1,
+                   help="link_prediction common-neighbor floor")
     args = p.parse_args()
 
     from graphit_spark import LinkGraph, SnapshotStore
@@ -215,7 +217,7 @@ def main() -> None:
     elif args.kernel == "link_prediction":
         from graphit_spark.kernels import link_prediction
 
-        out = link_prediction(g, min_cn=2, topk=args.k,
+        out = link_prediction(g, min_cn=args.min_cn, topk=args.k,
                               max_center_degree=args.max_center_degree)
     elif args.kernel == "condensation":
         from graphit_spark.kernels.scc import condensation_layers

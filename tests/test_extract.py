@@ -245,3 +245,22 @@ class TestAnchors:
             (idmap["u2"], "alpha"): 1,
             (idmap["u2"], "beta"): 2,
         }
+
+    def test_unclosed_openers_linear_and_skipped(self):
+        import time
+
+        from graphit_spark.extract import reference_extract_anchors
+
+        # 2000 closer-less openers over ~1 MB: the lazy-DOTALL regex
+        # form (and a naive per-opener str.find) rescans to EOF per
+        # opener (~2 GB of scanning); the contract's precomputed-closer
+        # pass finishes instantly and skips every one of them
+        blob = (b'<a href="u">' + b"x" * 500) * 2000
+        t0 = time.time()
+        assert reference_extract_anchors(blob) == []
+        assert time.time() - t0 < 2.0
+        # with one closer at the end, the FIRST opener claims it (the
+        # nearest-following-closer rule) and the rest stay unmatched
+        got = reference_extract_anchors(blob + b" tail</a>")
+        assert len(got) == 1 and got[0][0] == "u"
+        assert got[0][1].endswith("tail")

@@ -507,23 +507,23 @@ def test_stratified_sample_no_global_window(spark):
     """corpus_sample_stratified must rank via the range-partitioned
     pass: no unpartitioned Window (the 'No Partition Defined' single-
     task plan) may appear."""
-    q = entrymod.queries()["corpus_sample_stratified"]
-    df = q(spark, SF_DIR)
-    plan = _plan(df)
-    # localCheckpointed result: the plan is the checkpoint scan; build
-    # the internal plan again without the checkpoint for the assert
-    from graphit_spark.functions.sampling import sample_key, stratified_sample
+    # the query's returned plan is a checkpoint scan, so assert on the
+    # internal ranking plan built the same way the kernel builds it
     from pyspark.sql import functions as F
+
+    from graphit_spark.functions.sampling import sample_key
+    from graphit_spark.plans.ranking import dense_rank_ids
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     keyed = docs.select("doc_id", "lang", sample_key(F.col("doc_id")).alias("skey"))
-    from graphit_spark.plans.ranking import dense_rank_ids
-
+    release: list = []
     ranked = dense_rank_ids(
         keyed, [F.asc("lang"), F.asc("skey"), F.asc("doc_id")],
-        out_col="__grank",
+        out_col="__grank", release=release,
     )
     inner = _plan(ranked)
+    for cached in release:
+        cached.unpersist()
     assert "Window" in inner  # per-bucket window exists...
     # ...but always partitioned by the range bucket, never global
     for line in inner.splitlines():

@@ -123,3 +123,21 @@ def test_stratified_no_single_task_window(spark):
     rows = [(i, "en") for i in range(100)]  # one giant stratum
     out = stratified_sample(_mk_strata_df(spark, rows), "lang", 1, 2)
     assert out.count() == 50  # and the localCheckpoint ran the plan
+
+
+def test_stratified_null_stratum_is_sampled(spark):
+    """A NULL stratum must be sampled like any other (row_number
+    PARTITION BY semantics), not silently dropped by an equi-join."""
+    from graphit_spark.functions.sampling import stratified_sample
+
+    rows = [(i, "en" if i % 2 == 0 else None) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = stratified_sample(df, "lang", 1, 2).collect()
+    by_lang: dict = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r["doc_id"])
+    assert len(by_lang.get("en", [])) == 5
+    assert len(by_lang.get(None, [])) == 5
+    expect = _expected_strata(rows, 1, 2)
+    got = {r["doc_id"]: (r["lang"], r["stratum_rank"]) for r in out}
+    assert got == expect

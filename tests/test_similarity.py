@@ -122,25 +122,15 @@ class TestInt8Quantization:
         assert got[1] == [0, 0, 0]
         assert all(-128 <= x <= 127 for xs in got.values() for x in xs)
 
-    def test_int8_topk_high_overlap_with_float(self, spark):
-        from pyspark.sql import functions as F
-
+    def test_int8_topk_high_overlap_with_float(self, spark, emb):
         from graphit_spark.functions.similarity import (
             brute_force_topk,
             int8_topk,
         )
 
-        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
         queries = emb.filter(F.col("vec_id") < 3)
-
-        def tops(df):
-            out = {}
-            for r in df.collect():
-                out.setdefault(r["query_id"], set()).add(r["vec_id"])
-            return out
-
-        exact = tops(brute_force_topk(emb, queries, k=10))
-        quant = tops(int8_topk(emb, queries, k=10))
+        exact = _topk_sets(brute_force_topk(emb, queries, k=K))
+        quant = _topk_sets(int8_topk(emb, queries, k=K))
         assert set(exact) == set(quant)
         for qid in exact:
             inter = len(exact[qid] & quant[qid])
