@@ -428,53 +428,66 @@ h{k} AS MATERIALIZED (
     )
 
 
+def _salsa_round_ctes(
+    edges_cte: str, verts_cte: str, rounds: int, prefix: str = ""
+) -> list:
+    """The SALSA recurrence as reusable CTE text over arbitrary edge /
+    vertex CTE names (salsa_sql runs it on the full graph; the
+    who_to_follow twin on the circle-of-trust subgraph). Final state is
+    `{prefix}s{rounds}`."""
+    x = prefix
+    ctes = [
+        f"""{x}odeg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS d
+         FROM {edges_cte} GROUP BY src),
+{x}ideg AS (SELECT dst AS id, CAST(count(*) AS BIGINT) AS d
+         FROM {edges_cte} GROUP BY dst),
+{x}ew AS MATERIALIZED (
+  SELECT e.src, e.dst, 1e0 / o.d AS inv_out, 1e0 / i.d AS inv_in
+  FROM {edges_cte} e JOIN {x}odeg o ON e.src = o.id
+  JOIN {x}ideg i ON e.dst = i.id
+),
+{x}s0 AS (SELECT id, 1e0 AS hub, 1e0 AS auth FROM {verts_cte})""",
+    ]
+    for k in range(1, rounds + 1):
+        p = f"{x}s{k - 1}"
+        ctes.append(
+            f"""{x}hr{k} AS MATERIALIZED (
+  SELECT v.id, coalesce(s.x, 0e0) AS h
+  FROM {verts_cte} v LEFT JOIN (
+    SELECT e.src AS id, sum(p.auth * e.inv_in) AS x
+    FROM {x}ew e JOIN {p} p ON e.dst = p.id GROUP BY e.src
+  ) s USING (id)
+),
+{x}hn{k} AS MATERIALIZED (
+  SELECT id, h / (CASE WHEN (SELECT sum(h) FROM {x}hr{k}) = 0 THEN 1e0
+                       ELSE (SELECT sum(h) FROM {x}hr{k}) END) AS hub
+  FROM {x}hr{k}
+),
+{x}ar{k} AS MATERIALIZED (
+  SELECT v.id, coalesce(s.x, 0e0) AS a
+  FROM {verts_cte} v LEFT JOIN (
+    SELECT e.dst AS id, sum(hh.hub * e.inv_out) AS x
+    FROM {x}ew e JOIN {x}hn{k} hh ON e.src = hh.id GROUP BY e.dst
+  ) s USING (id)
+),
+{x}s{k} AS MATERIALIZED (
+  SELECT hn.id, hn.hub,
+         ar.a / (CASE WHEN (SELECT sum(a) FROM {x}ar{k}) = 0 THEN 1e0
+                      ELSE (SELECT sum(a) FROM {x}ar{k}) END) AS auth
+  FROM {x}hn{k} hn JOIN {x}ar{k} ar USING (id)
+)"""
+        )
+    return ctes
+
+
 def salsa_sql(rounds: int = SALSA_ROUNDS) -> str:
     """Iterated-CTE SALSA twin: the HITS recurrence with per-edge
     stochastic weights 1/in_deg(dst) and 1/out_deg(src) built once in
     an `ew` CTE — exactly the kernel's pre-attached eweights table.
     Float contract as hits_sql (linear recurrence, sum-order noise only,
     6-decimal rounding)."""
-    ctes = [
-        _SQL_COMMON.strip().rstrip(","),
-        """odeg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS d
-         FROM edges GROUP BY src),
-ideg AS (SELECT dst AS id, CAST(count(*) AS BIGINT) AS d
-         FROM edges GROUP BY dst),
-ew AS MATERIALIZED (
-  SELECT e.src, e.dst, 1e0 / o.d AS inv_out, 1e0 / i.d AS inv_in
-  FROM edges e JOIN odeg o ON e.src = o.id JOIN ideg i ON e.dst = i.id
-),
-s0 AS (SELECT id, 1e0 AS hub, 1e0 AS auth FROM verts)""",
-    ]
-    for k in range(1, rounds + 1):
-        p = f"s{k - 1}"
-        ctes.append(
-            f"""hr{k} AS MATERIALIZED (
-  SELECT v.id, coalesce(s.x, 0e0) AS h
-  FROM verts v LEFT JOIN (
-    SELECT e.src AS id, sum(p.auth * e.inv_in) AS x
-    FROM ew e JOIN {p} p ON e.dst = p.id GROUP BY e.src
-  ) s USING (id)
-),
-hn{k} AS MATERIALIZED (
-  SELECT id, h / (CASE WHEN (SELECT sum(h) FROM hr{k}) = 0 THEN 1e0
-                       ELSE (SELECT sum(h) FROM hr{k}) END) AS hub
-  FROM hr{k}
-),
-ar{k} AS MATERIALIZED (
-  SELECT v.id, coalesce(s.x, 0e0) AS a
-  FROM verts v LEFT JOIN (
-    SELECT e.dst AS id, sum(hh.hub * e.inv_out) AS x
-    FROM ew e JOIN hn{k} hh ON e.src = hh.id GROUP BY e.dst
-  ) s USING (id)
-),
-s{k} AS MATERIALIZED (
-  SELECT hn.id, hn.hub,
-         ar.a / (CASE WHEN (SELECT sum(a) FROM ar{k}) = 0 THEN 1e0
-                      ELSE (SELECT sum(a) FROM ar{k}) END) AS auth
-  FROM hn{k} hn JOIN ar{k} ar USING (id)
-)"""
-        )
+    ctes = [_SQL_COMMON.strip().rstrip(",")]
+    ctes += _salsa_round_ctes("edges", "verts", rounds)
     return (
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT id, round(hub, {ROUND_RANK}) AS hub,"
@@ -2211,6 +2224,100 @@ def q_ppr(spark, sf_dir):
     )
 
 
+WTF_SEED = PPR_SOURCE
+WTF_CIRCLE = 30
+WTF_K = 10
+
+
+def q_who_to_follow(spark, sf_dir):
+    """Who-to-follow recommendations — Twitter's published WTF pipeline
+    (Gupta et al., WWW'13), composed entirely from this engine's own
+    kernels: (1) personalized PageRank from the seed builds the
+    "circle of trust" (top-C by rounded score, seed excluded); (2)
+    SALSA runs on the bipartite subgraph of the circle's out-edges —
+    circle members are hubs, their targets compete for authority; (3)
+    authorities the seed already links to (and the seed) are dropped,
+    top-K by rounded authority returned.
+
+    Determinism: every ranking cut orders on ROUNDED scores (desc) with
+    id tiebreak — after rounding both engines hold bit-equal values
+    (the ppr/salsa queries' proven contract), so neither the circle nor
+    the final K can flip on 1-ulp noise. Scale shape: PPR is the
+    audited superstep; the subgraph is one semi-join; SALSA's cost is
+    proportional to the CIRCLE's out-edges, not the graph
+    (kernels/salsa.py who_to_follow)."""
+    from graphit_spark.kernels.salsa import who_to_follow
+
+    return who_to_follow(
+        graph(spark, sf_dir, "raw"),
+        WTF_SEED,
+        circle=WTF_CIRCLE,
+        k=WTF_K,
+        ppr_iters=PR_ITERS,
+        salsa_rounds=SALSA_ROUNDS,
+        round_decimals=ROUND_RANK,
+    )
+
+
+def who_to_follow_sql(
+    iters: int = PR_ITERS,
+    seed: int = WTF_SEED,
+    circle: int = WTF_CIRCLE,
+    k: int = WTF_K,
+    rounds: int = SALSA_ROUNDS,
+) -> str:
+    """PPR chain (ppr_sql's recurrence) → rounded-score circle cut →
+    subgraph SALSA (shared _salsa_round_ctes) → anti-join + top-K."""
+    seed_case = f"CASE WHEN v.id = {seed} THEN 1e0 ELSE 0e0 END"
+    ctes = [
+        _SQL_COMMON.strip().rstrip(","),
+        f"pr0 AS (SELECT id, CASE WHEN id = {seed} THEN 1e0 ELSE 0e0 END"
+        " AS rank FROM verts)",
+    ]
+    for j in range(1, iters + 1):
+        p = f"pr{j - 1}"
+        ctes.append(
+            f"""pr{j} AS MATERIALIZED (
+  SELECT v.id,
+         (1e0 - 0.85e0) * {seed_case}
+           + 0.85e0 * coalesce(s.acc, 0e0) AS rank
+  FROM verts v LEFT JOIN (
+    SELECT e.dst AS id, sum(r.rank / d.out_degree) AS acc
+    FROM edges e
+    JOIN {p} r ON e.src = r.id
+    JOIN deg d ON e.src = d.id AND d.out_degree > 0
+    GROUP BY e.dst
+  ) s USING (id)
+)"""
+        )
+    ctes.append(
+        f"""circle AS MATERIALIZED (
+  SELECT id FROM (SELECT id, round(rank, {ROUND_PPR}) AS score
+                  FROM pr{iters} WHERE id <> {seed})
+  ORDER BY score DESC, id LIMIT {circle}
+),
+subedges AS MATERIALIZED (
+  SELECT e.src, e.dst FROM edges e JOIN circle c ON e.src = c.id
+),
+nvs AS (SELECT max(greatest(src, dst)) + 1 AS n FROM subedges),
+subverts AS MATERIALIZED (
+  SELECT c_custkey AS id FROM customer
+  WHERE c_custkey < (SELECT n FROM nvs)
+)"""
+    )
+    ctes += _salsa_round_ctes("subedges", "subverts", rounds, prefix="w")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT id, round(auth, {ROUND_RANK}) AS auth
+FROM ws{rounds} s
+WHERE s.id <> {seed}
+  AND NOT EXISTS (SELECT 1 FROM edges e
+                  WHERE e.src = {seed} AND e.dst = s.id)
+ORDER BY round(auth, {ROUND_RANK}) DESC, id LIMIT {k}"""
+    )
+
+
 def local_cluster_sql(iters: int = PPR_ITERS, source: int = PPR_SOURCE) -> str:
     """Twin of q_local_cluster — the canonical local-clustering
     composition: personalized PageRank from the seed over the
@@ -3556,5 +3663,6 @@ GRAPH_QUERIES: dict[str, tuple] = {
     "louvain_modularity": (q_louvain_modularity, louvain_modularity_sql()),
     "sweep_cut": (q_sweep_cut, sweep_cut_sql()),
     "personalized_pagerank": (q_ppr, ppr_sql()),
+    "who_to_follow": (q_who_to_follow, who_to_follow_sql()),
     "local_cluster": (q_local_cluster, local_cluster_sql()),
 }

@@ -117,3 +117,53 @@ def salsa(graph: LinkGraph, *, rounds: int = 6) -> DataFrame:
     if own_cache:
         graph.unpersist()
     return state
+
+
+def who_to_follow(
+    graph: LinkGraph,
+    seed: int,
+    *,
+    circle: int = 30,
+    k: int = 10,
+    ppr_iters: int = 10,
+    salsa_rounds: int = 6,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Twitter's Who-To-Follow pipeline (Gupta et al., WWW'13), composed
+    from this engine's kernels: personalized PageRank from `seed`
+    builds the circle of trust (top-`circle` by rounded score, seed
+    excluded), SALSA runs on the bipartite subgraph of the circle's
+    out-edges (circle = hubs, their targets compete for authority), and
+    the top-`k` authorities the seed doesn't already link to come back
+    as (id, auth).
+
+    Every ranking cut orders on ROUNDED scores with id tiebreak — the
+    cross-engine determinism contract — and SALSA's cost is
+    proportional to the circle's out-edges, not the graph."""
+    from graphit_spark.kernels import personalized_pagerank
+
+    ppr = personalized_pagerank(graph, seed, max_iters=ppr_iters).select(
+        "id", F.round("rank", round_decimals).alias("score")
+    )
+    trust = (
+        ppr.filter(F.col("id") != seed)
+        .orderBy(F.desc("score"), F.asc("id"))
+        .limit(circle)
+        .select("id")
+    )
+    sub = graph.edges.join(
+        trust.withColumnRenamed("id", "src"), "src", "left_semi"
+    )
+    scores = salsa(
+        LinkGraph(sub, squished=True, persist=False), rounds=salsa_rounds
+    )
+    followed = graph.edges.filter(F.col("src") == seed).select(
+        F.col("dst").alias("id")
+    )
+    return (
+        scores.join(followed, "id", "left_anti")
+        .filter(F.col("id") != seed)
+        .select("id", F.round("auth", round_decimals).alias("auth"))
+        .orderBy(F.desc("auth"), F.asc("id"))
+        .limit(k)
+    )

@@ -1567,3 +1567,31 @@ class TestDirectedMotifs:
         g = LinkGraph.from_pairs(spark, edges, persist=False)
         row = directed_motifs(g).collect()[0]
         assert (row["feed_forward"], row["cycles"]) == self._oracle(edges)
+
+
+class TestWhoToFollow:
+    def test_recommends_friend_of_friends(self, spark):
+        from graphit_spark.kernels.salsa import who_to_follow
+
+        # seed 0 follows 1 and 2; both follow 9 (unknown to 0); 1 also
+        # follows 3, which follows 4. 9 is endorsed by BOTH trusted
+        # hubs, so it must be the top recommendation; 1 and 2 are
+        # already followed and must not appear.
+        edges = [(0, 1), (0, 2), (1, 9), (1, 3), (2, 9), (3, 4)]
+        g = LinkGraph.from_pairs(spark, edges, persist=False)
+        recs = who_to_follow(g, 0, circle=3, k=3, ppr_iters=8,
+                             salsa_rounds=8).collect()
+        ids = [r["id"] for r in recs]
+        assert ids[0] == 9
+        assert 1 not in ids and 2 not in ids and 0 not in ids
+
+    def test_seed_with_no_outlinks(self, spark):
+        from graphit_spark.kernels.salsa import who_to_follow
+
+        # seed 5 has no out-edges: PPR mass stays on the seed, the
+        # circle is score-0 vertices (still a valid cut), and nothing
+        # already-followed exists to exclude — must not error
+        edges = [(0, 1), (1, 2)]
+        g = LinkGraph.from_pairs(spark, edges + [(2, 5)], persist=False)
+        recs = who_to_follow(g, 5, circle=2, k=2).collect()
+        assert all(r["id"] != 5 for r in recs)
