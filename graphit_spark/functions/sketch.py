@@ -89,9 +89,15 @@ def hll_estimate(df: DataFrame, col: Column, p: int = HLL_P) -> DataFrame:
     """Single-row (n_buckets, zero_buckets, sum_scaled, est_distinct):
     the HLL cardinality estimate plus its exact integer internals
     (auditable, and hash-comparable against the SQL twin)."""
+    return hll_estimate_from_registers(hll_registers(df, col, p), p=p)
+
+
+def hll_estimate_from_registers(regs: DataFrame, p: int = HLL_P) -> DataFrame:
+    """The estimator over an existing (bucket, reg) register table —
+    lets merged sketches (streaming max-merge, cross-corpus union)
+    report cardinality without rebuilding from raw rows."""
     m = 1 << p
     w_width = HASH_BITS - p
-    regs = hll_registers(df, col, p)
     term = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({w_width + 1} - reg AS INT))")
     agg = regs.agg(
         F.count("*").alias("n_buckets"),

@@ -3,7 +3,7 @@ from graphit_spark.streaming.incremental import (
     incremental_pagerank_stream,
 )
 from graphit_spark.streaming.dedup import dedup_stream
-from graphit_spark.streaming.sketches import cms_stream
+from graphit_spark.streaming.sketches import cms_stream, hll_stream
 from graphit_spark.streaming.ingest import (
     stream_pages_to_edges,
     windowed_event_counts,
@@ -13,6 +13,7 @@ from graphit_spark.streaming.windows import read_events_stream, sessionize
 __all__ = [
     "dedup_stream",
     "cms_stream",
+    "hll_stream",
     "stream_pages_to_edges",
     "windowed_event_counts",
     "read_events_stream",

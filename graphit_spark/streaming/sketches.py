@@ -100,3 +100,66 @@ def cms_stream(
         )
         .start()
     ), store
+
+
+def hll_stream(
+    spark: SparkSession,
+    docs_dir: str,
+    work_dir: str,
+    *,
+    p: int | None = None,
+    max_files_per_trigger: int = 4,
+):
+    """Streaming HyperLogLog: the distinct-document estimate kept
+    current over a document stream. Register merge is elementwise MAX —
+    idempotent, so unlike the Count-Min sum the batch_id guard is a
+    cost optimization here, not a correctness requirement (a replayed
+    batch max-merges to the same registers). Each snapshot stores the
+    full 2^p register vector plus the current estimate in the manifest.
+    Drive synchronously in tests with q.processAllAvailable()."""
+    from graphit_spark.functions import sketch as K
+
+    p = K.HLL_P if p is None else p
+    store = SnapshotStore(os.path.join(work_dir, "snapshots"), "hll")
+
+    def process(batch_df, batch_id: int):
+        prev_it = store.latest()
+        if prev_it is not None and store.manifest(prev_it).get(
+            "metrics", {}
+        ).get("batch_id") == int(batch_id):
+            return
+        delta = K.hll_registers(batch_df, F.col("text"), p=p)
+        if prev_it is not None:
+            prev = store.read(spark, prev_it)
+            merged = (
+                prev.unionByName(delta)
+                .groupBy("bucket")
+                .agg(F.max("reg").alias("reg"))
+            )
+        else:
+            merged = delta
+        merged = merged.localCheckpoint(eager=True)
+        est = K.hll_estimate_from_registers(merged, p=p).first()
+        store.write(
+            merged,
+            (prev_it if prev_it is not None else -1) + 1,
+            metrics={
+                "batch_id": int(batch_id),
+                "est_distinct": float(est["est_distinct"]),
+            },
+        )
+        merged.unpersist()
+
+    stream = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(docs_dir)
+    )
+    return (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(process)
+        .option(
+            "checkpointLocation", os.path.join(work_dir, "stream_checkpoint")
+        )
+        .start()
+    ), store

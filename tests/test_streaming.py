@@ -600,3 +600,47 @@ class TestCmsStream:
             q2.stop()
         assert self._grid(store2.read(spark, n0)) == base
         assert store2.latest() > n0
+
+
+class TestHllStream:
+    def _write_docs(self, spark, rows, docs_dir, mode):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode(mode).parquet(docs_dir)
+
+    def test_snapshot_equals_batch_union(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from graphit_spark.functions import sketch as K
+        from graphit_spark.streaming import hll_stream
+
+        docs_dir = str(tmp_path / "docs_in")
+        work = str(tmp_path / "work")
+        wave1 = [(i, f"doc-{i}") for i in range(300)]
+        wave2 = [(i, f"doc-{i}") for i in range(200, 500)]  # overlap
+        self._write_docs(spark, wave1, docs_dir, "overwrite")
+        q, store = hll_stream(spark, docs_dir, work)
+        try:
+            q.processAllAvailable()
+            self._write_docs(spark, wave2, docs_dir, "append")
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        assert store.latest() == 1
+
+        both = spark.createDataFrame(
+            wave1 + wave2, "doc_id long, text string"
+        )
+        want = {
+            r["bucket"]: r["reg"]
+            for r in K.hll_registers(both, F.col("text")).collect()
+        }
+        got = {
+            r["bucket"]: r["reg"] for r in store.read(spark, 1).collect()
+        }
+        assert got == want
+        # the manifest carries the running estimate; distinct texts =
+        # 500, HLL rse ~6.5% at m=256 — the deterministic draw must
+        # land well inside 4 sigma
+        est = store.manifest(1)["metrics"]["est_distinct"]
+        assert abs(est - 500) / 500 < 0.26
