@@ -55,6 +55,7 @@ def link_prediction(
     min_cn: int = 1,
     topk: int | None = None,
     max_center_degree: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Score non-adjacent vertex pairs by shared neighborhood.
 
@@ -63,13 +64,18 @@ def link_prediction(
     nondeterminism — rounding absorbs it, same contract as pagerank's
     rank rounding). With ``topk``, keeps the k best candidates per u by
     (cn desc, v asc) — an integer sort key, so the cut is exact.
+
+    ``materialize=False`` skips the cache + eager checkpoint and
+    returns the lazy plan — for plan inspection only (the symmetrize
+    shuffle then re-runs per downstream action).
     """
     # persist the symmetrized graph: sym feeds the wedge self-join
     # (both sides), the adjacency anti-join, AND the degree table —
     # without the cache the E∪Eᵀ squish shuffle re-runs ~4×. The result
     # is checkpointed below, so the cache is released before returning.
     und = graph.symmetrize()
-    und.ensure_persisted()
+    if materialize:
+        und.ensure_persisted()
     sym = und.edges.select("src", "dst")
     deg = und.out_degrees().select(
         F.col("id").alias("w"), F.col("out_degree").alias("w_deg")
@@ -130,6 +136,8 @@ def link_prediction(
             .filter(F.col("rk") <= topk)
             .drop("rk")
         )
+    if not materialize:
+        return scored
     out = scored.localCheckpoint(eager=True)
     und.unpersist()
     return out

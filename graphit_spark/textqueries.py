@@ -245,6 +245,19 @@ def q_cosine_topk(spark, sf_dir):
     return S.brute_force_topk(emb, queries, k=TOPK_K)
 
 
+def q_pq_topk(spark, sf_dir):
+    """Product-quantization ADC top-k: full-precision queries against
+    the PQ-reconstructed corpus (4 subspaces × 8 codewords, spherical
+    k-means codebooks — 32× smaller stored corpus at scale). Every step
+    reuses the bit-deterministic IVF arithmetic, so the twin trains the
+    same codebooks."""
+    emb = load(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    assert dim == EMB_DIM, f"oracle twin assumes dim={EMB_DIM}, got {dim}"
+    queries = emb.filter(F.col("vec_id") < TOPK_QUERIES)
+    return S.pq_topk(emb, queries, k=TOPK_K)
+
+
 def q_int8_topk(spark, sf_dir):
     """Cosine top-k over int8-quantized embeddings (4× smaller corpus
     footprint; same all-pairs baseline shape as sim_cosine_topk).
@@ -1324,6 +1337,96 @@ ORDER BY query_id, vec_id"""
     )
 
 
+def _pq_topk_sql(
+    m_sub: int | None = None,
+    k_codes: int | None = None,
+    iters: int | None = None,
+    dim: int = EMB_DIM,
+) -> str:
+    """Twin of q_pq_topk: per subspace, the _ivf_kmeans_sql Lloyd round
+    over the sliced subvectors, nearest-codeword assignment, then
+    reconstruction by list concat and the SQL_COSINE_TOPK scoring of
+    float queries against the reconstructions."""
+    m_sub = S.PQ_M_SUB if m_sub is None else m_sub
+    k_codes = S.PQ_K_CODES if k_codes is None else k_codes
+    iters = S.PQ_TRAIN_ITERS if iters is None else iters
+    d = dim // m_sub
+    ctes = [
+        "v AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS ev"
+        " FROM embeddings)",
+    ]
+    for s in range(m_sub):
+        lo, hi = s * d + 1, (s + 1) * d
+        means = ", ".join(f"round(avg(sv[{j + 1}]), 9)" for j in range(d))
+        ctes.append(
+            f"""sv{s} AS MATERIALIZED (
+  SELECT vec_id, ev[{lo}:{hi}] AS sv FROM v
+),
+b{s}_0 AS (SELECT vec_id AS cell, sv AS centv FROM sv{s}
+           WHERE vec_id < {k_codes})"""
+        )
+        for r in range(1, iters + 1):
+            p = f"b{s}_{r - 1}"
+            ctes.append(
+                f"""a{s}_{r} AS MATERIALIZED (
+  SELECT cell, sv FROM (
+    SELECT t.vec_id, t.sv, c.cell,
+           row_number() OVER (PARTITION BY t.vec_id
+                              ORDER BY {_SQL_COS.format(a='t.sv', b='c.centv')} DESC,
+                                       c.cell ASC) AS rn
+    FROM sv{s} t CROSS JOIN {p} c
+  ) WHERE rn = 1
+),
+b{s}_{r} AS MATERIALIZED (
+  SELECT p.cell, CASE WHEN s.mv IS NULL THEN p.centv ELSE s.mv END AS centv
+  FROM {p} p LEFT JOIN (
+    SELECT cell, [{means}]::DOUBLE[] AS mv FROM a{s}_{r} GROUP BY cell
+  ) s USING (cell)
+)"""
+            )
+        ctes.append(
+            f"""asg{s} AS MATERIALIZED (
+  SELECT vec_id, centv FROM (
+    SELECT t.vec_id, c.centv,
+           row_number() OVER (PARTITION BY t.vec_id
+                              ORDER BY {_SQL_COS.format(a='t.sv', b='c.centv')} DESC,
+                                       c.cell ASC) AS rn
+    FROM sv{s} t CROSS JOIN b{s}_{iters} c
+  ) WHERE rn = 1
+)"""
+        )
+    concat = " || ".join(f"asg{s}.centv" for s in range(m_sub))
+    joins = " ".join(
+        f"JOIN asg{s} ON asg0.vec_id = asg{s}.vec_id"
+        for s in range(1, m_sub)
+    )
+    ctes.append(
+        f"""recon AS MATERIALIZED (
+  SELECT asg0.vec_id, {concat} AS rv
+  FROM asg0 {joins}
+)"""
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f""",
+q AS (SELECT vec_id AS query_id, ev AS qv FROM v
+      WHERE vec_id < {TOPK_QUERIES}),
+scored AS (
+  SELECT q.query_id, r.vec_id,
+         {_SQL_COS.format(a='q.qv', b='r.rv')} AS score
+  FROM q CROSS JOIN recon r WHERE q.query_id <> r.vec_id
+),
+ranked AS (
+  SELECT query_id, vec_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, vec_id ASC) AS rn
+  FROM scored
+)
+SELECT query_id, vec_id, score FROM ranked WHERE rn <= {TOPK_K}
+ORDER BY query_id, vec_id"""
+    )
+
+
 def _corpus_sel_parts() -> tuple[str, str]:
     """(CTE text, gated SELECT body) for the curation gates — shared by
     _corpus_select_sql and _corpus_select_dedup_sql."""
@@ -1908,6 +2011,7 @@ TEXT_QUERIES: dict[str, tuple] = {
     # -- documented all-pairs / brute-force baselines: keep LAST --------
     "sim_cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "sim_int8_topk": (q_int8_topk, SQL_INT8_TOPK),
+    "sim_pq_topk": (q_pq_topk, _pq_topk_sql()),
     "dedup_ngram_jaccard": (q_ngram_jaccard, _jaccard_sql()),
     "dedup_embedding": (q_embedding_dups, SQL_EMBEDDING_DUPS),
 }

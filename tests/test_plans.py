@@ -30,6 +30,7 @@ ALL_PAIRS_BASELINES = {
     "sim_int8_topk",  # quantized variant of the same baseline scan
     "sim_ivf_topk",  # corpus x tiny-centroid assignment scan
     "sim_ivf_kmeans_topk",  # same broadcast corpus x n_cells scan
+    "sim_pq_topk",  # codebook training/ADC over the same baseline scan
 }
 
 TEXT_QUERY_NAMES = [
@@ -474,9 +475,16 @@ def test_link_prediction_plan_shape(spark):
     """The wedge enumeration must be an equi-join on the center (never
     a nested loop over pairs), the pair aggregation must keep its
     map-side partial, and the adjacency anti-join must stay a hash
-    join."""
-    q = entrymod.queries()["link_prediction"]
-    plan = _plan(q(spark, SF_DIR))
+    join. The driver query eagerly checkpoints (truncating the lineage
+    explain can see), so this inspects the kernel's lazy plan with the
+    same parameters via materialize=False."""
+    from graphit_spark.benchqueries import LINKPRED_MIN_CN, LINKPRED_TOPK, graph
+    from graphit_spark.kernels import link_prediction
+
+    g = graph(spark, SF_DIR, "blocked")
+    plan = _plan(link_prediction(
+        g, min_cn=LINKPRED_MIN_CN, topk=LINKPRED_TOPK, materialize=False,
+    ))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
     assert "partial_count" in plan or "partial_sum" in plan
