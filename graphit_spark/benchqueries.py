@@ -917,6 +917,37 @@ def eigenvector_sql(rounds: int = EC_ROUNDS) -> str:
     )
 
 
+KATZ_ALPHA = 0.1
+KATZ_BETA = 1.0
+KATZ_ROUNDS = EC_ROUNDS
+
+
+def katz_sql(rounds: int = KATZ_ROUNDS, alpha: float = KATZ_ALPHA,
+             beta: float = KATZ_BETA) -> str:
+    """Twin of kernels/centrality.py::katz_centrality: fixed-round
+    attenuated gather — katz'[dst] = alpha * SUM katz[src] + beta,
+    init katz = beta. Same recurrence shape as eigenvector_sql."""
+    ctes = [_SQL_COMMON.strip().rstrip(","),
+            f"k0 AS (SELECT id, {beta}e0 AS katz FROM verts)"]
+    for k in range(1, rounds + 1):
+        p = f"k{k - 1}"
+        ctes.append(
+            f"""k{k} AS MATERIALIZED (
+  SELECT v.id, {alpha}e0 * coalesce(s.acc, 0e0) + {beta}e0 AS katz
+  FROM verts v LEFT JOIN (
+    SELECT e.dst AS id, sum(r.katz) AS acc
+    FROM edges e JOIN {p} r ON e.src = r.id
+    GROUP BY e.dst
+  ) s USING (id)
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id, round(katz, {ROUND_RANK}) AS katz"
+        f" FROM k{rounds} ORDER BY id"
+    )
+
+
 def fused_pr_ec_sql(rounds: int = EC_ROUNDS, damp: float = 0.85) -> str:
     """Twin of kernels/fused.py::fused_pr_eigenvector (reference
     eigenvector_pr_fusion.gt): both recurrences advanced from the same
@@ -1745,6 +1776,15 @@ def q_eigenvector(spark, sf_dir):
     return eigenvector_centrality(g, rounds=EC_ROUNDS).select(
         "id", F.round("ec", ROUND_RANK).alias("ec")
     )
+
+
+def q_katz(spark, sf_dir):
+    from graphit_spark.kernels import katz_centrality
+
+    g = graph(spark, sf_dir, "raw")
+    return katz_centrality(
+        g, alpha=KATZ_ALPHA, beta=KATZ_BETA, rounds=KATZ_ROUNDS
+    ).select("id", F.round("katz", ROUND_RANK).alias("katz"))
 
 
 def q_fused_pr_eigenvector(spark, sf_dir):
@@ -3636,6 +3676,7 @@ GRAPH_QUERIES: dict[str, tuple] = {
     "betweenness_pivots": (q_betweenness_pivots, betweenness_pivots_sql()),
     "collab_filtering": (q_cf, cf_sql()),
     "eigenvector": (q_eigenvector, eigenvector_sql()),
+    "katz_centrality": (q_katz, katz_sql()),
     "fused_pr_eigenvector": (q_fused_pr_eigenvector, fused_pr_ec_sql()),
     "host_graph_rollup": (q_host_rollup, HOST_ROLLUP_SQL),
     "host_pagerank": (q_host_pagerank, host_pagerank_sql()),

@@ -83,6 +83,62 @@ def _shingles(df: DataFrame, text_col: str) -> DataFrame:
     )
 
 
+def boilerplate_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    min_docs: int,
+) -> DataFrame:
+    """Corpus-frequency boilerplate detection (the CCNet/RefinedWeb-style
+    shared-fragment filter, at shingle granularity): a shingle is
+    *boilerplate* when it appears in >= `min_docs` distinct documents
+    (nav bars, footers, licence blurbs — the fragments that repeat
+    across a crawl but whose full documents are NOT duplicates).
+    Returns per document
+        (doc_id, n_shingles, n_boiler, boiler_frac)
+    where n_shingles counts the doc's DISTINCT shingles, n_boiler the
+    subset that are corpus-boilerplate, boiler_frac their ratio
+    (rounded, the engine's cross-engine float contract) — the score a
+    curation gate thresholds on.
+
+    100 TB plan: one shingle explode (never re-shuffled raw — the
+    distinct and both counts group on hashed short keys with map-side
+    partial aggregation), a frequency filter, and one semi-side
+    equi-join of the doc-shingle table against the (small, filtered)
+    boilerplate set. No all-pairs anything: cost is O(total shingles),
+    linear in corpus bytes, unlike pairwise near-dup which this
+    complements.
+    """
+    sh = _shingles(df, text_col).localCheckpoint(eager=True)
+    boiler = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("shingle")
+    )
+    per_doc = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    boiler_per_doc = (
+        sh.join(boiler, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_boiler"))
+    )
+    return (
+        df.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .join(boiler_per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+            F.coalesce("n_boiler", F.lit(0)).alias("n_boiler"),
+            F.round(
+                F.coalesce("n_boiler", F.lit(0))
+                / F.greatest(F.coalesce("n_shingles", F.lit(0)), F.lit(1)),
+                6,
+            ).alias("boiler_frac"),
+        )
+    )
+
+
 def minhash_signatures(
     df: DataFrame, text_col: str = "text", k: int = 4
 ) -> DataFrame:

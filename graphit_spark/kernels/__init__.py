@@ -23,6 +23,7 @@ from graphit_spark.kernels.centrality import (
     closeness_centrality,
     closeness_score,
     eigenvector_centrality,
+    katz_centrality,
 )
 from graphit_spark.kernels.delta_stepping import sssp_delta_stepping
 from graphit_spark.kernels.fused import fused_pr_eigenvector
@@ -86,6 +87,7 @@ __all__ = [
     "closeness_centrality",
     "closeness_score",
     "eigenvector_centrality",
+    "katz_centrality",
     "fused_pr_eigenvector",
     "greedy_coloring",
     "effective_diameter",

@@ -61,6 +61,61 @@ def eigenvector_centrality(
     return state
 
 
+def katz_centrality(
+    graph: LinkGraph,
+    *,
+    alpha: float = 0.1,
+    beta: float = 1.0,
+    rounds: int = 6,
+) -> DataFrame:
+    """Katz centrality by fixed-round iteration:
+        katz'[dst] = alpha * Σ katz[src] over all edges  +  beta.
+
+    Same updateEdge/updateVertex shape as the reference's eigenvector
+    kernel (test/input/eigenvector_centrality.gt) with a damping factor
+    and an additive base — the attenuated-paths generalisation of
+    in-degree that web-spam literature uses where raw eigenvector
+    collapses on dangling-heavy crawl graphs. Init katz = beta.
+
+    Spark plan: identical one-shuffle-pair gather per round as
+    `eigenvector_centrality`/pagerank — edges ⋈ state on src (state is
+    the V-sized side), map-side-combined groupBy(dst).sum, V-sized
+    left join back, localCheckpoint truncation, superseded caches
+    released. alpha < 1/λ_max keeps the series bounded; with a fixed
+    round count the output is a finite polynomial in A, so the DuckDB
+    twin reproduces it exactly up to the rounding contract.
+    """
+    own_cache = graph.ensure_persisted()
+    state = graph.vertices().withColumn("katz", F.lit(float(beta)))
+    state = state.localCheckpoint(eager=True)
+    prev = state
+    for _ in range(rounds):
+        sums = (
+            graph.edges.join(
+                state.select(F.col("id").alias("src"), "katz"), "src"
+            )
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("katz").alias("s"))
+        )
+        state = (
+            graph.vertices()
+            .join(sums, "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit(float(alpha)) * F.coalesce("s", F.lit(0.0))
+                    + F.lit(float(beta))
+                ).alias("katz"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        prev.unpersist()
+        prev = state
+    if own_cache:
+        graph.unpersist()
+    return state
+
+
 def closeness_centrality(
     graph: LinkGraph,
     source: int = 0,

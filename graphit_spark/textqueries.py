@@ -204,6 +204,21 @@ def q_pii(spark, sf_dir):
     return T.pii_stats(salted)
 
 
+BOILER_MIN_FRAC_DEN = 4  # boilerplate = shingle present in >= N/4 docs
+
+
+def q_doc_boilerplate(spark, sf_dir):
+    """Corpus-frequency boilerplate stats per document: a shingle that
+    appears in >= max(2, N/4) distinct docs is boilerplate (shared
+    template fragments, not whole-doc dups). One explode + two grouped
+    counts + one filtered equi-join — linear in corpus bytes."""
+    docs = load(spark, sf_dir, "documents")
+    n = docs.count()
+    min_docs = max(2, n // BOILER_MIN_FRAC_DEN)
+    return D.boilerplate_stats(docs, min_docs=min_docs)
+
+
+
 def q_exact_dedup(spark, sf_dir):
     return D.exact_duplicates(load(spark, sf_dir, "documents"))
 
@@ -1965,6 +1980,43 @@ ORDER BY pct
 """
 
 
+def _boilerplate_sql() -> str:
+    """Twin of q_doc_boilerplate: same shingling as _SQL_SHINGLES' sh
+    CTE, corpus-frequency threshold greatest(2, N//4), per-doc distinct
+    shingle counts and the rounded boilerplate ratio."""
+    return f"""WITH sh AS MATERIALIZED (
+  SELECT DISTINCT d.doc_id,
+         substr(lower(trim(d.text)),
+                CAST(g.k * {D.SHINGLE_STRIDE} + 1 AS INT),
+                {D.SHINGLE_LEN}) AS shingle
+  FROM documents d,
+       LATERAL (
+         SELECT unnest(range(0,
+           greatest(CAST((length(lower(trim(d.text))) - {D.SHINGLE_LEN}) AS BIGINT)
+                      // {D.SHINGLE_STRIDE} + 1, 1))) AS k
+       ) g
+),
+nd AS (SELECT greatest(2, count(*) // {BOILER_MIN_FRAC_DEN}) AS m
+       FROM documents),
+boiler AS MATERIALIZED (
+  SELECT shingle FROM sh GROUP BY shingle
+  HAVING count(*) >= (SELECT m FROM nd)
+),
+per_doc AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
+bp AS (SELECT doc_id, count(*) AS n_boiler
+       FROM sh JOIN boiler USING (shingle) GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(p.n_shingles, 0) AS n_shingles,
+       coalesce(b.n_boiler, 0) AS n_boiler,
+       round(coalesce(b.n_boiler, 0) * 1e0
+             / greatest(coalesce(p.n_shingles, 0), 1), 6) AS boiler_frac
+FROM documents d
+LEFT JOIN per_doc p USING (doc_id)
+LEFT JOIN bp b USING (doc_id)
+ORDER BY d.doc_id"""
+
+
+
 TEXT_QUERIES: dict[str, tuple] = {
     "doc_token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
     "doc_quality": (q_quality, SQL_QUALITY),
@@ -1992,6 +2044,7 @@ TEXT_QUERIES: dict[str, tuple] = {
     "dedup_lsh_pairs": (q_lsh_pairs, _lsh_pairs_sql()),
     "dedup_jaccard_lsh": (q_jaccard_lsh, _jaccard_lsh_sql()),
     "dedup_simhash": (q_simhash, _simhash_sql()),
+    "doc_boilerplate": (q_doc_boilerplate, _boilerplate_sql()),
     "corpus_select": (q_corpus_select, _corpus_select_sql()),
     "corpus_select_dedup": (q_corpus_select_dedup, _corpus_select_dedup_sql()),
     "corpus_select_cluster": (q_corpus_select_cluster, _corpus_select_cluster_sql()),

@@ -203,6 +203,21 @@ def eigenvector_oracle(edges, rounds=9):
     return ec
 
 
+def katz_oracle(edges, alpha=0.1, beta=1.0, rounds=6):
+    """Fixed-round Katz recurrence matching
+    kernels/centrality.py::katz_centrality (init beta,
+    katz'[dst] = alpha * Σ katz[src] + beta)."""
+    es = squish(edges)
+    n = num_vertices(edges)
+    katz = np.full(n, float(beta))
+    for _ in range(rounds):
+        new = np.zeros(n)
+        for s, d in es:
+            new[d] += katz[s]
+        katz = alpha * new + beta
+    return katz
+
+
 def closeness_oracle(weighted_edges, source=0):
     """SSSP distances with unreached -> 0
     (apps/closeness_centrality_weighted.gt final_vertex_f)."""

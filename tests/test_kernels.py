@@ -387,6 +387,21 @@ class TestCentrality:
         for v in range(len(exp)):
             assert abs(got[v] - exp[v]) < 1e-9, f"vertex {v}"
 
+    def test_katz_matches_recurrence(self, spark, seed=7):
+        from graphit_spark.kernels import katz_centrality
+        from tests.oracles import katz_oracle
+
+        edges = _rand_graph(40, 160, seed)
+        g = LinkGraph.from_pairs(spark, edges, persist=False)
+        got = {
+            r["id"]: r["katz"]
+            for r in katz_centrality(g, alpha=0.1, beta=1.0, rounds=6).collect()
+        }
+        exp = katz_oracle(edges, alpha=0.1, beta=1.0, rounds=6)
+        assert len(got) == len(exp)
+        for v in range(len(exp)):
+            assert abs(got[v] - exp[v]) < 1e-9, f"vertex {v}"
+
     def test_closeness_weighted(self, spark):
         from graphit_spark.kernels import closeness_centrality, closeness_score
         from tests.oracles import closeness_oracle

@@ -102,3 +102,40 @@ def test_pii_stats_counts_and_redaction(spark):
     assert clean.redacted_md5 == hashlib.md5(
         b"nothing sensitive here"
     ).hexdigest()
+
+
+def test_boilerplate_stats_flags_shared_fragment(spark):
+    """Docs sharing one long template fragment get n_boiler > 0; the
+    unique-text doc stays clean, and the per-doc shingle counts match a
+    brute-force recount of the same shingling."""
+    from graphit_spark.functions.dedup import (
+        SHINGLE_LEN,
+        SHINGLE_STRIDE,
+        boilerplate_stats,
+    )
+
+    shared = "subscribe to our newsletter for updates every week"
+    rows = [
+        (0, shared + " alpha bravo charlie delta echo foxtrot golf"),
+        (1, shared + " hotel india juliet kilo lima mike november"),
+        (2, shared + " oscar papa quebec romeo sierra tango uniform"),
+        (3, "completely different text with no template at all xyzzy"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in boilerplate_stats(df, min_docs=3).collect()
+    }
+    assert out[3]["n_boiler"] == 0
+    for d in (0, 1, 2):
+        assert out[d]["n_boiler"] > 0
+        assert 0.0 < out[d]["boiler_frac"] <= 1.0
+
+    def brute_shingles(text):
+        t = text.strip().lower()
+        n = max((len(t) - SHINGLE_LEN) // SHINGLE_STRIDE + 1, 1)
+        return {t[k * SHINGLE_STRIDE:k * SHINGLE_STRIDE + SHINGLE_LEN]
+                for k in range(n)}
+
+    for d, text in rows:
+        assert out[d]["n_shingles"] == len(brute_shingles(text)), d
