@@ -346,3 +346,95 @@ def fingerprint(text: Column, bits_hex: int = 15) -> Column:
 
 def fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.select("doc_id", fingerprint(F.col(text_col)).alias("fp"))
+
+
+BM25_K1 = 1.5
+BM25_B = 0.75
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    *,
+    text_col: str = "text",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    topk: int = 20,
+) -> DataFrame:
+    """BM25 ranked retrieval for one query over the corpus — the scoring
+    a search/eval harness runs on top of `inverted_index`. Returns the
+    `topk` documents as (doc_id, score, n_hits) ordered by
+    (score desc, doc_id asc).
+
+    Determinism contract (cross-engine value-hash): idf uses the
+    LOG-FREE rational form (N+1)/(df+1) — same choice and rationale as
+    `tfidf_top_terms` (libm ln() differs in the last ulp between
+    engines); the per-document sum over query terms is computed as a
+    FIXED-ORDER addition of per-term conditional aggregates, not a
+    float groupBy sum, so no shuffle-order ulp drift exists to absorb.
+
+    Scale shape: term explode filtered to the query's terms BEFORE any
+    shuffle (the scan's pushed predicate makes the exploded stream
+    query-sized, not corpus-sized), doc-length and df aggregations are
+    map-side combined, and the final top-k is one small sort — at 10^12
+    docs every intermediate is O(matching docs), never O(corpus).
+    """
+    n_docs = df.count()
+    qset = sorted(set(query_terms))
+    terms = df.select(
+        "doc_id",
+        F.explode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("term"),
+    )
+    dl = terms.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    avgdl_row = dl.agg(
+        (F.sum("dl") / F.lit(float(n_docs))).alias("avgdl")
+    ).collect()[0]
+    avgdl = float(avgdl_row["avgdl"])
+    tf = (
+        terms.filter(F.col("term").isin(qset))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    per_term = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .withColumn(
+            "s",
+            (F.lit(float(n_docs + 1)) / (F.col("df") + F.lit(1.0)))
+            * (F.col("tf") * F.lit(k1 + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (
+                    F.lit(1.0 - b)
+                    + F.lit(b) * F.col("dl") / F.lit(avgdl)
+                )
+            ),
+        )
+    )
+    # fixed-order sum: one conditional aggregate per query term, added
+    # left-to-right in sorted-term order
+    aggs = [
+        F.sum(F.when(F.col("term") == t, F.col("s"))).alias(f"s_{i}")
+        for i, t in enumerate(qset)
+    ]
+    hits = per_term.groupBy("doc_id").agg(
+        F.count("*").alias("n_hits"), *aggs
+    )
+    total = F.coalesce(F.col("s_0"), F.lit(0.0))
+    for i in range(1, len(qset)):
+        total = total + F.coalesce(F.col(f"s_{i}"), F.lit(0.0))
+    # global top-k via sort+limit — Spark plans TakeOrderedAndProject
+    # (per-partition partial top-k, no single-task Window)
+    return (
+        hits.select(
+            "doc_id",
+            F.round(total, 6).alias("score"),
+            "n_hits",
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(topk)
+    )

@@ -34,6 +34,7 @@ from graphit_spark.kernels.hyperball import (
 )
 from graphit_spark.kernels.hits import hits
 from graphit_spark.kernels.linkpred import link_prediction
+from graphit_spark.kernels.redirects import resolve_redirects
 from graphit_spark.kernels.salsa import salsa
 from graphit_spark.kernels.astar import astar, ppsp
 from graphit_spark.kernels.bowtie import bowtie_classes
@@ -88,6 +89,7 @@ __all__ = [
     "closeness_score",
     "eigenvector_centrality",
     "katz_centrality",
+    "resolve_redirects",
     "fused_pr_eigenvector",
     "greedy_coloring",
     "effective_diameter",

@@ -219,6 +219,109 @@ def q_doc_boilerplate(spark, sf_dir):
 
 
 
+def q_resolve_redirects(spark, sf_dir):
+    """Redirect-chain resolution over a deterministic alias table derived
+    from documents: doc i (i>0, i%3!=0) redirects to i//2 — strictly
+    decreasing targets, so chains are acyclic with O(log N) length and
+    terminals are the %3==0 docs. Pointer doubling resolves every source
+    to its terminal with exact hop counts; cycle handling is exercised
+    in tests/test_kernels.py (loops cannot be built from this table)."""
+    from graphit_spark.kernels import resolve_redirects
+
+    docs = load(spark, sf_dir, "documents")
+    red = docs.filter(
+        (F.col("doc_id") % 3 != 0) & (F.col("doc_id") > 0)
+    ).select(
+        F.col("doc_id").alias("src"),
+        F.floor(F.col("doc_id") / 2).cast("long").alias("dst"),
+    )
+    return resolve_redirects(red).select(
+        "src", "target", "hops", "cycle"
+    )
+
+
+SQL_RESOLVE_REDIRECTS = """WITH RECURSIVE r AS (
+  SELECT doc_id AS src, doc_id // 2 AS dst
+  FROM documents WHERE doc_id % 3 <> 0 AND doc_id > 0
+),
+walk AS (
+  SELECT src, dst AS cur, CAST(1 AS BIGINT) AS hops FROM r
+  UNION ALL
+  SELECT w.src, r.dst, w.hops + 1 FROM walk w JOIN r ON w.cur = r.src
+)
+SELECT w.src, w.cur AS target, w.hops, FALSE AS cycle
+FROM walk w
+WHERE w.cur NOT IN (SELECT src FROM r)
+ORDER BY w.src"""
+
+
+
+BM25_QUERY_TERMS = ["spark", "stream", "window"]
+BM25_TOPK = 20
+
+
+def q_bm25_search(spark, sf_dir):
+    """BM25 ranked retrieval for a fixed 3-term query over documents —
+    search scoring on top of the inverted-index tokenization. Log-free
+    rational idf and fixed-order per-term addition keep the score
+    bit-identical to the twin (see textops.bm25_topk docstring)."""
+    return T.bm25_topk(
+        load(spark, sf_dir, "documents"),
+        BM25_QUERY_TERMS,
+        topk=BM25_TOPK,
+    )
+
+
+def _bm25_sql() -> str:
+    """Twin of q_bm25_search: identical tokenization (_tfidf_sql), the
+    same left-to-right double arithmetic
+      ((N+1)/(df+1)) * (tf*(k1+1)) / (tf + k1*((1-b) + (b*dl)/avgdl))
+    and the same fixed-order conditional-sum over the sorted query
+    terms."""
+    k1, b = T.BM25_K1, T.BM25_B
+    qset = sorted(set(BM25_QUERY_TERMS))
+    conds = " + ".join(
+        f"coalesce(sum(CASE WHEN term = '{t}' THEN s END), 0e0)"
+        for t in qset
+    )
+    inlist = ", ".join(f"'{t}'" for t in qset)
+    return f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id,
+         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+  FROM documents
+),
+dl AS MATERIALIZED (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id
+),
+avgdl AS (
+  SELECT sum(dl) / (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS a
+  FROM dl
+),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM toks WHERE term IN ({inlist}) GROUP BY doc_id, term
+),
+dfreq AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+),
+per_term AS (
+  SELECT t.doc_id, t.term,
+         (((SELECT count(*) + 1.0 FROM documents) / (f.df + 1.0))
+           * (t.tf * {k1 + 1.0}))
+         / (t.tf + {k1} * ({1.0 - b} + ({b} * l.dl) / (SELECT a FROM avgdl)))
+           AS s
+  FROM tf t JOIN dfreq f USING (term) JOIN dl l USING (doc_id)
+)
+SELECT doc_id, round({conds}, 6) AS score,
+       CAST(count(*) AS BIGINT) AS n_hits
+FROM per_term
+GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT {BM25_TOPK}"""
+
+
+
 def q_exact_dedup(spark, sf_dir):
     return D.exact_duplicates(load(spark, sf_dir, "documents"))
 
@@ -2045,6 +2148,8 @@ TEXT_QUERIES: dict[str, tuple] = {
     "dedup_jaccard_lsh": (q_jaccard_lsh, _jaccard_lsh_sql()),
     "dedup_simhash": (q_simhash, _simhash_sql()),
     "doc_boilerplate": (q_doc_boilerplate, _boilerplate_sql()),
+    "resolve_redirects": (q_resolve_redirects, SQL_RESOLVE_REDIRECTS),
+    "doc_bm25_search": (q_bm25_search, _bm25_sql()),
     "corpus_select": (q_corpus_select, _corpus_select_sql()),
     "corpus_select_dedup": (q_corpus_select_dedup, _corpus_select_dedup_sql()),
     "corpus_select_cluster": (q_corpus_select_cluster, _corpus_select_cluster_sql()),

@@ -1610,3 +1610,34 @@ class TestWhoToFollow:
         g = LinkGraph.from_pairs(spark, edges + [(2, 5)], persist=False)
         recs = who_to_follow(g, 5, circle=2, k=2).collect()
         assert all(r["id"] != 5 for r in recs)
+
+
+class TestResolveRedirects:
+    def test_chains_and_hops(self, spark):
+        from graphit_spark.kernels import resolve_redirects
+
+        # 5->4->3->0 (terminal), 9->8 (terminal), dup src 5 keeps min dst
+        red = spark.createDataFrame(
+            [(5, 4), (4, 3), (3, 0), (9, 8), (5, 7)], ["src", "dst"]
+        )
+        out = {r["src"]: r for r in resolve_redirects(red).collect()}
+        assert (out[5]["target"], out[5]["hops"]) == (0, 3)
+        assert (out[4]["target"], out[4]["hops"]) == (0, 2)
+        assert (out[3]["target"], out[3]["hops"]) == (0, 1)
+        assert (out[9]["target"], out[9]["hops"]) == (8, 1)
+        assert not any(r["cycle"] for r in out.values())
+
+    def test_cycle_detection(self, spark):
+        from graphit_spark.kernels import resolve_redirects
+
+        # 1<->2 loop, 3 -> into the loop, 7->0 clean
+        red = spark.createDataFrame(
+            [(1, 2), (2, 1), (3, 1), (7, 0)], ["src", "dst"]
+        )
+        out = {r["src"]: r for r in resolve_redirects(red).collect()}
+        for v in (1, 2, 3):
+            assert out[v]["cycle"], v
+            assert out[v]["target"] is None and out[v]["hops"] is None
+        assert (out[7]["target"], out[7]["hops"], out[7]["cycle"]) == (
+            0, 1, False,
+        )

@@ -139,3 +139,30 @@ def test_boilerplate_stats_flags_shared_fragment(spark):
 
     for d, text in rows:
         assert out[d]["n_shingles"] == len(brute_shingles(text)), d
+
+
+def test_bm25_ranks_matching_docs(spark):
+    """Exact-match doc with repeated query terms outranks a partial
+    match; non-matching docs never appear; hand-check one score."""
+    from graphit_spark.functions.textops import BM25_B, BM25_K1, bm25_topk
+
+    rows = [
+        (0, "apple banana apple cherry"),
+        (1, "apple kiwi kiwi kiwi"),
+        (2, "melon grape fig date"),
+        (3, "banana banana banana apple"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = bm25_topk(df, ["apple", "banana"], topk=10).collect()
+    ids = [r["doc_id"] for r in out]
+    assert 2 not in ids
+    assert set(ids) == {0, 1, 3}
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[0]["n_hits"] == 2 and by_id[3]["n_hits"] == 2
+    assert by_id[1]["n_hits"] == 1
+    assert by_id[0]["score"] > by_id[1]["score"]
+
+    # hand-computed: doc 1, term apple — tf=1, df=3 (docs 0,1,3), N=4,
+    # dl=4, avgdl=4 → idf=(5)/(4)=1.25, s=1.25*2.5/(1+1.5*(0.25+0.75))
+    expect = round(1.25 * 2.5 / (1 + BM25_K1 * ((1 - BM25_B) + BM25_B)), 6)
+    assert abs(by_id[1]["score"] - expect) < 1e-9
