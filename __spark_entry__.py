@@ -66,7 +66,7 @@ _CHECK_FIRST = [
     "corpus_sample_stratified", "walk_cooccurrence", "scc_condensation",
     "motif_counts", "degree_histogram", "rank_churn", "sim_int8_topk",
     "who_to_follow", "sim_pq_topk", "katz_centrality", "doc_boilerplate",
-    "resolve_redirects", "doc_bm25_search",
+    "resolve_redirects", "doc_bm25_search", "dedup_containment_lsh",
     "louvain", "maximal_matching", "clustering_coeff",
     "triangle_count_approx",
     "corpus_decontaminate_bloom",

@@ -269,6 +269,64 @@ def jaccard_on_candidates(
     )
 
 
+def containment_on_candidates(
+    df: DataFrame,
+    candidates: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard, cont_a, cont_b) — exact shingle-set
+    Jaccard AND Broder containment for the candidate pairs:
+        cont_a = |A∩B| / |A|   (how much of A lives inside B),
+        cont_b = |A∩B| / |B|.
+    Containment is the signal Jaccard structurally misses: a short doc
+    quoted wholesale inside a long one has cont_short ≈ 1 while Jaccard
+    stays small (the union is dominated by the long doc) — exactly the
+    quote/boilerplate-inclusion case a curation pipeline must catch
+    separately from near-duplication.
+
+    Same cost shape as `jaccard_on_candidates` (semi-join-pruned
+    shingles, candidate-driven intersection — Σ per-pair, never
+    corpus-quadratic); the two extra ratios reuse the already-joined
+    sizes, so the plan is identical plus two projections."""
+    cand = candidates.select("doc_a", "doc_b")
+    touched = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = _shingles(
+        df.join(touched, "doc_id", "left_semi"), text_col
+    ).localCheckpoint(eager=True)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (
+        cand.join(
+            sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a"
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), "shingle"),
+            ["doc_b", "shingle"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a")
+                   .withColumnRenamed("n", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("n", "nb"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")),
+                6,
+            ).alias("jaccard"),
+            F.round(F.col("inter") / F.col("na"), 6).alias("cont_a"),
+            F.round(F.col("inter") / F.col("nb"), 6).alias("cont_b"),
+        )
+    )
+
+
 def simhash(df: DataFrame, text_col: str = "text", bits: int = 16) -> DataFrame:
     """(doc_id, simhash): sign-aggregated token-hash fingerprint.
     bit b of the fingerprint = 1 iff sum over distinct tokens of

@@ -353,6 +353,34 @@ def q_jaccard_lsh(spark, sf_dir):
     return D.jaccard_on_candidates(docs, cands)
 
 
+def q_containment_lsh(spark, sf_dir):
+    """Quote/subset detection at crawl scale: LSH banding proposes
+    candidates, exact shingle arithmetic reports Jaccard AND Broder
+    containment per pair — cont_a ≈ 1 with small Jaccard is the
+    doc-quoted-inside-a-larger-doc case near-dup removal misses."""
+    docs = load(spark, sf_dir, "documents")
+    cands = D.lsh_candidate_pairs(docs, k=MINHASH_K)
+    return D.containment_on_candidates(docs, cands)
+
+
+def _containment_lsh_sql(k: int = MINHASH_K, rows_per_band: int = 2) -> str:
+    """Twin of q_containment_lsh: the _jaccard_lsh_ctes chain with the
+    two containment ratios computed from the same inter/sizes tables."""
+    return (
+        "WITH " + _jaccard_lsh_ctes(k, rows_per_band)
+        + """
+SELECT i.doc_a, i.doc_b,
+       round(i.i * 1e0 / (sa.n + sb.n - i.i), 6) AS jaccard,
+       round(i.i * 1e0 / sa.n, 6) AS cont_a,
+       round(i.i * 1e0 / sb.n, 6) AS cont_b
+FROM inter i
+JOIN sizes sa ON i.doc_a = sa.doc_id
+JOIN sizes sb ON i.doc_b = sb.doc_id
+ORDER BY doc_a, doc_b"""
+    )
+
+
+
 def q_simhash(spark, sf_dir):
     return D.simhash(load(spark, sf_dir, "documents"))
 
@@ -2146,6 +2174,7 @@ TEXT_QUERIES: dict[str, tuple] = {
     "dedup_minhash": (q_minhash, _minhash_sql()),
     "dedup_lsh_pairs": (q_lsh_pairs, _lsh_pairs_sql()),
     "dedup_jaccard_lsh": (q_jaccard_lsh, _jaccard_lsh_sql()),
+    "dedup_containment_lsh": (q_containment_lsh, _containment_lsh_sql()),
     "dedup_simhash": (q_simhash, _simhash_sql()),
     "doc_boilerplate": (q_doc_boilerplate, _boilerplate_sql()),
     "resolve_redirects": (q_resolve_redirects, SQL_RESOLVE_REDIRECTS),

@@ -166,3 +166,18 @@ def test_bm25_ranks_matching_docs(spark):
     # dl=4, avgdl=4 → idf=(5)/(4)=1.25, s=1.25*2.5/(1+1.5*(0.25+0.75))
     expect = round(1.25 * 2.5 / (1 + BM25_K1 * ((1 - BM25_B) + BM25_B)), 6)
     assert abs(by_id[1]["score"] - expect) < 1e-9
+
+
+def test_containment_catches_quoted_subset(spark):
+    """A short doc fully quoted inside a long one: containment of the
+    short side ~1 while Jaccard stays well below the near-dup bar."""
+    from graphit_spark.functions.dedup import containment_on_candidates
+
+    short = "the quick brown fox jumps over the lazy dog again and again"
+    long = short + " " + " ".join(f"filler{i} pad{i} extra{i}" for i in range(30))
+    df = spark.createDataFrame([(0, short), (1, long)], ["doc_id", "text"])
+    cands = spark.createDataFrame([(0, 1)], ["doc_a", "doc_b"])
+    row = containment_on_candidates(df, cands).collect()[0]
+    assert row["cont_a"] >= 0.9, row
+    assert row["jaccard"] < 0.5, row
+    assert row["cont_b"] < row["cont_a"]
