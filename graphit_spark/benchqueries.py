@@ -1047,6 +1047,62 @@ def host_pagerank_sql(iters: int = PR_ITERS, damp: float = 0.85) -> str:
     )
 
 
+TRUST_SEEDS = [0, 5, 10, 15, 20]
+
+
+def host_trustrank_sql(iters: int = PR_ITERS, damp: float = 0.85,
+                       seeds: list[int] | None = None) -> str:
+    """Twin of q_host_trustrank (kernels/pagerank.py::trustrank over the
+    weighted host rollup): teleport mass returns uniformly to the seed
+    hosts only — t0 = seed distribution, t' = (1-d)*seed + d*weighted
+    gather. Same rollup/universe CTEs as host_pagerank_sql."""
+    seeds = TRUST_SEEDS if seeds is None else seeds
+    inlist = ", ".join(str(s) for s in sorted(set(seeds)))
+    mass = 1.0 / len(set(seeds))
+    seed_expr = f"CASE WHEN id IN ({inlist}) THEN {mass!r}::DOUBLE ELSE 0e0 END"
+    ctes = [
+        _SQL_COMMON.strip().rstrip(","),
+        """hall AS MATERIALIZED (
+  SELECT cs.c_nationkey AS src, cd.c_nationkey AS dst, count(*) AS w
+  FROM edges e
+  JOIN customer cs ON e.src = cs.c_custkey
+  JOIN customer cd ON e.dst = cd.c_custkey
+  GROUP BY 1, 2
+)""",
+        "hedges AS MATERIALIZED (SELECT src, dst, w FROM hall WHERE src <> dst)",
+        "hnv AS (SELECT max(greatest(src, dst)) + 1 AS n FROM hall)",
+        "hverts AS MATERIALIZED (SELECT CAST(n_nationkey AS BIGINT) AS id"
+        " FROM nation WHERE n_nationkey < (SELECT n FROM hnv))",
+        """hwdeg AS MATERIALIZED (
+  SELECT v.id, coalesce(sum(e.w), 0) AS wdeg
+  FROM hverts v LEFT JOIN hedges e ON e.src = v.id GROUP BY v.id
+)""",
+        f"t0 AS (SELECT id, {seed_expr} AS trust FROM hverts)",
+    ]
+    for k in range(1, iters + 1):
+        p = f"t{k - 1}"
+        ctes.append(
+            f"""t{k} AS MATERIALIZED (
+  SELECT v.id,
+         (1e0 - {damp}e0) * {seed_expr}
+           + {damp}e0 * coalesce(s.acc, 0e0) AS trust
+  FROM hverts v LEFT JOIN (
+    SELECT e.dst AS id, sum(r.trust / d.wdeg * e.w) AS acc
+    FROM hedges e
+    JOIN {p} r ON e.src = r.id
+    JOIN hwdeg d ON e.src = d.id
+    GROUP BY e.dst
+  ) s USING (id)
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id, round(trust, {ROUND_RANK}) AS trust"
+        f" FROM t{iters} ORDER BY id"
+    )
+
+
+
 def closeness_sql(rounds: int = SSSP_ROUNDS, source: int = 0) -> str:
     """Weighted closeness per apps/closeness_centrality_weighted.gt:
     SSSP distances with unreached mapped to 0 (final_vertex_f)."""
@@ -1826,6 +1882,20 @@ def q_host_pagerank(spark, sf_dir):
     return weighted_pagerank(hg, max_iters=PR_ITERS).select(
         "id", F.round("rank", ROUND_RANK).alias("rank")
     )
+
+
+def q_host_trustrank(spark, sf_dir):
+    """TrustRank over the weighted host rollup: teleport restricted to
+    the deterministic seed hosts {0,5,10,15,20} — the anti-spam trust
+    propagation run on Common-Crawl-style host graphs."""
+    from graphit_spark.kernels import trustrank
+
+    g = graph(spark, sf_dir, "raw")
+    hg = LinkGraph(g.contract(_host_map(spark, sf_dir)), persist=False)
+    return trustrank(hg, TRUST_SEEDS, max_iters=PR_ITERS).select(
+        "id", F.round("trust", ROUND_RANK).alias("trust")
+    )
+
 
 
 def q_closeness(spark, sf_dir):
@@ -3677,6 +3747,7 @@ GRAPH_QUERIES: dict[str, tuple] = {
     "collab_filtering": (q_cf, cf_sql()),
     "eigenvector": (q_eigenvector, eigenvector_sql()),
     "katz_centrality": (q_katz, katz_sql()),
+    "host_trustrank": (q_host_trustrank, host_trustrank_sql()),
     "fused_pr_eigenvector": (q_fused_pr_eigenvector, fused_pr_ec_sql()),
     "host_graph_rollup": (q_host_rollup, HOST_ROLLUP_SQL),
     "host_pagerank": (q_host_pagerank, host_pagerank_sql()),

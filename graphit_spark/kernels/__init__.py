@@ -2,6 +2,7 @@ from graphit_spark.kernels.pagerank import (
     pagerank,
     pagerank_delta,
     personalized_pagerank,
+    trustrank,
     weighted_pagerank,
 )
 from graphit_spark.kernels.components import connected_components
@@ -98,6 +99,7 @@ __all__ = [
     "pagerank",
     "pagerank_delta",
     "personalized_pagerank",
+    "trustrank",
     "weighted_pagerank",
     "connected_components",
     "label_propagation",

@@ -1641,3 +1641,42 @@ class TestResolveRedirects:
         assert (out[7]["target"], out[7]["hops"], out[7]["cycle"]) == (
             0, 1, False,
         )
+
+
+class TestTrustRank:
+    def test_trust_concentrates_on_seed_side(self, spark):
+        """Two chains from a seed: vertices reachable from the seed get
+        trust; an isolated spam cluster with high in-links among itself
+        gets exactly zero (teleport never lands there)."""
+        from graphit_spark.kernels import trustrank
+
+        edges = [(0, 1), (1, 2), (2, 0),          # trusted triangle
+                 (3, 4), (4, 5), (5, 3),          # spam triangle
+                 (1, 6)]                          # trust leaks to 6
+        g = LinkGraph.from_pairs(spark, edges, persist=False)
+        out = {r["id"]: r["trust"] for r in
+               trustrank(g, [0], max_iters=8).collect()}
+        assert out[0] > 0 and out[1] > 0 and out[2] > 0 and out[6] > 0
+        for v in (3, 4, 5):
+            assert out[v] == 0.0, v
+
+    def test_multi_seed_mass_split(self, spark):
+        from graphit_spark.kernels import trustrank
+
+        g = LinkGraph.from_pairs(spark, [(0, 2), (1, 2)], persist=False)
+        out = {r["id"]: r["trust"] for r in
+               trustrank(g, [0, 1], max_iters=1).collect()}
+        # one round: seeds keep beta*0.5; sink gathers damp*(0.5+0.5)
+        assert abs(out[0] - 0.075) < 1e-12
+        assert abs(out[1] - 0.075) < 1e-12
+        assert abs(out[2] - 0.85) < 1e-12
+
+    def test_empty_seeds_rejected(self, spark):
+        from graphit_spark.kernels import trustrank
+
+        g = LinkGraph.from_pairs(spark, [(0, 1)], persist=False)
+        try:
+            trustrank(g, [])
+            assert False, "expected ValueError"
+        except ValueError:
+            pass
