@@ -1103,6 +1103,67 @@ def host_trustrank_sql(iters: int = PR_ITERS, damp: float = 0.85,
 
 
 
+def host_spam_mass_sql(iters: int = PR_ITERS, damp: float = 0.85,
+                       seeds: list[int] | None = None) -> str:
+    """Twin of q_host_spam_mass (kernels/fused.py::fused_trust_spam):
+    both recurrences advanced from ONE grouped subquery per round —
+    exactly the fused Spark plan's single groupBy(dst) — then
+    spam_mass = (rank - trust)/rank."""
+    seeds = TRUST_SEEDS if seeds is None else seeds
+    inlist = ", ".join(str(s) for s in sorted(set(seeds)))
+    mass = 1.0 / len(set(seeds))
+    seed_expr = f"CASE WHEN id IN ({inlist}) THEN {mass!r}::DOUBLE ELSE 0e0 END"
+    ctes = [
+        _SQL_COMMON.strip().rstrip(","),
+        """hall AS MATERIALIZED (
+  SELECT cs.c_nationkey AS src, cd.c_nationkey AS dst, count(*) AS w
+  FROM edges e
+  JOIN customer cs ON e.src = cs.c_custkey
+  JOIN customer cd ON e.dst = cd.c_custkey
+  GROUP BY 1, 2
+)""",
+        "hedges AS MATERIALIZED (SELECT src, dst, w FROM hall WHERE src <> dst)",
+        "hnv AS (SELECT max(greatest(src, dst)) + 1 AS n FROM hall)",
+        "hverts AS MATERIALIZED (SELECT CAST(n_nationkey AS BIGINT) AS id"
+        " FROM nation WHERE n_nationkey < (SELECT n FROM hnv))",
+        """hwdeg AS MATERIALIZED (
+  SELECT v.id, coalesce(sum(e.w), 0) AS wdeg
+  FROM hverts v LEFT JOIN hedges e ON e.src = v.id GROUP BY v.id
+)""",
+        f"f0 AS (SELECT id, 1e0 / (SELECT n FROM hnv) AS rank,"
+        f" {seed_expr} AS trust FROM hverts)",
+    ]
+    for k in range(1, iters + 1):
+        p = f"f{k - 1}"
+        ctes.append(
+            f"""f{k} AS MATERIALIZED (
+  SELECT v.id,
+         (1e0 - {damp}e0) / (SELECT n FROM hnv)
+           + {damp}e0 * coalesce(s.pr_acc, 0e0) AS rank,
+         (1e0 - {damp}e0) * {seed_expr}
+           + {damp}e0 * coalesce(s.tr_acc, 0e0) AS trust
+  FROM hverts v LEFT JOIN (
+    SELECT e.dst AS id,
+           sum(r.rank / d.wdeg * e.w) AS pr_acc,
+           sum(r.trust / d.wdeg * e.w) AS tr_acc
+    FROM hedges e
+    JOIN {p} r ON e.src = r.id
+    JOIN hwdeg d ON e.src = d.id
+    GROUP BY e.dst
+  ) s USING (id)
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT id, round(rank, {ROUND_RANK}) AS rank,
+       round(trust, {ROUND_RANK}) AS trust,
+       round((rank - trust) / rank, {ROUND_RANK}) AS spam_mass
+FROM f{iters} ORDER BY id"""
+    )
+
+
+
 def closeness_sql(rounds: int = SSSP_ROUNDS, source: int = 0) -> str:
     """Weighted closeness per apps/closeness_centrality_weighted.gt:
     SSSP distances with unreached mapped to 0 (final_vertex_f)."""
@@ -1894,6 +1955,24 @@ def q_host_trustrank(spark, sf_dir):
     hg = LinkGraph(g.contract(_host_map(spark, sf_dir)), persist=False)
     return trustrank(hg, TRUST_SEEDS, max_iters=PR_ITERS).select(
         "id", F.round("trust", ROUND_RANK).alias("trust")
+    )
+
+
+
+def q_host_spam_mass(spark, sf_dir):
+    """Fused weighted PageRank + TrustRank + spam mass over the host
+    rollup — one edge gather per round drives both recurrences
+    (eigenvector_pr_fusion.gt mechanism applied to the VLDB'04 web-spam
+    pipeline); spam_mass = (rank-trust)/rank is the demotion signal."""
+    from graphit_spark.kernels import fused_trust_spam
+
+    g = graph(spark, sf_dir, "raw")
+    hg = LinkGraph(g.contract(_host_map(spark, sf_dir)), persist=False)
+    return fused_trust_spam(hg, TRUST_SEEDS, rounds=PR_ITERS).select(
+        "id",
+        F.round("rank", ROUND_RANK).alias("rank"),
+        F.round("trust", ROUND_RANK).alias("trust"),
+        F.round("spam_mass", ROUND_RANK).alias("spam_mass"),
     )
 
 
@@ -3748,6 +3827,7 @@ GRAPH_QUERIES: dict[str, tuple] = {
     "eigenvector": (q_eigenvector, eigenvector_sql()),
     "katz_centrality": (q_katz, katz_sql()),
     "host_trustrank": (q_host_trustrank, host_trustrank_sql()),
+    "host_spam_mass": (q_host_spam_mass, host_spam_mass_sql()),
     "fused_pr_eigenvector": (q_fused_pr_eigenvector, fused_pr_ec_sql()),
     "host_graph_rollup": (q_host_rollup, HOST_ROLLUP_SQL),
     "host_pagerank": (q_host_pagerank, host_pagerank_sql()),

@@ -27,7 +27,7 @@ from graphit_spark.kernels.centrality import (
     katz_centrality,
 )
 from graphit_spark.kernels.delta_stepping import sssp_delta_stepping
-from graphit_spark.kernels.fused import fused_pr_eigenvector
+from graphit_spark.kernels.fused import fused_pr_eigenvector, fused_trust_spam
 from graphit_spark.kernels.hyperball import (
     effective_diameter,
     hyperball_harmonic,
@@ -92,6 +92,7 @@ __all__ = [
     "katz_centrality",
     "resolve_redirects",
     "fused_pr_eigenvector",
+    "fused_trust_spam",
     "greedy_coloring",
     "effective_diameter",
     "hyperball_harmonic",

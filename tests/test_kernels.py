@@ -1680,3 +1680,46 @@ class TestTrustRank:
             assert False, "expected ValueError"
         except ValueError:
             pass
+
+
+class TestFusedTrustSpam:
+    def test_matches_separate_kernels(self, spark):
+        """The fused run must equal weighted_pagerank + trustrank run
+        separately on the same weighted graph (fusion is a semantic
+        no-op), and spam mass must be their normalized gap."""
+        from graphit_spark.kernels import (
+            fused_trust_spam,
+            trustrank,
+            weighted_pagerank,
+        )
+
+        rng = random.Random(21)
+        wedges = [
+            (rng.randrange(20), rng.randrange(20), rng.randrange(1, 5))
+            for _ in range(60)
+        ]
+        g = LinkGraph.from_pairs(spark, wedges, persist=False)
+        fused = {r["id"]: r for r in
+                 fused_trust_spam(g, [0, 3], rounds=5).collect()}
+        pr = {r["id"]: r["rank"] for r in
+              weighted_pagerank(g, max_iters=5).collect()}
+        tr = {r["id"]: r["trust"] for r in
+              trustrank(g, [0, 3], max_iters=5).collect()}
+        assert set(fused) == set(pr) == set(tr)
+        for v in fused:
+            assert abs(fused[v]["rank"] - pr[v]) < 1e-12, v
+            assert abs(fused[v]["trust"] - tr[v]) < 1e-12, v
+            expect = (pr[v] - tr[v]) / pr[v]
+            assert abs(fused[v]["spam_mass"] - expect) < 1e-9, v
+
+    def test_requires_weighted_and_seeds(self, spark):
+        from graphit_spark.kernels import fused_trust_spam
+
+        gu = LinkGraph.from_pairs(spark, [(0, 1)], persist=False)
+        for bad in (lambda: fused_trust_spam(gu, [0]),
+                    lambda: fused_trust_spam(gu, [])):
+            try:
+                bad()
+                assert False, "expected ValueError"
+            except ValueError:
+                pass
