@@ -1573,6 +1573,78 @@ ORDER BY query_id, vec_id"""
     )
 
 
+def q_doc_clusters_kmeans(spark, sf_dir):
+    """Corpus clustering: every embedding assigned to its nearest
+    Lloyd-trained spherical-k-means centroid (the domain-mixing /
+    data-mixture primitive — cluster ids feed sampling quotas). Same
+    deterministic training as sim_ivf_kmeans_topk; output is the
+    assignment itself plus the rounded centroid similarity."""
+    emb = load(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    assert dim == EMB_DIM, f"oracle twin assumes dim={EMB_DIM}, got {dim}"
+    cents = S.ivf_train_centroids(
+        emb, n_cells=IVF_CELLS, iters=IVF_TRAIN_ITERS
+    )
+    return S.ivf_assign(emb, IVF_CELLS, centroids=cents).select(
+        "vec_id", "cell", F.col("cscore").alias("csim")
+    )
+
+
+def _doc_clusters_sql(
+    iters: int = IVF_TRAIN_ITERS,
+    dim: int = EMB_DIM,
+    n_cells: int = IVF_CELLS,
+) -> str:
+    """Twin of q_doc_clusters_kmeans: the _ivf_kmeans_sql training CTEs
+    (identical Lloyd rounds, identical 9-decimal mean rounding) with the
+    final assignment emitted instead of the ANN probe."""
+    ctes = [
+        "v AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS ev"
+        " FROM embeddings)",
+        f"c0 AS (SELECT vec_id AS cell, ev AS centv FROM v"
+        f" WHERE vec_id < {n_cells})",
+    ]
+    means = ", ".join(f"round(avg(ev[{j + 1}]), 9)" for j in range(dim))
+    for r in range(1, iters + 1):
+        p = f"c{r - 1}"
+        ctes.append(
+            f"""a{r} AS MATERIALIZED (
+  SELECT cell, ev FROM (
+    SELECT v.vec_id, v.ev, c.cell,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {_SQL_COS.format(a='v.ev', b='c.centv')} DESC,
+                                       c.cell ASC) AS rn
+    FROM v CROSS JOIN {p} c
+  ) WHERE rn = 1
+)"""
+        )
+        ctes.append(
+            f"""c{r} AS MATERIALIZED (
+  SELECT p.cell, CASE WHEN s.mv IS NULL THEN p.centv ELSE s.mv END AS centv
+  FROM {p} p LEFT JOIN (
+    SELECT cell, [{means}]::DOUBLE[] AS mv FROM a{r} GROUP BY cell
+  ) s USING (cell)
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f""",
+ascore AS MATERIALIZED (
+  SELECT v.vec_id, c.cell,
+         {_SQL_COS.format(a='v.ev', b='c.centv')} AS cscore
+  FROM v CROSS JOIN c{iters} c
+)
+SELECT vec_id, cell, cscore AS csim FROM (
+  SELECT vec_id, cell, cscore,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cscore DESC, cell ASC) AS rn
+  FROM ascore
+) WHERE rn = 1
+ORDER BY vec_id"""
+    )
+
+
+
 def _corpus_sel_parts() -> tuple[str, str]:
     """(CTE text, gated SELECT body) for the curation gates — shared by
     _corpus_select_sql and _corpus_select_dedup_sql."""
@@ -2191,6 +2263,7 @@ TEXT_QUERIES: dict[str, tuple] = {
     "sim_lsh_multiprobe_topk": (q_lsh_multiprobe_topk, SQL_LSH_MULTIPROBE_TOPK),
     "sim_ivf_topk": (q_ivf_topk, SQL_IVF_TOPK),
     "sim_ivf_kmeans_topk": (q_ivf_kmeans_topk, _ivf_kmeans_sql()),
+    "doc_clusters_kmeans": (q_doc_clusters_kmeans, _doc_clusters_sql()),
     "dedup_embedding_lsh": (q_embedding_dups_lsh, SQL_EMBEDDING_DUPS_LSH),
     "hll_registers": (q_hll_registers, _hll_registers_sql()),
     "hll_distinct": (q_hll_distinct, _hll_distinct_sql()),

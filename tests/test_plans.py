@@ -31,6 +31,7 @@ ALL_PAIRS_BASELINES = {
     "sim_ivf_topk",  # corpus x tiny-centroid assignment scan
     "sim_ivf_kmeans_topk",  # same broadcast corpus x n_cells scan
     "sim_pq_topk",  # codebook training/ADC over the same baseline scan
+    "doc_clusters_kmeans",  # same broadcast corpus x n_cells scan
 }
 
 TEXT_QUERY_NAMES = [
