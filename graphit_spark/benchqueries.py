@@ -1977,6 +1977,69 @@ def q_host_spam_mass(spark, sf_dir):
 
 
 
+RICH_FRAC_DEN = 20  # rich club = top ceil(N/20) vertices by degree
+
+
+def q_rich_club(spark, sf_dir):
+    """Rich-club density (Zhou & Mondragon): how densely the top
+    ceil(N/20) highest-degree vertices (symmetric degree, ties to the
+    lower id — an exact integer total order) link to EACH OTHER.
+    phi -> 1 on core-periphery webs, -> avg density on flat graphs.
+    One degree table, one TakeOrdered top-m cut (never a single-task
+    global Window), two broadcastable semi-joins to count in-club
+    edges."""
+    g = graph(spark, sf_dir, "raw")
+    und = g.symmetrize()
+    n = und.num_vertices
+    m = (n + RICH_FRAC_DEN - 1) // RICH_FRAC_DEN
+    pairs = max(m * (m - 1) // 2, 1)
+    rich = (
+        und.out_degrees()
+        .orderBy(F.desc("out_degree"), F.asc("id"))
+        .limit(m)
+        .select("id")
+    )
+    c = (
+        und.edges.filter(F.col("src") < F.col("dst"))
+        .join(F.broadcast(rich.withColumnRenamed("id", "src")), "src")
+        .join(F.broadcast(rich.withColumnRenamed("id", "dst")), "dst")
+    )
+    return c.agg(
+        F.lit(m).cast("long").alias("m"),
+        F.count("*").alias("rich_edges"),
+        F.round(F.count("*") / F.lit(float(pairs)), 6).alias("phi"),
+    )
+
+
+def rich_club_sql() -> str:
+    """Twin of q_rich_club: same symmetric-degree ranking (integer
+    keys), same ceil-div club size, same pair normalization."""
+    return (
+        "WITH " + _SQL_COMMON.strip()
+        + f""",
+sdeg AS MATERIALIZED (
+  SELECT v.id, CAST(count(e.dst) AS BIGINT) AS d
+  FROM verts v LEFT JOIN sym e ON e.src = v.id GROUP BY v.id
+),
+mval AS (SELECT ((SELECT n FROM nv) + {RICH_FRAC_DEN - 1}) // {RICH_FRAC_DEN} AS m),
+rich AS MATERIALIZED (
+  SELECT id FROM (
+    SELECT id, row_number() OVER (ORDER BY d DESC, id ASC) AS rn FROM sdeg
+  ) WHERE rn <= (SELECT m FROM mval)
+),
+cnt AS (
+  SELECT CAST(count(*) AS BIGINT) AS c
+  FROM sym e JOIN rich a ON e.src = a.id JOIN rich b ON e.dst = b.id
+  WHERE e.src < e.dst
+)
+SELECT (SELECT m FROM mval) AS m, c AS rich_edges,
+       round(c * 1e0 / greatest((SELECT m FROM mval)
+             * ((SELECT m FROM mval) - 1) // 2, 1), 6) AS phi
+FROM cnt"""
+    )
+
+
+
 def q_closeness(spark, sf_dir):
     from graphit_spark.kernels import closeness_centrality
 
@@ -3828,6 +3891,7 @@ GRAPH_QUERIES: dict[str, tuple] = {
     "katz_centrality": (q_katz, katz_sql()),
     "host_trustrank": (q_host_trustrank, host_trustrank_sql()),
     "host_spam_mass": (q_host_spam_mass, host_spam_mass_sql()),
+    "rich_club": (q_rich_club, rich_club_sql()),
     "fused_pr_eigenvector": (q_fused_pr_eigenvector, fused_pr_ec_sql()),
     "host_graph_rollup": (q_host_rollup, HOST_ROLLUP_SQL),
     "host_pagerank": (q_host_pagerank, host_pagerank_sql()),

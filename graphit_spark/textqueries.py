@@ -322,6 +322,60 @@ LIMIT {BM25_TOPK}"""
 
 
 
+SPIKE_LOOKBACK = 3  # hours
+SPIKE_FACTOR = 2    # integer multiplier — exact on both engines
+
+
+def q_events_spikes(spark, sf_dir):
+    """Burst detection over the event stream: an (event_type, hour) is
+    a spike when its count is >= SPIKE_FACTOR x the max count of the
+    previous SPIKE_LOOKBACK hours (rows, not range — identical window
+    semantics cross-engine). All-integer arithmetic: no float exists to
+    drift. The hourly pre-aggregation shrinks the stream to
+    (types x hours) rows before any window, so the per-type ordered
+    window is tiny at any corpus scale."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count("*").alias("n_events"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-SPIKE_LOOKBACK, -1)
+    )
+    return (
+        hourly.withColumn("prev_max", F.max("n_events").over(w))
+        .filter(
+            F.col("prev_max").isNotNull()
+            & (F.col("n_events") >= SPIKE_FACTOR * F.col("prev_max"))
+        )
+        .select("event_type", "hour", "n_events", "prev_max")
+    )
+
+
+SQL_EVENTS_SPIKES = f"""
+WITH hourly AS MATERIALIZED (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+),
+flagged AS (
+  SELECT event_type, hour, n_events,
+         max(n_events) OVER (
+           PARTITION BY event_type ORDER BY hour
+           ROWS BETWEEN {SPIKE_LOOKBACK} PRECEDING AND 1 PRECEDING
+         ) AS prev_max
+  FROM hourly
+)
+SELECT event_type, hour, n_events, prev_max
+FROM flagged
+WHERE prev_max IS NOT NULL AND n_events >= {SPIKE_FACTOR} * prev_max
+ORDER BY event_type, hour"""
+
+
+
 def q_exact_dedup(spark, sf_dir):
     return D.exact_duplicates(load(spark, sf_dir, "documents"))
 
@@ -2242,6 +2296,7 @@ TEXT_QUERIES: dict[str, tuple] = {
     "events_trending": (q_events_trending, SQL_EVENTS_TRENDING),
     "events_json_stats": (q_events_json_stats, SQL_EVENTS_JSON_STATS),
     "events_sessions": (q_events_sessions, SQL_EVENTS_SESSIONS),
+    "events_spikes": (q_events_spikes, SQL_EVENTS_SPIKES),
     "dedup_exact": (q_exact_dedup, SQL_EXACT_DEDUP),
     "dedup_minhash": (q_minhash, _minhash_sql()),
     "dedup_lsh_pairs": (q_lsh_pairs, _lsh_pairs_sql()),
