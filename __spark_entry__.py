@@ -68,7 +68,8 @@ _CHECK_FIRST = [
     "who_to_follow", "sim_pq_topk", "katz_centrality", "doc_boilerplate",
     "resolve_redirects", "doc_bm25_search", "dedup_containment_lsh",
     "host_trustrank", "host_spam_mass", "doc_clusters_kmeans",
-    "events_spikes", "rich_club",
+    "events_spikes", "rich_club", "corpus_source_stats",
+    "community_conductance",
     "louvain", "maximal_matching", "clustering_coeff",
     "triangle_count_approx",
     "corpus_decontaminate_bloom",

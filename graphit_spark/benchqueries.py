@@ -3027,6 +3027,96 @@ def louvain_modularity_sql(rounds: int = LOUVAIN_ROUNDS) -> str:
     )
 
 
+def q_community_conductance(spark, sf_dir):
+    """Per-community conductance of the LPA partition — the cut-quality
+    eval that pairs with modularity (lpa_modularity) and with sweep_cut
+    (which MINIMIZES this metric for one seed): for each label,
+    cut(c) / min(vol(c), 2m - vol(c)). One labels join per edge side,
+    two grouped aggregations; every key is community- or V-sized."""
+    from graphit_spark.kernels import label_propagation
+
+    und = graph(spark, sf_dir, "blocked").symmetrize()
+    und.ensure_persisted()
+    labels = label_propagation(
+        graph(spark, sf_dir, "blocked"), rounds=LPA_ROUNDS
+    ).localCheckpoint(eager=True)
+    m2 = und.edges.count()  # = 2m (both directions of each edge)
+    deg = und.edges.groupBy(F.col("src").alias("id")).agg(
+        F.count("*").alias("deg")
+    )
+    la = labels.select(F.col("id").alias("src"), F.col("label").alias("la"))
+    lb = labels.select(F.col("id").alias("dst"), F.col("label").alias("lb"))
+    cut = (
+        und.edges.join(la, "src").join(lb, "dst")
+        .filter(F.col("la") != F.col("lb"))
+        .groupBy(F.col("la").alias("label"))
+        .agg(F.count("*").alias("cut_edges"))
+    )
+    comm = (
+        labels.join(deg, "id", "left")
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.sum(F.coalesce("deg", F.lit(0))).alias("volume"),
+        )
+    )
+    out = (
+        comm.join(cut, "label", "left")
+        .select(
+            "label",
+            "n_members",
+            F.coalesce("cut_edges", F.lit(0)).alias("cut_edges"),
+            "volume",
+            F.round(
+                F.coalesce("cut_edges", F.lit(0))
+                / F.greatest(
+                    F.least(F.col("volume"), F.lit(m2) - F.col("volume")),
+                    F.lit(1),
+                ),
+                6,
+            ).alias("conductance"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    und.unpersist()
+    return out
+
+
+def community_conductance_sql(rounds: int = LPA_ROUNDS) -> str:
+    """Twin of q_community_conductance: the lpa_sql head plus the
+    cut/volume tail (sum cast to BIGINT — DuckDB sums to HUGEINT)."""
+    head, _, _tail = lpa_sql(rounds).rpartition("\nSELECT id, label FROM ")
+    return head + f""",
+lab AS MATERIALIZED (SELECT id, label FROM l{rounds}),
+symdeg AS MATERIALIZED (
+  SELECT v.id, CAST(coalesce(d.d, 0) AS BIGINT) AS deg
+  FROM verts v LEFT JOIN
+       (SELECT src AS id, count(*) AS d FROM sym GROUP BY src) d USING (id)
+),
+mm AS (SELECT CAST(count(*) AS BIGINT) AS m2 FROM sym),
+cut AS (
+  SELECT la.label, CAST(count(*) AS BIGINT) AS cut_edges
+  FROM sym e
+  JOIN lab la ON e.src = la.id
+  JOIN lab lb ON e.dst = lb.id AND la.label <> lb.label
+  GROUP BY la.label
+),
+comm AS (
+  SELECT l.label, CAST(count(*) AS BIGINT) AS n_members,
+         CAST(sum(d.deg) AS BIGINT) AS volume
+  FROM lab l JOIN symdeg d ON l.id = d.id
+  GROUP BY l.label
+)
+SELECT c.label, c.n_members, coalesce(k.cut_edges, 0) AS cut_edges,
+       c.volume,
+       round(coalesce(k.cut_edges, 0) * 1e0
+             / greatest(least(c.volume, (SELECT m2 FROM mm) - c.volume), 1),
+             6) AS conductance
+FROM comm c LEFT JOIN cut k USING (label)
+ORDER BY c.label"""
+
+
+
 def q_modularity(spark, sf_dir):
     """Community-quality eval: Newman modularity of the LPA labels on
     the symmetrized blocked graph (one scalar row)."""
@@ -3892,6 +3982,7 @@ GRAPH_QUERIES: dict[str, tuple] = {
     "host_trustrank": (q_host_trustrank, host_trustrank_sql()),
     "host_spam_mass": (q_host_spam_mass, host_spam_mass_sql()),
     "rich_club": (q_rich_club, rich_club_sql()),
+    "community_conductance": (q_community_conductance, community_conductance_sql()),
     "fused_pr_eigenvector": (q_fused_pr_eigenvector, fused_pr_ec_sql()),
     "host_graph_rollup": (q_host_rollup, HOST_ROLLUP_SQL),
     "host_pagerank": (q_host_pagerank, host_pagerank_sql()),

@@ -376,6 +376,37 @@ ORDER BY event_type, hour"""
 
 
 
+def q_corpus_source_stats(spark, sf_dir):
+    """Per-source curation dashboard: document counts, language spread,
+    size and token totals per ingestion source — the reporting query a
+    crawl pipeline runs after every curation pass. One corpus scan,
+    one grouped aggregation on the (tiny) source key; the token count
+    is the engine's whitespace tokenization, JVM-side."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.sum("n_chars") / F.count("*"), 6).alias("avg_chars"),
+        F.sum(toks.cast("long")).alias("total_tokens"),
+    )
+
+
+SQL_CORPUS_SOURCE_STATS = r"""
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       round(sum(n_chars) * 1e0 / count(*), 6) AS avg_chars,
+       CAST(sum(len(string_split_regex(lower(trim(text)), '\s+'))) AS BIGINT)
+         AS total_tokens
+FROM documents
+GROUP BY source
+ORDER BY source"""
+
+
+
 def q_exact_dedup(spark, sf_dir):
     return D.exact_duplicates(load(spark, sf_dir, "documents"))
 
@@ -2297,6 +2328,7 @@ TEXT_QUERIES: dict[str, tuple] = {
     "events_json_stats": (q_events_json_stats, SQL_EVENTS_JSON_STATS),
     "events_sessions": (q_events_sessions, SQL_EVENTS_SESSIONS),
     "events_spikes": (q_events_spikes, SQL_EVENTS_SPIKES),
+    "corpus_source_stats": (q_corpus_source_stats, SQL_CORPUS_SOURCE_STATS),
     "dedup_exact": (q_exact_dedup, SQL_EXACT_DEDUP),
     "dedup_minhash": (q_minhash, _minhash_sql()),
     "dedup_lsh_pairs": (q_lsh_pairs, _lsh_pairs_sql()),

@@ -1723,3 +1723,38 @@ class TestFusedTrustSpam:
                 assert False, "expected ValueError"
             except ValueError:
                 pass
+
+
+def test_community_conductance_hand_checked(spark):
+    """Hand-checkable cut/volume arithmetic on a FIXED partition (LPA's
+    own labels are exercised end-to-end by the driver query; here the
+    partition is pinned so the expected numbers are exact): two
+    triangles joined by one bridge edge, split down the bridge. Each
+    side: cut=1, vol=7 (3 intra edges x2 + the bridge end), 2m=14 →
+    conductance = 1/min(7, 14-7) = 1/7."""
+    from pyspark.sql import functions as F
+
+    edges = [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 3), (0, 3)]
+    g = LinkGraph.from_pairs(spark, edges, persist=False)
+    und = g.symmetrize()
+    labels = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0), (3, 1), (4, 1), (5, 1)], ["id", "label"]
+    )
+    m2 = und.edges.count()
+    assert m2 == 14
+    deg = und.edges.groupBy(F.col("src").alias("id")).agg(
+        F.count("*").alias("deg"))
+    la = labels.select(F.col("id").alias("src"), F.col("label").alias("la"))
+    lb = labels.select(F.col("id").alias("dst"), F.col("label").alias("lb"))
+    cut = (und.edges.join(la, "src").join(lb, "dst")
+           .filter(F.col("la") != F.col("lb"))
+           .groupBy(F.col("la").alias("label"))
+           .agg(F.count("*").alias("cut")))
+    comm = (labels.join(deg, "id", "left").groupBy("label")
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.coalesce("deg", F.lit(0))).alias("vol")))
+    rows = {r["label"]: r for r in comm.join(cut, "label").collect()}
+    assert sorted(r["n"] for r in rows.values()) == [3, 3]
+    for r in rows.values():
+        assert r["cut"] == 1 and r["vol"] == 7
+        assert abs(r["cut"] / min(r["vol"], m2 - r["vol"]) - 1 / 7) < 1e-12
