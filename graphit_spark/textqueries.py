@@ -521,6 +521,58 @@ def q_lsh_multiprobe_topk(spark, sf_dir):
     return S.lsh_topk(emb, queries, dim=dim, k=TOPK_K, multiprobe=True)
 
 
+def q_recall_multiprobe(spark, sf_dir):
+    """In-engine ANN evaluation: recall@k of the multi-probe LSH path
+    against the exact brute-force top-k, per query — the measurement a
+    vector-store operator runs before trading accuracy for cost. Both
+    paths are the engine's own (bit-deterministic) operators; the
+    overlap count is an integer, recall an exact small-ratio round."""
+    emb = load(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    queries = emb.filter(F.col("vec_id") < TOPK_QUERIES)
+    approx = S.lsh_topk(emb, queries, dim=dim, k=TOPK_K, multiprobe=True)
+    exact = S.brute_force_topk(emb, queries, k=TOPK_K)
+    hits = (
+        approx.select("query_id", "vec_id")
+        .join(exact.select("query_id", "vec_id"), ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        queries.select(F.col("vec_id").alias("query_id"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            F.round(
+                F.coalesce("n_hits", F.lit(0)) / F.lit(float(TOPK_K)), 6
+            ).alias("recall"),
+        )
+    )
+
+
+def _recall_multiprobe_sql() -> str:
+    """Twin of q_recall_multiprobe: the two existing full SELECTs as
+    derived tables, joined on (query_id, vec_id)."""
+    return f"""
+WITH approx AS MATERIALIZED ({SQL_LSH_MULTIPROBE_TOPK}),
+exact AS MATERIALIZED ({SQL_COSINE_TOPK}),
+hits AS (
+  SELECT a.query_id, CAST(count(*) AS BIGINT) AS n_hits
+  FROM approx a JOIN exact e
+    ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+  GROUP BY a.query_id
+)
+SELECT q.vec_id AS query_id,
+       coalesce(h.n_hits, 0) AS n_hits,
+       round(coalesce(h.n_hits, 0) * 1e0 / {TOPK_K}, 6) AS recall
+FROM embeddings q
+LEFT JOIN hits h ON h.query_id = q.vec_id
+WHERE q.vec_id < {TOPK_QUERIES}
+ORDER BY query_id"""
+
+
+
 DUP_THRESHOLD = 0.9
 IVF_CELLS = 16
 IVF_PROBE = 4
@@ -2348,6 +2400,7 @@ TEXT_QUERIES: dict[str, tuple] = {
     "dedup_clusters": (q_dedup_clusters, _dedup_clusters_sql()),
     "sim_lsh_topk": (q_lsh_topk, SQL_LSH_TOPK),
     "sim_lsh_multiprobe_topk": (q_lsh_multiprobe_topk, SQL_LSH_MULTIPROBE_TOPK),
+    "sim_recall_multiprobe": (q_recall_multiprobe, _recall_multiprobe_sql()),
     "sim_ivf_topk": (q_ivf_topk, SQL_IVF_TOPK),
     "sim_ivf_kmeans_topk": (q_ivf_kmeans_topk, _ivf_kmeans_sql()),
     "doc_clusters_kmeans": (q_doc_clusters_kmeans, _doc_clusters_sql()),

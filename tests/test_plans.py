@@ -32,6 +32,7 @@ ALL_PAIRS_BASELINES = {
     "sim_ivf_kmeans_topk",  # same broadcast corpus x n_cells scan
     "sim_pq_topk",  # codebook training/ADC over the same baseline scan
     "doc_clusters_kmeans",  # same broadcast corpus x n_cells scan
+    "sim_recall_multiprobe",  # embeds the brute-force exact side by design
 }
 
 TEXT_QUERY_NAMES = [
