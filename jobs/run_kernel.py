@@ -39,7 +39,8 @@ def main() -> None:
                             "neighborhood", "mis", "matching", "coloring", "bowtie",
                             "louvain", "louvain_communities", "salsa",
                             "link_prediction", "condensation",
-                            "motifs", "walk_cooccurrence"])
+                            "motifs", "walk_cooccurrence",
+                            "katz", "trustrank", "resolve_redirects"])
     p.add_argument("--edges", help="parquet edge table (src,dst[,weight])")
     p.add_argument("--pages", help="parquet pages table (extracted first)")
     p.add_argument("--synth-vertices", type=int, help="synthetic graph size")
@@ -57,6 +58,8 @@ def main() -> None:
     p.add_argument("--tol", type=float, default=None)
     p.add_argument("--source", type=int, default=0, help="bfs/sssp source")
     p.add_argument("--rounds", type=int, default=5, help="lpa rounds")
+    p.add_argument("--seeds", default="0",
+                   help="trustrank seed ids, comma-separated")
     p.add_argument("--k", type=int, default=3, help="k_core k")
     p.add_argument("--delta", type=int, default=4, help="delta-stepping width")
     p.add_argument("--walk-len", type=int, default=4, help="random walk steps")
@@ -219,6 +222,20 @@ def main() -> None:
 
         out = link_prediction(g, min_cn=args.min_cn, topk=args.k,
                               max_center_degree=args.max_center_degree)
+    elif args.kernel == "katz":
+        from graphit_spark.kernels import katz_centrality
+
+        out = katz_centrality(g, rounds=args.rounds)
+    elif args.kernel == "trustrank":
+        from graphit_spark.kernels import trustrank
+
+        seeds = [int(s) for s in args.seeds.split(",") if s != ""]
+        out = trustrank(g, seeds, max_iters=args.max_iters)
+    elif args.kernel == "resolve_redirects":
+        from graphit_spark.kernels import resolve_redirects
+
+        # the --edges table IS the redirect map (src -> dst)
+        out = resolve_redirects(g.edges)
     elif args.kernel == "condensation":
         from graphit_spark.kernels.scc import condensation_layers
 
