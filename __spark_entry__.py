@@ -69,7 +69,7 @@ _CHECK_FIRST = [
     "resolve_redirects", "doc_bm25_search", "dedup_containment_lsh",
     "host_trustrank", "host_spam_mass", "doc_clusters_kmeans",
     "events_spikes", "rich_club", "corpus_source_stats",
-    "community_conductance", "sim_recall_multiprobe",
+    "community_conductance", "sim_recall_multiprobe", "host_locality",
     "louvain", "maximal_matching", "clustering_coeff",
     "triangle_count_approx",
     "corpus_decontaminate_bloom",

@@ -2040,6 +2040,46 @@ FROM cnt"""
 
 
 
+def q_host_locality(spark, sf_dir):
+    """Link locality: the fraction of page-level edges whose endpoints
+    live on the SAME host — the classic web-graph statistic (intra-host
+    locality is what makes host-partitioned adjacency layouts pay at
+    crawl scale). Two broadcastable host-map joins + one integer
+    aggregate; one row out."""
+    g = graph(spark, sf_dir, "raw")
+    hm = _host_map(spark, sf_dir)
+    e = (
+        g.edges
+        .join(F.broadcast(hm.withColumnRenamed("id", "src")
+                          .withColumnRenamed("group", "src_host")), "src")
+        .join(F.broadcast(hm.withColumnRenamed("id", "dst")
+                          .withColumnRenamed("group", "dst_host")), "dst")
+    )
+    intra = F.sum(
+        F.when(F.col("src_host") == F.col("dst_host"), 1).otherwise(0)
+    )
+    return e.agg(
+        F.count("*").alias("n_edges"),
+        intra.cast("long").alias("intra_host"),
+        F.round(intra / F.count("*"), 6).alias("locality"),
+    )
+
+
+HOST_LOCALITY_SQL = (
+    "WITH " + _SQL_COMMON.strip()
+    + """
+SELECT CAST(count(*) AS BIGINT) AS n_edges,
+       CAST(sum(CASE WHEN cs.c_nationkey = cd.c_nationkey
+                     THEN 1 ELSE 0 END) AS BIGINT) AS intra_host,
+       round(sum(CASE WHEN cs.c_nationkey = cd.c_nationkey
+                      THEN 1 ELSE 0 END) * 1e0 / count(*), 6) AS locality
+FROM edges e
+JOIN customer cs ON e.src = cs.c_custkey
+JOIN customer cd ON e.dst = cd.c_custkey"""
+)
+
+
+
 def q_closeness(spark, sf_dir):
     from graphit_spark.kernels import closeness_centrality
 
@@ -3983,6 +4023,7 @@ GRAPH_QUERIES: dict[str, tuple] = {
     "host_spam_mass": (q_host_spam_mass, host_spam_mass_sql()),
     "rich_club": (q_rich_club, rich_club_sql()),
     "community_conductance": (q_community_conductance, community_conductance_sql()),
+    "host_locality": (q_host_locality, HOST_LOCALITY_SQL),
     "fused_pr_eigenvector": (q_fused_pr_eigenvector, fused_pr_ec_sql()),
     "host_graph_rollup": (q_host_rollup, HOST_ROLLUP_SQL),
     "host_pagerank": (q_host_pagerank, host_pagerank_sql()),
