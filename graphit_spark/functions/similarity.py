@@ -517,3 +517,71 @@ def pq_topk(
     )
     return brute_force_topk(recon, queries, k=k, id_col=id_col,
                             vec_col=vec_col)
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    *,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    ivf_iters: int = 2,
+    m_sub: int = PQ_M_SUB,
+    k_codes: int = PQ_K_CODES,
+    pq_iters: int = PQ_TRAIN_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ — the production vector-store layout (FAISS IVF,PQ):
+    coarse inverted lists bound the SCAN (each query touches
+    ~|corpus|·n_probe/n_cells vectors) while product quantization
+    bounds the MEMORY (each stored vector is m_sub small codes, scored
+    by ADC against the full-precision query). Composes the engine's two
+    audited pieces verbatim — `ivf_train_centroids`/`ivf_assign` for
+    the cells and `pq_reconstruct` for the codes — so the result is
+    bit-deterministic and keeps a full DuckDB twin.
+
+    This is the cosine-PQ variant: codebooks are trained on whole
+    vectors (not per-cell residuals — residuals change the dot-product
+    algebra and would break the twin's exactness argument; the
+    documented trade is slightly lower recall per probe)."""
+    recon = pq_reconstruct(
+        embeddings, m_sub=m_sub, k_codes=k_codes, train_iters=pq_iters,
+        id_col=id_col, vec_col=vec_col,
+    )
+    cents = ivf_train_centroids(
+        embeddings, n_cells, ivf_iters, id_col=id_col, vec_col=vec_col
+    ).localCheckpoint(eager=True)
+    corpus = recon.select(id_col, F.col(vec_col).alias("cv")).join(
+        ivf_assign(
+            embeddings, n_cells, id_col, vec_col, centroids=cents
+        ).select(id_col, "cell"),
+        id_col,
+    )
+    probes = ivf_assign(
+        queries, n_cells, id_col, vec_col,
+        rank_limit=n_probe, centroids=cents,
+    ).select(F.col(id_col).alias("query_id"), "cell")
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    scored = (
+        probes.join(qv, "query_id")
+        .join(corpus, "cell")
+        .filter(F.col("query_id") != F.col(id_col))
+        .select(
+            "query_id",
+            id_col,
+            F.round(cosine(F.col("qv"), F.col("cv")), ROUND_SCORE).alias(
+                "score"
+            ),
+        )
+        .dropDuplicates(["query_id", id_col])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", id_col, "score")
+    )

@@ -1782,6 +1782,169 @@ ORDER BY vec_id"""
 
 
 
+def q_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ ANN: coarse inverted lists bound the scan, PQ codes bound
+    the memory, ADC scores full-precision queries against the
+    reconstructed corpus — the FAISS-style production layout composed
+    from the engine's audited IVF and PQ pieces (see
+    functions/similarity.py::ivfpq_topk for the residual-free trade)."""
+    emb = load(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    assert dim == EMB_DIM, f"oracle twin assumes dim={EMB_DIM}, got {dim}"
+    queries = emb.filter(F.col("vec_id") < TOPK_QUERIES)
+    return S.ivfpq_topk(
+        emb, queries, k=TOPK_K,
+        n_cells=IVF_CELLS, n_probe=IVF_PROBE, ivf_iters=IVF_TRAIN_ITERS,
+    )
+
+
+def _ivfpq_sql(
+    ivf_iters: int | None = None,
+    dim: int = EMB_DIM,
+    n_cells: int | None = None,
+    n_probe: int | None = None,
+    m_sub: int | None = None,
+    k_codes: int | None = None,
+    pq_iters: int | None = None,
+) -> str:
+    """Twin of q_ivfpq_topk: the _pq_topk_sql reconstruction CTEs plus
+    the _ivf_kmeans_sql cell/probe CTEs, scored cell-locally."""
+    ivf_iters = IVF_TRAIN_ITERS if ivf_iters is None else ivf_iters
+    n_cells = IVF_CELLS if n_cells is None else n_cells
+    n_probe = IVF_PROBE if n_probe is None else n_probe
+    m_sub = S.PQ_M_SUB if m_sub is None else m_sub
+    k_codes = S.PQ_K_CODES if k_codes is None else k_codes
+    pq_iters = S.PQ_TRAIN_ITERS if pq_iters is None else pq_iters
+    d = dim // m_sub
+    ctes = [
+        "v AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS ev"
+        " FROM embeddings)",
+    ]
+    # --- PQ reconstruction (identical to _pq_topk_sql) ---
+    for s in range(m_sub):
+        lo, hi = s * d + 1, (s + 1) * d
+        means = ", ".join(f"round(avg(sv[{j + 1}]), 9)" for j in range(d))
+        ctes.append(
+            f"""sv{s} AS MATERIALIZED (
+  SELECT vec_id, ev[{lo}:{hi}] AS sv FROM v
+),
+b{s}_0 AS (SELECT vec_id AS cell, sv AS centv FROM sv{s}
+           WHERE vec_id < {k_codes})"""
+        )
+        for r in range(1, pq_iters + 1):
+            p = f"b{s}_{r - 1}"
+            ctes.append(
+                f"""pa{s}_{r} AS MATERIALIZED (
+  SELECT cell, sv FROM (
+    SELECT t.vec_id, t.sv, c.cell,
+           row_number() OVER (PARTITION BY t.vec_id
+                              ORDER BY {_SQL_COS.format(a='t.sv', b='c.centv')} DESC,
+                                       c.cell ASC) AS rn
+    FROM sv{s} t CROSS JOIN {p} c
+  ) WHERE rn = 1
+),
+b{s}_{r} AS MATERIALIZED (
+  SELECT p.cell, CASE WHEN s.mv IS NULL THEN p.centv ELSE s.mv END AS centv
+  FROM {p} p LEFT JOIN (
+    SELECT cell, [{means}]::DOUBLE[] AS mv FROM pa{s}_{r} GROUP BY cell
+  ) s USING (cell)
+)"""
+            )
+        ctes.append(
+            f"""asg{s} AS MATERIALIZED (
+  SELECT vec_id, centv FROM (
+    SELECT t.vec_id, c.centv,
+           row_number() OVER (PARTITION BY t.vec_id
+                              ORDER BY {_SQL_COS.format(a='t.sv', b='c.centv')} DESC,
+                                       c.cell ASC) AS rn
+    FROM sv{s} t CROSS JOIN b{s}_{pq_iters} c
+  ) WHERE rn = 1
+)"""
+        )
+    concat = " || ".join(f"asg{s}.centv" for s in range(m_sub))
+    joins = " ".join(
+        f"JOIN asg{s} ON asg0.vec_id = asg{s}.vec_id"
+        for s in range(1, m_sub)
+    )
+    ctes.append(
+        f"""recon AS MATERIALIZED (
+  SELECT asg0.vec_id, {concat} AS rv
+  FROM asg0 {joins}
+)"""
+    )
+    # --- IVF coarse cells (identical to _ivf_kmeans_sql) ---
+    means_full = ", ".join(f"round(avg(ev[{j + 1}]), 9)" for j in range(dim))
+    ctes.append(
+        f"c0 AS (SELECT vec_id AS cell, ev AS centv FROM v"
+        f" WHERE vec_id < {n_cells})"
+    )
+    for r in range(1, ivf_iters + 1):
+        p = f"c{r - 1}"
+        ctes.append(
+            f"""ka{r} AS MATERIALIZED (
+  SELECT cell, ev FROM (
+    SELECT v.vec_id, v.ev, c.cell,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {_SQL_COS.format(a='v.ev', b='c.centv')} DESC,
+                                       c.cell ASC) AS rn
+    FROM v CROSS JOIN {p} c
+  ) WHERE rn = 1
+)"""
+        )
+        ctes.append(
+            f"""c{r} AS MATERIALIZED (
+  SELECT p.cell, CASE WHEN s.mv IS NULL THEN p.centv ELSE s.mv END AS centv
+  FROM {p} p LEFT JOIN (
+    SELECT cell, [{means_full}]::DOUBLE[] AS mv FROM ka{r} GROUP BY cell
+  ) s USING (cell)
+)"""
+        )
+    cfin = f"c{ivf_iters}"
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f""",
+kscore AS MATERIALIZED (
+  SELECT v.vec_id, c.cell,
+         {_SQL_COS.format(a='v.ev', b='c.centv')} AS cscore
+  FROM v CROSS JOIN {cfin} c
+),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cscore DESC, cell ASC) AS rn
+    FROM kscore
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cscore DESC, cell ASC) AS rn
+    FROM kscore WHERE vec_id < {TOPK_QUERIES}
+  ) WHERE rn <= {n_probe}
+),
+corpus AS (SELECT r.vec_id, r.rv, a.cell FROM recon r JOIN assign a USING (vec_id)),
+scored AS (
+  SELECT DISTINCT p.query_id, c.vec_id,
+         {_SQL_COS.format(a='q.ev', b='c.rv')} AS score
+  FROM probes p
+  JOIN v q ON q.vec_id = p.query_id
+  JOIN corpus c ON c.cell = p.cell
+  WHERE p.query_id <> c.vec_id
+),
+ranked AS (
+  SELECT query_id, vec_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, vec_id ASC) AS rn
+  FROM scored
+)
+SELECT query_id, vec_id, score FROM ranked WHERE rn <= {TOPK_K}
+ORDER BY query_id, vec_id"""
+    )
+
+
+
 def _corpus_sel_parts() -> tuple[str, str]:
     """(CTE text, gated SELECT body) for the curation gates — shared by
     _corpus_select_sql and _corpus_select_dedup_sql."""
@@ -2401,6 +2564,7 @@ TEXT_QUERIES: dict[str, tuple] = {
     "sim_lsh_topk": (q_lsh_topk, SQL_LSH_TOPK),
     "sim_lsh_multiprobe_topk": (q_lsh_multiprobe_topk, SQL_LSH_MULTIPROBE_TOPK),
     "sim_recall_multiprobe": (q_recall_multiprobe, _recall_multiprobe_sql()),
+    "sim_ivfpq_topk": (q_ivfpq_topk, _ivfpq_sql()),
     "sim_ivf_topk": (q_ivf_topk, SQL_IVF_TOPK),
     "sim_ivf_kmeans_topk": (q_ivf_kmeans_topk, _ivf_kmeans_sql()),
     "doc_clusters_kmeans": (q_doc_clusters_kmeans, _doc_clusters_sql()),

@@ -33,6 +33,7 @@ ALL_PAIRS_BASELINES = {
     "sim_pq_topk",  # codebook training/ADC over the same baseline scan
     "doc_clusters_kmeans",  # same broadcast corpus x n_cells scan
     "sim_recall_multiprobe",  # embeds the brute-force exact side by design
+    "sim_ivfpq_topk",  # same broadcast corpus x codebook/centroid scans
 }
 
 TEXT_QUERY_NAMES = [

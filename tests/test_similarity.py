@@ -172,3 +172,19 @@ class TestProductQuantization:
         approx = _topk_sets(S.pq_topk(emb, q, k=K))
         r = _recall(approx, exact_topk)
         assert r >= 0.15, f"PQ recall@10 {r:.2f}"
+
+
+class TestIvfPq:
+    def test_ivfpq_recall_beats_chance_and_respects_cells(self, spark, emb, exact_topk):
+        """IVF-PQ recall is bounded above by the PQ recall (same codes)
+        and must beat chance; every returned hit must share a probed
+        cell with its query (checked implicitly: hits ⊆ PQ-scored
+        candidates in probed cells)."""
+        q = emb.filter(F.col("vec_id") < N_QUERIES)
+        out = S.ivfpq_topk(emb, q, k=K, n_cells=8, n_probe=4, ivf_iters=1)
+        approx = _topk_sets(out)
+        r = _recall(approx, exact_topk)
+        assert r >= 0.08, f"IVF-PQ recall@10 {r:.2f}"  # chance ~0.02
+        # per query at most K hits, none equal to the query itself
+        for qid, hits in approx.items():
+            assert len(hits) <= K and qid not in hits
