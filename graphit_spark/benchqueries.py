@@ -2080,6 +2080,67 @@ JOIN customer cd ON e.dst = cd.c_custkey"""
 
 
 
+def q_host_communities(spark, sf_dir):
+    """Weighted LPA over the host rollup: votes weighted by page-level
+    link counts — host community detection that respects link
+    multiplicity after contraction."""
+    from graphit_spark.kernels import weighted_label_propagation
+
+    g = graph(spark, sf_dir, "raw")
+    hg = LinkGraph(g.contract(_host_map(spark, sf_dir)), persist=False)
+    return weighted_label_propagation(hg, rounds=LPA_ROUNDS)
+
+
+def host_communities_sql(rounds: int = LPA_ROUNDS) -> str:
+    """Twin of q_host_communities. The symmetrized weighted host graph
+    keeps MIN weight per undirected pair (graph.py _squish contract);
+    votes are sum(w) with argmax (w desc, label asc)."""
+    ctes = [
+        _SQL_COMMON.strip().rstrip(","),
+        """hall AS MATERIALIZED (
+  SELECT cs.c_nationkey AS src, cd.c_nationkey AS dst, count(*) AS w
+  FROM edges e
+  JOIN customer cs ON e.src = cs.c_custkey
+  JOIN customer cd ON e.dst = cd.c_custkey
+  GROUP BY 1, 2
+)""",
+        "hedges AS MATERIALIZED (SELECT src, dst, w FROM hall WHERE src <> dst)",
+        "hnv AS (SELECT max(greatest(src, dst)) + 1 AS n FROM hall)",
+        "hverts AS MATERIALIZED (SELECT CAST(n_nationkey AS BIGINT) AS id"
+        " FROM nation WHERE n_nationkey < (SELECT n FROM hnv))",
+        """hsym AS MATERIALIZED (
+  SELECT src, dst, min(w) AS w FROM (
+    SELECT src, dst, w FROM hedges
+    UNION ALL
+    SELECT dst AS src, src AS dst, w FROM hedges
+  ) GROUP BY src, dst
+)""",
+        "hl0 AS (SELECT id, id AS label FROM hverts)",
+    ]
+    for k in range(1, rounds + 1):
+        p = f"hl{k - 1}"
+        ctes.append(
+            f"""hl{k} AS MATERIALIZED (
+  SELECT v.id, coalesce(b.label, v.label) AS label
+  FROM {p} v LEFT JOIN (
+    SELECT id, label FROM (
+      SELECT c.id, c.label,
+             row_number() OVER (PARTITION BY c.id
+                                ORDER BY c.wv DESC, c.label ASC) AS rn
+      FROM (SELECT e.dst AS id, l.label, sum(e.w) AS wv
+            FROM hsym e JOIN {p} l ON e.src = l.id
+            GROUP BY e.dst, l.label) c
+    ) x WHERE rn = 1
+  ) b USING (id)
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id, label FROM hl{rounds} ORDER BY id"
+    )
+
+
+
 def q_closeness(spark, sf_dir):
     from graphit_spark.kernels import closeness_centrality
 
@@ -4024,6 +4085,7 @@ GRAPH_QUERIES: dict[str, tuple] = {
     "rich_club": (q_rich_club, rich_club_sql()),
     "community_conductance": (q_community_conductance, community_conductance_sql()),
     "host_locality": (q_host_locality, HOST_LOCALITY_SQL),
+    "host_communities": (q_host_communities, host_communities_sql()),
     "fused_pr_eigenvector": (q_fused_pr_eigenvector, fused_pr_ec_sql()),
     "host_graph_rollup": (q_host_rollup, HOST_ROLLUP_SQL),
     "host_pagerank": (q_host_pagerank, host_pagerank_sql()),

@@ -7,7 +7,10 @@ from graphit_spark.kernels.pagerank import (
 )
 from graphit_spark.kernels.components import connected_components
 from graphit_spark.kernels.scc import strongly_connected_components
-from graphit_spark.kernels.labelprop import label_propagation
+from graphit_spark.kernels.labelprop import (
+    label_propagation,
+    weighted_label_propagation,
+)
 from graphit_spark.kernels.louvain import louvain_communities, louvain_move
 from graphit_spark.kernels.triangles import (
     triangle_count,
@@ -104,6 +107,7 @@ __all__ = [
     "weighted_pagerank",
     "connected_components",
     "label_propagation",
+    "weighted_label_propagation",
     "triangle_count",
     "triangle_count_approx",
     "triangle_count_per_vertex",

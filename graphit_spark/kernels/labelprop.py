@@ -64,3 +64,58 @@ def label_propagation(
     if own_cache:
         g.unpersist()
     return labels
+
+
+def weighted_label_propagation(
+    graph: LinkGraph,
+    *,
+    rounds: int = 5,
+    symmetrize: bool = True,
+) -> DataFrame:
+    """Weighted LPA: each neighbor's vote counts its edge WEIGHT (on the
+    host rollup, the number of page-level links) instead of 1 — the
+    community variant that respects link multiplicity after graph
+    contraction. Same deterministic contract as `label_propagation`:
+    argmax by (weight-sum desc, label asc), fixed synchronous rounds,
+    isolated vertices keep their label.
+
+    Plan per round is identical to the unweighted kernel (edge ⋈ labels
+    gather, two-level aggregation, no global Window); the only change
+    is count(*) → sum(weight), still a decomposable integer aggregate
+    with map-side combine. Symmetrization keeps the engine's weighted
+    dedup contract (min weight per undirected pair, graph.py _squish).
+    """
+    if not graph.weighted:
+        raise ValueError(
+            "weighted_label_propagation requires (src, dst, weight)"
+        )
+    g = graph.symmetrize() if symmetrize else graph
+    own_cache = g.ensure_persisted()
+
+    labels = graph.vertices().select("id", F.col("id").alias("label"))
+    labels = labels.localCheckpoint(eager=True)
+
+    for _ in range(rounds):
+        votes = (
+            g.edges.join(
+                labels.select(F.col("id").alias("src"), "label"), "src"
+            )
+            .groupBy(F.col("dst").alias("id"), "label")
+            .agg(F.sum("weight").alias("w"))
+        )
+        best = votes.groupBy("id").agg(
+            F.max_by(
+                "label",
+                F.struct(F.col("w"), (-F.col("label")).alias("neg")),
+            ).alias("best_label")
+        )
+        new_labels = (
+            labels.join(best, "id", "left")
+            .select("id", F.coalesce("best_label", "label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        labels = new_labels
+
+    if own_cache:
+        g.unpersist()
+    return labels

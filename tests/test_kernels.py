@@ -1758,3 +1758,28 @@ def test_community_conductance_hand_checked(spark):
     for r in rows.values():
         assert r["cut"] == 1 and r["vol"] == 7
         assert abs(r["cut"] / min(r["vol"], m2 - r["vol"]) - 1 / 7) < 1e-12
+
+
+class TestWeightedLPA:
+    def test_weight_flips_the_vote(self, spark):
+        """Vertex 2 hears label 0 once with weight 5 and labels {1,3}
+        once each with weight 1 — weighted LPA picks 0 where unweighted
+        LPA would pick the most frequent/minimum label the same way
+        only by tie-break."""
+        from graphit_spark.kernels import weighted_label_propagation
+
+        wedges = [(0, 2, 5), (1, 2, 1), (3, 2, 1)]
+        g = LinkGraph.from_pairs(spark, wedges, persist=False)
+        out = {r["id"]: r["label"] for r in
+               weighted_label_propagation(g, rounds=1).collect()}
+        assert out[2] == 0
+
+    def test_requires_weights(self, spark):
+        from graphit_spark.kernels import weighted_label_propagation
+
+        g = LinkGraph.from_pairs(spark, [(0, 1)], persist=False)
+        try:
+            weighted_label_propagation(g)
+            assert False, "expected ValueError"
+        except ValueError:
+            pass
