@@ -70,7 +70,7 @@ _CHECK_FIRST = [
     "host_trustrank", "host_spam_mass", "doc_clusters_kmeans",
     "events_spikes", "rich_club", "corpus_source_stats",
     "community_conductance", "sim_recall_multiprobe", "host_locality",
-    "sim_ivfpq_topk", "host_communities",
+    "sim_ivfpq_topk", "host_communities", "corpus_pack_sequences",
     "louvain", "maximal_matching", "clustering_coeff",
     "triangle_count_approx",
     "corpus_decontaminate_bloom",

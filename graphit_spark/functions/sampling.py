@@ -136,3 +136,69 @@ def stratified_sample(
     for cached in release:
         cached.unpersist()
     return out
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int,
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: lay the corpus out as one
+    virtual token stream in deterministic (sample_key, id) order and
+    cut it into fixed-length training sequences of ``seq_len`` tokens —
+    the packing step a pretraining data loader performs, computed
+    corpus-side so sequence manifests are reproducible and auditable.
+
+    Each document occupies the half-open token interval
+    [start, start + tokens) of the stream, where start is the exclusive
+    running total of all earlier documents; training sequence k covers
+    [k·L, (k+1)·L). Returns one row per document:
+
+      (id, tokens, seq_id, seq_offset, n_splits)
+
+    with seq_id = the sequence holding the document's FIRST token,
+    seq_offset = position of that token within the sequence, and
+    n_splits = how many sequence boundaries cut through the document
+    (0 = fits inside one sequence). All integer arithmetic (``div`` /
+    ``%``), so the layout is bit-reproducible and exactly SQL-twinned.
+
+    Scale shape: identical to token_budget_sample — one 3-narrow-column
+    hash projection + the distributed ordered_prefix_sum (range shuffle
+    → P parallel window sums → broadcast offsets; plans/ranking.py:29)
+    + per-row integer arithmetic. No single-partition Window, no driver
+    iteration; the stream layout of a 10^12-document corpus costs one
+    range shuffle of ~24 TB of narrow rows, never a sort of the text.
+    """
+    if seq_len <= 0:
+        raise ValueError("seq_len must be positive")
+    keyed = df.select(
+        F.col(id_col),
+        F.col(token_col),
+        sample_key(F.col(id_col)).alias("skey"),
+    )
+    release: list = []
+    cum = ordered_prefix_sum(
+        keyed,
+        [F.asc("skey"), F.asc(id_col)],
+        [token_col],
+        release=release,
+    )
+    L = int(seq_len)
+    start = f"({token_col}_cum - {token_col})"
+    # last token's index; empty docs (tokens = 0) pin to their start so
+    # they land in one sequence with n_splits = 0
+    last = f"greatest({token_col}_cum - 1, {start})"
+    out = (
+        cum.select(
+            F.col(id_col),
+            F.col(token_col),
+            F.expr(f"{start} div {L}").alias("seq_id"),
+            F.expr(f"{start} % {L}").alias("seq_offset"),
+            F.expr(f"({last}) div {L} - {start} div {L}").alias("n_splits"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for cached in release:
+        cached.unpersist()
+    return out

@@ -874,6 +874,60 @@ def q_corpus_sample_stratified(spark, sf_dir):
     )
 
 
+PACK_SEQ_LEN = 128  # training-sequence token length
+
+
+def q_corpus_pack_sequences(spark, sf_dir):
+    """Concat-and-chunk sequence packing: lay the corpus out as one
+    deterministic md5-shuffled token stream and cut it into fixed
+    PACK_SEQ_LEN-token training sequences — the data-loader packing
+    step computed corpus-side, so every document's (sequence, offset,
+    boundary-split count) placement is a reproducible, auditable
+    manifest. Token cost is the BPE-ish pre-tokenization count
+    (textops.token_count_bpe), the model-cost proxy.
+
+    Scale shape: one narrow hash projection + the distributed
+    ordered_prefix_sum (range shuffle → P parallel window sums →
+    broadcast offsets) + per-row integer div/mod. No single-partition
+    Window, no driver iteration (functions/sampling.py pack_sequences)."""
+    from graphit_spark.functions import sampling as SA
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", T.token_count_bpe(F.col("text")).alias("n_tokens")
+    )
+    return SA.pack_sequences(toks, PACK_SEQ_LEN)
+
+
+def _corpus_pack_sequences_sql() -> str:
+    """Twin of q_corpus_pack_sequences: same md5 shuffle key, same
+    inclusive prefix sum, same integer div/mod placement arithmetic —
+    bit-exact."""
+    L = PACK_SEQ_LEN
+    return f"""
+WITH keyed AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '{T.BPE_TOKEN_RE}')) AS BIGINT)
+           AS n_tokens,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS skey
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, n_tokens,
+         CAST(SUM(n_tokens) OVER (ORDER BY skey, doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c
+  FROM keyed
+)
+SELECT doc_id, n_tokens,
+       (c - n_tokens) // {L} AS seq_id,
+       (c - n_tokens) % {L} AS seq_offset,
+       greatest(c - 1, c - n_tokens) // {L} - (c - n_tokens) // {L}
+         AS n_splits
+FROM cum
+ORDER BY doc_id
+"""
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Near-duplicate CLUSTERS: the transitive closure of the confirmed
     near-dup pair relation, computed by the engine's own connected-
@@ -2560,6 +2614,8 @@ TEXT_QUERIES: dict[str, tuple] = {
     "corpus_sample_budget": (q_corpus_sample_budget, _corpus_sample_budget_sql()),
     "corpus_sample_stratified": (q_corpus_sample_stratified,
                                  _corpus_sample_stratified_sql()),
+    "corpus_pack_sequences": (q_corpus_pack_sequences,
+                              _corpus_pack_sequences_sql()),
     "dedup_clusters": (q_dedup_clusters, _dedup_clusters_sql()),
     "sim_lsh_topk": (q_lsh_topk, SQL_LSH_TOPK),
     "sim_lsh_multiprobe_topk": (q_lsh_multiprobe_topk, SQL_LSH_MULTIPROBE_TOPK),

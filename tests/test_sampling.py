@@ -141,3 +141,42 @@ def test_stratified_null_stratum_is_sampled(spark):
     expect = _expected_strata(rows, 1, 2)
     got = {r["doc_id"]: (r["lang"], r["stratum_rank"]) for r in out}
     assert got == expect
+
+
+class TestPackSequences:
+    def test_hand_checked_layout(self, spark):
+        """Three docs, L=10: placement follows the (skey, id) stream
+        order with exact integer div/mod arithmetic."""
+        from graphit_spark.functions.sampling import pack_sequences, sample_key
+
+        rows = [(1, 7), (2, 8), (3, 12)]
+        df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+        out = {r["doc_id"]: r for r in pack_sequences(df, 10).collect()}
+        # reproduce stream order driver-side with the same key
+        keys = {
+            r["doc_id"]: r["k"]
+            for r in df.select(
+                "doc_id", sample_key(F.col("doc_id")).alias("k")
+            ).collect()
+        }
+        order = sorted(rows, key=lambda r: (keys[r[0]], r[0]))
+        start = 0
+        for doc_id, n in order:
+            r = out[doc_id]
+            assert r["seq_id"] == start // 10
+            assert r["seq_offset"] == start % 10
+            last = max(start + n - 1, start)
+            assert r["n_splits"] == last // 10 - start // 10
+            start += n
+
+    def test_empty_doc_and_bad_len(self, spark):
+        from graphit_spark.functions.sampling import pack_sequences
+
+        df = spark.createDataFrame([(1, 0)], "doc_id long, n_tokens long")
+        r = pack_sequences(df, 10).first()
+        assert r["n_splits"] == 0 and r["seq_offset"] == 0
+        try:
+            pack_sequences(df, 0)
+            assert False, "expected ValueError"
+        except ValueError:
+            pass
