@@ -348,3 +348,94 @@ def simhash(df: DataFrame, text_col: str = "text", bits: int = 16) -> DataFrame:
         bit = F.when(F.col(f"v_{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
         sh = bit if sh is None else sh + bit
     return agg.select("doc_id", sh.cast("long").alias("simhash"))
+
+
+def duplicate_spans(
+    df: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    min_count: int = 2,
+) -> DataFrame:
+    """Span-level duplicate detection: the maximal token ranges of each
+    document covered by word n-grams that occur >= ``min_count`` times
+    in the corpus (including repeats inside one document) — the
+    "duplicate substring" pass of Lee et al. 2021 (Deduplicating
+    Training Data Makes Language Models Better), at word-n-gram
+    granularity so the whole pipeline stays in native expressions.
+    Doc-level dedup misses these: two unique pages sharing one licence
+    paragraph are untouched by minhash, but the paragraph still
+    memorizes; this emits exactly the ranges a span-cutter would drop.
+
+    Returns one row per maximal span: (doc_id, span_start, span_end,
+    span_tokens) in 1-based token positions, span_tokens = end−start+1.
+    Two duplicated n-gram starts p < q merge into one span when
+    q <= p + n (their token windows touch or overlap).
+
+    Scale shape: posexplode of n-gram starts → the hot shuffle carries
+    (60-bit md5 gram key, doc_id, pos) narrow rows, never gram text →
+    map-side-combined count per key → semi-join positions against the
+    duplicated-key set (same key partitioning, AQE coalesces) → per-doc
+    lag/cumsum island merge in a Window PARTITION BY doc_id (bounded by
+    one document's tokens, never corpus-sized). The gram-key space is
+    corpus tokens, same cardinality as the minhash shingle path.
+    """
+    from pyspark.sql import Window
+
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    grams = (
+        df.select("doc_id", toks.alias("__t"))
+        .filter(F.size("__t") >= n)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__t") - (n - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("__t"), i, n)),
+                )
+            ).alias("__i", "__g"),
+        )
+        .select(
+            "doc_id",
+            (F.col("__i") + 1).cast("long").alias("pos"),  # 1-based start
+            F.conv(F.substring(F.md5(F.col("__g").cast("binary")), 1, 15),
+                   16, 10).cast("long").alias("gkey"),
+        )
+    )
+    grams = grams.localCheckpoint(eager=True)
+    dup_keys = (
+        grams.groupBy("gkey")
+        .agg(F.count("*").alias("__cnt"))
+        .filter(F.col("__cnt") >= int(min_count))
+        .select("gkey")
+    )
+    hits = grams.join(dup_keys, "gkey", "left_semi")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    brk = (
+        F.col("pos")
+        > F.coalesce(F.lag("pos").over(w), F.lit(-(10 ** 9))) + n
+    ).cast("long")
+    spans = (
+        hits.withColumn("__brk", brk)
+        .withColumn(
+            "__span",
+            F.sum("__brk").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("doc_id", "__span")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + (n - 1)).cast("long").alias("span_end"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias(
+                "span_tokens"
+            ),
+        )
+    )
+    out = spans.localCheckpoint(eager=True)
+    grams.unpersist()
+    return out

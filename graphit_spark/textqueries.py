@@ -874,6 +874,66 @@ def q_corpus_sample_stratified(spark, sf_dir):
     )
 
 
+SPAN_N = 5        # duplicate-span n-gram width (words)
+SPAN_MIN_COUNT = 2  # corpus occurrences that make an n-gram "duplicated"
+
+
+def q_dedup_spans(spark, sf_dir):
+    """Span-level duplicate detection (Lee et al. 2021): the maximal
+    token ranges of each document covered by word 5-grams occurring at
+    least twice in the corpus — the ranges a duplicate-substring cutter
+    would drop, which doc-level minhash/simhash cannot see (two unique
+    pages sharing one licence paragraph). See
+    functions/dedup.py duplicate_spans for the scale shape (narrow
+    hashed-gram shuffle, semi-join, per-doc island merge)."""
+    return D.duplicate_spans(
+        load(spark, sf_dir, "documents"), n=SPAN_N, min_count=SPAN_MIN_COUNT
+    )
+
+
+def _dedup_spans_sql() -> str:
+    """Twin of q_dedup_spans: same tokenization, same 60-bit md5 gram
+    key, same >= min_count rule, same lag/cumsum island merge."""
+    n = SPAN_N
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(t) - {n - 1}),
+                i -> struct_pack(pos := CAST(i AS BIGINT),
+                                 gkey := ('0x' || substr(md5(
+                                     array_to_string(t[i:i+{n - 1}], ' ')),
+                                     1, 15))::BIGINT))) AS u
+  FROM toks WHERE len(t) >= {n}
+),
+g2 AS MATERIALIZED (SELECT doc_id, u.pos AS pos, u.gkey AS gkey FROM grams),
+dupk AS (SELECT gkey FROM g2 GROUP BY gkey HAVING count(*) >= {SPAN_MIN_COUNT}),
+hits AS (SELECT doc_id, pos FROM g2 WHERE gkey IN (SELECT gkey FROM dupk)),
+marked AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos > coalesce(lag(pos) OVER (PARTITION BY doc_id
+                                                 ORDER BY pos),
+                                  -1000000000) + {n}
+              THEN 1 ELSE 0 END AS brk
+  FROM hits
+),
+islands AS (
+  SELECT doc_id, pos,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS span
+  FROM marked
+)
+SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + {n - 1} AS BIGINT) AS span_end,
+       CAST(max(pos) + {n - 1} - min(pos) + 1 AS BIGINT) AS span_tokens
+FROM islands GROUP BY doc_id, span
+ORDER BY doc_id, span_start
+"""
+
+
 PACK_SEQ_LEN = 128  # training-sequence token length
 
 
@@ -2616,6 +2676,7 @@ TEXT_QUERIES: dict[str, tuple] = {
                                  _corpus_sample_stratified_sql()),
     "corpus_pack_sequences": (q_corpus_pack_sequences,
                               _corpus_pack_sequences_sql()),
+    "dedup_spans": (q_dedup_spans, _dedup_spans_sql()),
     "dedup_clusters": (q_dedup_clusters, _dedup_clusters_sql()),
     "sim_lsh_topk": (q_lsh_topk, SQL_LSH_TOPK),
     "sim_lsh_multiprobe_topk": (q_lsh_multiprobe_topk, SQL_LSH_MULTIPROBE_TOPK),

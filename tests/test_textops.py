@@ -181,3 +181,46 @@ def test_containment_catches_quoted_subset(spark):
     assert row["cont_a"] >= 0.9, row
     assert row["jaccard"] < 0.5, row
     assert row["cont_b"] < row["cont_a"]
+
+
+class TestDuplicateSpans:
+    def test_shared_phrase_merges_to_maximal_span(self, spark):
+        """Docs 1 and 2 share a 7-word run -> with n=5 the three
+        duplicated gram starts (1,2,3) merge into ONE maximal span
+        covering tokens 1..7 in both docs; the unique tails produce no
+        span."""
+        from graphit_spark.functions.dedup import duplicate_spans
+
+        shared = "a b c d e f g"
+        docs = spark.createDataFrame(
+            [
+                (1, shared + " h1 i1 j1 k1"),
+                (2, shared + " h2 i2 j2 k2"),
+                (3, "entirely different words with no overlap here"),
+            ],
+            "doc_id long, text string",
+        )
+        rows = duplicate_spans(docs, n=5).collect()
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r["doc_id"], []).append(
+                (r["span_start"], r["span_end"], r["span_tokens"])
+            )
+        assert by_doc == {1: [(1, 7, 7)], 2: [(1, 7, 7)]}
+
+    def test_intra_doc_repeat_and_gap_split(self, spark):
+        """One doc repeating a 5-gram twice with a unique gap between
+        them: two separate spans (the gap exceeds n), both from
+        intra-document duplication (min_count counts total
+        occurrences)."""
+        from graphit_spark.functions.dedup import duplicate_spans
+
+        text = "p q r s t u1 u2 u3 u4 u5 u6 p q r s t"
+        docs = spark.createDataFrame(
+            [(7, text)], "doc_id long, text string"
+        )
+        rows = sorted(
+            (r["span_start"], r["span_end"])
+            for r in duplicate_spans(docs, n=5).collect()
+        )
+        assert rows == [(1, 5), (12, 16)]
