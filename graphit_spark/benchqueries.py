@@ -2141,6 +2141,75 @@ def host_communities_sql(rounds: int = LPA_ROUNDS) -> str:
 
 
 
+SIMRANK_C = 0.8
+SIMRANK_ROUNDS = 3
+
+
+def q_host_simrank(spark, sf_dir):
+    """SimRank "related hosts" over the contracted host graph — two
+    hosts are similar when similar hosts link to them (Jeh & Widom
+    KDD'02). Contraction bounds the pair space (the standard web-graph
+    SimRank deployment); the iteration is sparse equi-joins only."""
+    from graphit_spark.kernels import simrank
+
+    g = graph(spark, sf_dir, "raw")
+    hg = LinkGraph(g.contract(_host_map(spark, sf_dir)), persist=False)
+    return simrank(hg, c=SIMRANK_C, rounds=SIMRANK_ROUNDS).select(
+        F.col("a").alias("host_a"),
+        F.col("b").alias("host_b"),
+        F.round("s", ROUND_RANK).alias("simrank"),
+    )
+
+
+def host_simrank_sql(rounds: int = SIMRANK_ROUNDS,
+                     c: float = SIMRANK_C) -> str:
+    """Twin of q_host_simrank: same squished unweighted host edges,
+    same sparse identity start, same (c·Σs)/(din·din) association,
+    rounding only at the end."""
+    ctes = [
+        _SQL_COMMON.strip().rstrip(","),
+        """hall AS MATERIALIZED (
+  SELECT cs.c_nationkey AS src, cd.c_nationkey AS dst, count(*) AS w
+  FROM edges e
+  JOIN customer cs ON e.src = cs.c_custkey
+  JOIN customer cd ON e.dst = cd.c_custkey
+  GROUP BY 1, 2
+)""",
+        "hedges AS MATERIALIZED (SELECT src, dst FROM hall WHERE src <> dst)",
+        "hnv AS (SELECT max(greatest(src, dst)) + 1 AS n FROM hall)",
+        "hverts AS MATERIALIZED (SELECT CAST(n_nationkey AS BIGINT) AS id"
+        " FROM nation WHERE n_nationkey < (SELECT n FROM hnv))",
+        """hindeg AS MATERIALIZED (
+  SELECT dst AS id, count(*) AS din FROM hedges GROUP BY dst
+)""",
+        "s0 AS (SELECT id AS a, id AS b, 1e0 AS s FROM hverts)",
+    ]
+    for k in range(1, rounds + 1):
+        p = f"s{k - 1}"
+        ctes.append(
+            f"""s{k} AS MATERIALIZED (
+  SELECT x.a, x.b, x.s FROM (
+    SELECT ea.dst AS a, eb.dst AS b,
+           {c}e0 * sum(p.s) / (da.din * db.din) AS s
+    FROM {p} p
+    JOIN hedges ea ON ea.src = p.a
+    JOIN hedges eb ON eb.src = p.b
+    JOIN hindeg da ON da.id = ea.dst
+    JOIN hindeg db ON db.id = eb.dst
+    GROUP BY ea.dst, eb.dst, da.din, db.din
+  ) x WHERE x.a <> x.b
+  UNION ALL
+  SELECT id AS a, id AS b, 1e0 AS s FROM hverts
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT a AS host_a, b AS host_b, round(s, {ROUND_RANK}) AS simrank
+FROM s{rounds} WHERE a < b ORDER BY a, b"""
+    )
+
+
 def q_closeness(spark, sf_dir):
     from graphit_spark.kernels import closeness_centrality
 
@@ -4086,6 +4155,7 @@ GRAPH_QUERIES: dict[str, tuple] = {
     "community_conductance": (q_community_conductance, community_conductance_sql()),
     "host_locality": (q_host_locality, HOST_LOCALITY_SQL),
     "host_communities": (q_host_communities, host_communities_sql()),
+    "host_simrank": (q_host_simrank, host_simrank_sql()),
     "fused_pr_eigenvector": (q_fused_pr_eigenvector, fused_pr_ec_sql()),
     "host_graph_rollup": (q_host_rollup, HOST_ROLLUP_SQL),
     "host_pagerank": (q_host_pagerank, host_pagerank_sql()),

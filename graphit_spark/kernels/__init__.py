@@ -12,6 +12,7 @@ from graphit_spark.kernels.labelprop import (
     weighted_label_propagation,
 )
 from graphit_spark.kernels.louvain import louvain_communities, louvain_move
+from graphit_spark.kernels.simrank import simrank
 from graphit_spark.kernels.triangles import (
     triangle_count,
     triangle_count_approx,
@@ -108,6 +109,7 @@ __all__ = [
     "connected_components",
     "label_propagation",
     "weighted_label_propagation",
+    "simrank",
     "triangle_count",
     "triangle_count_approx",
     "triangle_count_per_vertex",

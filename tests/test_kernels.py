@@ -1783,3 +1783,31 @@ class TestWeightedLPA:
             assert False, "expected ValueError"
         except ValueError:
             pass
+
+
+class TestSimRank:
+    def test_hand_checked_shared_in_neighbors(self, spark):
+        """0,1 -> 2 and 0,1 -> 3: I(2)=I(3)={0,1}, so S(2,3) after one
+        round = C/4 * (S00+S01+S10+S11) = C/4 * 2 = 0.4; sources 0,1
+        have no in-links so S(0,1) stays 0 and S(2,3) is stable at 0.4
+        in later rounds. Pair (0,2) etc. score 0 (absent)."""
+        from graphit_spark.kernels import simrank
+
+        g = LinkGraph.from_pairs(
+            spark, [(0, 2), (0, 3), (1, 2), (1, 3)], persist=False
+        )
+        for rounds in (1, 2):
+            rows = {(r["a"], r["b"]): r["s"]
+                    for r in simrank(g, c=0.8, rounds=rounds).collect()}
+            assert abs(rows[(2, 3)] - 0.4) < 1e-12
+            assert (0, 1) not in rows and (0, 2) not in rows
+
+    def test_bad_rounds(self, spark):
+        from graphit_spark.kernels import simrank
+
+        g = LinkGraph.from_pairs(spark, [(0, 1)], persist=False)
+        try:
+            simrank(g, rounds=0)
+            assert False, "expected ValueError"
+        except ValueError:
+            pass
