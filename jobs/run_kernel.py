@@ -40,7 +40,8 @@ def main() -> None:
                             "louvain", "louvain_communities", "salsa",
                             "link_prediction", "condensation",
                             "motifs", "walk_cooccurrence",
-                            "katz", "trustrank", "resolve_redirects"])
+                            "katz", "trustrank", "resolve_redirects",
+                            "simrank", "weighted_lpa"])
     p.add_argument("--edges", help="parquet edge table (src,dst[,weight])")
     p.add_argument("--pages", help="parquet pages table (extracted first)")
     p.add_argument("--synth-vertices", type=int, help="synthetic graph size")
@@ -89,7 +90,7 @@ def main() -> None:
     else:
         p.error("one of --edges/--pages/--synth-vertices required")
 
-    weighted_kernels = {"sssp", "sssp_delta", "msf"}
+    weighted_kernels = {"sssp", "sssp_delta", "msf", "weighted_lpa"}
     if args.kernel in weighted_kernels and "weight" not in edges.columns:
         from pyspark.sql import functions as F
 
@@ -251,6 +252,14 @@ def main() -> None:
         out = walk_cooccurrence(
             random_walks(g, args.walk_len, seed=args.seed)
         )
+    elif args.kernel == "simrank":
+        from graphit_spark.kernels import simrank
+
+        out = simrank(g, rounds=args.rounds)
+    elif args.kernel == "weighted_lpa":
+        from graphit_spark.kernels import weighted_label_propagation
+
+        out = weighted_label_propagation(g, rounds=args.rounds)
     elif args.kernel == "sweep_cut":
         from pyspark.sql import functions as F
 
