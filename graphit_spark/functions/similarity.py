@@ -585,3 +585,106 @@ def ivfpq_topk(
         .filter(F.col("rn") <= k)
         .select("query_id", id_col, "score")
     )
+
+
+def mmr_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 5,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-Marginal-Relevance diversified re-ranking (Carbonell &
+    Goldstein SIGIR'98): from each query's exact top-``k`` candidates,
+    greedily select ``m`` results maximizing
+    ``lam·relevance − (1−lam)·max_similarity_to_already_selected`` —
+    the standard diversification pass between ANN retrieval and
+    consumption (dedup-ish neighbors collapse to one representative).
+    The first pick is pure relevance; ties break by ascending id, so
+    the selection is fully deterministic.
+
+    Returns (query_id, <id_col>, mmr_rank, score) with mmr_rank in
+    1..m and score the (rounded) relevance cosine.
+
+    Scale shape: candidate generation is the documented
+    brute_force_topk baseline (swap in any bucketed ANN path for the
+    same re-rank); everything after is bounded by k per query — the
+    candidate pair table is ≤ k² rows per query built by equi-joins on
+    query_id, and each of the m greedy rounds is one grouped max +
+    one per-query Window over ≤ k rows. No corpus-sized work after
+    retrieval; the driver loop is m scalar-free DataFrame unions.
+    """
+    if m < 1 or k < 1:
+        raise ValueError("k and m must be >= 1")
+    cands = brute_force_topk(
+        embeddings, queries, k=k, id_col=id_col, vec_col=vec_col
+    ).localCheckpoint(eager=True)
+
+    vecs = embeddings.select(F.col(id_col), F.col(vec_col).alias("__v"))
+    ca = cands.select("query_id", F.col(id_col).alias("a")).join(
+        vecs.select(F.col(id_col).alias("a"), F.col("__v").alias("va")), "a"
+    )
+    cb = cands.select("query_id", F.col(id_col).alias("b")).join(
+        vecs.select(F.col(id_col).alias("b"), F.col("__v").alias("vb")), "b"
+    )
+    pairs = (
+        ca.join(cb, "query_id")
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            "query_id", "a", "b",
+            F.round(cosine(F.col("va"), F.col("vb")), ROUND_SCORE)
+            .alias("sim"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    w_rel = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc(id_col)
+    )
+    sel = (
+        cands.withColumn("__rn", F.row_number().over(w_rel))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "query_id", id_col,
+            F.lit(1).cast("long").alias("mmr_rank"), "score",
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    for t in range(2, m + 1):
+        maxsim = (
+            pairs.join(
+                sel.select("query_id", F.col(id_col).alias("b")),
+                ["query_id", "b"],
+            )
+            .groupBy("query_id", F.col("a").alias(id_col))
+            .agg(F.max("sim").alias("__msim"))
+        )
+        rem = cands.join(
+            sel.select("query_id", id_col), ["query_id", id_col],
+            "left_anti",
+        )
+        mmr = F.lit(float(lam)) * F.col("score") - F.lit(
+            1.0 - float(lam)
+        ) * F.col("__msim")
+        w_mmr = Window.partitionBy("query_id").orderBy(
+            mmr.desc(), F.asc(id_col)
+        )
+        pick = (
+            rem.join(maxsim, ["query_id", id_col])
+            .withColumn("__rn", F.row_number().over(w_mmr))
+            .filter(F.col("__rn") == 1)
+            .select(
+                "query_id", id_col,
+                F.lit(t).cast("long").alias("mmr_rank"), "score",
+            )
+        )
+        nxt = sel.unionByName(pick).localCheckpoint(eager=True)
+        sel.unpersist()
+        sel = nxt
+
+    cands.unpersist()
+    pairs.unpersist()
+    return sel

@@ -476,6 +476,81 @@ def q_cosine_topk(spark, sf_dir):
     return S.brute_force_topk(emb, queries, k=TOPK_K)
 
 
+MMR_M = 5      # diversified results kept per query
+MMR_LAM = 0.7  # MMR relevance/diversity trade-off
+
+
+def q_mmr_topk(spark, sf_dir):
+    """MMR diversified re-ranking of the exact top-k (Carbonell &
+    Goldstein SIGIR'98): greedy selection maximizing
+    lam·relevance − (1−lam)·max-sim-to-selected — the diversification
+    pass between ANN retrieval and consumption. Deterministic: rounded
+    cosines, id tie-breaks; see functions/similarity.py mmr_topk for
+    the bounded-by-k² re-rank shape."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < TOPK_QUERIES)
+    return S.mmr_topk(emb, queries, k=TOPK_K, m=MMR_M, lam=MMR_LAM)
+
+
+def _mmr_topk_sql() -> str:
+    """Twin of q_mmr_topk: the SQL_COSINE_TOPK candidates, pairwise
+    rounded cosines among them, and the m-step greedy unrolled as
+    CTEs — same lam arithmetic on the same rounded doubles, same
+    (desc, vec_id asc) tie-break."""
+    lam, m = MMR_LAM, MMR_M
+    ctes = [
+        f"cands AS MATERIALIZED ({SQL_COSINE_TOPK})",
+        "pv AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings)",
+        f"""pairs AS MATERIALIZED (
+  SELECT x.query_id, x.vec_id AS a, y.vec_id AS b,
+         {_SQL_COS.format(a='va.ev', b='vb.ev')} AS sim
+  FROM cands x
+  JOIN cands y ON x.query_id = y.query_id AND x.vec_id <> y.vec_id
+  JOIN pv va ON va.vec_id = x.vec_id
+  JOIN pv vb ON vb.vec_id = y.vec_id
+)""",
+        """s1 AS (
+  SELECT query_id, vec_id, CAST(1 AS BIGINT) AS mmr_rank, score FROM (
+    SELECT query_id, vec_id, score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, vec_id ASC) AS rn
+    FROM cands
+  ) WHERE rn = 1
+)""",
+    ]
+    for t in range(2, m + 1):
+        p = f"s{t - 1}"
+        ctes.append(
+            f"""s{t} AS MATERIALIZED (
+  SELECT * FROM {p}
+  UNION ALL
+  SELECT query_id, vec_id, CAST({t} AS BIGINT) AS mmr_rank, score FROM (
+    SELECT r.query_id, r.vec_id, r.score,
+           row_number() OVER (PARTITION BY r.query_id
+                              ORDER BY {lam!r} * r.score
+                                       - {(1.0 - lam)!r} * ms.msim
+                                       DESC,
+                                       r.vec_id ASC) AS rn
+    FROM cands r
+    JOIN (SELECT p2.query_id, p2.a, max(p2.sim) AS msim
+          FROM pairs p2
+          JOIN {p} s ON p2.query_id = s.query_id AND p2.b = s.vec_id
+          GROUP BY p2.query_id, p2.a) ms
+      ON ms.query_id = r.query_id AND ms.a = r.vec_id
+    WHERE NOT EXISTS (SELECT 1 FROM {p} s2
+                      WHERE s2.query_id = r.query_id
+                        AND s2.vec_id = r.vec_id)
+  ) WHERE rn = 1
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT query_id, vec_id, mmr_rank, score
+FROM s{m} ORDER BY query_id, mmr_rank"""
+    )
+
+
 def q_pq_topk(spark, sf_dir):
     """Product-quantization ADC top-k: full-precision queries against
     the PQ-reconstructed corpus (4 subspaces × 8 codewords, spherical
@@ -2677,6 +2752,7 @@ TEXT_QUERIES: dict[str, tuple] = {
     "corpus_pack_sequences": (q_corpus_pack_sequences,
                               _corpus_pack_sequences_sql()),
     "dedup_spans": (q_dedup_spans, _dedup_spans_sql()),
+    "sim_mmr_topk": (q_mmr_topk, _mmr_topk_sql()),
     "dedup_clusters": (q_dedup_clusters, _dedup_clusters_sql()),
     "sim_lsh_topk": (q_lsh_topk, SQL_LSH_TOPK),
     "sim_lsh_multiprobe_topk": (q_lsh_multiprobe_topk, SQL_LSH_MULTIPROBE_TOPK),

@@ -34,6 +34,7 @@ ALL_PAIRS_BASELINES = {
     "doc_clusters_kmeans",  # same broadcast corpus x n_cells scan
     "sim_recall_multiprobe",  # embeds the brute-force exact side by design
     "sim_ivfpq_topk",  # same broadcast corpus x codebook/centroid scans
+    "sim_mmr_topk",  # re-ranks the brute-force exact baseline by design
 }
 
 TEXT_QUERY_NAMES = [

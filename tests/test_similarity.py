@@ -188,3 +188,40 @@ class TestIvfPq:
         # per query at most K hits, none equal to the query itself
         for qid, hits in approx.items():
             assert len(hits) <= K and qid not in hits
+
+
+class TestMMR:
+    def test_mmr_prefers_diverse_over_near_duplicate(self, spark):
+        """Candidates: a (most relevant), b (near-duplicate of a,
+        slightly less relevant), c (less relevant but diverse). Pure
+        relevance ranks a,b; MMR with lam=0.3 picks a then c —
+        the near-dup b is demoted below the diverse candidate."""
+        from graphit_spark.functions.similarity import mmr_topk
+
+        rows = [
+            (0, [1.0, 0.0]),        # query
+            (1, [0.99, 0.14]),      # a
+            (2, [0.991, 0.141]),    # b ~ a
+            (3, [0.70, 0.71]),      # c diverse
+        ]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+        q = emb.filter("vec_id = 0")
+        out = {
+            r["mmr_rank"]: r["vec_id"]
+            for r in mmr_topk(emb, q, k=3, m=2, lam=0.3).collect()
+        }
+        assert out == {1: 1, 2: 3}
+
+    def test_mmr_bad_args(self, spark):
+        from graphit_spark.functions.similarity import mmr_topk
+
+        emb = spark.createDataFrame(
+            [(0, [1.0, 0.0])], "vec_id long, embedding array<float>"
+        )
+        try:
+            mmr_topk(emb, emb, k=3, m=0)
+            assert False, "expected ValueError"
+        except ValueError:
+            pass
