@@ -71,7 +71,7 @@ _CHECK_FIRST = [
     "events_spikes", "rich_club", "corpus_source_stats",
     "community_conductance", "sim_recall_multiprobe", "host_locality",
     "sim_ivfpq_topk", "host_communities", "corpus_pack_sequences",
-    "dedup_spans", "host_simrank", "sim_mmr_topk",
+    "dedup_spans", "host_simrank", "sim_mmr_topk", "doc_readability",
     "louvain", "maximal_matching", "clustering_coeff",
     "triangle_count_approx",
     "corpus_decontaminate_bloom",

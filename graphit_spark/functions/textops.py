@@ -438,3 +438,43 @@ def bm25_topk(
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(topk)
     )
+
+
+# Flesch reading-ease constants (public formula, Flesch 1948)
+FLESCH_BASE, FLESCH_WPS, FLESCH_SPW = 206.835, 1.015, 84.6
+
+
+def readability(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Flesch reading-ease per document — the classic readability
+    quality feature (complexity axis that length/stopword/repetition
+    gates miss: tangled legalese and keyword-stuffed spam both score
+    low). Sentences are [.!?] runs, words are whitespace tokens,
+    syllables the ASCII vowel-group approximation ([aeiouy]+ runs per
+    lowercased text) — all three are single regexp_count/split
+    expressions, so the pass is one corpus scan inside whole-stage
+    codegen with an exact SQL twin (same counts, same guarded
+    divisions, same literal constants).
+
+    Returns (doc_id, n_words, n_sentences, n_syllables, flesch);
+    empty-ish documents guard both divisors at 1.
+    """
+    text = F.col(text_col)
+    words = token_count(text)
+    sents = F.greatest(
+        F.regexp_count(text, F.lit(r"[.!?]+")), F.lit(1)
+    ).cast("long")
+    syls = F.greatest(
+        F.regexp_count(F.lower(text), F.lit(r"[aeiouy]+")), F.lit(1)
+    ).cast("long")
+    flesch = (
+        F.lit(FLESCH_BASE)
+        - F.lit(FLESCH_WPS) * (words / sents)
+        - F.lit(FLESCH_SPW) * (syls / words)
+    )
+    return df.select(
+        "doc_id",
+        words.alias("n_words"),
+        sents.alias("n_sentences"),
+        syls.alias("n_syllables"),
+        F.round(flesch, 6).alias("flesch"),
+    )

@@ -949,6 +949,36 @@ def q_corpus_sample_stratified(spark, sf_dir):
     )
 
 
+def q_readability(spark, sf_dir):
+    """Flesch reading-ease per document — the readability quality
+    feature (one corpus scan, three regexp counts, JVM-side; see
+    functions/textops.py readability)."""
+    return T.readability(load(spark, sf_dir, "documents"))
+
+
+def _readability_sql() -> str:
+    """Twin of q_readability: same sentence/word/syllable regex counts,
+    same guarded divisions, same float literals in the same order."""
+    return f"""
+WITH c AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+           AS n_words,
+         CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+              AS BIGINT) AS n_sentences,
+         CAST(greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1)
+              AS BIGINT) AS n_syllables
+  FROM documents
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       round({T.FLESCH_BASE!r}
+             - {T.FLESCH_WPS!r} * (n_words * 1e0 / n_sentences)
+             - {T.FLESCH_SPW!r} * (n_syllables * 1e0 / n_words), 6)
+         AS flesch
+FROM c ORDER BY doc_id
+"""
+
+
 SPAN_N = 5        # duplicate-span n-gram width (words)
 SPAN_MIN_COUNT = 2  # corpus occurrences that make an n-gram "duplicated"
 
@@ -2753,6 +2783,7 @@ TEXT_QUERIES: dict[str, tuple] = {
                               _corpus_pack_sequences_sql()),
     "dedup_spans": (q_dedup_spans, _dedup_spans_sql()),
     "sim_mmr_topk": (q_mmr_topk, _mmr_topk_sql()),
+    "doc_readability": (q_readability, _readability_sql()),
     "dedup_clusters": (q_dedup_clusters, _dedup_clusters_sql()),
     "sim_lsh_topk": (q_lsh_topk, SQL_LSH_TOPK),
     "sim_lsh_multiprobe_topk": (q_lsh_multiprobe_topk, SQL_LSH_MULTIPROBE_TOPK),

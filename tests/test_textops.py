@@ -224,3 +224,17 @@ class TestDuplicateSpans:
             for r in duplicate_spans(docs, n=5).collect()
         )
         assert rows == [(1, 5), (12, 16)]
+
+
+def test_readability_hand_checked(spark):
+    """'The cat sat. It ran!' -> 5 words, 2 sentences, 5 vowel groups;
+    flesch = 206.835 - 1.015*(5/2) - 84.6*(5/5)."""
+    from graphit_spark.functions.textops import readability
+
+    docs = spark.createDataFrame(
+        [(1, "The cat sat. It ran!")], "doc_id long, text string"
+    )
+    r = readability(docs).first()
+    assert (r["n_words"], r["n_sentences"], r["n_syllables"]) == (5, 2, 5)
+    expected = round(206.835 - 1.015 * (5 / 2) - 84.6 * (5 / 5), 6)
+    assert abs(r["flesch"] - expected) < 1e-9
