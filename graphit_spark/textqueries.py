@@ -949,6 +949,74 @@ def q_corpus_sample_stratified(spark, sf_dir):
     )
 
 
+SPAM_MAX = 0.15  # max tolerated host spam mass for training docs
+
+
+def q_corpus_select_spamsafe(spark, sf_dir):
+    """Curation gated by LINK-GRAPH anti-spam — the cross-family
+    composition this engine exists for: the text gates (exact dedup,
+    quality, language, stopword) intersected with the host graph's
+    spam-mass signal (fused weighted PageRank + TrustRank,
+    kernels/fused.py), dropping every document published on a host
+    whose spam mass exceeds SPAM_MAX. Document→host linkage is the
+    fixture contract: source 'srcN' publishes on host N (the nation
+    universe of the rollup, same as _host_map one level up).
+
+    Scale shape: the one-scan curation gates + the audited fused host
+    recurrence (host-count-sized state) + ONE broadcast anti-join of
+    selected docs against the tiny bad-host set. No new shuffle
+    family; the graph signal arrives as a broadcast filter."""
+    from graphit_spark.benchqueries import (
+        PR_ITERS, TRUST_SEEDS, _host_map, graph as load_graph,
+    )
+    from graphit_spark.graph import LinkGraph
+    from graphit_spark.kernels import fused_trust_spam
+
+    docs = load(spark, sf_dir, "documents")
+    selected = _corpus_selected(docs)
+
+    g = load_graph(spark, sf_dir, "raw")
+    hg = LinkGraph(g.contract(_host_map(spark, sf_dir)), persist=False)
+    bad_hosts = (
+        fused_trust_spam(hg, TRUST_SEEDS, rounds=PR_ITERS)
+        .filter(F.round("spam_mass", 6) > SPAM_MAX)
+        .select(F.col("id").alias("host"))
+    )
+    hosted = selected.join(
+        docs.select(
+            "doc_id",
+            F.substring(F.col("source"), 4, 8).cast("long").alias("host"),
+        ),
+        "doc_id",
+    )
+    return hosted.join(F.broadcast(bad_hosts), "host", "left_anti").select(
+        "doc_id", "n_tokens", "alpha_ratio", "stopword_ratio", "host"
+    )
+
+
+def _corpus_select_spamsafe_sql() -> str:
+    """Twin of q_corpus_select_spamsafe: the curation-gate CTEs and the
+    fused rank/trust iterated CTEs composed in one WITH, bad hosts =
+    round(spam_mass, 6) > SPAM_MAX, host = CAST(substr(source, 4))."""
+    from graphit_spark.benchqueries import PR_ITERS, host_spam_mass_sql
+
+    sel_ctes, sel_body = _corpus_sel_parts()
+    spam = host_spam_mass_sql()
+    spam_with = spam[len("WITH "):spam.rindex("\nSELECT id, round(rank")]
+    return f"""
+WITH {sel_ctes},
+{spam_with},
+bad AS (SELECT id FROM f{PR_ITERS}
+        WHERE round((rank - trust) / rank, 6) > {SPAM_MAX}),
+sel AS MATERIALIZED ({sel_body})
+SELECT s.doc_id, s.n_tokens, s.alpha_ratio, s.stopword_ratio,
+       CAST(substr(d.source, 4) AS BIGINT) AS host
+FROM sel s JOIN documents d USING (doc_id)
+WHERE CAST(substr(d.source, 4) AS BIGINT) NOT IN (SELECT id FROM bad)
+ORDER BY s.doc_id
+"""
+
+
 def q_readability(spark, sf_dir):
     """Flesch reading-ease per document — the readability quality
     feature (one corpus scan, three regexp counts, JVM-side; see
@@ -2784,6 +2852,8 @@ TEXT_QUERIES: dict[str, tuple] = {
     "dedup_spans": (q_dedup_spans, _dedup_spans_sql()),
     "sim_mmr_topk": (q_mmr_topk, _mmr_topk_sql()),
     "doc_readability": (q_readability, _readability_sql()),
+    "corpus_select_spamsafe": (q_corpus_select_spamsafe,
+                               _corpus_select_spamsafe_sql()),
     "dedup_clusters": (q_dedup_clusters, _dedup_clusters_sql()),
     "sim_lsh_topk": (q_lsh_topk, SQL_LSH_TOPK),
     "sim_lsh_multiprobe_topk": (q_lsh_multiprobe_topk, SQL_LSH_MULTIPROBE_TOPK),
