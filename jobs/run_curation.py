@@ -30,6 +30,11 @@ Stages (each also writes the previous stages' accounting):
               bloom-pruned: an 8 KB broadcast filter kills the
               non-matching corpus explode before the exact confirm
               join (decontaminate_bloom)
+    pack      full curation, then concat-and-chunk the kept docs into
+              fixed-token training sequences (pack_sequences; the
+              per-doc sequence/offset/split manifest a loader consumes)
+    spans     duplicate n-gram span report over the raw corpus
+              (duplicate_spans; the ranges a span-cutter would drop)
 
 Input schema: (doc_id:long, text:string, ...) — extra columns pass
 through untouched by the gates and are ignored by the dedup stages.
@@ -50,7 +55,8 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--stage", required=True,
                    choices=["select", "dedup", "cluster", "clusters",
-                            "full", "sample", "decontaminate"])
+                            "full", "sample", "decontaminate", "pack",
+                            "spans"])
     p.add_argument("--documents", required=True,
                    help="parquet documents table (doc_id, text, ...)")
     p.add_argument("--output", required=True)
@@ -82,6 +88,27 @@ def main() -> None:
     elif args.stage == "decontaminate":
         bench = spark.read.parquet(args.benchmark)
         out = T.decontaminate_bloom(docs, bench)
+    elif args.stage == "pack":
+        # curate, then lay the kept docs out as training sequences:
+        # the manifest a data loader consumes (sequence id, offset,
+        # boundary splits per document)
+        from pyspark.sql import functions as F
+
+        from graphit_spark.functions import textops as TO
+        from graphit_spark.functions.sampling import pack_sequences
+
+        kept = docs.join(
+            T.corpus_select_full(docs).select("doc_id"), "doc_id",
+            "left_semi",
+        )
+        toks = kept.select(
+            "doc_id", TO.token_count_bpe(F.col("text")).alias("n_tokens")
+        )
+        out = pack_sequences(toks, T.PACK_SEQ_LEN)
+    elif args.stage == "spans":
+        from graphit_spark.functions.dedup import duplicate_spans
+
+        out = duplicate_spans(docs, n=T.SPAN_N, min_count=T.SPAN_MIN_COUNT)
     else:
         out = T.dedup_clusters(docs)
 
