@@ -688,3 +688,87 @@ def mmr_topk(
     cands.unpersist()
     pairs.unpersist()
     return sel
+
+
+def top_pc_projection(
+    embeddings: DataFrame,
+    rounds: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """First principal component of the (mean-centered) embedding set
+    by power iteration, returned as each vector's projection onto it —
+    the embedding-pipeline diagnostic/whitening primitive (dominant-
+    direction removal à la all-but-the-top, outlier screening, PCA
+    sanity checks before ANN deployment).
+
+    Power iteration never forms the d×d Gram matrix: each round is
+    w = Σ_x c_x·(c_x·v) — ONE corpus pass computing per-vector dot
+    products plus one d-row grouped sum — so the cost is O(n·d) per
+    round regardless of d², and the only driver state is the d-float
+    direction vector. Determinism contract (the ivf_kmeans trick):
+    per-dim means and gather sums are rounded to 6 decimals before the
+    (driver-side, fixed-order) normalization, and the direction is
+    re-rounded each round, so the SQL twin reproduces the iteration
+    bit for bit. Sign convention: the entry of largest |value| in the
+    final direction is made positive (deterministic across engines).
+
+    Returns (id, pc1) with pc1 = centered-vector · direction, rounded
+    to ROUND_SCORE.
+    """
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    dim = len(embeddings.select(vec_col).first()[0])
+
+    ex = embeddings.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("ev")
+    ).localCheckpoint(eager=True)
+
+    mean_rows = (
+        ex.select(F.posexplode("ev").alias("i", "x"))
+        .groupBy("i")
+        .agg(F.round(F.avg("x"), 6).alias("m"))
+        .collect()
+    )
+    mean = [0.0] * dim
+    for r in mean_rows:
+        mean[r["i"]] = r["m"]
+
+    cx = ex.select(
+        F.col(id_col),
+        F.zip_with(
+            "ev", F.lit(mean).cast("array<double>"), lambda x, m: x - m
+        ).alias("cv"),
+    ).localCheckpoint(eager=True)
+    ex.unpersist()
+
+    v = [round(1.0 / dim ** 0.5, 6)] * dim
+    for _ in range(rounds):
+        vcol = F.lit(v).cast("array<double>")
+        w_rows = (
+            cx.select(
+                _dot(F.col("cv"), vcol).alias("dp"),
+                F.posexplode("cv").alias("i", "x"),
+            )
+            .groupBy("i")
+            .agg(F.round(F.sum(F.col("x") * F.col("dp")), 6).alias("w"))
+            .collect()
+        )
+        w = [0.0] * dim
+        for r in w_rows:
+            w[r["i"]] = r["w"]
+        norm = max(sum(t * t for t in w) ** 0.5, 1e-12)
+        v = [round(t / norm, 6) for t in w]
+
+    # deterministic sign: largest-|loading| entry positive
+    pivot = max(range(dim), key=lambda i: (abs(v[i]), -i))
+    if v[pivot] < 0:
+        v = [-t for t in v]
+
+    out = cx.select(
+        F.col(id_col),
+        F.round(_dot(F.col("cv"), F.lit(v).cast("array<double>")),
+                ROUND_SCORE).alias("pc1"),
+    ).localCheckpoint(eager=True)
+    cx.unpersist()
+    return out

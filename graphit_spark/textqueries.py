@@ -476,6 +476,91 @@ def q_cosine_topk(spark, sf_dir):
     return S.brute_force_topk(emb, queries, k=TOPK_K)
 
 
+PC_ROUNDS = 4  # power-iteration rounds for the top principal component
+
+
+def q_emb_top_pc(spark, sf_dir):
+    """Per-vector projection onto the corpus's first principal
+    component (power iteration, never forming the d×d Gram matrix) —
+    the embedding-pipeline whitening/diagnostic primitive
+    (all-but-the-top dominant-direction removal, outlier screening).
+    Deterministic via the ivf_kmeans rounding contract; see
+    functions/similarity.py top_pc_projection."""
+    emb = load(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    assert dim == EMB_DIM, f"oracle twin assumes dim={EMB_DIM}, got {dim}"
+    return S.top_pc_projection(emb, rounds=PC_ROUNDS)
+
+
+def _emb_top_pc_sql() -> str:
+    """Twin of q_emb_top_pc: same rounded means, same rounded per-dim
+    gather sums, same guarded norm, same re-rounded direction each
+    round, same largest-|loading| sign pivot."""
+    d = EMB_DIM
+    v0 = round(1.0 / d ** 0.5, 6)
+    expl = (
+        "unnest(list_transform(range(1, {n}), i ->"
+        " struct_pack(i := i, x := {arr}[i]))) AS u"
+    )
+    ctes = [
+        "ve AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings)",
+        f"""px AS MATERIALIZED (
+  SELECT vec_id, u.i AS i, u.x AS x FROM (
+    SELECT vec_id, {expl.format(n=d + 1, arr='ev')} FROM ve
+  )
+)""",
+        "mean AS MATERIALIZED (SELECT i, round(avg(x), 6) AS m"
+        " FROM px GROUP BY i)",
+        "mv AS (SELECT list(m ORDER BY i) AS ml FROM mean)",
+        f"""cx AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(range(1, {d + 1}), i -> ev[i] - ml[i]) AS cv
+  FROM ve, mv
+)""",
+        f"v0 AS (SELECT list_transform(range(1, {d + 1}),"
+        f" i -> {v0!r}) AS vl)",
+    ]
+    for t in range(1, PC_ROUNDS + 1):
+        ctes.append(
+            f"""dp{t} AS MATERIALIZED (
+  SELECT vec_id, cv, list_dot_product(cv, vl) AS dp
+  FROM cx, v{t - 1}
+)"""
+        )
+        ctes.append(
+            f"""w{t} AS MATERIALIZED (
+  SELECT u.i AS i, round(sum(u.x * dp), 6) AS w FROM (
+    SELECT dp, {expl.format(n=d + 1, arr='cv')} FROM dp{t}
+  ) GROUP BY u.i
+)"""
+        )
+        ctes.append(
+            f"n{t} AS (SELECT greatest(sqrt(sum(w * w)), 1e-12) AS nrm"
+            f" FROM w{t})"
+        )
+        ctes.append(
+            f"v{t} AS (SELECT list(round(w / (SELECT nrm FROM n{t}), 6)"
+            f" ORDER BY i) AS vl FROM w{t})"
+        )
+    R = PC_ROUNDS
+    ctes.append(
+        f"""piv AS (
+  SELECT CASE WHEN u.x < 0 THEN -1e0 ELSE 1e0 END AS sgn FROM (
+    SELECT {expl.format(n=d + 1, arr='vl')} FROM v{R}
+  ) ORDER BY abs(u.x) DESC, u.i ASC LIMIT 1
+)"""
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT vec_id,
+       round(list_dot_product(cv, list_transform(vl, x -> x * sgn)),
+             {S.ROUND_SCORE}) AS pc1
+FROM cx, v{R}, piv ORDER BY vec_id
+"""
+    )
+
+
 MMR_M = 5      # diversified results kept per query
 MMR_LAM = 0.7  # MMR relevance/diversity trade-off
 
@@ -2854,6 +2939,7 @@ TEXT_QUERIES: dict[str, tuple] = {
     "doc_readability": (q_readability, _readability_sql()),
     "corpus_select_spamsafe": (q_corpus_select_spamsafe,
                                _corpus_select_spamsafe_sql()),
+    "emb_top_pc": (q_emb_top_pc, _emb_top_pc_sql()),
     "dedup_clusters": (q_dedup_clusters, _dedup_clusters_sql()),
     "sim_lsh_topk": (q_lsh_topk, SQL_LSH_TOPK),
     "sim_lsh_multiprobe_topk": (q_lsh_multiprobe_topk, SQL_LSH_MULTIPROBE_TOPK),

@@ -225,3 +225,28 @@ class TestMMR:
             assert False, "expected ValueError"
         except ValueError:
             pass
+
+
+def test_top_pc_projection_recovers_dominant_axis(spark):
+    """Vectors spread along axis 0 with tiny axis-1 noise: PC1 is
+    ~the x-axis with positive loading (sign convention), so the
+    projections recover the centered x coordinates."""
+    from graphit_spark.functions.similarity import top_pc_projection
+
+    rows = [
+        (0, [10.0, 0.1]),
+        (1, [-10.0, -0.1]),
+        (2, [4.0, 0.0]),
+        (3, [-4.0, 0.05]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r["pc1"] for r in
+           top_pc_projection(emb, rounds=4).collect()}
+    mean_x = sum(v[0] for _, v in rows) / 4
+    for i, v in rows:
+        assert abs(out[i] - (v[0] - mean_x)) < 0.05, (i, out[i])
+    try:
+        top_pc_projection(emb, rounds=0)
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
