@@ -2141,6 +2141,137 @@ def host_communities_sql(rounds: int = LPA_ROUNDS) -> str:
 
 
 
+CRAWL_BUDGET_DEN = 3   # crawl budget = total pages // 3
+CRAWL_FILL_ROUNDS = 3  # waterfill redistribution rounds
+
+
+def q_crawl_budget(spark, sf_dir):
+    """Per-host crawl-budget allocation — the crawl-ops planning query:
+    split a global fetch budget over hosts proportionally to host
+    PageRank, capped at each host's page count, redistributing the
+    capped hosts' unused share over the rest (waterfill). All integer
+    arithmetic after quantizing ranks to 1e-6 units, so the allocation
+    is bit-exact and twin-reproducible; the floor-division leftover
+    after the fixed rounds is deliberate (it converges geometrically
+    and a real scheduler carries it to the next cycle).
+
+    Scale shape: host ranks from the audited weighted rollup
+    recurrence; each waterfill round is two scalar aggregates (spent,
+    uncapped weight) + one per-host projection — the same
+    driver-scalar loop discipline as delta-stepping's buckets. Never a
+    pages-sized shuffle: allocation state is one row per host."""
+    from graphit_spark.kernels import weighted_pagerank
+
+    g = graph(spark, sf_dir, "raw")
+    hg = LinkGraph(g.contract(_host_map(spark, sf_dir)), persist=False)
+    runits = F.floor(
+        F.round(F.col("rank"), ROUND_RANK) * F.lit(1000000.0) + F.lit(0.5)
+    ).cast("long")
+    ranks = weighted_pagerank(hg, max_iters=PR_ITERS).select(
+        "id", runits.alias("rank_units")
+    )
+    caps = (
+        load(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").cast("long").alias("id"))
+        .agg(F.count("*").alias("cap"))
+    )
+    total_pages = load(spark, sf_dir, "customer").count()
+    budget = int(total_pages) // CRAWL_BUDGET_DEN
+
+    state = (
+        ranks.join(caps, "id", "left")
+        .select(
+            "id", "rank_units",
+            F.coalesce("cap", F.lit(0)).cast("long").alias("cap"),
+            F.lit(0).cast("long").alias("alloc"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(CRAWL_FILL_ROUNDS):
+        row = state.agg(
+            F.sum("alloc").alias("spent"),
+            F.sum(
+                F.when(F.col("alloc") < F.col("cap"), F.col("rank_units"))
+                .otherwise(F.lit(0))
+            ).alias("uw"),
+        ).first()
+        remaining = budget - int(row["spent"] or 0)
+        uw = int(row["uw"] or 0)
+        if remaining <= 0 or uw == 0:
+            break
+        give = F.when(
+            F.col("alloc") < F.col("cap"),
+            F.least(
+                F.col("cap") - F.col("alloc"),
+                F.expr(f"({remaining} * rank_units) div {uw}"),
+            ),
+        ).otherwise(F.lit(0))
+        nxt = state.select(
+            "id", "rank_units", "cap",
+            (F.col("alloc") + give).cast("long").alias("alloc"),
+        ).localCheckpoint(eager=True)
+        state.unpersist()
+        state = nxt
+    return state.select("id", "rank_units", "cap", "alloc")
+
+
+def crawl_budget_sql(rounds: int = CRAWL_FILL_ROUNDS) -> str:
+    """Twin of q_crawl_budget: host ranks from host_pagerank_sql's
+    CTEs, the same 1e-6 quantization, and the waterfill rounds
+    unrolled with scalar-subquery spent/uncapped-weight aggregates —
+    pure integer arithmetic, bit-exact."""
+    pr = host_pagerank_sql()
+    pr_with = pr[len("WITH "):pr.rindex("\nSELECT id, round(rank")]
+    ctes = [
+        pr_with,
+        f"""runits AS MATERIALIZED (
+  SELECT id,
+         CAST(floor(round(rank, {ROUND_RANK}) * 1000000e0 + 0.5e0)
+              AS BIGINT) AS rank_units
+  FROM h{PR_ITERS}
+)""",
+        """caps AS MATERIALIZED (
+  SELECT CAST(c_nationkey AS BIGINT) AS id, count(*) AS cap
+  FROM customer GROUP BY 1
+)""",
+        f"""bparam AS (
+  SELECT CAST(count(*) // {CRAWL_BUDGET_DEN} AS BIGINT) AS budget
+  FROM customer
+)""",
+        """a0 AS MATERIALIZED (
+  SELECT r.id, r.rank_units, CAST(coalesce(c.cap, 0) AS BIGINT) AS cap,
+         CAST(0 AS BIGINT) AS alloc
+  FROM runits r LEFT JOIN caps c USING (id)
+)""",
+    ]
+    for k in range(1, rounds + 1):
+        p = f"a{k - 1}"
+        ctes.append(
+            f"""rem{k} AS (
+  SELECT (SELECT budget FROM bparam) - sum(alloc) AS remaining,
+         sum(CASE WHEN alloc < cap THEN rank_units ELSE 0 END) AS uw
+  FROM {p}
+)""",
+        )
+        ctes.append(
+            f"""a{k} AS MATERIALIZED (
+  SELECT id, rank_units, cap,
+         CAST(CASE WHEN (SELECT remaining FROM rem{k}) > 0
+                    AND (SELECT uw FROM rem{k}) <> 0
+                    AND alloc < cap
+              THEN alloc + least(cap - alloc,
+                   ((SELECT remaining FROM rem{k}) * rank_units)
+                     // (SELECT uw FROM rem{k}))
+              ELSE alloc END AS BIGINT) AS alloc
+  FROM {p}
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id, rank_units, cap, alloc FROM a{rounds} ORDER BY id"
+    )
+
+
 SIMRANK_C = 0.8
 SIMRANK_ROUNDS = 3
 
@@ -4156,6 +4287,7 @@ GRAPH_QUERIES: dict[str, tuple] = {
     "host_locality": (q_host_locality, HOST_LOCALITY_SQL),
     "host_communities": (q_host_communities, host_communities_sql()),
     "host_simrank": (q_host_simrank, host_simrank_sql()),
+    "crawl_budget": (q_crawl_budget, crawl_budget_sql()),
     "fused_pr_eigenvector": (q_fused_pr_eigenvector, fused_pr_ec_sql()),
     "host_graph_rollup": (q_host_rollup, HOST_ROLLUP_SQL),
     "host_pagerank": (q_host_pagerank, host_pagerank_sql()),

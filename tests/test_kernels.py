@@ -1811,3 +1811,19 @@ class TestSimRank:
             assert False, "expected ValueError"
         except ValueError:
             pass
+
+
+def test_crawl_budget_respects_caps_and_budget(spark):
+    """Waterfill invariants on the fixture tables: no host exceeds its
+    page-count cap, the total allocation never exceeds the budget, and
+    at least one capped-or-positive allocation exists."""
+    from graphit_spark.benchqueries import (
+        CRAWL_BUDGET_DEN, q_crawl_budget, load,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = q_crawl_budget(spark, sf).collect()
+    budget = load(spark, sf, "customer").count() // CRAWL_BUDGET_DEN
+    assert all(r["alloc"] <= r["cap"] for r in rows)
+    spent = sum(r["alloc"] for r in rows)
+    assert 0 < spent <= budget
