@@ -690,31 +690,17 @@ def mmr_topk(
     return sel
 
 
-def top_pc_projection(
+def top_pc_direction(
     embeddings: DataFrame,
     rounds: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> DataFrame:
-    """First principal component of the (mean-centered) embedding set
-    by power iteration, returned as each vector's projection onto it —
-    the embedding-pipeline diagnostic/whitening primitive (dominant-
-    direction removal à la all-but-the-top, outlier screening, PCA
-    sanity checks before ANN deployment).
-
-    Power iteration never forms the d×d Gram matrix: each round is
-    w = Σ_x c_x·(c_x·v) — ONE corpus pass computing per-vector dot
-    products plus one d-row grouped sum — so the cost is O(n·d) per
-    round regardless of d², and the only driver state is the d-float
-    direction vector. Determinism contract (the ivf_kmeans trick):
-    per-dim means and gather sums are rounded to 6 decimals before the
-    (driver-side, fixed-order) normalization, and the direction is
-    re-rounded each round, so the SQL twin reproduces the iteration
-    bit for bit. Sign convention: the entry of largest |value| in the
-    final direction is made positive (deterministic across engines).
-
-    Returns (id, pc1) with pc1 = centered-vector · direction, rounded
-    to ROUND_SCORE.
+) -> tuple[list, list]:
+    """(mean, direction) of the corpus's first principal component by
+    power iteration — the shared core of top_pc_projection and the
+    whitened dedup path. Both lists are d floats of driver state; see
+    top_pc_projection for the determinism contract (rounded means and
+    gather sums, re-rounded direction, largest-|loading| sign pivot).
     """
     if rounds < 1:
         raise ValueError("rounds must be >= 1")
@@ -759,16 +745,97 @@ def top_pc_projection(
             w[r["i"]] = r["w"]
         norm = max(sum(t * t for t in w) ** 0.5, 1e-12)
         v = [round(t / norm, 6) for t in w]
+    cx.unpersist()
 
     # deterministic sign: largest-|loading| entry positive
     pivot = max(range(dim), key=lambda i: (abs(v[i]), -i))
     if v[pivot] < 0:
         v = [-t for t in v]
+    return mean, v
 
-    out = cx.select(
+
+def top_pc_projection(
+    embeddings: DataFrame,
+    rounds: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """First principal component of the (mean-centered) embedding set
+    by power iteration, returned as each vector's projection onto it —
+    the embedding-pipeline diagnostic/whitening primitive (dominant-
+    direction removal à la all-but-the-top, outlier screening, PCA
+    sanity checks before ANN deployment).
+
+    Power iteration never forms the d×d Gram matrix: each round is
+    w = Σ_x c_x·(c_x·v) — ONE corpus pass computing per-vector dot
+    products plus one d-row grouped sum — so the cost is O(n·d) per
+    round regardless of d², and the only driver state is the d-float
+    direction vector. Determinism contract (the ivf_kmeans trick):
+    per-dim means and gather sums are rounded to 6 decimals before the
+    (driver-side, fixed-order) normalization, and the direction is
+    re-rounded each round, so the SQL twin reproduces the iteration
+    bit for bit. Sign convention: the entry of largest |value| in the
+    final direction is made positive (deterministic across engines).
+
+    Returns (id, pc1) with pc1 = centered-vector · direction, rounded
+    to ROUND_SCORE.
+    """
+    mean, v = top_pc_direction(embeddings, rounds, id_col, vec_col)
+    cx = embeddings.select(
+        F.col(id_col),
+        F.zip_with(
+            F.col(vec_col).cast("array<double>"),
+            F.lit(mean).cast("array<double>"),
+            lambda x, m: x - m,
+        ).alias("cv"),
+    )
+    return cx.select(
         F.col(id_col),
         F.round(_dot(F.col("cv"), F.lit(v).cast("array<double>")),
                 ROUND_SCORE).alias("pc1"),
-    ).localCheckpoint(eager=True)
-    cx.unpersist()
-    return out
+    )
+
+
+def embedding_dup_pairs_whitened(
+    embeddings: DataFrame,
+    dim: int,
+    threshold: float = 0.35,
+    rounds: int = 4,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate pairs over WHITENED embeddings: center, remove
+    the top principal component (all-but-the-top — the dominant
+    direction every vector shares inflates raw cosines and masks true
+    neighbors), then run the audited LSH-bucketed dup detection on the
+    residuals r = c − (c·v)·v. The post-PC residual arithmetic is
+    bit-deterministic (ordered-fold dots over the rounded mean and
+    direction), so buckets and scores reproduce exactly in the twin.
+
+    Scale shape: top_pc_direction's per-round corpus pass + d-row
+    grouped sum, then exactly embedding_dup_pairs_lsh's bucket-key
+    equi-join over residual vectors — never an all-pairs cross join.
+    """
+    mean, v = top_pc_direction(embeddings, rounds, id_col, vec_col)
+    vcol = F.lit(v).cast("array<double>")
+    cx = embeddings.select(
+        F.col(id_col),
+        F.zip_with(
+            F.col(vec_col).cast("array<double>"),
+            F.lit(mean).cast("array<double>"),
+            lambda x, m: x - m,
+        ).alias("cv"),
+    )
+    res = cx.select(
+        F.col(id_col),
+        F.zip_with(
+            "cv",
+            F.transform(vcol, lambda t: t * _dot(F.col("cv"), vcol)),
+            lambda c, p: c - p,
+        ).alias("rv"),
+    ).filter(_dot(F.col("rv"), F.col("rv")) > 0)  # exact-PC vectors out
+    return embedding_dup_pairs_lsh(
+        res, dim=dim, threshold=threshold, n_planes=n_planes,
+        id_col=id_col, vec_col="rv",
+    )

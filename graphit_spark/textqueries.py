@@ -476,6 +476,46 @@ def q_cosine_topk(spark, sf_dir):
     return S.brute_force_topk(emb, queries, k=TOPK_K)
 
 
+def q_host_lang_mix(spark, sf_dir):
+    """Per-host content-language mix — the crawl diagnostic that routes
+    multilingual pipelines (a host serving 5 languages needs per-lang
+    extraction; a monolingual host can batch). Gini impurity
+    1 − Σ(share²) is the diversity score: rational arithmetic only, so
+    the twin is exact after rounding. Host linkage is the fixture
+    contract (source 'srcN' → host N). Two grouped aggregations on
+    (host, lang) then host — never a corpus-sized shuffle row."""
+    docs = load(spark, sf_dir, "documents")
+    host = F.substring(F.col("source"), 4, 8).cast("long").alias("host")
+    per = docs.select(host, "lang").groupBy("host", "lang").count()
+    return (
+        per.groupBy("host")
+        .agg(
+            F.sum("count").alias("n_docs"),
+            F.count("*").alias("n_langs"),
+            F.round(
+                F.lit(1.0)
+                - F.sum(F.col("count") * F.col("count"))
+                / (F.sum("count") * F.sum("count")),
+                6,
+            ).alias("lang_gini"),
+        )
+        .select("host", "n_docs", "n_langs", "lang_gini")
+    )
+
+
+HOST_LANG_MIX_SQL = """
+WITH per AS (
+  SELECT CAST(substr(source, 4) AS BIGINT) AS host, lang,
+         count(*) AS c
+  FROM documents GROUP BY 1, 2
+)
+SELECT host, CAST(sum(c) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_langs,
+       round(1e0 - sum(c * c) * 1e0 / (sum(c) * sum(c)), 6) AS lang_gini
+FROM per GROUP BY host ORDER BY host
+"""
+
+
 PC_ROUNDS = 4  # power-iteration rounds for the top principal component
 
 
@@ -492,10 +532,10 @@ def q_emb_top_pc(spark, sf_dir):
     return S.top_pc_projection(emb, rounds=PC_ROUNDS)
 
 
-def _emb_top_pc_sql() -> str:
-    """Twin of q_emb_top_pc: same rounded means, same rounded per-dim
-    gather sums, same guarded norm, same re-rounded direction each
-    round, same largest-|loading| sign pivot."""
+def _pc_ctes() -> tuple[list, str, str]:
+    """Shared power-iteration CTEs (rounded means, re-rounded direction
+    rounds, sign pivot) for _emb_top_pc_sql and the whitened dedup
+    twin. Returns (cte list, explode template, final-direction name)."""
     d = EMB_DIM
     v0 = round(1.0 / d ** 0.5, 6)
     expl = (
@@ -550,13 +590,80 @@ def _emb_top_pc_sql() -> str:
   ) ORDER BY abs(u.x) DESC, u.i ASC LIMIT 1
 )"""
     )
+    ctes.append(
+        f"vs AS (SELECT list_transform(vl, x -> x * sgn) AS vl"
+        f" FROM v{R}, piv)"
+    )
+    return ctes, expl, "vs"
+
+
+def _emb_top_pc_sql() -> str:
+    """Twin of q_emb_top_pc: same rounded means, same rounded per-dim
+    gather sums, same guarded norm, same re-rounded direction each
+    round, same largest-|loading| sign pivot."""
+    ctes, _expl, vfinal = _pc_ctes()
     return (
         "WITH " + ",\n".join(ctes)
         + f"""
 SELECT vec_id,
-       round(list_dot_product(cv, list_transform(vl, x -> x * sgn)),
-             {S.ROUND_SCORE}) AS pc1
-FROM cx, v{R}, piv ORDER BY vec_id
+       round(list_dot_product(cv, vl), {S.ROUND_SCORE}) AS pc1
+FROM cx, {vfinal} ORDER BY vec_id
+"""
+    )
+
+
+WHITE_DUP_THRESHOLD = 0.35  # residual-cosine near-dup threshold
+
+
+def q_embedding_dups_whitened(spark, sf_dir):
+    """Near-dup pairs over WHITENED embeddings (all-but-the-top):
+    center, strip the corpus's first principal component, then the
+    audited LSH-bucketed dup detection on the residuals — the
+    dominant shared direction inflates raw cosines and masks true
+    neighbors, so production dedup whitens first. Residual arithmetic
+    after the (rounded) mean/direction is bit-deterministic ordered
+    folds; see functions/similarity.py embedding_dup_pairs_whitened."""
+    emb = load(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    assert dim == EMB_DIM, f"oracle twin assumes dim={EMB_DIM}, got {dim}"
+    return S.embedding_dup_pairs_whitened(
+        emb, dim=dim, threshold=WHITE_DUP_THRESHOLD, rounds=PC_ROUNDS
+    )
+
+
+def _dedup_whitened_sql() -> str:
+    """Twin of q_embedding_dups_whitened: the shared power-iteration
+    CTEs, per-element residuals r = c − v·(c·v), the integer-plane LSH
+    bucket join, and the rounded-cosine threshold."""
+    d = EMB_DIM
+    ctes, _expl, vfinal = _pc_ctes()
+    ctes.append(
+        f"""rx AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(range(1, {d + 1}),
+                        i -> cv[i] - vl[i] * list_dot_product(cv, vl))
+           AS rv
+  FROM cx, {vfinal}
+)"""
+    )
+    ctes.append(
+        f"""rb AS MATERIALIZED (
+  SELECT vec_id, rv, {_SQL_LSH_BUCKET.format(v='rx.rv', d=d)} AS bucket
+  FROM rx WHERE list_dot_product(rv, rv) > 0
+)"""
+    )
+    ctes.append(
+        f"""wsc AS (
+  SELECT a.vec_id AS a, b.vec_id AS b,
+         {_SQL_COS.format(a='a.rv', b='b.rv')} AS score
+  FROM rb a JOIN rb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)"""
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT a, b, score FROM wsc WHERE score >= {WHITE_DUP_THRESHOLD}
+ORDER BY a, b
 """
     )
 
@@ -2940,6 +3047,9 @@ TEXT_QUERIES: dict[str, tuple] = {
     "corpus_select_spamsafe": (q_corpus_select_spamsafe,
                                _corpus_select_spamsafe_sql()),
     "emb_top_pc": (q_emb_top_pc, _emb_top_pc_sql()),
+    "host_lang_mix": (q_host_lang_mix, HOST_LANG_MIX_SQL),
+    "dedup_embedding_whitened": (q_embedding_dups_whitened,
+                                 _dedup_whitened_sql()),
     "dedup_clusters": (q_dedup_clusters, _dedup_clusters_sql()),
     "sim_lsh_topk": (q_lsh_topk, SQL_LSH_TOPK),
     "sim_lsh_multiprobe_topk": (q_lsh_multiprobe_topk, SQL_LSH_MULTIPROBE_TOPK),
