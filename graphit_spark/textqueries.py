@@ -1481,6 +1481,72 @@ def q_events_sessions(spark, sf_dir):
     )
 
 
+# Ordered conversion funnel over the events stream. Analytics twin of the
+# reference's frontier chaining (each BFS round consumes the previous
+# frontier): stage k's candidate set is exactly the users who completed
+# stage k-1, and only events inside the conversion window after the
+# stage-k-1 timestamp count.
+FUNNEL_STEPS = ("view", "click", "purchase")
+FUNNEL_WINDOW_S = 21600.0  # stage k must land within 6h of stage k-1
+
+
+def q_events_funnel(spark, sf_dir):
+    """Per-user ordered funnel view -> click -> purchase, where each stage
+    must occur within FUNNEL_WINDOW_S seconds of the previous one.
+
+    Scale shape: every aggregation and join keys on user_id, so after the
+    first groupBy the whole pipeline stays in one hash-partitioning (AQE
+    reuses it); the event_type filters are pushed into the scan, so each
+    stage reads only its own event slice. No windows, no per-user arrays —
+    state per user is three timestamps, never the event list.
+    """
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    # ts is TIMESTAMP_NTZ; epoch seconds via timestamp cast (UTC session)
+    sec = lambda c: F.col(c).cast("timestamp").cast("double")  # noqa: E731
+    s1 = (
+        ev.filter(F.col("event_type") == FUNNEL_STEPS[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == FUNNEL_STEPS[1])
+        .join(s1, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t_view"))
+            & (sec("ts") - sec("t_view") <= FUNNEL_WINDOW_S)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == FUNNEL_STEPS[2])
+        .join(s2, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t_click"))
+            & (sec("ts") - sec("t_click") <= FUNNEL_WINDOW_S)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    stage = (
+        F.when(F.col("t_purchase").isNotNull(), F.lit(3))
+        .when(F.col("t_click").isNotNull(), F.lit(2))
+        .otherwise(F.lit(1))
+        .cast("bigint")
+    )
+    return (
+        s1.join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .select(
+            "user_id",
+            stage.alias("stage"),
+            "t_view",
+            "t_click",
+            "t_purchase",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # SQL twins
 # ---------------------------------------------------------------------------
@@ -2789,6 +2855,36 @@ SELECT user_id, session_id, count(*) AS n_events, min(ts) AS start_ts
 FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id
 """
 
+SQL_EVENTS_FUNNEL = f"""
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t_view
+  FROM events WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t_click
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = '{FUNNEL_STEPS[1]}' AND e.ts > s1.t_view
+    AND epoch(e.ts) - epoch(s1.t_view) <= {FUNNEL_WINDOW_S}
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t_purchase
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = '{FUNNEL_STEPS[2]}' AND e.ts > s2.t_click
+    AND epoch(e.ts) - epoch(s2.t_click) <= {FUNNEL_WINDOW_S}
+  GROUP BY e.user_id
+)
+SELECT s1.user_id,
+       CAST(CASE WHEN s3.t_purchase IS NOT NULL THEN 3
+                 WHEN s2.t_click IS NOT NULL THEN 2
+                 ELSE 1 END AS BIGINT) AS stage,
+       s1.t_view, s2.t_click, s3.t_purchase
+FROM s1
+LEFT JOIN s2 ON s1.user_id = s2.user_id
+LEFT JOIN s3 ON s1.user_id = s3.user_id
+ORDER BY s1.user_id
+"""
+
 
 def _hll_sql_parts() -> str:
     """Shared CTE text for the HLL twins — mirrors sketch.py bit for
@@ -3021,6 +3117,7 @@ TEXT_QUERIES: dict[str, tuple] = {
     "events_trending": (q_events_trending, SQL_EVENTS_TRENDING),
     "events_json_stats": (q_events_json_stats, SQL_EVENTS_JSON_STATS),
     "events_sessions": (q_events_sessions, SQL_EVENTS_SESSIONS),
+    "events_funnel": (q_events_funnel, SQL_EVENTS_FUNNEL),
     "events_spikes": (q_events_spikes, SQL_EVENTS_SPIKES),
     "corpus_source_stats": (q_corpus_source_stats, SQL_CORPUS_SOURCE_STATS),
     "dedup_exact": (q_exact_dedup, SQL_EXACT_DEDUP),
