@@ -39,6 +39,7 @@ LPA_ROUNDS = 4
 # is the committed budget (shared with the SQL twins).
 LOUVAIN_ROUNDS = 10
 BFS_ROUNDS = 10
+N_LANDMARKS = 4
 SSSP_ROUNDS = 10
 BLOCK = 100
 ROUND_RANK = 6
@@ -855,6 +856,35 @@ def bfs_sql(rounds: int = BFS_ROUNDS, source: int = 0) -> str:
     return (
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT id, dist FROM d{rounds} ORDER BY id"
+    )
+
+
+def landmarks_sql(rounds: int = BFS_ROUNDS, k: int = N_LANDMARKS) -> str:
+    """Twin of q_landmark_distances: K simultaneous BFS as one unrolled
+    union-min recurrence keyed (id, landmark). The sparse-state contract
+    matches the kernel — only reached pairs ever appear."""
+    ctes = [
+        _SQL_COMMON.strip(),
+        f"""seeds AS MATERIALIZED (
+  SELECT id FROM deg ORDER BY out_degree DESC, id ASC LIMIT {k})""",
+        "d0 AS (SELECT id, id AS landmark, CAST(0 AS BIGINT) AS dist"
+        " FROM seeds)",
+    ]
+    for r in range(1, rounds + 1):
+        p = f"d{r - 1}"
+        ctes.append(
+            f"""d{r} AS MATERIALIZED (
+  SELECT id, landmark, min(dist) AS dist FROM (
+    SELECT id, landmark, dist FROM {p}
+    UNION ALL
+    SELECT e.dst AS id, l.landmark, l.dist + 1 AS dist
+    FROM edges e JOIN {p} l ON e.src = l.id
+  ) u GROUP BY id, landmark
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id, landmark, dist FROM d{rounds} ORDER BY id, landmark"
     )
 
 
@@ -1760,6 +1790,14 @@ def q_sssp(spark, sf_dir):
     from graphit_spark.kernels import sssp
 
     return sssp(graph(spark, sf_dir, "weighted"), 0, max_iters=SSSP_ROUNDS)
+
+
+def q_landmark_distances(spark, sf_dir):
+    from graphit_spark.kernels import landmark_distances
+
+    return landmark_distances(
+        graph(spark, sf_dir, "raw"), N_LANDMARKS, max_iters=BFS_ROUNDS
+    )
 
 
 def q_relabel(spark, sf_dir):
@@ -4270,6 +4308,7 @@ GRAPH_QUERIES: dict[str, tuple] = {
                               triangle_count_approx_sql()),
     "triangle_per_vertex": (q_tc_per_vertex, tc_per_vertex_sql()),
     "bfs": (q_bfs, bfs_sql()),
+    "landmark_distances": (q_landmark_distances, landmarks_sql()),
     "sssp": (q_sssp, sssp_sql()),
     "degree_relabel": (q_relabel, relabel_sql()),
     "adjacency_blocks": (q_adjacency, adjacency_sql()),

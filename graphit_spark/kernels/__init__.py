@@ -38,6 +38,7 @@ from graphit_spark.kernels.hyperball import (
     neighborhood_function,
 )
 from graphit_spark.kernels.hits import hits
+from graphit_spark.kernels.landmarks import landmark_distances
 from graphit_spark.kernels.linkpred import link_prediction
 from graphit_spark.kernels.redirects import resolve_redirects
 from graphit_spark.kernels.salsa import salsa
@@ -115,6 +116,7 @@ __all__ = [
     "triangle_count_per_vertex",
     "worth_relabelling",
     "bfs",
+    "landmark_distances",
     "sssp",
     "sssp_delta_stepping",
 ]

@@ -289,6 +289,28 @@ class TestPaths:
         for v, d in enumerate(exp):
             assert (got[v] if got[v] is not None else -1) == d, f"vertex {v}"
 
+    def test_landmark_distances(self, spark):
+        from graphit_spark.kernels import landmark_distances
+
+        edges = _rand_graph(60, 200, seed=11) + [(0, 1)]
+        g = LinkGraph.from_pairs(spark, edges, persist=False)
+        out = landmark_distances(g, 3).collect()
+        # landmark set = top-3 out-degree (ties id asc), per oracle BFS
+        from collections import Counter
+
+        from tests.oracles import num_vertices, squish
+
+        deg = Counter(s for s, _ in squish(edges))
+        n = num_vertices(edges)
+        seeds = sorted(range(n), key=lambda v: (-deg.get(v, 0), v))[:3]
+        got = {(r["landmark"], r["id"]): r["dist"] for r in out}
+        for s in seeds:
+            exp = bfs_oracle(edges, s)
+            for v, d in enumerate(exp):
+                assert got.get((s, v), -1) == d, f"landmark {s} vertex {v}"
+        # sparse contract: no unreached pairs materialized
+        assert all(d >= 0 for d in got.values())
+
     def test_sssp(self, spark):
         rng = random.Random(8)
         wedges = [
