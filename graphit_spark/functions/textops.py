@@ -478,3 +478,62 @@ def readability(df: DataFrame, text_col: str = "text") -> DataFrame:
         syls.alias("n_syllables"),
         F.round(flesch, 6).alias("flesch"),
     )
+
+
+# Mean bigram predictability under a corpus-trained MLE bigram LM — the
+# CCNet-class (Wenzek et al. 2020) LM quality signal, re-expressed
+# log-free: we report mean P(w_i | w_{i-1}) rather than perplexity, so
+# every per-bigram value is one rational c(w1,w2)/c(w1,·) and the score
+# survives a bit-exact SQL twin (ln() differs in the last ulp across
+# libm implementations; a mean of probabilities needs no transcendental
+# at all). Each ratio is floor-scaled to integer nano-units before the
+# per-doc sum, so the float-addition ORDER (Spark partial aggregation
+# vs DuckDB sequential) cannot move the result.
+LM_SCALE = 1_000_000_000.0
+
+
+def bigram_lm_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document mean bigram probability under the MLE bigram model
+    trained on the corpus itself: (doc_id, n_bigrams, lm_score).
+    Low scores flag text whose word transitions are rare in the corpus
+    (lorem-ipsum, OCR noise, wrong-language shards); high scores flag
+    boilerplate. Docs with fewer than 2 tokens are absent (no bigrams).
+
+    Scale shape: one explode to (doc_id, w1, w2) bigram rows, then
+    three map-side-combined counts — per-(doc,bigram), per-bigram, and
+    per-first-word — joined back on vocabulary-sized keys and rolled up
+    per doc. No UDFs, no Windows, no corpus-quadratic step; the model
+    "training" and the scoring share the single exploded pass.
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    n = F.size(toks)
+    pairs = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    big = df.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    m = big.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("c"))
+    c2 = big.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    c1 = big.groupBy("w1").agg(F.count("*").alias("c1"))
+    unit = F.floor(F.col("c2") * F.lit(LM_SCALE) / F.col("c1"))
+    scored = m.join(c2, ["w1", "w2"]).join(c1, "w1").select(
+        "doc_id", "c", unit.alias("unit")
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_bigrams"),
+            F.round(
+                F.sum(F.col("c") * F.col("unit"))
+                / (F.sum("c") * F.lit(LM_SCALE)),
+                6,
+            ).alias("lm_score"),
+        )
+        .select("doc_id", "n_bigrams", "lm_score")
+    )

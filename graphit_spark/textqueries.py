@@ -1239,6 +1239,48 @@ FROM c ORDER BY doc_id
 """
 
 
+def q_doc_lm_score(spark, sf_dir):
+    """Mean bigram predictability under the corpus-trained MLE bigram
+    LM — the CCNet-class LM quality signal, log-free (see
+    functions/textops.py bigram_lm_scores for the determinism and
+    scale notes)."""
+    return T.bigram_lm_scores(load(spark, sf_dir, "documents"))
+
+
+def _lm_score_sql() -> str:
+    """Twin of q_doc_lm_score: same whitespace-lower bigrams (lockstep
+    unnest of the two token slices), same integer nano-unit
+    floor-scaling before the per-doc sum (order-independent), same
+    final rounded division."""
+    return f"""
+WITH tok AS MATERIALIZED (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+),
+big AS MATERIALIZED (
+  SELECT doc_id,
+         unnest(toks[1:len(toks) - 1]) AS w1,
+         unnest(toks[2:len(toks)]) AS w2
+  FROM tok WHERE len(toks) >= 2
+),
+m AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS c
+      FROM big GROUP BY 1, 2, 3),
+c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
+       FROM big GROUP BY 1, 2),
+c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM big GROUP BY 1),
+u AS (
+  SELECT m.doc_id, m.c,
+         CAST(floor(c2.c2 * {T.LM_SCALE!r} / c1.c1) AS BIGINT) AS unit
+  FROM m JOIN c2 ON m.w1 = c2.w1 AND m.w2 = c2.w2
+         JOIN c1 ON m.w1 = c1.w1
+)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_bigrams,
+       round(sum(c * unit) / (sum(c) * {T.LM_SCALE!r}), 6) AS lm_score
+FROM u GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 SPAN_N = 5        # duplicate-span n-gram width (words)
 SPAN_MIN_COUNT = 2  # corpus occurrences that make an n-gram "duplicated"
 
@@ -3141,6 +3183,7 @@ TEXT_QUERIES: dict[str, tuple] = {
     "dedup_spans": (q_dedup_spans, _dedup_spans_sql()),
     "sim_mmr_topk": (q_mmr_topk, _mmr_topk_sql()),
     "doc_readability": (q_readability, _readability_sql()),
+    "doc_lm_score": (q_doc_lm_score, _lm_score_sql()),
     "corpus_select_spamsafe": (q_corpus_select_spamsafe,
                                _corpus_select_spamsafe_sql()),
     "emb_top_pc": (q_emb_top_pc, _emb_top_pc_sql()),

@@ -238,3 +238,23 @@ def test_readability_hand_checked(spark):
     assert (r["n_words"], r["n_sentences"], r["n_syllables"]) == (5, 2, 5)
     expected = round(206.835 - 1.015 * (5 / 2) - 84.6 * (5 / 5), 6)
     assert abs(r["flesch"] - expected) < 1e-9
+
+
+def test_bigram_lm_score_hand_checked(spark):
+    from graphit_spark.functions.textops import bigram_lm_scores
+
+    # corpus bigrams: "a b" x3 (docs 1,1,2), "b a" x1, "b c" x1
+    # c1: a->4 starts? no: bigram starts: a:4? count per first word:
+    #   doc1 "a b a b": bigrams (a b),(b a),(a b)  -> a:2, b:1
+    #   doc2 "a b c":   bigrams (a b),(b c)        -> a:1, b:1
+    # c1[a]=3, c1[b]=2; c2[(a,b)]=3, c2[(b,a)]=1, c2[(b,c)]=1
+    rows = [(1, "a b a b"), (2, "a b c"), (3, "solo")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in bigram_lm_scores(df).collect()}
+    assert set(got) == {1, 2}  # doc 3 has no bigrams
+    # doc1: p(a b)=3/3=1 (x2), p(b a)=1/2 -> mean (1+1+0.5)/3
+    assert got[1]["n_bigrams"] == 3
+    assert abs(got[1]["lm_score"] - round((1 + 1 + 0.5) / 3, 6)) < 1e-9
+    # doc2: p(a b)=1, p(b c)=1/2 -> mean 0.75
+    assert got[2]["n_bigrams"] == 2
+    assert abs(got[2]["lm_score"] - 0.75) < 1e-9
