@@ -74,7 +74,7 @@ _CHECK_FIRST = [
     "dedup_spans", "host_simrank", "sim_mmr_topk", "doc_readability",
     "corpus_select_spamsafe", "emb_top_pc", "crawl_budget",
     "host_lang_mix", "dedup_embedding_whitened", "events_funnel",
-    "landmark_distances", "doc_lm_score",
+    "landmark_distances", "doc_lm_score", "cc_incremental",
     "louvain", "maximal_matching", "clustering_coeff",
     "triangle_count_approx",
     "corpus_decontaminate_bloom",

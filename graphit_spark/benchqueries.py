@@ -4092,6 +4092,85 @@ def q_rank_churn(spark, sf_dir):
     )
 
 
+CC_DELTA_MOD = 1999  # sparse crawl delta: merges SOME blocks, not all
+
+
+def q_cc_incremental(spark, sf_dir):
+    """Evolving-web component maintenance: exact CC of the grown crawl
+    via WARM START from the previous crawl's labels
+    (connected_components' init_labels contract — valid for
+    edge-ADDITION deltas; min-id labels are a unique fixpoint, so the
+    warm run lands on exactly the cold run's answer, in the few rounds
+    the delta needs instead of a full from-scratch propagation). This
+    is the incremental-maintenance pattern the SnapshotStore resume
+    surface exists for: labels persist per crawl, each recrawl pays
+    only the delta's rounds. Base = the blocked (many-component)
+    graph; the delta links each eligible customer to its successor
+    block, merging SOME components and leaving others — so the check
+    discriminates both merge and no-merge behavior."""
+    from graphit_spark.kernels import connected_components
+
+    old_raw = blocked_edges(spark, sf_dir)
+    prev = connected_components(LinkGraph(old_raw, persist=False))
+    c = _num_customers(spark, sf_dir)
+    delta = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % CC_DELTA_MOD == 0)
+        .select(
+            F.col("o_custkey").alias("src"),
+            ((F.col("o_custkey") + BLOCK) % F.lit(c)).alias("dst"),
+        )
+    )
+    g_new = LinkGraph(old_raw.unionByName(delta), persist=False)
+    return connected_components(g_new, init_labels=prev)
+
+
+def cc_incremental_sql(rounds: int = 4 * CC_ROUNDS) -> str:
+    """Twin of q_cc_incremental: the warm-started kernel's fixpoint is
+    the plain CC of the union graph, so the oracle is the cc_sql
+    min-label recurrence over (raw UNION delta) — no warm-start
+    mechanics needed on the SQL side (that equivalence IS the
+    correctness claim being checked). 4x the cc rounds: the delta
+    merges CHAINS of blocks, and the plain (no-pointer-jump) SQL
+    recurrence needs a round per hop of the merged chain's diameter
+    where the kernel shortcut-jumps it."""
+    ctes = [
+        _SQL_BLOCKED.strip(),
+        f"""extra AS (
+  SELECT o_custkey AS src,
+         (o_custkey + {BLOCK}) % (SELECT c FROM params) AS dst
+  FROM orders WHERE o_orderkey % {CC_DELTA_MOD} = 0
+)""",
+        """rawn AS MATERIALIZED (SELECT src, dst FROM raw
+        UNION ALL SELECT src, dst FROM extra)""",
+        """edgesn AS MATERIALIZED (SELECT DISTINCT src, dst FROM rawn
+        WHERE src <> dst)""",
+        "nvn AS (SELECT max(greatest(src, dst)) + 1 AS n FROM rawn)",
+        """vertsn AS MATERIALIZED (SELECT c_custkey AS id FROM customer
+          WHERE c_custkey < (SELECT n FROM nvn))""",
+        """symn AS MATERIALIZED (SELECT src, dst FROM edgesn
+        UNION
+        SELECT dst AS src, src AS dst FROM edgesn)""",
+        "l0 AS (SELECT id, id AS comp FROM vertsn)",
+    ]
+    for k in range(1, rounds + 1):
+        p = f"l{k - 1}"
+        ctes.append(
+            f"""l{k} AS MATERIALIZED (
+  SELECT v.id, least(v.comp, coalesce(m.mn, v.comp)) AS comp
+  FROM {p} v LEFT JOIN (
+    SELECT e.dst AS id, min(l.comp) AS mn
+    FROM symn e JOIN {p} l ON e.src = l.id
+    GROUP BY e.dst
+  ) m USING (id)
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id, comp FROM l{rounds} ORDER BY id"
+    )
+
+
 def rank_churn_sql(iters: int = PR_ITERS) -> str:
     """Two full PR recurrences (old edges / delta edges) + the same
     rounded-then-ranked top-K total order and L1 shift."""
@@ -4292,6 +4371,7 @@ GRAPH_QUERIES: dict[str, tuple] = {
     "graph_reciprocity": (q_reciprocity, reciprocity_sql()),
     "motif_counts": (q_motif_counts, motif_counts_sql()),
     "rank_churn": (q_rank_churn, rank_churn_sql()),
+    "cc_incremental": (q_cc_incremental, cc_incremental_sql()),
     "degree_histogram": (q_degree_histogram, degree_histogram_sql()),
     "degree_assortativity": (q_assortativity, assortativity_sql()),
     "hits": (q_hits, hits_sql()),

@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from graphit_spark.graph import LinkGraph
+from graphit_spark.plans.state import fresh_checkpoint
 
 
 def astar(
@@ -56,7 +57,7 @@ def astar(
             F.when(F.col("id") == source, F.lit(0).cast("long")),
         )
         .select("id", "h", "dist")
-        .localCheckpoint(eager=True)
+        .transform(fresh_checkpoint)
     )
     prio = F.col("dist") + F.col("h")
     bucket_of = F.floor(prio / delta)
@@ -107,7 +108,7 @@ def astar(
                 .alias("dist"),
                 F.col("dist").alias("old"),
             )
-            .localCheckpoint(eager=True)
+            .transform(fresh_checkpoint)
         )
         improved = F.col("old").isNull() | (F.col("dist") < F.col("old"))
         row = new_state.agg(

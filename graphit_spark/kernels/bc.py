@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from graphit_spark.graph import LinkGraph
+from graphit_spark.plans.state import fresh_checkpoint
 
 
 def betweenness_centrality(
@@ -34,7 +35,7 @@ def betweenness_centrality(
     # ---- forward phase: levels + path counts --------------------------
     frontier = spark.createDataFrame(
         [(source, 1.0)], "id long, sigma double"
-    ).localCheckpoint(eager=True)
+    ).transform(fresh_checkpoint)
     levels: list[DataFrame] = [frontier]
     visited = frontier.select("id")
 
@@ -46,7 +47,7 @@ def betweenness_centrality(
             .groupBy(F.col("dst").alias("id"))
             .agg(F.sum("sigma").alias("sigma"))
             .join(visited, "id", "left_anti")
-            .localCheckpoint(eager=True)
+            .transform(fresh_checkpoint)
         )
         if nxt.isEmpty():
             break
@@ -87,7 +88,7 @@ def betweenness_centrality(
                 "sigma",
                 F.coalesce("delta", F.lit(0.0)).alias("delta"),
             )
-            .localCheckpoint(eager=True)
+            .transform(fresh_checkpoint)
         )
         acc.append(delta)
 

@@ -44,6 +44,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from graphit_spark.graph import LinkGraph
+from graphit_spark.plans.state import fresh_checkpoint
 from graphit_spark.kernels.scc import strongly_connected_components
 from graphit_spark.plans.traversal import choose_direction
 
@@ -62,7 +63,7 @@ def _reachable(
     not empty its frontier within max_iters (an incomplete reach set
     would silently misclassify TUBE/TENDRIL vertices)."""
     avg_deg = max(num_edges / max(num_verts, 1), 1.0)
-    reached = seeds.select("id").localCheckpoint(eager=True)
+    reached = seeds.select("id").transform(fresh_checkpoint)
     frontier = reached
     fsize = seed_count
     for _ in range(max_iters):
@@ -81,13 +82,13 @@ def _reachable(
             active.select(F.col("dst").alias("id"))
             .distinct()
             .join(reached, "id", "left_anti")
-            .localCheckpoint(eager=True)
+            .transform(fresh_checkpoint)
         )
         fsize = new.count()
         if fsize == 0:
             new.unpersist()
             return reached
-        grown = reached.unionByName(new).localCheckpoint(eager=True)
+        grown = reached.unionByName(new).transform(fresh_checkpoint)
         if frontier is not reached:
             frontier.unpersist()
         reached.unpersist()
@@ -123,19 +124,19 @@ def bowtie_classes(
     corev = (
         scc.filter(F.col("scc") == core_label)
         .select("id")
-        .localCheckpoint(eager=True)
+        .transform(fresh_checkpoint)
     )
     scc.unpersist()
 
-    edges = graph.edges.select("src", "dst").localCheckpoint(eager=True)
+    edges = graph.edges.select("src", "dst").transform(fresh_checkpoint)
     tedges = edges.select(
         F.col("dst").alias("src"), F.col("src").alias("dst")
-    ).localCheckpoint(eager=True)
+    ).transform(fresh_checkpoint)
 
     fwd = _reachable(edges, corev, core_size, num_edges, num_verts, max_iters)
     bwd = _reachable(tedges, corev, core_size, num_edges, num_verts, max_iters)
-    inn = bwd.join(corev, "id", "left_anti").localCheckpoint(eager=True)
-    outt = fwd.join(corev, "id", "left_anti").localCheckpoint(eager=True)
+    inn = bwd.join(corev, "id", "left_anti").transform(fresh_checkpoint)
+    outt = fwd.join(corev, "id", "left_anti").transform(fresh_checkpoint)
     n_in, n_out = inn.count(), outt.count()
     fi = _reachable(edges, inn, n_in, num_edges, num_verts, max_iters)
     bo = _reachable(tedges, outt, n_out, num_edges, num_verts, max_iters)
@@ -161,7 +162,7 @@ def bowtie_classes(
             .otherwise(F.lit("DISCONNECTED"))
             .alias("bowtie"),
         )
-        .localCheckpoint(eager=True)
+        .transform(fresh_checkpoint)
     )
     for df in (corev, edges, tedges, fwd, bwd, inn, outt, fi, bo):
         df.unpersist()

@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from graphit_spark.graph import LinkGraph
+from graphit_spark.plans.state import fresh_checkpoint
 from graphit_spark.kernels.paths import bfs, sssp
 
 
@@ -38,7 +39,7 @@ def eigenvector_centrality(
     own_cache = graph.ensure_persisted()
     n = graph.num_vertices
     state = graph.vertices().withColumn("ec", F.lit(1.0 / n))
-    state = state.localCheckpoint(eager=True)
+    state = state.transform(fresh_checkpoint)
     prev = state
     for _ in range(rounds):
         sums = (
@@ -52,7 +53,7 @@ def eigenvector_centrality(
             graph.vertices()
             .join(sums, "id", "left")
             .select("id", F.coalesce("s", F.lit(0.0)).alias("ec"))
-            .localCheckpoint(eager=True)
+            .transform(fresh_checkpoint)
         )
         prev.unpersist()
         prev = state
@@ -87,7 +88,7 @@ def katz_centrality(
     """
     own_cache = graph.ensure_persisted()
     state = graph.vertices().withColumn("katz", F.lit(float(beta)))
-    state = state.localCheckpoint(eager=True)
+    state = state.transform(fresh_checkpoint)
     prev = state
     for _ in range(rounds):
         sums = (
@@ -107,7 +108,7 @@ def katz_centrality(
                     + F.lit(float(beta))
                 ).alias("katz"),
             )
-            .localCheckpoint(eager=True)
+            .transform(fresh_checkpoint)
         )
         prev.unpersist()
         prev = state

@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from graphit_spark.graph import LinkGraph
+from graphit_spark.plans.state import fresh_checkpoint
 
 K = 20
 STEP = 0.00000035
@@ -38,7 +39,7 @@ def collaborative_filtering(
 
     latent = graph.vertices().select(
         "id", F.array(*[F.lit(0.5) for _ in range(k)]).alias("latent")
-    ).localCheckpoint(eager=True)
+    ).transform(fresh_checkpoint)
 
     for _ in range(iters):
         src_l = latent.select(F.col("id").alias("src"), F.col("latent").alias("l_src"))
@@ -81,7 +82,7 @@ def collaborative_filtering(
                 )
                 .alias("latent"),
             )
-            .localCheckpoint(eager=True)
+            .transform(fresh_checkpoint)
         )
     if own_cache:
         graph.unpersist()

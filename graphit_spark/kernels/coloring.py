@@ -40,6 +40,7 @@ from functools import reduce
 from pyspark.sql import DataFrame, functions as F
 
 from graphit_spark.graph import LinkGraph
+from graphit_spark.plans.state import fresh_checkpoint
 from graphit_spark.kernels.mis import _priority_col
 
 COLOR_ROUNDS = 64
@@ -58,13 +59,13 @@ def greedy_coloring(
         graph.symmetrize()
         .edges.select("src", "dst")
         .filter(F.col("src") != F.col("dst"))
-        .localCheckpoint(eager=True)
+        .transform(fresh_checkpoint)
     )
-    verts = graph.vertices().select("id").localCheckpoint(eager=True)
+    verts = graph.vertices().select("id").transform(fresh_checkpoint)
 
     uncolored = verts.select(
         "id", _priority_col().alias("pri")
-    ).localCheckpoint(eager=True)
+    ).transform(fresh_checkpoint)
     colored_frames: list[DataFrame] = []
 
     def colored_union() -> DataFrame | None:
@@ -119,7 +120,7 @@ def greedy_coloring(
                 .groupBy("id")
                 .agg(F.min("x").alias("color"))
             )
-        new_colored = new_colored.localCheckpoint(eager=True)
+        new_colored = new_colored.transform(fresh_checkpoint)
         colored_frames.append(new_colored)
         nxt = uncolored.join(new_colored, "id", "left_anti").localCheckpoint(
             eager=True

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.storagelevel import StorageLevel
 
 from graphit_spark.graph import LinkGraph
+from graphit_spark.plans.state import fresh_checkpoint
 from graphit_spark.checkpoint import SnapshotStore
 from graphit_spark.plans.traversal import choose_direction
 
@@ -89,7 +90,7 @@ def connected_components(
     else:
         labels = graph.vertices().select("id", F.col("id").alias("comp"))
         frontier = labels.select("id")
-    labels = labels.localCheckpoint(eager=True)
+    labels = labels.transform(fresh_checkpoint)
     frontier_size = graph.num_vertices
     # degree sum of full frontier = num_edges (dense round 0)
     frontier_deg_sum = num_edges
@@ -141,7 +142,7 @@ def connected_components(
         # hop references new_labels twice (as parent map and as left
         # side), so a lazy chain would recompute the E-sized gather
         # several times per round
-        new_labels = new_labels.localCheckpoint(eager=True)
+        new_labels = new_labels.transform(fresh_checkpoint)
         round_cks = [new_labels]
         if pointer_jump:
             # Path-halving: comp[v] <- comp[comp[v]], repeated. A naive
@@ -153,7 +154,7 @@ def connected_components(
             dcomp = (
                 new_labels.select(F.col("comp").alias("pid"))
                 .distinct()
-                .localCheckpoint(eager=True)
+                .transform(fresh_checkpoint)
             )
             if dcomp.count() <= _PJ_BROADCAST_LIMIT:
                 for _ in range(2):
@@ -170,7 +171,7 @@ def connected_components(
                         F.col("l.id").alias("id"),
                         F.coalesce(F.col("pcomp"), F.col("l.comp")).alias("comp"),
                         F.col("l.old_comp").alias("old_comp"),
-                    ).localCheckpoint(eager=True)
+                    ).transform(fresh_checkpoint)
                     round_cks.append(new_labels)
             # else: labels haven't consolidated yet — plain propagation
             # continues and PJ kicks in once distinct labels fit a

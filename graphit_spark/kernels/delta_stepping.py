@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from graphit_spark.graph import LinkGraph
+from graphit_spark.plans.state import fresh_checkpoint
 
 
 def sssp_delta_stepping(
@@ -50,7 +51,7 @@ def sssp_delta_stepping(
     dist = graph.vertices().select(
         "id",
         F.when(F.col("id") == source, F.lit(0).cast("long")).alias("dist"),
-    ).localCheckpoint(eager=True)
+    ).transform(fresh_checkpoint)
 
     bucket = 0
     rounds = 0
@@ -96,7 +97,7 @@ def sssp_delta_stepping(
                 .alias("dist"),
                 F.col("dist").alias("old"),
             )
-            .localCheckpoint(eager=True)
+            .transform(fresh_checkpoint)
         )
         # did this round improve anything still landing in the current
         # bucket? (light edges -> re-relax; otherwise bucket is settled)

@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from graphit_spark.graph import LinkGraph
+from graphit_spark.plans.state import fresh_checkpoint
 from graphit_spark.plans.fusion import fused_gather
 
 
@@ -41,7 +42,7 @@ def fused_pr_eigenvector(
         graph.out_degrees()
         .withColumn("rank", F.lit(1.0 / n))
         .withColumn("ec", F.lit(1.0 / n))
-        .localCheckpoint(eager=True)
+        .transform(fresh_checkpoint)
     )
     hint = "shuffle_hash" if graph.num_vertices > 500_000 else None
     prev = state
@@ -66,7 +67,7 @@ def fused_pr_eigenvector(
                 ).alias("rank"),
                 F.coalesce("ec_acc", F.lit(0.0)).alias("ec"),
             )
-            .localCheckpoint(eager=True)
+            .transform(fresh_checkpoint)
         )
         prev.unpersist()
         prev = state
@@ -129,7 +130,7 @@ def fused_trust_spam(
     state = (
         wdeg.withColumn("rank", F.lit(1.0 / n))
         .withColumn("trust", seed)
-        .localCheckpoint(eager=True)
+        .transform(fresh_checkpoint)
     )
     hint = "shuffle_hash" if n > 500_000 else None
     prev = state
@@ -157,7 +158,7 @@ def fused_trust_spam(
                     + F.lit(damp) * F.coalesce("tr_acc", F.lit(0.0))
                 ).alias("trust"),
             )
-            .localCheckpoint(eager=True)
+            .transform(fresh_checkpoint)
         )
         prev.unpersist()
         prev = state

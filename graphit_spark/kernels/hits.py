@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from graphit_spark.graph import LinkGraph
+from graphit_spark.plans.state import fresh_checkpoint
 
 
 def hits(graph: LinkGraph, *, rounds: int = 6) -> DataFrame:
@@ -41,7 +42,7 @@ def hits(graph: LinkGraph, *, rounds: int = 6) -> DataFrame:
     verts = graph.vertices()
     state = verts.select(
         "id", F.lit(1.0).alias("hub"), F.lit(1.0).alias("auth")
-    ).localCheckpoint(eager=True)
+    ).transform(fresh_checkpoint)
     prev = state
     for _ in range(rounds):
         auth_raw = (
@@ -55,7 +56,7 @@ def hits(graph: LinkGraph, *, rounds: int = 6) -> DataFrame:
                 "left",
             )
             .select("id", F.coalesce("a", F.lit(0.0)).alias("a"))
-            .localCheckpoint(eager=True)
+            .transform(fresh_checkpoint)
         )
         s_a = auth_raw.agg(F.sum("a")).collect()[0][0] or 1.0
         auth = auth_raw.select("id", (F.col("a") / F.lit(s_a)).alias("auth"))
@@ -70,14 +71,14 @@ def hits(graph: LinkGraph, *, rounds: int = 6) -> DataFrame:
                 "left",
             )
             .select("id", F.coalesce("h", F.lit(0.0)).alias("h"))
-            .localCheckpoint(eager=True)
+            .transform(fresh_checkpoint)
         )
         s_h = hub_raw.agg(F.sum("h")).collect()[0][0] or 1.0
         new_state = (
             hub_raw.select("id", (F.col("h") / F.lit(s_h)).alias("hub"))
             .join(auth, "id")
             .select("id", "hub", "auth")
-            .localCheckpoint(eager=True)
+            .transform(fresh_checkpoint)
         )
         prev.unpersist()
         auth_raw.unpersist()

@@ -68,6 +68,7 @@ import math
 from pyspark.sql import DataFrame, functions as F
 
 from graphit_spark.graph import LinkGraph
+from graphit_spark.plans.state import fresh_checkpoint
 from graphit_spark.functions.sketch import HASH_BITS, _alpha_m2
 
 
@@ -220,12 +221,12 @@ def hyperball_harmonic(
     own_cache = graph.ensure_persisted()
     edges = graph.edges.select("src", "dst")
     join_strategy = _pick_join_strategy(graph, join_strategy)
-    state = _init_state(graph, p).localCheckpoint(eager=True)
+    state = _init_state(graph, p).transform(fresh_checkpoint)
     prev = state
     for r in range(1, rounds + 1):
         state = _grow_one_hop(
             state, edges, p, r, join_strategy, systolic
-        ).localCheckpoint(eager=True)
+        ).transform(fresh_checkpoint)
         prev.unpersist()
         prev = state
         if systolic and state.filter(F.col("chg")).limit(1).count() == 0:
@@ -279,13 +280,13 @@ def neighborhood_function(
         ).collect()[0]
         return (r, int(row["s"]))
 
-    state = _init_state(graph, p).localCheckpoint(eager=True)
+    state = _init_state(graph, p).transform(fresh_checkpoint)
     sums = [nf_row(0, state)]
     prev = state
     for r in range(1, rounds + 1):
         state = _grow_one_hop(
             state, edges, p, r, join_strategy, systolic
-        ).localCheckpoint(eager=True)
+        ).transform(fresh_checkpoint)
         prev.unpersist()
         prev = state
         sums.append(nf_row(r, state))

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from graphit_spark.graph import LinkGraph
+from graphit_spark.plans.state import fresh_checkpoint
 
 
 def k_core(graph: LinkGraph, k: int, *, max_rounds: int = 100) -> DataFrame:
@@ -21,7 +22,7 @@ def k_core(graph: LinkGraph, k: int, *, max_rounds: int = 100) -> DataFrame:
     g = graph.symmetrize()
     own_cache = g.ensure_persisted()
     keep = graph.vertices()
-    keep = keep.localCheckpoint(eager=True)
+    keep = keep.transform(fresh_checkpoint)
     n_old = keep.count()
 
     for _ in range(max_rounds):
@@ -35,7 +36,7 @@ def k_core(graph: LinkGraph, k: int, *, max_rounds: int = 100) -> DataFrame:
             keep.join(deg, "id", "left")
             .filter(F.coalesce("d", F.lit(0)) >= k)
             .select("id")
-            .localCheckpoint(eager=True)
+            .transform(fresh_checkpoint)
         )
         n_new = new_keep.count()
         keep.unpersist()
@@ -78,7 +79,7 @@ def core_decomposition(
         graph.vertices()
         .join(sym_deg, "id", "left")
         .select("id", F.coalesce("sd", F.lit(0)).cast("long").alias("d"))
-        .localCheckpoint(eager=True)
+        .transform(fresh_checkpoint)
     )
     cores: list[DataFrame] = []
     prev = state
@@ -95,7 +96,7 @@ def core_decomposition(
         # never below, that's the clamp)
         while True:
             peeled = state.filter(F.col("d") <= k).select("id")
-            peeled = peeled.localCheckpoint(eager=True)
+            peeled = peeled.transform(fresh_checkpoint)
             if peeled.limit(1).count() == 0:
                 break
             cores.append(peeled.select("id", F.lit(k).alias("core")))
@@ -113,7 +114,7 @@ def core_decomposition(
                     "id",
                     (F.col("d") - F.coalesce("dec", F.lit(0))).alias("d"),
                 )
-                .localCheckpoint(eager=True)
+                .transform(fresh_checkpoint)
             )
             prev.unpersist()
             prev = state

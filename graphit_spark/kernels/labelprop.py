@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.storagelevel import StorageLevel
 
 from graphit_spark.graph import LinkGraph
+from graphit_spark.plans.state import fresh_checkpoint
 
 
 def label_propagation(
@@ -38,7 +39,7 @@ def label_propagation(
     own_cache = g.ensure_persisted()
 
     labels = graph.vertices().select("id", F.col("id").alias("label"))
-    labels = labels.localCheckpoint(eager=True)
+    labels = labels.transform(fresh_checkpoint)
 
     for _ in range(rounds):
         counts = (
@@ -57,7 +58,7 @@ def label_propagation(
         new_labels = (
             labels.join(best, "id", "left")
             .select("id", F.coalesce("best_label", "label").alias("label"))
-            .localCheckpoint(eager=True)
+            .transform(fresh_checkpoint)
         )
         labels = new_labels
 
@@ -93,7 +94,7 @@ def weighted_label_propagation(
     own_cache = g.ensure_persisted()
 
     labels = graph.vertices().select("id", F.col("id").alias("label"))
-    labels = labels.localCheckpoint(eager=True)
+    labels = labels.transform(fresh_checkpoint)
 
     for _ in range(rounds):
         votes = (
@@ -112,7 +113,7 @@ def weighted_label_propagation(
         new_labels = (
             labels.join(best, "id", "left")
             .select("id", F.coalesce("best_label", "label").alias("label"))
-            .localCheckpoint(eager=True)
+            .transform(fresh_checkpoint)
         )
         labels = new_labels
 

@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from graphit_spark.graph import LinkGraph
+from graphit_spark.plans.state import fresh_checkpoint
 
 
 def landmark_distances(
@@ -51,7 +52,7 @@ def landmark_distances(
     spark = graph.spark
     state = spark.createDataFrame(
         [(s, s, 0) for s in seeds], "id long, landmark long, dist long"
-    ).localCheckpoint(eager=True)
+    ).transform(fresh_checkpoint)
     frontier = state
 
     for _ in range(max_iters):
@@ -74,7 +75,7 @@ def landmark_distances(
                 ).alias("dist"),
                 F.col("dist").alias("old"),
             )
-            .localCheckpoint(eager=True)
+            .transform(fresh_checkpoint)
         )
         frontier = merged.filter(
             F.col("old").isNull() | (F.col("dist") < F.col("old"))

@@ -47,6 +47,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 from graphit_spark.graph import LinkGraph
+from graphit_spark.plans.state import fresh_checkpoint
 
 
 def link_prediction(
@@ -138,6 +139,6 @@ def link_prediction(
         )
     if not materialize:
         return scored
-    out = scored.localCheckpoint(eager=True)
+    out = scored.transform(fresh_checkpoint)
     und.unpersist()
     return out

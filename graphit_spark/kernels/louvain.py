@@ -54,6 +54,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from graphit_spark.graph import LinkGraph
+from graphit_spark.plans.state import fresh_checkpoint
 
 
 def _move_rounds(
@@ -114,7 +115,7 @@ def _move_rounds(
                 .alias("c"),
                 "k",
             )
-            .localCheckpoint(eager=True)
+            .transform(fresh_checkpoint)
         )
         comm.unpersist()
         comm = new_comm
@@ -148,10 +149,10 @@ def louvain_move(
             .alias("k"),
         )
     )
-    deg = deg.localCheckpoint(eager=True)
+    deg = deg.transform(fresh_checkpoint)
 
     comm = deg.select("id", F.col("id").alias("c"), "k")
-    comm = comm.localCheckpoint(eager=True)
+    comm = comm.transform(fresh_checkpoint)
 
     edges_w = g.edges.select("src", "dst", F.lit(1).cast("long").alias("w"))
     comm = _move_rounds(edges_w, comm, two_m, rounds)
@@ -204,7 +205,7 @@ def louvain_communities(
             .cast("long")
             .alias("k"),
         )
-        .localCheckpoint(eager=True)
+        .transform(fresh_checkpoint)
     )
     comm0 = deg.select("id", F.col("id").alias("c"), "k").localCheckpoint(
         eager=True
@@ -219,19 +220,19 @@ def louvain_communities(
         g.contract(mapping)
         .filter(F.col("src") != F.col("dst"))
         .select("src", "dst", F.col("weight").cast("long").alias("w"))
-        .localCheckpoint(eager=True)
+        .transform(fresh_checkpoint)
     )
     tot1 = lvl1.groupBy("c").agg(F.sum("k").alias("k"))
     comm1 = tot1.select(
         F.col("c").alias("id"), F.col("c").alias("c"), "k"
-    ).localCheckpoint(eager=True)
+    ).transform(fresh_checkpoint)
     lvl2 = _move_rounds(coarse_edges, comm1, two_m, rounds_per_level)
 
     out = (
         lvl1.select("id", F.col("c").alias("c1"))
         .join(lvl2.select(F.col("id").alias("c1"), "c"), "c1")
         .select("id", F.col("c").alias("community"))
-        .localCheckpoint(eager=True)
+        .transform(fresh_checkpoint)
     )
     for df in (deg, lvl1, coarse_edges, lvl2):
         df.unpersist()

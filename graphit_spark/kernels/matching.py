@@ -54,6 +54,7 @@ from functools import reduce
 from pyspark.sql import DataFrame, functions as F
 
 from graphit_spark.graph import LinkGraph
+from graphit_spark.plans.state import fresh_checkpoint
 
 MATCH_ROUNDS = 24
 
@@ -84,9 +85,9 @@ def maximal_matching(
         .edges.filter(F.col("src") < F.col("dst"))
         .select(F.col("src").alias("u"), F.col("dst").alias("v"))
         .withColumn("epri", _edge_priority())
-        .localCheckpoint(eager=True)
+        .transform(fresh_checkpoint)
     )
-    verts = graph.vertices().select("id").localCheckpoint(eager=True)
+    verts = graph.vertices().select("id").transform(fresh_checkpoint)
 
     matched_frames: list[DataFrame] = []
     for _ in range(rounds):
@@ -107,7 +108,7 @@ def maximal_matching(
             )
             .filter((F.col("epri") == F.col("mu")) & (F.col("epri") == F.col("mv")))
             .select("u", "v")
-            .localCheckpoint(eager=True)
+            .transform(fresh_checkpoint)
         )
         matched_frames.append(matched)
         mverts = (
@@ -118,7 +119,7 @@ def maximal_matching(
         nxt = (
             alive.join(mverts.withColumnRenamed("x", "u"), "u", "left_anti")
             .join(mverts.withColumnRenamed("x", "v"), "v", "left_anti")
-            .localCheckpoint(eager=True)
+            .transform(fresh_checkpoint)
         )
         alive.unpersist()
         alive = nxt

@@ -45,6 +45,7 @@ from functools import reduce
 from pyspark.sql import DataFrame, functions as F
 
 from graphit_spark.graph import LinkGraph
+from graphit_spark.plans.state import fresh_checkpoint
 
 MIS_ROUNDS = 24
 
@@ -69,9 +70,9 @@ def maximal_independent_set(
         graph.symmetrize()
         .edges.select("src", "dst")
         .filter(F.col("src") != F.col("dst"))
-        .localCheckpoint(eager=True)
+        .transform(fresh_checkpoint)
     )
-    verts = graph.vertices().select("id").localCheckpoint(eager=True)
+    verts = graph.vertices().select("id").transform(fresh_checkpoint)
 
     active = verts.select("id", _priority_col().alias("pri")).localCheckpoint(
         eager=True
@@ -93,7 +94,7 @@ def maximal_independent_set(
             active.join(nbr_min, "id", "left")
             .filter(F.col("mn").isNull() | (F.col("pri") < F.col("mn")))
             .select("id")
-            .localCheckpoint(eager=True)
+            .transform(fresh_checkpoint)
         )
         winner_frames.append(winners)
         eliminated = (
@@ -104,7 +105,7 @@ def maximal_independent_set(
         nxt = (
             active.join(winners, "id", "left_anti")
             .join(eliminated, "id", "left_anti")
-            .localCheckpoint(eager=True)
+            .transform(fresh_checkpoint)
         )
         active.unpersist()
         active = nxt

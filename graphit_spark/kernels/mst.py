@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from graphit_spark.graph import LinkGraph
+from graphit_spark.plans.state import fresh_checkpoint
 
 _MAX_ROUNDS = 64  # > log2(any vertex count a long can index)
 
@@ -46,7 +47,7 @@ def _pointer_jump(ptr: DataFrame) -> DataFrame:
                 "p",
             )
             .select("c", F.col("pp").alias("p"), (F.col("p") != F.col("pp")).alias("moved"))
-        ).localCheckpoint(eager=True)
+        ).transform(fresh_checkpoint)
         moved = hop.filter("moved").limit(1).count()
         ptr = hop.select("c", "p")
         if moved == 0:
@@ -77,7 +78,7 @@ def minimum_spanning_forest(graph: LinkGraph) -> DataFrame:
         .persist()
     )
     comp = graph.vertices().select("id", F.col("id").alias("comp"))
-    comp = comp.localCheckpoint(eager=True)
+    comp = comp.transform(fresh_checkpoint)
 
     forest_parts: list[DataFrame] = []
     for _ in range(_MAX_ROUNDS):
@@ -100,7 +101,7 @@ def minimum_spanning_forest(graph: LinkGraph) -> DataFrame:
         chosen = (
             nominated.select("e.u", "e.v", "e.w", "e.cu", "e.cv")
             .dropDuplicates(["u", "v"])
-            .localCheckpoint(eager=True)
+            .transform(fresh_checkpoint)
         )
         if chosen.limit(1).count() == 0:
             break
@@ -139,7 +140,7 @@ def minimum_spanning_forest(graph: LinkGraph) -> DataFrame:
         comp = (
             comp.join(roots, comp.comp == roots.c)
             .select("id", F.col("p").alias("comp"))
-            .localCheckpoint(eager=True)
+            .transform(fresh_checkpoint)
         )
 
     und.unpersist()

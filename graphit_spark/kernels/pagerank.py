@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.storagelevel import StorageLevel
 
 from graphit_spark.graph import LinkGraph
+from graphit_spark.plans.state import fresh_checkpoint
 from graphit_spark.checkpoint import SnapshotStore
 
 
@@ -38,7 +39,7 @@ def _truncate(df: DataFrame, store: SnapshotStore | None, iteration: int,
               metrics: dict | None = None) -> DataFrame:
     if store is not None:
         return store.write(df, iteration, metrics)
-    return df.localCheckpoint(eager=True)
+    return df.transform(fresh_checkpoint)
 
 
 def pagerank(
@@ -97,7 +98,7 @@ def pagerank(
         )
     else:
         state = graph.out_degrees().withColumn("rank", F.lit(1.0 / n))
-    state = state.localCheckpoint(eager=True)
+    state = state.transform(fresh_checkpoint)
 
     if use_adjacency:
         adj = graph.adjacency()
@@ -150,7 +151,7 @@ def pagerank(
         # Materialize once (truncates lineage); the error norm then reads
         # the in-memory RDD instead of recomputing the superstep — the
         # PR+error fusion GraphIt gets from fuseApplyFunctions.
-        new_state = new_state.localCheckpoint(eager=True)
+        new_state = new_state.transform(fresh_checkpoint)
         if tol is not None:
             err = new_state.agg(
                 F.sum(F.abs(F.col("rank") - F.col("old_rank"))).alias("e")
@@ -241,7 +242,7 @@ def weighted_pagerank(
                     + F.lit(damp) * F.coalesce("gathered", F.lit(0.0))
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
+            .transform(fresh_checkpoint)
         )
         prev.unpersist()
         prev = state
@@ -270,7 +271,7 @@ def personalized_pagerank(
     seed = F.when(F.col("id") == source, F.lit(1.0)).otherwise(F.lit(0.0))
 
     state = graph.out_degrees().withColumn("rank", seed)
-    state = state.localCheckpoint(eager=True)
+    state = state.transform(fresh_checkpoint)
     big_v = graph.num_vertices > 500_000
     prev_ck: DataFrame = state
 
@@ -296,7 +297,7 @@ def personalized_pagerank(
                     + F.lit(damp) * F.coalesce("gathered", F.lit(0.0))
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
+            .transform(fresh_checkpoint)
         )
         prev_ck.unpersist()
         prev_ck = new_state
@@ -360,7 +361,7 @@ def trustrank(
         )
     else:
         deg = graph.out_degrees().withColumnRenamed("out_degree", "out_w")
-    state = deg.withColumn("rank", seed).localCheckpoint(eager=True)
+    state = deg.withColumn("rank", seed).transform(fresh_checkpoint)
     hint = "shuffle_hash" if graph.num_vertices > 500_000 else None
     prev = state
     for _ in range(max_iters):
@@ -390,7 +391,7 @@ def trustrank(
                     + F.lit(damp) * F.coalesce("gathered", F.lit(0.0))
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
+            .transform(fresh_checkpoint)
         )
         prev.unpersist()
         prev = state
@@ -426,7 +427,7 @@ def pagerank_delta(
         .withColumn("cur_rank", F.lit(0.0))
         .withColumn("delta", F.lit(one_over_n))
         .withColumn("in_frontier", F.lit(True))
-    ).localCheckpoint(eager=True)
+    ).transform(fresh_checkpoint)
     prev_ck: DataFrame = state
 
     for i in range(1, max_iters + 1):

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.storagelevel import StorageLevel
 
 from graphit_spark.graph import LinkGraph
+from graphit_spark.plans.state import fresh_checkpoint
 from graphit_spark.plans.traversal import choose_direction
 
 
@@ -39,7 +40,7 @@ def _min_distance_fixpoint(
             F.lit(inf).cast("long")
         ).alias("dist"),
     )
-    dist = dist.localCheckpoint(eager=True)
+    dist = dist.transform(fresh_checkpoint)
     frontier = dist.filter(F.col("dist").isNotNull()).select("id")
     frontier_size, frontier_deg = 1, 0
 
@@ -79,7 +80,7 @@ def _min_distance_fixpoint(
                 F.when(F.col("nd") < 2**62, F.col("nd")).alias("dist"),
                 "old",
             )
-            .localCheckpoint(eager=True)
+            .transform(fresh_checkpoint)
         )
         changed = new_dist.filter(
             F.col("dist").isNotNull()

@@ -27,6 +27,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from graphit_spark.plans.state import fresh_checkpoint
+
 
 def resolve_redirects(
     redirects: DataFrame,
@@ -58,7 +60,7 @@ def resolve_redirects(
         "src",
         F.col("dst").alias("ptr"),
         F.lit(1).cast("long").alias("hops"),
-    ).localCheckpoint(eager=True)
+    ).transform(fresh_checkpoint)
     for _ in range(max_rounds):
         jump = state.select(
             F.col("src").alias("j_src"),
@@ -74,7 +76,7 @@ def resolve_redirects(
                     "hops"
                 ),
             )
-            .localCheckpoint(eager=True)
+            .transform(fresh_checkpoint)
         )
         # unresolved = rows still pointing INTO the redirect domain that
         # cannot yet be written off as loops (hops bound: any genuine
@@ -107,6 +109,6 @@ def resolve_redirects(
         ),
         is_cycle.alias("cycle"),
     )
-    final = resolved.localCheckpoint(eager=True)
+    final = resolved.transform(fresh_checkpoint)
     state.unpersist()
     return final

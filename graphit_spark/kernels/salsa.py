@@ -34,6 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from graphit_spark.graph import LinkGraph
+from graphit_spark.plans.state import fresh_checkpoint
 
 
 def salsa(graph: LinkGraph, *, rounds: int = 6) -> DataFrame:
@@ -60,11 +61,11 @@ def salsa(graph: LinkGraph, *, rounds: int = 6) -> DataFrame:
             (F.lit(1.0) / F.col("od")).alias("inv_out"),
             (F.lit(1.0) / F.col("idg")).alias("inv_in"),
         )
-        .localCheckpoint(eager=True)
+        .transform(fresh_checkpoint)
     )
     state = verts.select(
         "id", F.lit(1.0).alias("hub"), F.lit(1.0).alias("auth")
-    ).localCheckpoint(eager=True)
+    ).transform(fresh_checkpoint)
     prev = state
     for _ in range(rounds):
         # backward step: hub[i] = Σ auth[j]/in_deg(j) over out-edges of i
@@ -79,7 +80,7 @@ def salsa(graph: LinkGraph, *, rounds: int = 6) -> DataFrame:
                 "left",
             )
             .select("id", F.coalesce("h", F.lit(0.0)).alias("h"))
-            .localCheckpoint(eager=True)
+            .transform(fresh_checkpoint)
         )
         s_h = hub_raw.agg(F.sum("h")).collect()[0][0] or 1.0
         hub = hub_raw.select("id", (F.col("h") / F.lit(s_h)).alias("hub"))
@@ -95,7 +96,7 @@ def salsa(graph: LinkGraph, *, rounds: int = 6) -> DataFrame:
                 "left",
             )
             .select("id", F.coalesce("a", F.lit(0.0)).alias("a"))
-            .localCheckpoint(eager=True)
+            .transform(fresh_checkpoint)
         )
         s_a = auth_raw.agg(F.sum("a")).collect()[0][0] or 1.0
         new_state = (
@@ -106,7 +107,7 @@ def salsa(graph: LinkGraph, *, rounds: int = 6) -> DataFrame:
                 "id",
             )
             .select("id", "hub", "auth")
-            .localCheckpoint(eager=True)
+            .transform(fresh_checkpoint)
         )
         prev.unpersist()
         hub_raw.unpersist()

@@ -46,6 +46,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from graphit_spark.graph import LinkGraph
+from graphit_spark.plans.state import fresh_checkpoint
 from graphit_spark.plans.traversal import choose_direction
 
 
@@ -65,7 +66,7 @@ def _fw_bw_fixpoint(
     avg_deg = max(num_edges / max(num_verts, 1), 1.0)
     state = verts.select(
         "id", F.col("id").alias("flab"), F.col("id").alias("blab")
-    ).localCheckpoint(eager=True)
+    ).transform(fresh_checkpoint)
     ffront = state.select("id")
     bfront = ffront
     fsize = bsize = num_verts
@@ -116,7 +117,7 @@ def _fw_bw_fixpoint(
                     F.least(F.col(labcol), cand).alias(labcol),
                     (cand < F.col(labcol)).alias(f"{tag}chg"),
                 ]
-        new_state = joined.select(*cols).localCheckpoint(eager=True)
+        new_state = joined.select(*cols).transform(fresh_checkpoint)
         row = new_state.agg(
             F.sum(F.col("fchg").cast("int")).alias("fc"),
             F.sum(F.col("bchg").cast("int")).alias("bc"),
@@ -158,8 +159,8 @@ def strongly_connected_components(
     round; at local scale the plain propagation wins, so the shortcut
     is left as the documented scale-up path)."""
     own_cache = graph.ensure_persisted()
-    verts = graph.vertices().select("id").localCheckpoint(eager=True)
-    edges = graph.edges.select("src", "dst").localCheckpoint(eager=True)
+    verts = graph.vertices().select("id").transform(fresh_checkpoint)
+    edges = graph.edges.select("src", "dst").transform(fresh_checkpoint)
     n_active = graph.num_vertices
     assigned_parts: list[DataFrame] = []
     outer = 0
@@ -195,12 +196,12 @@ def strongly_connected_components(
         matched = (
             labs.filter(F.col("flab") == F.col("blab"))
             .select("id", F.col("flab").alias("scc"))
-            .localCheckpoint(eager=True)
+            .transform(fresh_checkpoint)
         )
         assigned_parts.append(matched)
         new_verts = verts.join(
             matched.select("id"), "id", "left_anti"
-        ).localCheckpoint(eager=True)
+        ).transform(fresh_checkpoint)
         new_edges = (
             edges.join(
                 new_verts.select(F.col("id").alias("src")), "src", "left_semi"
@@ -209,7 +210,7 @@ def strongly_connected_components(
                 new_verts.select(F.col("id").alias("dst")), "dst", "left_semi"
             )
             .select("src", "dst")
-            .localCheckpoint(eager=True)
+            .transform(fresh_checkpoint)
         )
         for df in (verts, edges, labs):
             df.unpersist()
@@ -260,7 +261,7 @@ def condensation_layers(
     own_cache = graph.ensure_persisted()
     if labels is None:
         labels = strongly_connected_components(graph)
-    labels = labels.localCheckpoint(eager=True)
+    labels = labels.transform(fresh_checkpoint)
     ls = labels.select(F.col("id").alias("src"), F.col("scc").alias("cu"))
     ld = labels.select(F.col("id").alias("dst"), F.col("scc").alias("cv"))
     cond = (
@@ -269,13 +270,13 @@ def condensation_layers(
         .filter(F.col("cu") != F.col("cv"))
         .select("cu", "cv")
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(fresh_checkpoint)
     )
     layer = (
         labels.select(F.col("scc").alias("c"))
         .distinct()
         .withColumn("layer", F.lit(0).cast("long"))
-        .localCheckpoint(eager=True)
+        .transform(fresh_checkpoint)
     )
     for _ in range(max_rounds):
         cand = (
@@ -291,7 +292,7 @@ def condensation_layers(
                     F.col("layer"), F.coalesce("cand", F.lit(0))
                 ).alias("layer"),
             )
-            .localCheckpoint(eager=True)
+            .transform(fresh_checkpoint)
         )
         changed = (
             new_layer.join(
@@ -307,7 +308,7 @@ def condensation_layers(
     out = (
         labels.join(layer, labels["scc"] == layer["c"])
         .select("id", "scc", "layer")
-        .localCheckpoint(eager=True)
+        .transform(fresh_checkpoint)
     )
     labels.unpersist()
     cond.unpersist()

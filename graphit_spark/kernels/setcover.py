@@ -29,6 +29,7 @@ import math
 from pyspark.sql import DataFrame, functions as F
 
 from graphit_spark.graph import LinkGraph
+from graphit_spark.plans.state import fresh_checkpoint
 
 EPSILON = 0.01
 
@@ -52,7 +53,7 @@ def set_cover(
     ).persist()
     spark = elems.sparkSession
 
-    covered = spark.createDataFrame([], "e long").localCheckpoint(eager=True)
+    covered = spark.createDataFrame([], "e long").transform(fresh_checkpoint)
     cover_parts: list[DataFrame] = []
     bucket_of = F.floor(F.lit(x) * F.log(F.col("rdeg").cast("double")))
 
@@ -76,14 +77,14 @@ def set_cover(
         )
         wins = winners.groupBy("s").agg(F.count("*").alias("won"))
         admitted = wins.filter(F.col("won") >= low).select("s")
-        admitted = admitted.localCheckpoint(eager=True)
+        admitted = admitted.transform(fresh_checkpoint)
         n_admitted = admitted.count()
         if n_admitted > 0:
             cover_parts.append(
                 admitted.select("s", F.lit(rounds).alias("round"))
             )
             newly = winners.join(admitted, "s").select("e")
-            covered = covered.union(newly).localCheckpoint(eager=True)
+            covered = covered.union(newly).transform(fresh_checkpoint)
         else:
             # unreachable given integer degrees: p = floor(x*ln(rdeg))
             # implies ceil((1+eps)^p) <= max rdeg, so the top bucket is

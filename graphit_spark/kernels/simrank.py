@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from graphit_spark.graph import LinkGraph
+from graphit_spark.plans.state import fresh_checkpoint
 
 
 def simrank(
@@ -47,14 +48,14 @@ def simrank(
     indeg = (
         edges.groupBy(F.col("dst").alias("id"))
         .agg(F.count("*").alias("din"))
-        .localCheckpoint(eager=True)
+        .transform(fresh_checkpoint)
     )
 
     diag = graph.vertices().select(
         F.col("id").alias("a"), F.col("id").alias("b"),
         F.lit(1.0).alias("s"),
     )
-    s_prev = diag.localCheckpoint(eager=True)
+    s_prev = diag.transform(fresh_checkpoint)
 
     ea = edges.select(F.col("src").alias("a"), F.col("dst").alias("na"))
     eb = edges.select(F.col("src").alias("b"), F.col("dst").alias("nb"))
@@ -77,13 +78,13 @@ def simrank(
                  / (F.col("da") * F.col("db"))).alias("s"),
             )
         )
-        s_new = off.unionByName(diag).localCheckpoint(eager=True)
+        s_new = off.unionByName(diag).transform(fresh_checkpoint)
         s_prev.unpersist()
         s_prev = s_new
 
     out = (
         s_prev.filter(F.col("a") < F.col("b"))
-        .localCheckpoint(eager=True)
+        .transform(fresh_checkpoint)
     )
     s_prev.unpersist()
     indeg.unpersist()

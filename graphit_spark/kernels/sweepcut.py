@@ -40,6 +40,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from graphit_spark.graph import LinkGraph
+from graphit_spark.plans.state import fresh_checkpoint
 from graphit_spark.plans.ranking import dense_rank_ids, ordered_prefix_sum
 
 
@@ -64,7 +65,7 @@ def sweep_cut(
         [F.desc("val"), F.asc("id")],
         out_col="r",
         release=release,
-    ).select("id", "r").localCheckpoint(eager=True)
+    ).select("id", "r").transform(fresh_checkpoint)
 
     deg = graph.out_degrees()
     base = ranks.join(deg, "id", "left").select(

@@ -45,6 +45,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from graphit_spark.graph import LinkGraph
+from graphit_spark.plans.state import fresh_checkpoint
 
 
 def _full_support(und: DataFrame) -> DataFrame:
@@ -183,8 +184,17 @@ def k_truss(
     SnapshotStore discipline) instead of localCheckpoint: an iterated
     localCheckpoint chain in THIS loop shape was measured to degrade
     superlinearly past ~10 rounds (execution time x4 per round with
-    flat plans, bounded storage, and constant job counts — see
-    BENCH/PLANS.md), while the parquet roundtrip stays flat. work_dir
+    flat plans, bounded storage, and constant job counts). Root cause
+    found later (see plans/state.py): localCheckpoint INHERITS the
+    plan's Statistics, and because each round joins the state against
+    a peel set derived FROM that state, the inherited sizeInBytes
+    product doubles its bit-length every round — stats computation
+    becomes BigInteger multiplication on geometrically-growing
+    integers. The parquet roundtrip stays flat because file-backed
+    reads reset sizeInBytes to the real file size. The spill is kept
+    here (it doubles as the resume surface); the rest of the engine
+    uses plans/state.py fresh_checkpoint, which strips the inherited
+    stats from the checkpointed frame directly. work_dir
     defaults to the SparkContext checkpoint dir when set, else a
     driver-local temp dir (fine on local[N]; pass a shared path on a
     real cluster). A temp dir the kernel created itself is removed on
@@ -253,6 +263,6 @@ def k_truss(
         # the result still reads from the spill dir — one final eager
         # localCheckpoint detaches it (a single checkpoint is fine; it
         # is the ITERATED chain that degrades), then drop the files
-        out = out.localCheckpoint(eager=True)
+        out = out.transform(fresh_checkpoint)
         shutil.rmtree(work_dir, ignore_errors=True)
     return out

@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from graphit_spark.graph import LinkGraph
+from graphit_spark.plans.state import fresh_checkpoint
 
 
 def _hash_mod(entity, step: int, seed: int, size) -> F.Column:
@@ -107,7 +108,7 @@ def weighted_random_walks(
     cum_edges = (
         graph.edges.withColumn("cumw", F.sum("weight").over(wsrc))
         .withColumn("totw", F.sum("weight").over(Window.partitionBy("src")))
-        .localCheckpoint(eager=True)
+        .transform(fresh_checkpoint)
     )
     if starts is None:
         cur = graph.vertices().select(
@@ -118,7 +119,7 @@ def weighted_random_walks(
             F.col(starts.columns[0]).alias("walk_id"),
             F.col(starts.columns[0]).alias("v"),
         )
-    cur = cur.localCheckpoint(eager=True)
+    cur = cur.transform(fresh_checkpoint)
     parts = [cur.select("walk_id", F.lit(0).alias("step"),
                         F.col("v").alias("vertex"))]
     for t in range(1, walk_len + 1):
@@ -129,7 +130,7 @@ def weighted_random_walks(
             .groupBy("walk_id")
             .agg(F.min(F.struct("cumw", "dst")).alias("pick"))
             .select("walk_id", F.col("pick.dst").alias("v"))
-            .localCheckpoint(eager=True)
+            .transform(fresh_checkpoint)
         )
         cur = nxt
         parts.append(
@@ -187,7 +188,7 @@ def node2vec_walks(
             F.col(starts.columns[0]).alias("walk_id"),
             F.col(starts.columns[0]).alias("v"),
         )
-    cur = cur.localCheckpoint(eager=True)
+    cur = cur.transform(fresh_checkpoint)
     parts = [cur.select("walk_id", F.lit(0).alias("step"),
                         F.col("v").alias("vertex"))]
 
@@ -200,7 +201,7 @@ def node2vec_walks(
             F.col("v").alias("prev"),
             F.element_at("nbrs", (idx + 1).cast("int")).alias("v"),
         )
-        .localCheckpoint(eager=True)
+        .transform(fresh_checkpoint)
     )
     parts.append(state.select("walk_id", F.lit(1).alias("step"),
                               F.col("v").alias("vertex")))
@@ -234,7 +235,7 @@ def node2vec_walks(
                 F.col("pick.newprev").alias("prev"),
                 F.col("pick.dst").alias("v"),
             )
-            .localCheckpoint(eager=True)
+            .transform(fresh_checkpoint)
         )
         state = nxt
         parts.append(state.select("walk_id", F.lit(t).alias("step"),
@@ -274,7 +275,7 @@ def random_walks(
             F.col(starts.columns[0]).alias("walk_id"),
             F.col(starts.columns[0]).alias("v"),
         )
-    cur = cur.localCheckpoint(eager=True)
+    cur = cur.transform(fresh_checkpoint)
     parts = [cur.select("walk_id", F.lit(0).alias("step"),
                         F.col("v").alias("vertex"))]
     for t in range(1, walk_len + 1):
@@ -285,7 +286,7 @@ def random_walks(
                 "walk_id",
                 F.element_at("nbrs", (idx + 1).cast("int")).alias("v"),
             )
-            .localCheckpoint(eager=True)
+            .transform(fresh_checkpoint)
         )
         # every step's checkpoint feeds the final union — none can be
         # unpersisted here; ContextCleaner frees them with the result
@@ -488,7 +489,7 @@ def node2vec_walks_alias(
             F.col(starts.columns[0]).alias("walk_id"),
             F.col(starts.columns[0]).alias("v"),
         )
-    cur = cur.localCheckpoint(eager=True)
+    cur = cur.transform(fresh_checkpoint)
     parts = [cur.select("walk_id", F.lit(0).alias("step"),
                         F.col("v").alias("vertex"))]
 
@@ -501,7 +502,7 @@ def node2vec_walks_alias(
             F.col("v").alias("prev"),
             F.element_at("nbrs", (idx + 1).cast("int")).alias("v"),
         )
-        .localCheckpoint(eager=True)
+        .transform(fresh_checkpoint)
     )
     parts.append(state.select("walk_id", F.lit(1).alias("step"),
                               F.col("v").alias("vertex")))
@@ -515,14 +516,14 @@ def node2vec_walks_alias(
             ).dropDuplicates(["prev", "cur"])
             if cache is None:
                 built = build_node2vec_alias_tables(graph, pairs, p=p, q=q)
-                cache = built.localCheckpoint(eager=True)
+                cache = built.transform(fresh_checkpoint)
             else:
                 missing = pairs.join(
                     cache.select("prev", "cur"), ["prev", "cur"], "left_anti"
                 )
                 built = build_node2vec_alias_tables(graph, missing, p=p, q=q)
                 old = cache
-                cache = cache.unionByName(built).localCheckpoint(eager=True)
+                cache = cache.unionByName(built).transform(fresh_checkpoint)
                 old.unpersist()  # superseded memo — new one is materialized
         at = cache.select(
             F.col("prev").alias("aprev"), F.col("cur").alias("acur"),
@@ -551,7 +552,7 @@ def node2vec_walks_alias(
                 (state["prev"] == at["aprev"]) & (state["v"] == at["acur"]),
             )
             .select("walk_id", F.col("v").alias("prev"), picked.alias("v"))
-            .localCheckpoint(eager=True)
+            .transform(fresh_checkpoint)
         )
         parts.append(state.select("walk_id", F.lit(t).alias("step"),
                                   F.col("v").alias("vertex")))
@@ -582,7 +583,7 @@ def random_walks_alias(
     at = (
         alias_tables
         if alias_tables is not None
-        else build_alias_tables(graph).localCheckpoint(eager=True)
+        else build_alias_tables(graph).transform(fresh_checkpoint)
     )
     prec = (1 << 31) - 1
     if starts is None:
@@ -594,7 +595,7 @@ def random_walks_alias(
             F.col(starts.columns[0]).alias("walk_id"),
             F.col(starts.columns[0]).alias("v"),
         )
-    cur = cur.localCheckpoint(eager=True)
+    cur = cur.transform(fresh_checkpoint)
     parts = [cur.select("walk_id", F.lit(0).alias("step"),
                         F.col("v").alias("vertex"))]
     for t in range(1, walk_len + 1):
@@ -620,7 +621,7 @@ def random_walks_alias(
         nxt = (
             cur.join(at, cur["v"] == at["src"])
             .select("walk_id", picked.alias("v"))
-            .localCheckpoint(eager=True)
+            .transform(fresh_checkpoint)
         )
         cur = nxt
         parts.append(cur.select("walk_id", F.lit(t).alias("step"),

@@ -41,7 +41,8 @@ def main() -> None:
                             "link_prediction", "condensation",
                             "motifs", "walk_cooccurrence",
                             "katz", "trustrank", "resolve_redirects",
-                            "simrank", "weighted_lpa"])
+                            "simrank", "weighted_lpa",
+                            "landmark_distances"])
     p.add_argument("--edges", help="parquet edge table (src,dst[,weight])")
     p.add_argument("--pages", help="parquet pages table (extracted first)")
     p.add_argument("--synth-vertices", type=int, help="synthetic graph size")
@@ -256,6 +257,10 @@ def main() -> None:
         from graphit_spark.kernels import simrank
 
         out = simrank(g, rounds=args.rounds)
+    elif args.kernel == "landmark_distances":
+        from graphit_spark.kernels import landmark_distances
+
+        out = landmark_distances(g, max_iters=args.max_iters)
     elif args.kernel == "weighted_lpa":
         from graphit_spark.kernels import weighted_label_propagation
 
