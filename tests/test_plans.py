@@ -541,3 +541,49 @@ def test_stratified_sample_no_global_window(spark):
     for line in inner.splitlines():
         if "Window [" in line or "Window(" in line:
             assert "__pid" in line, line
+
+
+def test_fresh_checkpoint_stats_stay_flat(spark):
+    """Iterated self-referencing checkpoints must not compound stats.
+
+    Spark 4's localCheckpoint inherits the plan's Statistics; join
+    stats multiply child sizeInBytes, so a fixpoint loop whose round
+    joins the state against something derived from the state doubles
+    the inherited BigInteger's bit-length every round (profiled: 74 s
+    pointer-jump hops, driver OOM — see plans/state.py). This pins the
+    fix: after 10 such rounds through fresh_checkpoint, the state's
+    sizeInBytes is no bigger than one round's.
+    """
+    from pyspark.sql import functions as F
+
+    from graphit_spark.plans.state import fresh_checkpoint
+
+    def size_bits(df):
+        stats = df._jdf.queryExecution().optimizedPlan().stats()
+        return int(stats.sizeInBytes()).bit_length()  # py4j gives int
+
+    state = fresh_checkpoint(
+        spark.range(100).select(F.col("id"), F.col("id").alias("v"))
+    )
+    first_round_bits = None
+    for _ in range(10):
+        derived = state.groupBy((F.col("v") % 7).alias("k")).agg(
+            F.min("v").alias("mn")
+        )
+        state = fresh_checkpoint(
+            state.join(derived, state["v"] % 7 == derived["k"], "left")
+            .select("id", F.coalesce("mn", "v").alias("v"))
+        )
+        joined_bits = size_bits(
+            state.join(state.select(F.col("v").alias("v2")),
+                       state["id"] == F.col("v2"), "left")
+        )
+        if first_round_bits is None:
+            first_round_bits = joined_bits
+    # with inherited stats this reaches thousands of bits by round 10;
+    # stripped, it stays at the constant default-size product
+    assert joined_bits <= first_round_bits + 8, (
+        f"stats compounding returned: round-1 {first_round_bits} bits, "
+        f"round-10 {joined_bits} bits"
+    )
+    assert state.count() == 100  # the data path still works
