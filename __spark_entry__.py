@@ -75,6 +75,7 @@ _CHECK_FIRST = [
     "corpus_select_spamsafe", "emb_top_pc", "crawl_budget",
     "host_lang_mix", "dedup_embedding_whitened", "events_funnel",
     "landmark_distances", "doc_lm_score", "cc_incremental",
+    "doc_quality_probe",
     "louvain", "maximal_matching", "clustering_coeff",
     "triangle_count_approx",
     "corpus_decontaminate_bloom",

@@ -537,3 +537,76 @@ def bigram_lm_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
         .select("doc_id", "n_bigrams", "lm_score")
     )
+
+
+# In-engine weak-supervision quality probe: a linear model trained by
+# batch gradient descent entirely in aggregations. Descent is the
+# CCNet/fastText-classifier analogue scoped to what survives a
+# bit-exact SQL twin: squared loss (no sigmoid — transcendentals
+# differ in the last ulp across libm implementations), a power-of-two
+# learning rate (exact in binary floating point), and every gradient
+# component floor-scaled to integer nano-units before the corpus sum,
+# so Spark's partial-aggregation order cannot move a single bit.
+PROBE_LR = 2.0 ** -6
+PROBE_STEPS = 24
+PROBE_SCALE = 1_000_000_000.0
+
+
+def quality_probe(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Train w on (1, alpha_ratio, stopword_ratio, mean_token_len) to
+    predict the weak label y = 1[lang = 'en'] with PROBE_STEPS batch-GD
+    steps, then score every document: (doc_id, y, pred).
+
+    Scale shape: features are ONE whole-stage-codegen corpus scan,
+    cached; each GD step is a single 4-sum aggregate action over it
+    (map-side combined BIGINT sums — the only driver traffic is 4
+    scalars per step); the final scoring pass is one more scan. Model
+    state lives in the driver as 4 floats — there is no per-row model
+    state, no UDF, and nothing that grows with the corpus.
+
+    On the driver's synthetic corpus the label is feature-orthogonal
+    by construction (lang is drawn independently of text style), so
+    the probe converges to the intercept-only solution pred ≈ P(y=1)
+    — the correct least-squares answer there; the learnable-signal
+    path is pinned by tests/test_textops.py on a corpus where the
+    classes actually differ.
+    """
+    t = F.col(text_col)
+    n_chars = F.length(t).cast("long")
+    toks = token_count(t)
+    feats = df.select(
+        "doc_id",
+        F.lit(1.0).alias("x0"),
+        alpha_ratio(t).alias("x1"),
+        F.round(stopword_ratio(t), 6).alias("x2"),
+        F.round(n_chars / F.greatest(toks, F.lit(1)), 6).alias("x3"),
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+    ).persist()
+    n = feats.count()
+    w = [0.0, 0.0, 0.0, 0.0]
+    xs = [F.col(c) for c in ("x0", "x1", "x2", "x3")]
+    for _ in range(PROBE_STEPS):
+        resid = F.col("y") - sum(
+            (F.lit(wj) * xj for wj, xj in zip(w, xs)), F.lit(0.0)
+        )
+        sums = feats.agg(
+            *[
+                F.sum(
+                    F.floor(resid * xj * F.lit(PROBE_SCALE)).cast("long")
+                ).alias(f"s{j}")
+                for j, xj in enumerate(xs)
+            ]
+        ).collect()[0]
+        w = [
+            w[j] + PROBE_LR * (sums[f"s{j}"] / (n * PROBE_SCALE))
+            for j in range(4)
+        ]
+    pred = sum((F.lit(wj) * xj for wj, xj in zip(w, xs)), F.lit(0.0))
+    out = feats.select(
+        "doc_id",
+        F.col("y").cast("long").alias("y"),
+        F.round(pred, 6).alias("pred"),
+    )
+    out = out.localCheckpoint(eager=True)
+    feats.unpersist()
+    return out

@@ -1749,6 +1749,72 @@ FROM documents ORDER BY doc_id
 """
 
 
+def q_quality_probe(spark, sf_dir):
+    """In-engine weak-supervision quality probe — linear model trained
+    by batch GD in aggregations (see functions/textops.py
+    quality_probe for the determinism + scale notes)."""
+    return T.quality_probe(load(spark, sf_dir, "documents"))
+
+
+def _quality_probe_sql() -> str:
+    """Twin of q_quality_probe: identical feature expressions (the
+    proven SQL_QUALITY / token-stats forms), identical left-assoc
+    dot products, the same floor-scaled BIGINT gradient sums, and the
+    GD recurrence unrolled as one 1-row weight CTE per step."""
+    ws = r"len(string_split_regex(trim(text), '\s+'))"
+    stop = ", ".join(f"'{w}'" for w in T.STOPWORDS)
+    hits = (
+        r"len(list_filter(string_split_regex(lower(trim(text)), '\s+'),"
+        f" x -> x IN ({stop})))"
+    )
+    dot = "(0e0 + w.w0*f.x0 + w.w1*f.x1 + w.w2*f.x2 + w.w3*f.x3)"
+    ctes = [
+        f"""feats AS MATERIALIZED (
+  SELECT doc_id,
+         1e0 AS x0,
+         round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                    AS BIGINT) * 1e0
+               / greatest(CAST(length(text) AS BIGINT), 1), 6) AS x1,
+         round({hits} * 1e0 / greatest({ws}, 1), 6) AS x2,
+         round(CAST(length(text) AS BIGINT) * 1e0
+               / greatest({ws}, 1), 6) AS x3,
+         CASE WHEN lang = 'en' THEN 1e0 ELSE 0e0 END AS y
+  FROM documents
+)""",
+        "nn AS (SELECT count(*) AS c FROM feats)",
+        "w0 AS (SELECT 0e0 AS w0, 0e0 AS w1, 0e0 AS w2, 0e0 AS w3)",
+    ]
+    for s in range(1, T.PROBE_STEPS + 1):
+        sums = ", ".join(
+            f"sum(CAST(floor((f.y - {dot}) * f.x{j} * {T.PROBE_SCALE!r})"
+            f" AS BIGINT)) AS s{j}"
+            for j in range(4)
+        )
+        ctes.append(
+            f"g{s} AS MATERIALIZED (SELECT {sums}"
+            f" FROM feats f CROSS JOIN w{s - 1} w)"
+        )
+        ws_new = ", ".join(
+            f"w.w{j} + {T.PROBE_LR!r} * (g.s{j} / (n.c * {T.PROBE_SCALE!r}))"
+            f" AS w{j}"
+            for j in range(4)
+        )
+        ctes.append(
+            f"w{s} AS (SELECT {ws_new} FROM w{s - 1} w"
+            f" CROSS JOIN g{s} g CROSS JOIN nn n)"
+        )
+    final_dot = dot
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT f.doc_id, CAST(f.y AS BIGINT) AS y,
+       round({final_dot}, 6) AS pred
+FROM feats f CROSS JOIN w{T.PROBE_STEPS} w
+ORDER BY f.doc_id
+"""
+    )
+
+
 def _jaccard_lsh_ctes(
     k: int = MINHASH_K, rows_per_band: int = 2, docs_src: str = "documents"
 ) -> str:
@@ -3184,6 +3250,7 @@ TEXT_QUERIES: dict[str, tuple] = {
     "sim_mmr_topk": (q_mmr_topk, _mmr_topk_sql()),
     "doc_readability": (q_readability, _readability_sql()),
     "doc_lm_score": (q_doc_lm_score, _lm_score_sql()),
+    "doc_quality_probe": (q_quality_probe, _quality_probe_sql()),
     "corpus_select_spamsafe": (q_corpus_select_spamsafe,
                                _corpus_select_spamsafe_sql()),
     "emb_top_pc": (q_emb_top_pc, _emb_top_pc_sql()),

@@ -258,3 +258,23 @@ def test_bigram_lm_score_hand_checked(spark):
     # doc2: p(a b)=1, p(b c)=1/2 -> mean 0.75
     assert got[2]["n_bigrams"] == 2
     assert abs(got[2]["lm_score"] - 0.75) < 1e-9
+
+
+def test_quality_probe_learns_separable_signal(spark):
+    """GD sanity on a corpus where the label IS linearly related to the
+    features: high-alpha clean sentences labeled en, digit-soup docs
+    labeled non-en. The probe must rank every clean doc above every
+    noisy one (style features separate them linearly)."""
+    from graphit_spark.functions.textops import quality_probe
+
+    clean = "the quick brown fox jumps over the lazy dog and runs on"
+    noisy = "9871 23 444 99 1 0001 777 3 55 21 88 904 13 5 6 77 31 2"
+    rows = [(i, clean + f" extra{i}", "en") for i in range(20)] + [
+        (100 + i, noisy + f" {i}", "zh") for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r["doc_id"]: r for r in quality_probe(df).collect()}
+    en_preds = [out[i]["pred"] for i in range(20)]
+    zh_preds = [out[100 + i]["pred"] for i in range(20)]
+    assert min(en_preds) > max(zh_preds), (min(en_preds), max(zh_preds))
+    assert all(out[i]["y"] == 1 for i in range(20))
