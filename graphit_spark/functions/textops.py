@@ -610,3 +610,130 @@ def quality_probe(df: DataFrame, text_col: str = "text") -> DataFrame:
     out = out.localCheckpoint(eager=True)
     feats.unpersist()
     return out
+
+
+BPE_ROUNDS = 10
+BPE_TOP_WORDS = 300
+
+
+def bpe_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    rounds: int = BPE_ROUNDS,
+    top_words: int = BPE_TOP_WORDS,
+) -> DataFrame:
+    """Distributed BPE vocabulary induction (Sennrich et al. 2016): the
+    tokenizer-training step of a pretraining pipeline, of which
+    `top_ngrams` is only the counting prelude. Returns the learned merge
+    table (merge_round, lhs, rhs, merged, pair_count) — `rounds` rows.
+
+    Algorithm, deterministic end to end:
+      1. ONE corpus-sized pass: count `[a-z]+` word occurrences, keep
+         the `top_words` most frequent (ties by word ASC) — from here on
+         every structure is vocabulary-sized, never corpus-sized, which
+         is what makes BPE learnable at 100 TB (the classic
+         word-frequency-table formulation).
+      2. Explode words to (word, freq, pos, sym) character rows.
+      3. Per round: adjacent-pair counts via lead() windowed per word
+         (overlapping occurrences counted, as in the reference
+         algorithm), argmax pair with (count DESC, lhs ASC, rhs ASC)
+         tie-break — ONE scalar driver action per round, the global
+         argmax every distributed BPE needs — then greedy left-to-right
+         non-overlapping merge: adjacent candidates only arise when
+         lhs == rhs, so islands of consecutive candidate positions keep
+         every odd-indexed member (gaps-and-islands via pos - row_number).
+      4. Lineage truncated per round (fresh_checkpoint) so round cost is
+         flat; superseded state unpersisted.
+
+    Windows are all PARTITION BY word — no global ordering anywhere; the
+    per-round shuffles move a table bounded by total characters of the
+    capped vocabulary. The DuckDB twin unrolls the same rounds as chained
+    CTEs (textqueries._bpe_sql)."""
+    from pyspark.sql import Window
+
+    from graphit_spark.plans.state import fresh_checkpoint
+
+    spark = df.sparkSession
+    words = (
+        df.select(
+            F.explode(
+                F.regexp_extract_all(
+                    F.lower(F.col(text_col)), F.lit("[a-z]+"), 0
+                )
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("word"))
+        .limit(top_words)
+    )
+    syms = words.select(
+        "word",
+        "freq",
+        F.explode(F.sequence(F.lit(1), F.length("word"))).alias("pos"),
+    ).select(
+        "word",
+        "freq",
+        F.col("pos").cast("long").alias("pos"),
+        F.expr("substr(word, pos, 1)").alias("sym"),
+    )
+    syms = fresh_checkpoint(syms)
+    w_pos = Window.partitionBy("word").orderBy("pos")
+    merges: list[tuple] = []
+    for r in range(1, rounds + 1):
+        with_next = syms.withColumn("nxt", F.lead("sym").over(w_pos))
+        best = (
+            with_next.filter(F.col("nxt").isNotNull())
+            .groupBy(F.col("sym").alias("lhs"), F.col("nxt").alias("rhs"))
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("lhs"), F.asc("rhs"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        lhs, rhs, cnt = best[0]["lhs"], best[0]["rhs"], int(best[0]["cnt"])
+        merges.append((r, lhs, rhs, lhs + rhs, cnt))
+        cand = (
+            with_next.filter((F.col("sym") == lhs) & (F.col("nxt") == rhs))
+            .select("word", "pos")
+            .withColumn("rn", F.row_number().over(w_pos))
+        )
+        w_isl = Window.partitionBy(
+            "word", (F.col("pos") - F.col("rn")).alias("island")
+        ).orderBy("pos")
+        keep = (
+            cand.withColumn("k", F.row_number().over(w_isl))
+            .filter(F.col("k") % 2 == 1)
+            .select("word", "pos")
+        )
+        merged_at = keep.withColumn("is_m", F.lit(1))
+        drop_at = keep.select(
+            "word", (F.col("pos") + F.lit(1)).alias("pos")
+        ).withColumn("is_d", F.lit(1))
+        nxt_syms = (
+            syms.join(merged_at, ["word", "pos"], "left")
+            .join(drop_at, ["word", "pos"], "left")
+            .filter(F.col("is_d").isNull())
+            .withColumn(
+                "sym",
+                F.when(
+                    F.col("is_m") == 1, F.concat(F.col("sym"), F.lit(rhs))
+                ).otherwise(F.col("sym")),
+            )
+            .select(
+                "word",
+                "freq",
+                F.row_number().over(w_pos).cast("long").alias("pos"),
+                "sym",
+            )
+        )
+        nxt_syms = fresh_checkpoint(nxt_syms)
+        syms.unpersist()
+        syms = nxt_syms
+    syms.unpersist()
+    return spark.createDataFrame(
+        merges,
+        "merge_round INT, lhs STRING, rhs STRING, merged STRING, "
+        "pair_count BIGINT",
+    )

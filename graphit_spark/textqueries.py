@@ -59,6 +59,16 @@ def q_top_ngrams(spark, sf_dir):
     )
 
 
+def q_bpe_merges(spark, sf_dir):
+    """Tokenizer training: learn the first BPE_ROUNDS BPE merges over the
+    corpus (Sennrich-style, word-frequency-table formulation). One
+    corpus-sized word-count pass, then every round works on a
+    vocabulary-sized symbol table — see textops.bpe_merges for the
+    determinism and 100 TB notes. The oracle twin unrolls the identical
+    rounds as chained materialized CTEs."""
+    return T.bpe_merges(load(spark, sf_dir, "documents"))
+
+
 TFIDF_K = 5
 
 
@@ -2689,6 +2699,74 @@ LIMIT {NGRAM_TOP_K}
 """
 
 
+def _bpe_sql() -> str:
+    """Unrolled twin of textops.bpe_merges: the same capped word-count
+    pass, then BPE_ROUNDS rounds of (pair count via lead window → argmax
+    with (cnt DESC, lhs, rhs) tie-break → gaps-and-islands greedy
+    left-to-right merge), each round one chained CTE block. State CTEs
+    are MATERIALIZED — each round references its predecessor three
+    times, so inlining would re-expand the scan 3^rounds times."""
+    parts = [f"""WITH w0 AS MATERIALIZED (
+  SELECT word, COUNT(*) AS freq FROM (
+    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+    FROM documents)
+  GROUP BY word ORDER BY freq DESC, word ASC LIMIT {T.BPE_TOP_WORDS}
+),
+s0 AS MATERIALIZED (
+  SELECT word, freq, CAST(i AS BIGINT) AS pos,
+         substr(word, CAST(i AS INTEGER), 1) AS sym
+  FROM w0, unnest(generate_series(1, length(word))) AS t(i)
+)"""]
+    for r in range(1, T.BPE_ROUNDS + 1):
+        p = r - 1
+        parts.append(f""",
+p{r} AS (
+  SELECT sym AS lhs, nxt AS rhs, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+    SELECT sym, lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt,
+           freq
+    FROM s{p}) x
+  WHERE nxt IS NOT NULL GROUP BY sym, nxt
+),
+b{r} AS MATERIALIZED (
+  SELECT lhs, rhs, cnt FROM p{r}
+  ORDER BY cnt DESC, lhs ASC, rhs ASC LIMIT 1
+),
+c{r} AS (
+  SELECT word, pos, row_number() OVER (PARTITION BY word ORDER BY pos) AS rn
+  FROM (SELECT word, pos, sym,
+               lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+        FROM s{p}) x, b{r}
+  WHERE x.sym = b{r}.lhs AND x.nxt = b{r}.rhs
+),
+k{r} AS (
+  SELECT word, pos FROM (
+    SELECT word, pos,
+           row_number() OVER (PARTITION BY word, pos - rn ORDER BY pos) AS k
+    FROM c{r}) y
+  WHERE k % 2 = 1
+),
+s{r} AS MATERIALIZED (
+  SELECT word, freq,
+         row_number() OVER (PARTITION BY word ORDER BY opos) AS pos, sym
+  FROM (
+    SELECT s.word, s.freq, s.pos AS opos,
+           CASE WHEN m.pos IS NOT NULL
+                THEN s.sym || (SELECT rhs FROM b{r})
+                ELSE s.sym END AS sym
+    FROM s{p} s
+    LEFT JOIN k{r} m ON s.word = m.word AND s.pos = m.pos
+    LEFT JOIN k{r} d ON s.word = d.word AND s.pos = d.pos + 1
+    WHERE d.pos IS NULL) y
+)""")
+    sel = "\nUNION ALL ".join(
+        f"SELECT CAST({r} AS INTEGER) AS merge_round, lhs, rhs, "
+        f"lhs || rhs AS merged, cnt AS pair_count FROM b{r}"
+        for r in range(1, T.BPE_ROUNDS + 1)
+    )
+    parts.append(f"\nSELECT * FROM (\n{sel}\n) z ORDER BY merge_round")
+    return "".join(parts)
+
+
 def _tfidf_sql() -> str:
     """Same tokenization, same rational idf (N+1)/(df+1) with the same
     left-to-right multiply-then-divide double arithmetic, same
@@ -3211,6 +3289,7 @@ TEXT_QUERIES: dict[str, tuple] = {
     "doc_token_stats": (q_token_stats, _token_stats_sql()),
     "doc_token_percentiles": (q_token_percentiles, _token_percentiles_sql()),
     "corpus_top_ngrams": (q_top_ngrams, _top_ngrams_sql()),
+    "corpus_bpe_merges": (q_bpe_merges, _bpe_sql()),
     "doc_repetition": (q_repetition, _repetition_sql()),
     "doc_tfidf_terms": (q_tfidf, _tfidf_sql()),
     "doc_pii_scrub": (q_pii, _pii_sql()),

@@ -278,3 +278,95 @@ def test_quality_probe_learns_separable_signal(spark):
     zh_preds = [out[100 + i]["pred"] for i in range(20)]
     assert min(en_preds) > max(zh_preds), (min(en_preds), max(zh_preds))
     assert all(out[i]["y"] == 1 for i in range(20))
+
+
+# ---------------------------------------------------------------------------
+# BPE vocabulary induction
+# ---------------------------------------------------------------------------
+
+
+def _ref_bpe(word_freqs, rounds):
+    """Sennrich-style reference: count overlapping adjacent pairs, merge
+    the argmax (count desc, lhs asc, rhs asc) greedily left-to-right."""
+    vocab = {w: list(w) for w in word_freqs}
+    out = []
+    for r in range(1, rounds + 1):
+        counts = {}
+        for w, syms in vocab.items():
+            f = word_freqs[w]
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        if not counts:
+            break
+        (l, rr), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        out.append((r, l, rr, l + rr, cnt))
+        for w, syms in vocab.items():
+            ns, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == rr:
+                    ns.append(l + rr)
+                    i += 2
+                else:
+                    ns.append(syms[i])
+                    i += 1
+            vocab[w] = ns
+    return out
+
+
+def test_bpe_matches_python_reference(spark):
+    from graphit_spark.functions.textops import bpe_merges
+
+    rows = [
+        (1, "low low low lower lowest"),
+        (2, "new newer newest low low"),
+        (3, "wide wider widest new newer"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    wf = {}
+    for _, text in rows:
+        for w in text.split():
+            wf[w] = wf.get(w, 0) + 1
+    expected = _ref_bpe(wf, 6)
+    got = [
+        tuple(r)
+        for r in bpe_merges(df, rounds=6, top_words=300)
+        .orderBy("merge_round")
+        .collect()
+    ]
+    assert got == expected
+
+
+def test_bpe_overlapping_run_merges_left_to_right(spark):
+    """'aaaa' with merge (a,a): pair count is 3 (overlapping), but the
+    greedy merge produces [aa, aa] — the island parity rule."""
+    from graphit_spark.functions.textops import bpe_merges
+
+    df = spark.createDataFrame([(1, "aaaa bb")], "doc_id long, text string")
+    got = [
+        tuple(r)
+        for r in bpe_merges(df, rounds=2, top_words=10)
+        .orderBy("merge_round")
+        .collect()
+    ]
+    # round 1: (a,a) count 3 beats (b,b) count 1; round 2: aaaa is now
+    # [aa, aa] so (aa,aa) count 1 ties (b,b) count 1, lhs 'aa' < 'b'
+    assert got == [(1, "a", "a", "aa", 3), (2, "aa", "aa", "aaaa", 1)]
+    assert got == _ref_bpe({"aaaa": 1, "bb": 1}, 2)
+
+
+def test_bpe_top_words_cap_is_deterministic(spark):
+    from graphit_spark.functions.textops import bpe_merges
+
+    df = spark.createDataFrame(
+        [(1, "zz zz aa aa qq")], "doc_id long, text string"
+    )
+    # cap 2 keeps (aa, zz): freq ties broken by word asc drop 'qq'
+    got = [
+        tuple(r)
+        for r in bpe_merges(df, rounds=1, top_words=2)
+        .orderBy("merge_round")
+        .collect()
+    ]
+    assert got == [(1, "a", "a", "aa", 2)]
