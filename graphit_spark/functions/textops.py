@@ -737,3 +737,89 @@ def bpe_merges(
         "merge_round INT, lhs STRING, rhs STRING, merged STRING, "
         "pair_count BIGINT",
     )
+
+
+DSIR_BUCKETS = 1024
+DSIR_SCALE = 1_000_000_000
+DSIR_TARGET_MAX_DOC = 50
+
+
+def dsir_weights(
+    df: DataFrame,
+    text_col: str = "text",
+    target_max_doc: int = DSIR_TARGET_MAX_DOC,
+    buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023): score every raw
+    document by how target-like its hashed-bigram distribution is —
+    the data-selection step that upsamples domain-relevant text before
+    pretraining. Docs with doc_id < target_max_doc play the target
+    domain sample (the decontamination-query convention); the rest are
+    the raw pool being scored. Returns (doc_id, n_grams, dsir_score)
+    for raw docs with at least one bigram.
+
+    Per-gram importance ratio under add-one-smoothed hashed-bigram
+    models, exactly factored for bit-determinism:
+        p_t(b)/p_r(b) = (t_b+1)/(r_b+1) * (R+B)/(T+B)
+    The per-bucket part is an INTEGER floor-division unit
+    (DSIR_SCALE * (t_b+1) div (r_b+1)) — overflow-safe while
+    t_b < 2^63/SCALE; at extreme corpus sizes shrink DSIR_SCALE or
+    subsample the counts (it is a ratio estimator). The per-corpus
+    constant (R+B)/(T+B) is applied once in the final rounded double,
+    so Spark's aggregation order cannot move a bit. The mean (not
+    product) of per-gram ratios is used — same aggregation the bigram
+    LM score uses, and the same monotone ranking signal without
+    underflow at document length.
+
+    Scale shape: one explode of the corpus to (doc_id, bucket) rows;
+    bucket counts are a B-row table (map-side-combined conditional
+    sums); scoring joins the exploded raw side against the broadcast
+    B-row unit table and rolls up per doc. Nothing corpus-quadratic,
+    no UDFs, no Windows."""
+    grams = df.select(
+        "doc_id",
+        F.explode(word_ngrams(F.col(text_col), 2)).alias("g"),
+    ).select(
+        "doc_id",
+        (
+            F.conv(F.substring(F.md5(F.col("g")), 1, 8), 16, 10).cast(
+                "long"
+            )
+            % buckets
+        ).alias("b"),
+    )
+    tgt = F.col("doc_id") < target_max_doc
+    counts = grams.groupBy("b").agg(
+        F.sum(F.when(tgt, 1).otherwise(0)).alias("t_b"),
+        F.sum(F.when(~tgt, 1).otherwise(0)).alias("r_b"),
+    )
+    units = counts.select(
+        "b",
+        F.expr(
+            f"CAST({DSIR_SCALE} AS BIGINT) * (t_b + 1) div (r_b + 1)"
+        ).alias("unit"),
+    )
+    tot = counts.agg(
+        F.sum("t_b").alias("t_tot"), F.sum("r_b").alias("r_tot")
+    ).select(
+        (
+            (F.col("r_tot") + F.lit(buckets))
+            / (F.col("t_tot") + F.lit(buckets)).cast("double")
+        ).alias("k")
+    )
+    raw = grams.filter(~tgt)
+    per_doc = (
+        raw.join(F.broadcast(units), "b")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_grams"), F.sum("unit").alias("su"))
+    )
+    return per_doc.crossJoin(F.broadcast(tot)).select(
+        "doc_id",
+        "n_grams",
+        F.round(
+            F.col("su")
+            / (F.col("n_grams") * F.lit(float(DSIR_SCALE)))
+            * F.col("k"),
+            6,
+        ).alias("dsir_score"),
+    )

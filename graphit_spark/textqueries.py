@@ -59,6 +59,15 @@ def q_top_ngrams(spark, sf_dir):
     )
 
 
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights: score raw docs by target-vs-raw hashed-
+    bigram likelihood ratio (docs with doc_id < 50 play the target
+    domain sample, the decontamination-query convention). Integer
+    floor-div per-bucket units, one final rounded double — see
+    textops.dsir_weights."""
+    return T.dsir_weights(load(spark, sf_dir, "documents"))
+
+
 def q_bpe_merges(spark, sf_dir):
     """Tokenizer training: learn the first BPE_ROUNDS BPE merges over the
     corpus (Sennrich-style, word-frequency-table formulation). One
@@ -2699,6 +2708,51 @@ LIMIT {NGRAM_TOP_K}
 """
 
 
+def _dsir_sql() -> str:
+    """Twin of textops.dsir_weights: same tokenization as the top-ngrams
+    twin, same md5 bucket hash as the minhash twins, integer floor-div
+    (`//` == Spark `div`, all operands positive) per-bucket units, and
+    the identical final double expression su / (n * SCALE) * k."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(g), 1, 8))::BIGINT % {T.DSIR_BUCKETS} AS b
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(t) - 1),
+                                 i -> array_to_string(t[i:i+1], ' '))) AS g
+    FROM toks WHERE len(t) >= 2) x
+),
+counts AS (
+  SELECT b,
+         SUM(CASE WHEN doc_id < {T.DSIR_TARGET_MAX_DOC} THEN 1 ELSE 0 END) AS t_b,
+         SUM(CASE WHEN doc_id >= {T.DSIR_TARGET_MAX_DOC} THEN 1 ELSE 0 END) AS r_b
+  FROM grams GROUP BY b
+),
+units AS (
+  SELECT b, ({T.DSIR_SCALE} * (t_b + 1)) // (r_b + 1) AS unit FROM counts
+),
+tot AS (
+  SELECT (SUM(r_b) + {T.DSIR_BUCKETS})
+           / CAST(SUM(t_b) + {T.DSIR_BUCKETS} AS DOUBLE) AS k
+  FROM counts
+),
+per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_grams, SUM(unit) AS su
+  FROM grams JOIN units USING (b)
+  WHERE doc_id >= {T.DSIR_TARGET_MAX_DOC}
+  GROUP BY doc_id
+)
+SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+       ROUND(su / (n_grams * {float(T.DSIR_SCALE)}) * k, 6) AS dsir_score
+FROM per_doc, tot
+"""
+
+
 def _bpe_sql() -> str:
     """Unrolled twin of textops.bpe_merges: the same capped word-count
     pass, then BPE_ROUNDS rounds of (pair count via lead window → argmax
@@ -3290,6 +3344,7 @@ TEXT_QUERIES: dict[str, tuple] = {
     "doc_token_percentiles": (q_token_percentiles, _token_percentiles_sql()),
     "corpus_top_ngrams": (q_top_ngrams, _top_ngrams_sql()),
     "corpus_bpe_merges": (q_bpe_merges, _bpe_sql()),
+    "corpus_dsir_weights": (q_dsir_weights, _dsir_sql()),
     "doc_repetition": (q_repetition, _repetition_sql()),
     "doc_tfidf_terms": (q_tfidf, _tfidf_sql()),
     "doc_pii_scrub": (q_pii, _pii_sql()),

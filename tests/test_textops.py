@@ -370,3 +370,39 @@ def test_bpe_top_words_cap_is_deterministic(spark):
         .collect()
     ]
     assert got == [(1, "a", "a", "aa", 2)]
+
+
+def test_dsir_target_like_docs_score_higher(spark):
+    """Raw docs repeating the target's bigrams must out-score raw docs
+    with unseen bigrams, and the score must be deterministic."""
+    from graphit_spark.functions.textops import dsir_weights
+
+    rows = [
+        (1, "good clean prose here"),          # target (doc_id < 50)
+        (2, "good clean prose again"),         # target
+        (100, "good clean prose here too"),    # raw, target-like
+        (101, "zq xv jk wp qy zz"),            # raw, alien bigrams
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_grams"], r["dsir_score"])
+        for r in dsir_weights(df).collect()
+    }
+    assert set(got) == {100, 101}  # target docs are never scored
+    assert got[100][1] > got[101][1]
+    again = {
+        r["doc_id"]: (r["n_grams"], r["dsir_score"])
+        for r in dsir_weights(df).collect()
+    }
+    assert got == again
+
+
+def test_dsir_short_docs_absent(spark):
+    from graphit_spark.functions.textops import dsir_weights
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (100, "solo"), (101, "a b")],
+        "doc_id long, text string",
+    )
+    got = [r["doc_id"] for r in dsir_weights(df).collect()]
+    assert got == [101]  # doc 100 has no bigram, doc 1 is target
