@@ -62,7 +62,7 @@ _CHECK_FIRST = [
     "corpus_decontaminate", "corpus_inverted_index", "hll_distinct",
     # ---- positions 51+: variants whose machinery a kept sibling
     # already exercises (checked when the driver scans deeper) ----
-    "corpus_bpe_merges", "corpus_dsir_weights",
+    "corpus_bpe_merges", "corpus_tokenize_bpe", "corpus_dsir_weights",
     "link_prediction", "salsa", "cms_heavy_hitters",
     "corpus_sample_stratified", "walk_cooccurrence", "scc_condensation",
     "motif_counts", "degree_histogram", "rank_churn", "sim_int8_topk",

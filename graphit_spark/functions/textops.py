@@ -616,6 +616,65 @@ BPE_ROUNDS = 10
 BPE_TOP_WORDS = 300
 
 
+def _bpe_apply_merge(syms: DataFrame, lhs: str, rhs: str) -> DataFrame:
+    """One greedy left-to-right merge of (lhs, rhs) over a
+    (word, pos, sym, ...) symbol table, per-word. Adjacent candidate
+    positions only arise when lhs == rhs, so islands of consecutive
+    candidates keep every odd-indexed member (gaps-and-islands via
+    pos - row_number). Extra columns (e.g. freq) pass through; pos is
+    renumbered dense. Windows are PARTITION BY word only."""
+    from pyspark.sql import Window
+
+    w_pos = Window.partitionBy("word").orderBy("pos")
+    carry = [c for c in syms.columns if c not in ("pos", "sym")]
+    with_next = syms.withColumn("nxt", F.lead("sym").over(w_pos))
+    cand = (
+        with_next.filter((F.col("sym") == lhs) & (F.col("nxt") == rhs))
+        .select("word", "pos")
+        .withColumn("rn", F.row_number().over(w_pos))
+    )
+    w_isl = Window.partitionBy(
+        "word", (F.col("pos") - F.col("rn")).alias("island")
+    ).orderBy("pos")
+    keep = (
+        cand.withColumn("k", F.row_number().over(w_isl))
+        .filter(F.col("k") % 2 == 1)
+        .select("word", "pos")
+    )
+    merged_at = keep.withColumn("is_m", F.lit(1))
+    drop_at = keep.select(
+        "word", (F.col("pos") + F.lit(1)).alias("pos")
+    ).withColumn("is_d", F.lit(1))
+    return (
+        syms.join(merged_at, ["word", "pos"], "left")
+        .join(drop_at, ["word", "pos"], "left")
+        .filter(F.col("is_d").isNull())
+        .withColumn(
+            "sym",
+            F.when(
+                F.col("is_m") == 1, F.concat(F.col("sym"), F.lit(rhs))
+            ).otherwise(F.col("sym")),
+        )
+        .select(
+            *carry,
+            F.row_number().over(w_pos).cast("long").alias("pos"),
+            "sym",
+        )
+    )
+
+
+def _char_symbols(words: DataFrame, carry: list[str]) -> DataFrame:
+    """Explode a word table to (carry..., pos, sym) character rows."""
+    return words.select(
+        *carry,
+        F.explode(F.sequence(F.lit(1), F.length("word"))).alias("pos"),
+    ).select(
+        *carry,
+        F.col("pos").cast("long").alias("pos"),
+        F.expr("substr(word, pos, 1)").alias("sym"),
+    )
+
+
 def bpe_merges(
     df: DataFrame,
     text_col: str = "text",
@@ -667,23 +726,13 @@ def bpe_merges(
         .orderBy(F.desc("freq"), F.asc("word"))
         .limit(top_words)
     )
-    syms = words.select(
-        "word",
-        "freq",
-        F.explode(F.sequence(F.lit(1), F.length("word"))).alias("pos"),
-    ).select(
-        "word",
-        "freq",
-        F.col("pos").cast("long").alias("pos"),
-        F.expr("substr(word, pos, 1)").alias("sym"),
-    )
-    syms = fresh_checkpoint(syms)
+    syms = fresh_checkpoint(_char_symbols(words, ["word", "freq"]))
     w_pos = Window.partitionBy("word").orderBy("pos")
     merges: list[tuple] = []
     for r in range(1, rounds + 1):
-        with_next = syms.withColumn("nxt", F.lead("sym").over(w_pos))
         best = (
-            with_next.filter(F.col("nxt").isNotNull())
+            syms.withColumn("nxt", F.lead("sym").over(w_pos))
+            .filter(F.col("nxt").isNotNull())
             .groupBy(F.col("sym").alias("lhs"), F.col("nxt").alias("rhs"))
             .agg(F.sum("freq").alias("cnt"))
             .orderBy(F.desc("cnt"), F.asc("lhs"), F.asc("rhs"))
@@ -694,41 +743,7 @@ def bpe_merges(
             break
         lhs, rhs, cnt = best[0]["lhs"], best[0]["rhs"], int(best[0]["cnt"])
         merges.append((r, lhs, rhs, lhs + rhs, cnt))
-        cand = (
-            with_next.filter((F.col("sym") == lhs) & (F.col("nxt") == rhs))
-            .select("word", "pos")
-            .withColumn("rn", F.row_number().over(w_pos))
-        )
-        w_isl = Window.partitionBy(
-            "word", (F.col("pos") - F.col("rn")).alias("island")
-        ).orderBy("pos")
-        keep = (
-            cand.withColumn("k", F.row_number().over(w_isl))
-            .filter(F.col("k") % 2 == 1)
-            .select("word", "pos")
-        )
-        merged_at = keep.withColumn("is_m", F.lit(1))
-        drop_at = keep.select(
-            "word", (F.col("pos") + F.lit(1)).alias("pos")
-        ).withColumn("is_d", F.lit(1))
-        nxt_syms = (
-            syms.join(merged_at, ["word", "pos"], "left")
-            .join(drop_at, ["word", "pos"], "left")
-            .filter(F.col("is_d").isNull())
-            .withColumn(
-                "sym",
-                F.when(
-                    F.col("is_m") == 1, F.concat(F.col("sym"), F.lit(rhs))
-                ).otherwise(F.col("sym")),
-            )
-            .select(
-                "word",
-                "freq",
-                F.row_number().over(w_pos).cast("long").alias("pos"),
-                "sym",
-            )
-        )
-        nxt_syms = fresh_checkpoint(nxt_syms)
+        nxt_syms = fresh_checkpoint(_bpe_apply_merge(syms, lhs, rhs))
         syms.unpersist()
         syms = nxt_syms
     syms.unpersist()
@@ -737,6 +752,73 @@ def bpe_merges(
         "merge_round INT, lhs STRING, rhs STRING, merged STRING, "
         "pair_count BIGINT",
     )
+
+
+def bpe_tokenize(
+    df: DataFrame,
+    text_col: str = "text",
+    rounds: int = BPE_ROUNDS,
+    top_words: int = BPE_TOP_WORDS,
+) -> DataFrame:
+    """Full tokenizer pipeline — learn THEN apply: induce the BPE merge
+    table (bpe_merges) and tokenize the whole corpus under it, returning
+    per-document (doc_id, n_words, n_tokens) where n_tokens is the
+    post-merge symbol count. n_words/n_tokens is the compression the
+    learned vocabulary achieves — the signal a tokenizer-training run
+    monitors. Docs with no `[a-z]+` word are absent.
+
+    Application is per-DISTINCT-word, the amortization that matters at
+    corpus scale: the corpus collapses to a (doc_id, word, count) table
+    (one corpus-sized shuffle) and merges are applied once per distinct
+    word — Zipf makes that table orders of magnitude smaller than the
+    token stream. Merges learned on the capped vocabulary are applied
+    to EVERY word (standard BPE: out-of-cap words still benefit from
+    any merge whose pair they contain; untouched words fall back to
+    character symbols). Per merge: the same island-parity plan as
+    learning, windows PARTITION BY word only; lineage truncated per
+    round. The DuckDB twin extends the learning chain with a parallel
+    application chain over all distinct words (textqueries._tokenize_sql).
+    """
+    from graphit_spark.plans.state import fresh_checkpoint
+
+    merge_rows = bpe_merges(
+        df, text_col=text_col, rounds=rounds, top_words=top_words
+    ).collect()
+    doc_words = (
+        df.select(
+            "doc_id",
+            F.explode(
+                F.regexp_extract_all(
+                    F.lower(F.col(text_col)), F.lit("[a-z]+"), 0
+                )
+            ).alias("word"),
+        )
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("c"))
+    )
+    doc_words = fresh_checkpoint(doc_words)
+    syms = fresh_checkpoint(
+        _char_symbols(doc_words.select("word").distinct(), ["word"])
+    )
+    for row in sorted(merge_rows, key=lambda r: r["merge_round"]):
+        nxt = fresh_checkpoint(
+            _bpe_apply_merge(syms, row["lhs"], row["rhs"])
+        )
+        syms.unpersist()
+        syms = nxt
+    tokens = syms.groupBy("word").agg(F.count("*").alias("n_sym"))
+    out = (
+        doc_words.join(tokens, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_words"),
+            F.sum(F.col("c") * F.col("n_sym")).alias("n_tokens"),
+        )
+    )
+    out = out.localCheckpoint(eager=True)
+    syms.unpersist()
+    doc_words.unpersist()
+    return out
 
 
 DSIR_BUCKETS = 1024

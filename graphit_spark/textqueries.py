@@ -78,6 +78,13 @@ def q_bpe_merges(spark, sf_dir):
     return T.bpe_merges(load(spark, sf_dir, "documents"))
 
 
+def q_bpe_tokenize(spark, sf_dir):
+    """Tokenizer learn + apply: induce the merge table, tokenize every
+    document under it via per-distinct-word application, report per-doc
+    word and post-merge token counts — see textops.bpe_tokenize."""
+    return T.bpe_tokenize(load(spark, sf_dir, "documents"))
+
+
 TFIDF_K = 5
 
 
@@ -2753,8 +2760,8 @@ FROM per_doc, tot
 """
 
 
-def _bpe_sql() -> str:
-    """Unrolled twin of textops.bpe_merges: the same capped word-count
+def _bpe_learn_parts() -> list[str]:
+    """Shared learning chain for the BPE twins: the capped word-count
     pass, then BPE_ROUNDS rounds of (pair count via lead window → argmax
     with (cnt DESC, lhs, rhs) tie-break → gaps-and-islands greedy
     left-to-right merge), each round one chained CTE block. State CTEs
@@ -2812,12 +2819,77 @@ s{r} AS MATERIALIZED (
     LEFT JOIN k{r} d ON s.word = d.word AND s.pos = d.pos + 1
     WHERE d.pos IS NULL) y
 )""")
+    return parts
+
+
+def _bpe_sql() -> str:
+    """Twin of textops.bpe_merges: the learning chain + merge select."""
+    parts = _bpe_learn_parts()
     sel = "\nUNION ALL ".join(
         f"SELECT CAST({r} AS INTEGER) AS merge_round, lhs, rhs, "
         f"lhs || rhs AS merged, cnt AS pair_count FROM b{r}"
         for r in range(1, T.BPE_ROUNDS + 1)
     )
     parts.append(f"\nSELECT * FROM (\n{sel}\n) z ORDER BY merge_round")
+    return "".join(parts)
+
+
+def _tokenize_sql() -> str:
+    """Twin of textops.bpe_tokenize: the learning chain (b{{r}} merge
+    pairs) plus a parallel APPLICATION chain a0..aR over ALL distinct
+    corpus words — same island-parity merge per round, no pair
+    counting — then the per-document rollup of post-merge symbol
+    counts. When a b{{r}} is empty the application round is a no-op
+    (the CASE only fires on a matched merge position)."""
+    parts = _bpe_learn_parts()
+    parts.append(f""",
+aw AS MATERIALIZED (
+  SELECT doc_id, word, COUNT(*) AS c FROM (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+    FROM documents)
+  GROUP BY doc_id, word
+),
+a0 AS MATERIALIZED (
+  SELECT word, CAST(i AS BIGINT) AS pos,
+         substr(word, CAST(i AS INTEGER), 1) AS sym
+  FROM (SELECT DISTINCT word FROM aw) dw,
+       unnest(generate_series(1, length(word))) AS t(i)
+)""")
+    for r in range(1, T.BPE_ROUNDS + 1):
+        p = r - 1
+        parts.append(f""",
+ac{r} AS (
+  SELECT word, pos, row_number() OVER (PARTITION BY word ORDER BY pos) AS rn
+  FROM (SELECT word, pos, sym,
+               lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+        FROM a{p}) x, b{r}
+  WHERE x.sym = b{r}.lhs AND x.nxt = b{r}.rhs
+),
+ak{r} AS (
+  SELECT word, pos FROM (
+    SELECT word, pos,
+           row_number() OVER (PARTITION BY word, pos - rn ORDER BY pos) AS k
+    FROM ac{r}) y
+  WHERE k % 2 = 1
+),
+a{r} AS MATERIALIZED (
+  SELECT word,
+         row_number() OVER (PARTITION BY word ORDER BY opos) AS pos, sym
+  FROM (
+    SELECT a.word, a.pos AS opos,
+           CASE WHEN m.pos IS NOT NULL
+                THEN a.sym || (SELECT rhs FROM b{r})
+                ELSE a.sym END AS sym
+    FROM a{p} a
+    LEFT JOIN ak{r} m ON a.word = m.word AND a.pos = m.pos
+    LEFT JOIN ak{r} d ON a.word = d.word AND a.pos = d.pos + 1
+    WHERE d.pos IS NULL) y
+)""")
+    parts.append(f""",
+toks AS (SELECT word, COUNT(*) AS n_sym FROM a{T.BPE_ROUNDS} GROUP BY word)
+SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+       CAST(SUM(c * n_sym) AS BIGINT) AS n_tokens
+FROM aw JOIN toks USING (word) GROUP BY doc_id""")
     return "".join(parts)
 
 
@@ -3344,6 +3416,7 @@ TEXT_QUERIES: dict[str, tuple] = {
     "doc_token_percentiles": (q_token_percentiles, _token_percentiles_sql()),
     "corpus_top_ngrams": (q_top_ngrams, _top_ngrams_sql()),
     "corpus_bpe_merges": (q_bpe_merges, _bpe_sql()),
+    "corpus_tokenize_bpe": (q_bpe_tokenize, _tokenize_sql()),
     "corpus_dsir_weights": (q_dsir_weights, _dsir_sql()),
     "doc_repetition": (q_repetition, _repetition_sql()),
     "doc_tfidf_terms": (q_tfidf, _tfidf_sql()),

@@ -406,3 +406,54 @@ def test_dsir_short_docs_absent(spark):
     )
     got = [r["doc_id"] for r in dsir_weights(df).collect()]
     assert got == [101]  # doc 100 has no bigram, doc 1 is target
+
+
+def test_bpe_tokenize_matches_python_reference(spark):
+    """Learn on the capped vocab, apply to ALL words (incl. out-of-cap),
+    per-doc rollup — checked against the pure-python pipeline."""
+    import re
+
+    from graphit_spark.functions.textops import bpe_tokenize
+
+    rows = [
+        (1, "low low low lower lowest"),
+        (2, "new newer newest low low"),
+        (3, "wide wider widest new newer xyzzy"),  # xyzzy: out-of-cap word
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def words_of(text):
+        return re.findall("[a-z]+", text.lower())
+
+    wf = {}
+    for _, text in rows:
+        for w in words_of(text):
+            wf[w] = wf.get(w, 0) + 1
+    top = dict(sorted(wf.items(), key=lambda kv: (-kv[1], kv[0]))[:4])
+    merges = _ref_bpe(top, 6)
+
+    def apply_all(w):
+        syms = list(w)
+        for _, l, rr, _, _ in merges:
+            ns, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == rr:
+                    ns.append(l + rr)
+                    i += 2
+                else:
+                    ns.append(syms[i])
+                    i += 1
+            syms = ns
+        return len(syms)
+
+    expected = {}
+    for doc_id, text in rows:
+        ws = words_of(text)
+        expected[doc_id] = (len(ws), sum(apply_all(w) for w in ws))
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_tokens"])
+        for r in bpe_tokenize(df, rounds=6, top_words=4).collect()
+    }
+    assert got == expected
+    # compression actually happened (tokens < chars) and oov word intact
+    assert got[1][1] < sum(len(w) for w in words_of(rows[0][1]))
