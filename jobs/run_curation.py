@@ -35,6 +35,9 @@ Stages (each also writes the previous stages' accounting):
               per-doc sequence/offset/split manifest a loader consumes)
     spans     duplicate n-gram span report over the raw corpus
               (duplicate_spans; the ranges a span-cutter would drop)
+    tokenize  BPE tokenizer learn + apply: writes per-doc word/token
+              counts to --output and the learned merge table next to
+              it at <output>_merges (bpe_tokenize / bpe_merges)
 
 Input schema: (doc_id:long, text:string, ...) — extra columns pass
 through untouched by the gates and are ignored by the dedup stages.
@@ -56,7 +59,7 @@ def main() -> None:
     p.add_argument("--stage", required=True,
                    choices=["select", "dedup", "cluster", "clusters",
                             "full", "sample", "decontaminate", "pack",
-                            "spans"])
+                            "spans", "tokenize"])
     p.add_argument("--documents", required=True,
                    help="parquet documents table (doc_id, text, ...)")
     p.add_argument("--output", required=True)
@@ -105,6 +108,13 @@ def main() -> None:
             "doc_id", TO.token_count_bpe(F.col("text")).alias("n_tokens")
         )
         out = pack_sequences(toks, T.PACK_SEQ_LEN)
+    elif args.stage == "tokenize":
+        from graphit_spark.functions import textops as TO
+
+        TO.bpe_merges(docs).write.mode("overwrite").parquet(
+            args.output.rstrip("/") + "_merges"
+        )
+        out = TO.bpe_tokenize(docs)
     elif args.stage == "spans":
         from graphit_spark.functions.dedup import duplicate_spans
 
