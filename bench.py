@@ -206,13 +206,25 @@ def main() -> None:
     # 1e-6 convergence (L1). The hub-heavy synthetic mixes fast
     # (~10-15 supersteps to 1e-6), so this adds modest wall time.
     if os.environ.get("BENCH_CONVERGE", "1") == "1":
+        # best-of-N like the trials above: convergence is deterministic
+        # (same iteration count and final L1 every run), so the only
+        # thing repeated runs sample is the host's minute-scale capacity
+        # swing — and this is the BASELINE.json headline metric.
+        conv_trials = int(os.environ.get("BENCH_CONVERGE_TRIALS", "2"))
+        conv_times = []
         conv: dict = {}
-        t0 = time.time()
-        pagerank(g, tol=1e-6, max_iters=200, metrics_out=conv,
-                 **pr_kwargs).count()
-        conv_time = time.time() - t0
+        for _ in range(conv_trials):
+            conv = {}
+            t0 = time.time()
+            pagerank(g, tol=1e-6, max_iters=200, metrics_out=conv,
+                     **pr_kwargs).count()
+            conv_times.append(time.time() - t0)
+        conv_time = min(conv_times)
         iters = conv.get("iterations", 0)
         times["pagerank_converge_1e6"] = round(conv_time, 3)
+        throughput["pagerank_converge_trials"] = [
+            round(t, 3) for t in conv_times
+        ]
         throughput["pagerank_converge_iterations"] = iters
         throughput["pagerank_converge_final_l1"] = conv.get("final_err")
         throughput["pagerank_converge_edges_per_sec"] = round(
