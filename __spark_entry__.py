@@ -63,6 +63,7 @@ _CHECK_FIRST = [
     # ---- positions 51+: variants whose machinery a kept sibling
     # already exercises (checked when the driver scans deeper) ----
     "corpus_bpe_merges", "corpus_tokenize_bpe", "corpus_dsir_weights",
+    "corpus_train_split",
     "link_prediction", "salsa", "cms_heavy_hitters",
     "corpus_sample_stratified", "walk_cooccurrence", "scc_condensation",
     "motif_counts", "degree_histogram", "rank_churn", "sim_int8_topk",

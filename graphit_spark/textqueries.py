@@ -1476,6 +1476,88 @@ def dedup_clusters(docs: DataFrame) -> DataFrame:
     )
 
 
+SPLIT_TRAIN_PCT = 90  # [0,90) train, [90,95) val, [95,100) test
+SPLIT_VAL_PCT = 95
+
+
+def q_corpus_train_split(spark, sf_dir):
+    """Dedup-aware train/val/test split: assign every document a split
+    by md5 hash, then repair leakage — all members of a near-dup
+    cluster (dedup_clusters' transitive closure) move to the split of
+    the cluster's canonical (min-doc_id) member, so a near-duplicate
+    can never straddle train and eval (the classic benchmark-leakage
+    failure the split-by-hash-alone pipeline ships). Returns
+    (doc_id, cluster_id, split, moved); `moved` marks docs whose raw
+    hash split was overridden.
+
+    Scale shape: dedup_clusters' bucketed LSH + pair-graph CC (never
+    corpus-quadratic), then one V-sized self-join on cluster_id — the
+    canonical row exists in the same table, so the repair is one
+    equi-join, no windows."""
+    return corpus_train_split(load(spark, sf_dir, "documents"))
+
+
+def corpus_train_split(docs: DataFrame) -> DataFrame:
+    """DataFrame-level body of q_corpus_train_split (shared with the
+    jobs/run_curation.py spark-submit entry)."""
+    clusters = dedup_clusters(docs).select("doc_id", "cluster_id")
+    h = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    raw = clusters.select(
+        "doc_id",
+        "cluster_id",
+        F.when(h < SPLIT_TRAIN_PCT, "train")
+        .when(h < SPLIT_VAL_PCT, "val")
+        .otherwise("test")
+        .alias("raw_split"),
+    )
+    canon = raw.filter(F.col("doc_id") == F.col("cluster_id")).select(
+        "cluster_id", F.col("raw_split").alias("split")
+    )
+    return raw.join(canon, "cluster_id").select(
+        "doc_id",
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        "split",
+        (F.col("raw_split") != F.col("split")).alias("moved"),
+    )
+
+
+def _train_split_sql(
+    k: int = MINHASH_K, rows_per_band: int = 2,
+    rounds: int = CLUSTER_CC_ROUNDS,
+) -> str:
+    """Twin of q_corpus_train_split: the dedup_clusters chain, then the
+    same md5 split assignment and canonical-member repair join."""
+    ctes = [_jaccard_lsh_ctes(k, rows_per_band)]
+    ctes += _cc_label_ctes(rounds, "documents")
+    ctes.append(f"""raws AS (
+  SELECT doc_id, comp AS cluster_id,
+         CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+                   < {SPLIT_TRAIN_PCT} THEN 'train'
+              WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+                   < {SPLIT_VAL_PCT} THEN 'val'
+              ELSE 'test' END AS raw_split
+  FROM c{rounds}
+)""")
+    ctes.append(
+        "canon AS (SELECT cluster_id, raw_split AS split FROM raws "
+        "WHERE doc_id = cluster_id)"
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + """
+SELECT r.doc_id, CAST(r.cluster_id AS BIGINT) AS cluster_id, c.split,
+       r.raw_split <> c.split AS moved
+FROM raws r JOIN canon c USING (cluster_id)"""
+    )
+
+
 def q_events_hourly(spark, sf_dir):
     ev = load(spark, sf_dir, "events")
     return ev.groupBy(
@@ -3465,6 +3547,7 @@ TEXT_QUERIES: dict[str, tuple] = {
     "dedup_embedding_whitened": (q_embedding_dups_whitened,
                                  _dedup_whitened_sql()),
     "dedup_clusters": (q_dedup_clusters, _dedup_clusters_sql()),
+    "corpus_train_split": (q_corpus_train_split, _train_split_sql()),
     "sim_lsh_topk": (q_lsh_topk, SQL_LSH_TOPK),
     "sim_lsh_multiprobe_topk": (q_lsh_multiprobe_topk, SQL_LSH_MULTIPROBE_TOPK),
     "sim_recall_multiprobe": (q_recall_multiprobe, _recall_multiprobe_sql()),

@@ -38,6 +38,8 @@ Stages (each also writes the previous stages' accounting):
     tokenize  BPE tokenizer learn + apply: writes per-doc word/token
               counts to --output and the learned merge table next to
               it at <output>_merges (bpe_tokenize / bpe_merges)
+    split     dedup-aware train/val/test split: md5 hash split with
+              near-dup-cluster leakage repair (corpus_train_split)
 
 Input schema: (doc_id:long, text:string, ...) — extra columns pass
 through untouched by the gates and are ignored by the dedup stages.
@@ -59,7 +61,7 @@ def main() -> None:
     p.add_argument("--stage", required=True,
                    choices=["select", "dedup", "cluster", "clusters",
                             "full", "sample", "decontaminate", "pack",
-                            "spans", "tokenize"])
+                            "spans", "tokenize", "split"])
     p.add_argument("--documents", required=True,
                    help="parquet documents table (doc_id, text, ...)")
     p.add_argument("--output", required=True)
@@ -108,6 +110,8 @@ def main() -> None:
             "doc_id", TO.token_count_bpe(F.col("text")).alias("n_tokens")
         )
         out = pack_sequences(toks, T.PACK_SEQ_LEN)
+    elif args.stage == "split":
+        out = T.corpus_train_split(docs)
     elif args.stage == "tokenize":
         from graphit_spark.functions import textops as TO
 

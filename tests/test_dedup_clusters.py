@@ -200,3 +200,44 @@ def test_no_pairs_all_singletons(spark, tmp_path):
     out = q_dedup_clusters(spark, sf).collect()
     assert {r.doc_id for r in out} == set(range(5))
     assert all(r.cluster_id == r.doc_id and r.cluster_size == 1 for r in out)
+
+
+def test_train_split_leakage_repair(spark, chain_sf_dir):
+    """No near-dup cluster may straddle splits; singletons keep their
+    raw md5 split; moved flags exactly the overridden docs."""
+    import hashlib
+
+    from graphit_spark.textqueries import (
+        SPLIT_TRAIN_PCT,
+        SPLIT_VAL_PCT,
+        q_corpus_train_split,
+    )
+
+    def raw_split(doc_id: int) -> str:
+        h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) % 100
+        if h < SPLIT_TRAIN_PCT:
+            return "train"
+        if h < SPLIT_VAL_PCT:
+            return "val"
+        return "test"
+
+    rows = {
+        r["doc_id"]: r
+        for r in q_corpus_train_split(spark, chain_sf_dir).collect()
+    }
+    assert set(rows) == {0, 1, 2, 10, 11, 20, 21}
+    # one split per cluster, and it is the canonical member's raw split
+    for cid in {r["cluster_id"] for r in rows.values()}:
+        members = [r for r in rows.values() if r["cluster_id"] == cid]
+        assert len({r["split"] for r in members}) == 1
+        assert members[0]["split"] == raw_split(cid)
+    # the chain {0,1,2} all landed on doc 0's split
+    assert rows[1]["split"] == rows[0]["split"] == raw_split(0)
+    assert rows[2]["split"] == raw_split(0)
+    # singletons keep their own hash split, unmoved
+    for d in (20, 21):
+        assert rows[d]["split"] == raw_split(d)
+        assert not rows[d]["moved"]
+    # moved == (raw hash split != cluster split), exactly
+    for d, r in rows.items():
+        assert r["moved"] == (raw_split(d) != r["split"])
