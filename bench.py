@@ -210,7 +210,9 @@ def main() -> None:
         # (same iteration count and final L1 every run), so the only
         # thing repeated runs sample is the host's minute-scale capacity
         # swing — and this is the BASELINE.json headline metric.
-        conv_trials = int(os.environ.get("BENCH_CONVERGE_TRIALS", "2"))
+        conv_trials = max(
+            1, int(os.environ.get("BENCH_CONVERGE_TRIALS", "2"))
+        )
         conv_times = []
         conv: dict = {}
         for _ in range(conv_trials):

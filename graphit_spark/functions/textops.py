@@ -708,11 +708,6 @@ def bpe_merges(
     per-round shuffles move a table bounded by total characters of the
     capped vocabulary. The DuckDB twin unrolls the same rounds as chained
     CTEs (textqueries._bpe_sql)."""
-    from pyspark.sql import Window
-
-    from graphit_spark.plans.state import fresh_checkpoint
-
-    spark = df.sparkSession
     words = (
         df.select(
             F.explode(
@@ -723,10 +718,19 @@ def bpe_merges(
         )
         .groupBy("word")
         .agg(F.count("*").alias("freq"))
-        .orderBy(F.desc("freq"), F.asc("word"))
-        .limit(top_words)
     )
-    syms = fresh_checkpoint(_char_symbols(words, ["word", "freq"]))
+    return _bpe_learn_df(df.sparkSession, words, rounds, top_words)
+
+
+def _bpe_learn(words: DataFrame, rounds: int, top_words: int) -> list[tuple]:
+    """The merge loop of bpe_merges over an uncapped (word, freq)
+    table; returns [(round, lhs, rhs, merged, pair_count), ...]."""
+    from pyspark.sql import Window
+
+    from graphit_spark.plans.state import fresh_checkpoint
+
+    capped = words.orderBy(F.desc("freq"), F.asc("word")).limit(top_words)
+    syms = fresh_checkpoint(_char_symbols(capped, ["word", "freq"]))
     w_pos = Window.partitionBy("word").orderBy("pos")
     merges: list[tuple] = []
     for r in range(1, rounds + 1):
@@ -747,8 +751,12 @@ def bpe_merges(
         syms.unpersist()
         syms = nxt_syms
     syms.unpersist()
+    return merges
+
+
+def _bpe_learn_df(spark, words, rounds, top_words) -> DataFrame:
     return spark.createDataFrame(
-        merges,
+        _bpe_learn(words, rounds, top_words),
         "merge_round INT, lhs STRING, rhs STRING, merged STRING, "
         "pair_count BIGINT",
     )
@@ -759,6 +767,7 @@ def bpe_tokenize(
     text_col: str = "text",
     rounds: int = BPE_ROUNDS,
     top_words: int = BPE_TOP_WORDS,
+    merge_rows: list | None = None,
 ) -> DataFrame:
     """Full tokenizer pipeline — learn THEN apply: induce the BPE merge
     table (bpe_merges) and tokenize the whole corpus under it, returning
@@ -769,9 +778,13 @@ def bpe_tokenize(
 
     Application is per-DISTINCT-word, the amortization that matters at
     corpus scale: the corpus collapses to a (doc_id, word, count) table
-    (one corpus-sized shuffle) and merges are applied once per distinct
-    word — Zipf makes that table orders of magnitude smaller than the
-    token stream. Merges learned on the capped vocabulary are applied
+    — the ONLY corpus-sized pass; the learning step's word-frequency
+    table is derived from it by one vocabulary-sized re-aggregation —
+    and merges are applied once per distinct word; Zipf makes that
+    table orders of magnitude smaller than the token stream.
+    Pass merge_rows (rows/dicts with merge_round/lhs/rhs keys, e.g.
+    bpe_merges(...).collect()) to reuse an already-learned merge table
+    and skip learning entirely. Merges learned on the capped vocabulary are applied
     to EVERY word (standard BPE: out-of-cap words still benefit from
     any merge whose pair they contain; untouched words fall back to
     character symbols). Per merge: the same island-parity plan as
@@ -781,9 +794,6 @@ def bpe_tokenize(
     """
     from graphit_spark.plans.state import fresh_checkpoint
 
-    merge_rows = bpe_merges(
-        df, text_col=text_col, rounds=rounds, top_words=top_words
-    ).collect()
     doc_words = (
         df.select(
             "doc_id",
@@ -797,13 +807,21 @@ def bpe_tokenize(
         .agg(F.count("*").alias("c"))
     )
     doc_words = fresh_checkpoint(doc_words)
+    if merge_rows is None:
+        word_freqs = doc_words.groupBy("word").agg(
+            F.sum("c").alias("freq")
+        )
+        merge_rows = _bpe_learn(word_freqs, rounds, top_words)
     syms = fresh_checkpoint(
         _char_symbols(doc_words.select("word").distinct(), ["word"])
     )
-    for row in sorted(merge_rows, key=lambda r: r["merge_round"]):
-        nxt = fresh_checkpoint(
-            _bpe_apply_merge(syms, row["lhs"], row["rhs"])
-        )
+    norm = [
+        tuple(m[:3]) if isinstance(m, tuple)
+        else (m["merge_round"], m["lhs"], m["rhs"])
+        for m in merge_rows
+    ]
+    for _, lhs, rhs in sorted(norm):
+        nxt = fresh_checkpoint(_bpe_apply_merge(syms, lhs, rhs))
         syms.unpersist()
         syms = nxt
     tokens = syms.groupBy("word").agg(F.count("*").alias("n_sym"))
@@ -848,28 +866,30 @@ def dsir_weights(
     t_b < 2^63/SCALE; at extreme corpus sizes shrink DSIR_SCALE or
     subsample the counts (it is a ratio estimator). The per-corpus
     constant (R+B)/(T+B) is applied once in the final rounded double,
-    so Spark's aggregation order cannot move a bit. The mean (not
-    product) of per-gram ratios is used — same aggregation the bigram
-    LM score uses, and the same monotone ranking signal without
-    underflow at document length.
+    so Spark's aggregation order cannot move a bit.
+
+    DELIBERATE DEVIATION from the paper: the per-doc score is the MEAN
+    of per-gram ratios, not the paper's product (sum of log ratios).
+    The two are NOT order-equivalent — a single extreme-ratio bucket
+    moves the mean far more than the log-sum — so this is a mean-ratio
+    VARIANT of DSIR, not a reimplementation. The mean is chosen for
+    the engine's log-free bit-determinism contract (transcendentals
+    differ in the last ulp across libm implementations; lm_score and
+    tfidf make the same trade) and is the same aggregation the bigram
+    LM score uses. Swap the unit to floor-scaled log-ratios if faithful
+    product ordering matters more than cross-engine bit-parity.
 
     Scale shape: one explode of the corpus to (doc_id, bucket) rows;
     bucket counts are a B-row table (map-side-combined conditional
     sums); scoring joins the exploded raw side against the broadcast
     B-row unit table and rolls up per doc. Nothing corpus-quadratic,
     no UDFs, no Windows."""
+    from graphit_spark.functions.dedup import md5_int
+
     grams = df.select(
         "doc_id",
         F.explode(word_ngrams(F.col(text_col), 2)).alias("g"),
-    ).select(
-        "doc_id",
-        (
-            F.conv(F.substring(F.md5(F.col("g")), 1, 8), 16, 10).cast(
-                "long"
-            )
-            % buckets
-        ).alias("b"),
-    )
+    ).select("doc_id", (md5_int(F.col("g")) % buckets).alias("b"))
     tgt = F.col("doc_id") < target_max_doc
     counts = grams.groupBy("b").agg(
         F.sum(F.when(tgt, 1).otherwise(0)).alias("t_b"),

@@ -1075,7 +1075,7 @@ def corpus_select_cluster(docs: DataFrame) -> DataFrame:
     jobs/run_curation.py spark-submit entry)."""
     selected = _corpus_selected(docs)
     sel_docs = docs.join(selected.select("doc_id"), "doc_id", "left_semi")
-    clusters = dedup_clusters(sel_docs)
+    clusters = _dedup_cluster_labels(sel_docs)
     keep = clusters.filter(
         F.col("cluster_id") == F.col("doc_id")
     ).select("doc_id")
@@ -1106,7 +1106,7 @@ def corpus_select_full(docs: DataFrame) -> DataFrame:
     )
     selected2 = selected.join(rep_ok, "doc_id", "left_semi")
     sel2_docs = docs.join(selected2.select("doc_id"), "doc_id", "left_semi")
-    clusters = dedup_clusters(sel2_docs)
+    clusters = _dedup_cluster_labels(sel2_docs)
     keep = clusters.filter(
         F.col("cluster_id") == F.col("doc_id")
     ).select("doc_id")
@@ -1440,9 +1440,12 @@ def q_dedup_clusters(spark, sf_dir):
     return dedup_clusters(load(spark, sf_dir, "documents"))
 
 
-def dedup_clusters(docs: DataFrame) -> DataFrame:
-    """DataFrame-level body of q_dedup_clusters (shared with the
-    jobs/run_curation.py spark-submit entry)."""
+def _dedup_cluster_labels(docs: DataFrame) -> DataFrame:
+    """Near-dup transitive-closure labels only: (doc_id, cluster_id)
+    with cluster_id = min doc_id in the cluster, singletons mapping to
+    themselves — the shared core of dedup_clusters / corpus_train_split
+    (callers that don't need cluster sizes skip that extra V-sized
+    groupBy + join)."""
     from graphit_spark.graph import LinkGraph
     from graphit_spark.kernels import connected_components
 
@@ -1455,19 +1458,21 @@ def dedup_clusters(docs: DataFrame) -> DataFrame:
     )
     ids = docs.select(F.col("doc_id").cast("long").alias("doc_id"))
     if pairs.isEmpty():
-        labeled = ids.select("doc_id", F.col("doc_id").alias("cluster_id"))
-    else:
-        g = LinkGraph(pairs, persist=False)
-        comp = connected_components(g).select(
-            F.col("id").alias("doc_id"), F.col("comp").alias("cluster_id")
-        )
-        labeled = (
-            ids.join(comp, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
-            )
-        )
+        return ids.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    g = LinkGraph(pairs, persist=False)
+    comp = connected_components(g).select(
+        F.col("id").alias("doc_id"), F.col("comp").alias("cluster_id")
+    )
+    return ids.join(comp, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+    )
+
+
+def dedup_clusters(docs: DataFrame) -> DataFrame:
+    """DataFrame-level body of q_dedup_clusters (shared with the
+    jobs/run_curation.py spark-submit entry)."""
+    labeled = _dedup_cluster_labels(docs)
     sizes = labeled.groupBy("cluster_id").agg(
         F.count("*").alias("cluster_size")
     )
@@ -1500,15 +1505,8 @@ def q_corpus_train_split(spark, sf_dir):
 def corpus_train_split(docs: DataFrame) -> DataFrame:
     """DataFrame-level body of q_corpus_train_split (shared with the
     jobs/run_curation.py spark-submit entry)."""
-    clusters = dedup_clusters(docs).select("doc_id", "cluster_id")
-    h = (
-        F.conv(
-            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
-            16,
-            10,
-        ).cast("long")
-        % 100
-    )
+    clusters = _dedup_cluster_labels(docs)
+    h = D.md5_int(F.col("doc_id").cast("string")) % 100
     raw = clusters.select(
         "doc_id",
         "cluster_id",
@@ -1552,9 +1550,10 @@ def _train_split_sql(
     return (
         "WITH " + ",\n".join(ctes)
         + """
-SELECT r.doc_id, CAST(r.cluster_id AS BIGINT) AS cluster_id, c.split,
-       r.raw_split <> c.split AS moved
-FROM raws r JOIN canon c USING (cluster_id)"""
+SELECT r.doc_id, CAST(r.cluster_id AS BIGINT) AS cluster_id,
+       COALESCE(c.split, r.raw_split) AS split,
+       r.raw_split <> COALESCE(c.split, r.raw_split) AS moved
+FROM raws r LEFT JOIN canon c USING (cluster_id)"""
     )
 
 

@@ -115,10 +115,11 @@ def main() -> None:
     elif args.stage == "tokenize":
         from graphit_spark.functions import textops as TO
 
-        TO.bpe_merges(docs).write.mode("overwrite").parquet(
+        merges = TO.bpe_merges(docs)  # driver-local: collect is free
+        merges.write.mode("overwrite").parquet(
             args.output.rstrip("/") + "_merges"
         )
-        out = TO.bpe_tokenize(docs)
+        out = TO.bpe_tokenize(docs, merge_rows=merges.collect())
     elif args.stage == "spans":
         from graphit_spark.functions.dedup import duplicate_spans
 
