@@ -80,6 +80,8 @@ _CHECK_FIRST = [
     "doc_quality_probe",
     "louvain", "maximal_matching", "clustering_coeff",
     "triangle_count_approx",
+    "anchor_text_index", "events_retention", "events_dau",
+    "corpus_heaps_law",
     "corpus_decontaminate_bloom",
     "betweenness_pivots",
     "neighborhood_function",

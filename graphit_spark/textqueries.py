@@ -401,6 +401,131 @@ WHERE prev_max IS NOT NULL AND n_events >= {SPIKE_FACTOR} * prev_max
 ORDER BY event_type, hour"""
 
 
+def q_events_retention(spark, sf_dir):
+    """Cohort retention: users are cohorted by their first active day;
+    for each (cohort_day, day_offset) report how many cohort members
+    were active that many days later, plus the retention rate — the
+    curve every engagement dashboard starts from.
+
+    Scale shape: one events scan → distinct (user, day) pairs (map-side
+    combined), one user-keyed aggregate for cohorts, one user-keyed
+    join back, one grouped count. Everything keys on user_id or the
+    tiny (cohort_day, offset) pair; no windows, no driver iteration —
+    the same plan at 10^12 events."""
+    ev = load(spark, sf_dir, "events")
+    # day as a TIMESTAMP (date_trunc), not DATE: timestamps round-trip
+    # through Arrow/pandas identically on both engines (the
+    # events_hourly-proven pattern); DATE becomes python date objects.
+    acts = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).distinct()
+    firsts = acts.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    sizes = firsts.groupBy("cohort_day").agg(
+        F.count("*").alias("cohort_size")
+    )
+    ret = (
+        acts.join(firsts, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff("day", "cohort_day").cast("long").alias("day_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+    return ret.join(sizes, "cohort_day").select(
+        "cohort_day",
+        "day_offset",
+        "n_users",
+        F.round(F.col("n_users") / F.col("cohort_size"), 6).alias(
+            "retention"
+        ),
+    )
+
+
+SQL_EVENTS_RETENTION = """
+WITH acts AS MATERIALIZED (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+),
+firsts AS MATERIALIZED (
+  SELECT user_id, min(day) AS cohort_day FROM acts GROUP BY user_id
+),
+sizes AS (
+  SELECT cohort_day, CAST(count(*) AS BIGINT) AS cohort_size
+  FROM firsts GROUP BY cohort_day
+),
+ret AS (
+  SELECT f.cohort_day,
+         CAST(date_diff('day', f.cohort_day, a.day) AS BIGINT) AS day_offset,
+         CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+  FROM acts a JOIN firsts f USING (user_id)
+  GROUP BY 1, 2
+)
+SELECT r.cohort_day, r.day_offset, r.n_users,
+       round(r.n_users * 1e0 / s.cohort_size, 6) AS retention
+FROM ret r JOIN sizes s USING (cohort_day)
+ORDER BY r.cohort_day, r.day_offset
+"""
+
+
+DAU_WINDOW_DAYS = 7
+
+
+def q_events_dau(spark, sf_dir):
+    """Daily/weekly active users and stickiness (DAU/WAU): for every
+    active day, distinct users that day and distinct users in the
+    trailing 7 days. Distinct-over-sliding-window has no native window
+    form (count DISTINCT is unsupported in frames on both engines), so
+    the standard scale-out shape is used: each distinct (user, day)
+    pair is exploded to the ≤7 report days it supports — a bounded
+    7× fan-out of the ALREADY-deduplicated pair stream, far smaller
+    than the raw event stream — then one grouped count per day.
+    No single-partition Window; fan-out is a constant, not data-sized."""
+    ev = load(spark, sf_dir, "events")
+    pairs = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).distinct()
+    dau = pairs.groupBy("day").agg(F.count_distinct("user_id").alias("n_dau"))
+    exp = pairs.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("day"),
+                F.col("day")
+                + F.expr(f"INTERVAL {DAU_WINDOW_DAYS - 1} DAYS"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("rday"),
+    )
+    wau = exp.groupBy("rday").agg(F.count_distinct("user_id").alias("n_wau"))
+    return dau.join(wau, dau["day"] == wau["rday"]).select(
+        "day",
+        "n_dau",
+        "n_wau",
+        F.round(F.col("n_dau") / F.col("n_wau"), 6).alias("stickiness"),
+    )
+
+
+SQL_EVENTS_DAU = f"""
+WITH pairs AS MATERIALIZED (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+),
+dau AS (
+  SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS n_dau
+  FROM pairs GROUP BY day
+),
+exp AS (
+  SELECT p.user_id, p.day + to_days(CAST(g.i AS INTEGER)) AS rday
+  FROM pairs p, range(0, {DAU_WINDOW_DAYS}) g(i)
+),
+wau AS (
+  SELECT rday, CAST(count(DISTINCT user_id) AS BIGINT) AS n_wau
+  FROM exp GROUP BY rday
+)
+SELECT d.day, d.n_dau, w.n_wau,
+       round(d.n_dau * 1e0 / w.n_wau, 6) AS stickiness
+FROM dau d JOIN wau w ON w.rday = d.day
+ORDER BY d.day
+"""
+
 
 def q_corpus_source_stats(spark, sf_dir):
     """Per-source curation dashboard: document counts, language spread,
@@ -3488,6 +3613,166 @@ ORDER BY d.doc_id"""
 
 
 
+HEAPS_BUCKET = 100
+
+
+def q_corpus_heaps_law(spark, sf_dir):
+    """Vocabulary-growth (Heaps' law) curve: at every HEAPS_BUCKET-doc
+    checkpoint, the cumulative token count and cumulative distinct
+    vocabulary size — the curve a tokenizer/vocab budget is sized from.
+
+    "Distinct words so far" is NOT computed by re-scanning a growing
+    prefix per checkpoint (quadratic): each word contributes to the
+    vocabulary exactly at its FIRST document, so one min(doc_id)-per-word
+    aggregate + a per-bucket count gives the vocabulary increments, and
+    the cumulative curve is the distributed ordered_prefix_sum (range
+    shuffle → P parallel window sums → broadcast offsets) over the
+    checkpoint-sized (not corpus-sized) increment table. Two corpus
+    passes total, no single-partition Window, no driver loop."""
+    from graphit_spark.plans.ranking import ordered_prefix_sum
+
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+    ).filter(F.length("w") > 0)
+    bucket = lambda c: F.floor(F.col(c) / HEAPS_BUCKET).cast("long")  # noqa: E731
+    toks = words.groupBy(bucket("doc_id").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("toks")
+    )
+    firsts = words.groupBy("w").agg(F.min("doc_id").alias("first_doc"))
+    voc = firsts.groupBy(bucket("first_doc").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("new_words")
+    )
+    per = (
+        toks.join(voc, "bucket", "full")
+        .select(
+            F.coalesce(toks["bucket"], voc["bucket"]).alias("bucket"),
+            F.coalesce("toks", F.lit(0)).alias("toks"),
+            F.coalesce("new_words", F.lit(0)).alias("new_words"),
+        )
+    )
+    release: list = []
+    cum = ordered_prefix_sum(
+        per, [F.col("bucket").asc()], ["toks", "new_words"], release=release
+    )
+    out = cum.select(
+        ((F.col("bucket") + 1) * HEAPS_BUCKET).cast("long").alias("n_docs"),
+        F.col("toks_cum").cast("long").alias("total_tokens"),
+        F.col("new_words_cum").cast("long").alias("vocab_size"),
+    ).localCheckpoint(eager=True)
+    for df in release:
+        df.unpersist()
+    return out
+
+
+def _heaps_sql() -> str:
+    return f"""
+WITH words AS MATERIALIZED (
+  SELECT doc_id, w
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE len(w) > 0
+),
+tok AS (
+  SELECT doc_id // {HEAPS_BUCKET} AS bucket,
+         CAST(count(*) AS BIGINT) AS toks
+  FROM words GROUP BY 1
+),
+firsts AS (
+  SELECT w, min(doc_id) AS first_doc FROM words GROUP BY w
+),
+voc AS (
+  SELECT first_doc // {HEAPS_BUCKET} AS bucket,
+         CAST(count(*) AS BIGINT) AS new_words
+  FROM firsts GROUP BY 1
+),
+buckets AS (
+  SELECT COALESCE(t.bucket, v.bucket) AS bucket,
+         COALESCE(t.toks, 0) AS toks,
+         COALESCE(v.new_words, 0) AS new_words
+  FROM tok t FULL JOIN voc v ON t.bucket = v.bucket
+)
+SELECT CAST((bucket + 1) * {HEAPS_BUCKET} AS BIGINT) AS n_docs,
+       CAST(sum(toks) OVER w AS BIGINT) AS total_tokens,
+       CAST(sum(new_words) OVER w AS BIGINT) AS vocab_size
+FROM buckets
+WINDOW w AS (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+ORDER BY n_docs
+"""
+
+
+# Anchor-text index: pages are the deterministic synthetic crawl
+# (datagen.gen_pages), Spark parses REAL HTML with the frozen anchor
+# contract (extract.reference_extract_anchors), and the oracle twin
+# recomputes the same (href, anchor) stream purely from the generative
+# integer arithmetic — no HTML parsing in SQL. A structural
+# byte-identity check on the extraction path, at a fixed page count so
+# both sides agree without reading sf tables.
+ANCHOR_PAGES_N = 2000
+
+
+def q_anchor_text_index(spark, sf_dir):
+    """Per-target anchor-text aggregation — the classic web-search
+    signal (anchor text describes the TARGET page; reference semantics:
+    every closed <a href="...">body</a> pair, body normalized by the
+    text contract). Output: one row per distinct (target url, anchor
+    text) with its reference count.
+
+    Scale shape: one Arrow-batched anchor-extraction pass over pages →
+    explode → map-side-combined groupBy(url, anchor). The exploded
+    anchor stream shuffles once on its grouping key; nothing is
+    corpus-quadratic and hub targets collapse to ≤ P partial rows
+    before the exchange."""
+    from graphit_spark.datagen import gen_pages
+    from graphit_spark.extract import extract_anchors_udf
+
+    pages = gen_pages(spark, ANCHOR_PAGES_N)
+    a = pages.select(
+        F.explode(extract_anchors_udf(F.col("html"))).alias("a")
+    )
+    return a.groupBy(
+        F.col("a.href").alias("url"), F.col("a.anchor").alias("anchor")
+    ).agg(F.count(F.lit(1)).alias("n_refs"))
+
+
+def _anchor_index_sql() -> str:
+    """Generative-arithmetic twin of q_anchor_text_index: replays
+    datagen.out_degree/link_target/page_url for every (page, slot) in
+    pure SQL integer arithmetic, so a hash match proves the HTML parse
+    recovered exactly the links the generator wrote."""
+    from graphit_spark import datagen as DG
+
+    n = ANCHOR_PAGES_N
+    deg_max = 1 + (DG.MAX_DEG - 1) + DG.HUB_BOOST  # tightest slot bound
+    return f"""
+WITH degs AS (
+  SELECT r.i AS i,
+         LEAST(1 + (({DG.A} * r.i + {DG.B}) % {DG.M31}) % {DG.MAX_DEG}
+                 + CASE WHEN r.i < {max(1, n // 200)}
+                        THEN {DG.HUB_BOOST} ELSE 0 END,
+               {n}) AS deg
+  FROM range(0, {n}) r(i)
+),
+links AS (
+  SELECT d.i AS i, t.i AS t,
+         (({DG.A} * (d.i * 1000003 + t.i) + {DG.B}) % {DG.M31}) AS h
+  FROM degs d JOIN range(0, {deg_max}) t(i) ON t.i < d.deg
+),
+targets AS (
+  SELECT i, t,
+         CASE WHEN h % 10 < 4 THEN (h // 10) % {DG.n_hubs(n)}
+              ELSE (h // 10) % {n} END AS j
+  FROM links
+)
+SELECT 'https://host-' || CAST(j % {DG.n_hosts(n)} AS VARCHAR)
+         || '.example/p/' || lpad(CAST(j AS VARCHAR), 9, '0') AS url,
+       'link ' || CAST(t AS VARCHAR) AS anchor,
+       CAST(count(*) AS BIGINT) AS n_refs
+FROM targets
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 TEXT_QUERIES: dict[str, tuple] = {
     "doc_token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
     "doc_quality": (q_quality, SQL_QUALITY),
@@ -3515,6 +3800,10 @@ TEXT_QUERIES: dict[str, tuple] = {
     "events_sessions": (q_events_sessions, SQL_EVENTS_SESSIONS),
     "events_funnel": (q_events_funnel, SQL_EVENTS_FUNNEL),
     "events_spikes": (q_events_spikes, SQL_EVENTS_SPIKES),
+    "events_retention": (q_events_retention, SQL_EVENTS_RETENTION),
+    "events_dau": (q_events_dau, SQL_EVENTS_DAU),
+    "corpus_heaps_law": (q_corpus_heaps_law, _heaps_sql()),
+    "anchor_text_index": (q_anchor_text_index, _anchor_index_sql()),
     "corpus_source_stats": (q_corpus_source_stats, SQL_CORPUS_SOURCE_STATS),
     "dedup_exact": (q_exact_dedup, SQL_EXACT_DEDUP),
     "dedup_minhash": (q_minhash, _minhash_sql()),
