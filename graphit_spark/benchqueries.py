@@ -4360,6 +4360,51 @@ FROM s
 """
 
 
+EGO_HOPS = 2
+
+
+def q_ego_subgraph(spark, sf_dir):
+    """K-hop ego subgraph around vertex 0: the induced edge set on the
+    2-hop out-ball — the "show me the crawl around this URL" extraction
+    (kernels/ego.py; bounded frontier rounds + two semi-joins, never an
+    O(V) collect)."""
+    from graphit_spark.kernels import ego_subgraph
+
+    g = graph(spark, sf_dir, "raw")
+    return ego_subgraph(g, [0], hops=EGO_HOPS)
+
+
+def ego_subgraph_sql(hops: int = EGO_HOPS, seed: int = 0) -> str:
+    """Twin of q_ego_subgraph: unrolled reach-set closure (pure set
+    semantics, no float, no tie-breaks) then the two-sided membership
+    filter."""
+    ctes = [
+        _SQL_COMMON.strip(),
+        f"r0 AS (SELECT CAST({seed} AS BIGINT) AS id)",
+    ]
+    for k in range(1, hops + 1):
+        p = f"r{k - 1}"
+        ctes.append(
+            f"""r{k} AS MATERIALIZED (
+  SELECT DISTINCT id FROM (
+    SELECT id FROM {p}
+    UNION ALL
+    SELECT e.dst AS id FROM edges e JOIN {p} r ON e.src = r.id
+  )
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT e.src, e.dst
+FROM edges e
+JOIN r{hops} a ON e.src = a.id
+JOIN r{hops} b ON e.dst = b.id
+ORDER BY e.src, e.dst
+"""
+    )
+
+
 GRAPH_QUERIES: dict[str, tuple] = {
     # name: (spark_callable, oracle_sql_or_None)
     "pagerank": (q_pagerank, pagerank_sql()),
@@ -4374,6 +4419,7 @@ GRAPH_QUERIES: dict[str, tuple] = {
     "cc_incremental": (q_cc_incremental, cc_incremental_sql()),
     "degree_histogram": (q_degree_histogram, degree_histogram_sql()),
     "degree_assortativity": (q_assortativity, assortativity_sql()),
+    "ego_subgraph": (q_ego_subgraph, ego_subgraph_sql()),
     "hits": (q_hits, hits_sql()),
     "salsa": (q_salsa, salsa_sql()),
     "k_truss": (q_k_truss, truss_sql()),

@@ -1849,3 +1849,56 @@ def test_crawl_budget_respects_caps_and_budget(spark):
     assert all(r["alloc"] <= r["cap"] for r in rows)
     spent = sum(r["alloc"] for r in rows)
     assert 0 < spent <= budget
+
+
+class TestEgoSubgraph:
+    def _py_oracle(self, edges, seeds, hops):
+        """Pure-python reach closure + induced-edge filter."""
+        dedup = {(s, d) for (s, d) in edges if s != d}
+        reach = set(seeds)
+        frontier = set(seeds)
+        for _ in range(hops):
+            nxt = {d for (s, d) in dedup if s in frontier} - reach
+            if not nxt:
+                break
+            reach |= nxt
+            frontier = nxt
+        return {(s, d) for (s, d) in dedup if s in reach and d in reach}
+
+    def test_matches_python_oracle(self, spark):
+        from graphit_spark.kernels import ego_subgraph
+
+        edges = _rand_graph(60, 250, seed=3)
+        g = LinkGraph.from_pairs(spark, edges, persist=False)
+        got = {(r["src"], r["dst"])
+               for r in ego_subgraph(g, [0], hops=2).collect()}
+        assert got == self._py_oracle(edges, [0], 2)
+
+    def test_multi_seed_and_early_stop(self, spark):
+        from graphit_spark.kernels import ego_subgraph
+
+        # chain 0->1->2->3 plus a detached triangle; hops budget larger
+        # than the reachable depth exercises the empty-frontier break
+        edges = [(0, 1), (1, 2), (2, 3), (10, 11), (11, 12), (12, 10)]
+        g = LinkGraph.from_pairs(spark, edges, persist=False)
+        got = {(r["src"], r["dst"])
+               for r in ego_subgraph(g, [0, 10], hops=9).collect()}
+        assert got == self._py_oracle(edges, [0, 10], 9)
+
+    def test_zero_hops_is_seed_induced(self, spark):
+        from graphit_spark.kernels import ego_subgraph
+
+        edges = [(0, 1), (1, 0), (0, 2)]
+        g = LinkGraph.from_pairs(spark, edges, persist=False)
+        got = {(r["src"], r["dst"])
+               for r in ego_subgraph(g, [0, 1], hops=0).collect()}
+        assert got == {(0, 1), (1, 0)}
+
+    def test_bad_args(self, spark):
+        from graphit_spark.kernels import ego_subgraph
+
+        g = LinkGraph.from_pairs(spark, [(0, 1)], persist=False)
+        with pytest.raises(ValueError):
+            ego_subgraph(g, [], hops=2)
+        with pytest.raises(ValueError):
+            ego_subgraph(g, [0], hops=-1)
