@@ -925,3 +925,105 @@ def dsir_weights(
             6,
         ).alias("dsir_score"),
     )
+
+
+# PMI co-occurrence (Church & Hanks 1990, public): sliding-window word
+# association scores — the collocation/phrase-mining pass a vocab or
+# tokenizer pipeline runs after raw n-gram counting.
+PMI_WINDOW = 3
+PMI_MIN_COUNT = 5
+PMI_TOP_K = 100
+
+
+def pmi_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    window: int = PMI_WINDOW,
+    min_count: int = PMI_MIN_COUNT,
+    k: int = PMI_TOP_K,
+) -> DataFrame:
+    """Top-k word pairs by pointwise mutual information over a
+    sliding window: for every token position i, each j in
+    (i, i+window] contributes one unordered co-occurrence
+    (least/greatest canonicalization), then
+    pmi = ln(P(a,b) / (P(a)·P(b))) with P(a,b) = n_ab / n_pairs and
+    P(w) = n_w / n_tok. Pairs below ``min_count`` are cut before the
+    join (the classic rare-pair PMI blowup guard); ties broken by
+    (token_a, token_b) so the cut is a total order.
+
+    Scale shape: pair generation is a pure Column expression
+    (sequence + nested transform over the token array — window·len
+    structs per doc, no self-join, no UDF), then one
+    map-side-combined groupBy(a, b); unigram counts are a second
+    word-count pass; the two vocabulary-keyed joins hit only the
+    ≥min_count survivors, and the scalar totals ride a broadcast
+    cross join. Final top-k compiles to TakeOrderedAndProject. At
+    10^12 docs every shuffle keys on pair/vocab cardinalities, never
+    on the corpus.
+
+    Reference provenance: no GraphIt analogue (corpus operator); the
+    window/count semantics follow the published PMI definition and
+    match the DuckDB twin bit-for-bit (identical double expression).
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    i_seq = F.sequence(F.lit(1), F.size(toks) - 1)
+    pair_structs = F.flatten(
+        F.transform(
+            i_seq,
+            lambda i: F.transform(
+                F.sequence(i + 1, F.least(i + window, F.size(toks))),
+                lambda j: F.struct(
+                    F.least(
+                        F.element_at(toks, i), F.element_at(toks, j)
+                    ).alias("a"),
+                    F.greatest(
+                        F.element_at(toks, i), F.element_at(toks, j)
+                    ).alias("b"),
+                ),
+            ),
+        )
+    )
+    pairs = (
+        df.select(
+            F.explode(
+                F.when(F.size(toks) >= 2, pair_structs).otherwise(
+                    F.array().cast("array<struct<a:string,b:string>>")
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    )
+    pair_counts = pairs.groupBy("a", "b").agg(F.count("*").alias("n_ab"))
+    uni = (
+        df.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = uni.agg(F.sum("n").alias("n_tok")).crossJoin(
+        pair_counts.agg(F.sum("n_ab").alias("n_pairs"))
+    )
+    ua = uni.select(F.col("w").alias("a"), F.col("n").alias("n_a"))
+    ub = uni.select(F.col("w").alias("b"), F.col("n").alias("n_b"))
+    survivors = pair_counts.filter(F.col("n_ab") >= min_count)
+    scored = (
+        survivors.join(ua, "a")
+        .join(ub, "b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("a").alias("token_a"),
+            F.col("b").alias("token_b"),
+            F.col("n_ab").alias("pair_count"),
+            F.round(
+                F.log(
+                    (F.col("n_ab").cast("double") * F.col("n_tok")
+                     * F.col("n_tok"))
+                    / (F.col("n_pairs").cast("double") * F.col("n_a")
+                       * F.col("n_b"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("pmi"), F.asc("token_a"), F.asc("token_b")
+    ).limit(k)

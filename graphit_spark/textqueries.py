@@ -3773,7 +3773,54 @@ ORDER BY 1, 2
 """
 
 
+def q_corpus_pmi(spark, sf_dir):
+    """Collocation mining: top word pairs by pointwise mutual
+    information within a PMI_WINDOW sliding window, rare pairs cut at
+    PMI_MIN_COUNT — the phrase/vocab-build pass after raw n-gram
+    counting (see textops.pmi_pairs for the no-self-join pair plan)."""
+    return T.pmi_pairs(load(spark, sf_dir, "documents"))
+
+
+def _pmi_sql() -> str:
+    """Twin of textops.pmi_pairs: identical window pair generation
+    (nested list_transform ≡ Spark nested transform, least/greatest
+    canonicalization), identical double expression for the PMI ratio,
+    same (pmi DESC, token_a, token_b) total order."""
+    W, MC, K = T.PMI_WINDOW, T.PMI_MIN_COUNT, T.PMI_TOP_K
+    return f"""
+WITH toks AS MATERIALIZED (
+  SELECT string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents
+),
+pairs AS (
+  SELECT least(p[1], p[2]) AS a, greatest(p[1], p[2]) AS b FROM (
+    SELECT unnest(flatten(list_transform(generate_series(1, len(t) - 1),
+      i -> list_transform(generate_series(i + 1, least(i + {W}, len(t))),
+                          j -> [t[i], t[j]])))) AS p
+    FROM toks WHERE len(t) >= 2) x
+),
+pc AS MATERIALIZED (
+  SELECT a, b, COUNT(*) AS n_ab FROM pairs GROUP BY a, b
+),
+uni AS MATERIALIZED (
+  SELECT u AS w, COUNT(*) AS n
+  FROM (SELECT unnest(t) AS u FROM toks) GROUP BY u
+),
+tot AS (
+  SELECT (SELECT SUM(n) FROM uni) AS n_tok,
+         (SELECT SUM(n_ab) FROM pc) AS n_pairs
+)
+SELECT a AS token_a, b AS token_b, CAST(n_ab AS BIGINT) AS pair_count,
+       ROUND(ln((CAST(n_ab AS DOUBLE) * n_tok * n_tok)
+                / (CAST(n_pairs AS DOUBLE) * ua.n * ub.n)), 6) AS pmi
+FROM pc JOIN uni ua ON pc.a = ua.w JOIN uni ub ON pc.b = ub.w, tot
+WHERE n_ab >= {MC}
+ORDER BY pmi DESC, token_a, token_b
+LIMIT {K}
+"""
+
+
 TEXT_QUERIES: dict[str, tuple] = {
+    "corpus_pmi": (q_corpus_pmi, _pmi_sql()),
     "doc_token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
     "doc_quality": (q_quality, SQL_QUALITY),
     "doc_lang_id": (q_lang_id, _lang_sql()),

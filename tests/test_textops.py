@@ -457,3 +457,59 @@ def test_bpe_tokenize_matches_python_reference(spark):
     assert got == expected
     # compression actually happened (tokens < chars) and oov word intact
     assert got[1][1] < sum(len(w) for w in words_of(rows[0][1]))
+
+
+def test_pmi_pairs_matches_python_oracle(spark):
+    import math
+    from collections import Counter
+
+    from graphit_spark.functions.textops import pmi_pairs
+
+    texts = [
+        "the cat sat on the mat",
+        "the cat ate the fish",
+        "a dog and a cat and a dog",
+        "fish and chips and fish",
+        "the dog sat on the cat",
+    ] * 3  # repeat so several pairs clear min_count
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    window, min_count, k = 2, 3, 20
+    pair_c, uni = Counter(), Counter()
+    for t in texts:
+        toks = t.split()
+        uni.update(toks)
+        for i in range(len(toks) - 1):
+            for j in range(i + 1, min(i + window, len(toks) - 1) + 1):
+                a, b = sorted((toks[i], toks[j]))
+                pair_c[(a, b)] += 1
+    n_tok, n_pairs = sum(uni.values()), sum(pair_c.values())
+    want = []
+    for (a, b), n_ab in pair_c.items():
+        if n_ab < min_count:
+            continue
+        pmi = round(
+            math.log((n_ab * n_tok * n_tok) / (n_pairs * uni[a] * uni[b])), 6
+        )
+        want.append((a, b, n_ab, pmi))
+    want.sort(key=lambda r: (-r[3], r[0], r[1]))
+    want = want[:k]
+
+    got = [
+        (r.token_a, r.token_b, r.pair_count, r.pmi)
+        for r in pmi_pairs(df, window=window, min_count=min_count, k=k).collect()
+    ]
+    assert got == want
+
+
+def test_pmi_pairs_short_and_empty_docs(spark):
+    from graphit_spark.functions.textops import pmi_pairs
+
+    rows = [(1, "solo"), (2, ""), (3, "x y x y x y x y x y")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = pmi_pairs(df, window=3, min_count=2, k=10).collect()
+    # only doc 3 produces pairs; singleton/empty docs contribute
+    # unigrams only and must not crash the pair expression
+    assert got and all(r.token_a <= r.token_b for r in got)
+    assert {(r.token_a, r.token_b) for r in got} <= {("x", "y"), ("x", "x"), ("y", "y")}
