@@ -4405,7 +4405,49 @@ ORDER BY e.src, e.dst
     )
 
 
+def q_cocitation(spark, sf_dir):
+    """Related pages by co-citation: pairs most often cited together
+    (kernels/cocite.py — per-source pair explosion with a hub cap,
+    no self-join)."""
+    from graphit_spark.kernels import cocitation
+
+    return cocitation(graph(spark, sf_dir, "raw"))
+
+
+def cocitation_sql() -> str:
+    """Twin of q_cocitation: identical sorted-adjacency pair expansion
+    (nested list_transform ≡ Spark nested transform), same degree cap
+    and (n_common DESC, page_a, page_b) total order."""
+    from graphit_spark.kernels.cocite import (
+        COCITE_MAX_DEGREE,
+        COCITE_MIN_COUNT,
+        COCITE_TOP_K,
+    )
+
+    return f"""
+WITH {_SQL_COMMON.strip()},
+adj AS (
+  SELECT src, list(dst ORDER BY dst) AS nbrs
+  FROM edges GROUP BY src
+  HAVING count(*) BETWEEN 2 AND {COCITE_MAX_DEGREE}
+),
+pairs AS (
+  SELECT p[1] AS page_a, p[2] AS page_b FROM (
+    SELECT unnest(flatten(list_transform(generate_series(1, len(nbrs) - 1),
+      i -> list_transform(generate_series(i + 1, len(nbrs)),
+                          j -> [nbrs[i], nbrs[j]])))) AS p
+    FROM adj) x
+)
+SELECT page_a, page_b, CAST(count(*) AS BIGINT) AS n_common
+FROM pairs GROUP BY page_a, page_b
+HAVING count(*) >= {COCITE_MIN_COUNT}
+ORDER BY n_common DESC, page_a, page_b
+LIMIT {COCITE_TOP_K}
+"""
+
+
 GRAPH_QUERIES: dict[str, tuple] = {
+    "cocitation": (q_cocitation, cocitation_sql()),
     # name: (spark_callable, oracle_sql_or_None)
     "pagerank": (q_pagerank, pagerank_sql()),
     "out_degrees": (q_out_degrees, out_degrees_sql()),

@@ -39,6 +39,7 @@ from graphit_spark.kernels.hyperball import (
 )
 from graphit_spark.kernels.hits import hits
 from graphit_spark.kernels.landmarks import landmark_distances
+from graphit_spark.kernels.cocite import cocitation
 from graphit_spark.kernels.ego import ego_subgraph
 from graphit_spark.kernels.linkpred import link_prediction
 from graphit_spark.kernels.redirects import resolve_redirects
@@ -117,6 +118,7 @@ __all__ = [
     "triangle_count_per_vertex",
     "worth_relabelling",
     "bfs",
+    "cocitation",
     "ego_subgraph",
     "landmark_distances",
     "sssp",

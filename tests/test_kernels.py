@@ -1902,3 +1902,50 @@ class TestEgoSubgraph:
             ego_subgraph(g, [], hops=2)
         with pytest.raises(ValueError):
             ego_subgraph(g, [0], hops=-1)
+
+
+class TestCocitation:
+    def _oracle(self, edges, cap, min_count, k):
+        from collections import Counter, defaultdict
+
+        out = defaultdict(set)
+        for s, d in edges:
+            if s != d:
+                out[s].add(d)
+        c = Counter()
+        for nbrs in out.values():
+            if 2 <= len(nbrs) <= cap:
+                ns = sorted(nbrs)
+                for i in range(len(ns)):
+                    for j in range(i + 1, len(ns)):
+                        c[(ns[i], ns[j])] += 1
+        rows = [(a, b, n) for (a, b), n in c.items() if n >= min_count]
+        rows.sort(key=lambda r: (-r[2], r[0], r[1]))
+        return rows[:k]
+
+    def test_matches_python_oracle(self, spark):
+        from graphit_spark.kernels import cocitation
+
+        edges = _rand_graph(40, 300, seed=7)
+        g = LinkGraph.from_pairs(spark, edges, persist=False)
+        got = [(r.page_a, r.page_b, r.n_common)
+               for r in cocitation(g, max_degree=8, min_count=2, k=25).collect()]
+        assert got == self._oracle(edges, 8, 2, 25)
+
+    def test_hub_cap_excludes_portal(self, spark):
+        from graphit_spark.kernels import cocitation
+
+        # vertex 0 cites everything (a portal); 1 and 2 each cite {10, 11}
+        edges = [(0, d) for d in range(10, 20)] + [
+            (1, 10), (1, 11), (2, 10), (2, 11)]
+        g = LinkGraph.from_pairs(spark, edges, persist=False)
+        got = [(r.page_a, r.page_b, r.n_common)
+               for r in cocitation(g, max_degree=5, min_count=2, k=10).collect()]
+        assert got == [(10, 11, 2)]  # the portal's pairs are capped out
+
+    def test_bad_args(self, spark):
+        from graphit_spark.kernels import cocitation
+
+        g = LinkGraph.from_pairs(spark, [(0, 1)], persist=False)
+        with pytest.raises(ValueError):
+            cocitation(g, max_degree=1)
