@@ -588,3 +588,17 @@ def test_fresh_checkpoint_stats_stay_flat(spark):
         f"round-10 {joined_bits} bits"
     )
     assert state.count() == 100  # the data path still works
+
+
+def test_pmi_and_cocitation_plan_shape(spark):
+    """corpus_pmi: pair generation is a Column expression (no pair
+    self-join, no CartesianProduct); the only nested-loop join allowed
+    is the 1-row scalar-totals broadcast attach (the dsir_weights
+    pattern). cocitation: pure equi-join/aggregate plan, no
+    cross/nested-loop joins at all."""
+    qs = entrymod.queries()
+    pmi_plan = _plan(qs["corpus_pmi"](spark, SF_DIR))
+    assert "CartesianProduct" not in pmi_plan
+    coc_plan = _plan(qs["cocitation"](spark, SF_DIR))
+    assert "CartesianProduct" not in coc_plan
+    assert "BroadcastNestedLoop" not in coc_plan
