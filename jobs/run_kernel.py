@@ -42,7 +42,8 @@ def main() -> None:
                             "motifs", "walk_cooccurrence",
                             "katz", "trustrank", "resolve_redirects",
                             "simrank", "weighted_lpa",
-                            "landmark_distances"])
+                            "landmark_distances", "ego_subgraph",
+                            "cocitation"])
     p.add_argument("--edges", help="parquet edge table (src,dst[,weight])")
     p.add_argument("--pages", help="parquet pages table (extracted first)")
     p.add_argument("--synth-vertices", type=int, help="synthetic graph size")
@@ -261,6 +262,16 @@ def main() -> None:
         from graphit_spark.kernels import landmark_distances
 
         out = landmark_distances(g, max_iters=args.max_iters)
+    elif args.kernel == "ego_subgraph":
+        from graphit_spark.kernels import ego_subgraph
+
+        out = ego_subgraph(
+            g, [int(s) for s in args.seeds.split(",")], hops=args.rounds
+        )
+    elif args.kernel == "cocitation":
+        from graphit_spark.kernels import cocitation
+
+        out = cocitation(g)
     elif args.kernel == "weighted_lpa":
         from graphit_spark.kernels import weighted_label_propagation
 
