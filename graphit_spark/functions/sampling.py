@@ -202,3 +202,102 @@ def pack_sequences(
     for cached in release:
         cached.unpersist()
     return out
+
+
+# Contrastive triple mining (the DPR/SimCSE-style training-data
+# extraction): anchors and positives come from verified near-dup
+# pairs, negatives from a deterministic hash draw over the corpus.
+CONTRASTIVE_TAU = 0.5
+CONTRASTIVE_CANDS = 5
+
+
+def contrastive_pairs(
+    docs: DataFrame,
+    positives: DataFrame,
+    *,
+    tau: float = CONTRASTIVE_TAU,
+    n_cands: int = CONTRASTIVE_CANDS,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(anchor, positive, negative) training triples for a contrastive
+    embedding model: each confirmed near-dup pair (``positives`` is a
+    (doc_a, doc_b, jaccard) table, kept at jaccard >= tau) becomes one
+    triple whose negative is drawn deterministically — the 60-bit md5
+    of "anchor_positive" indexes the doc universe, advancing through
+    ``n_cands`` consecutive slots until one is neither endpoint nor a
+    near-dup of either endpoint (a triple whose every candidate slot
+    collides is dropped — identically in the SQL twin, so the output
+    stays a pure function of the corpus).
+
+    Scale shape: the doc-universe index rides the distributed
+    `dense_rank_ids` (range shuffle + per-partition offsets, no global
+    Window); candidates are a constant n_cands-fan-out explode of the
+    positives table; validity is two anti-joins against the (tiny)
+    positive-pair set and one equi-join into the ranked universe. Every
+    shuffle keys on pair/universe cardinalities; nothing is quadratic.
+    """
+    pos = (
+        positives.filter(F.col("jaccard") >= tau)
+        .select(F.col("doc_a").alias("anchor"), F.col("doc_b").alias("positive"))
+    )
+    n_docs = docs.select(id_col).count()
+    if n_docs == 0:
+        return pos.select(
+            "anchor", "positive", F.lit(None).cast("long").alias("negative")
+        ).limit(0)
+    release: list = []
+    ranked = dense_rank_ids(
+        docs.select(F.col(id_col).cast("long").alias("doc_id")),
+        [F.col("doc_id")],
+        out_col="idx",
+        release=release,
+    )
+    base = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("anchor").cast("string"),
+                    F.lit("_"),
+                    F.col("positive").cast("string"),
+                ).cast("binary")
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    cand = pos.withColumn(
+        "j", F.explode(F.sequence(F.lit(0), F.lit(n_cands - 1)))
+    ).withColumn("idx", (base + F.col("j")) % F.lit(n_docs))
+    negs = (
+        cand.join(ranked, "idx")
+        .select("anchor", "positive", "j", F.col("doc_id").alias("negative"))
+        .filter(
+            (F.col("negative") != F.col("anchor"))
+            & (F.col("negative") != F.col("positive"))
+        )
+    )
+    for endpoint in ("anchor", "positive"):
+        p = pos.select(
+            F.col("anchor").alias("__pa"), F.col("positive").alias("__pb")
+        )
+        negs = negs.join(
+            p,
+            (F.col("__pa") == F.least(F.col(endpoint), F.col("negative")))
+            & (F.col("__pb") == F.greatest(F.col(endpoint), F.col("negative"))),
+            "left_anti",
+        )
+    pick = negs.groupBy("anchor", "positive").agg(
+        F.min_by("negative", "j").alias("negative")
+    )
+    # terminal triple table (positives-sized): localCheckpoint BEFORE
+    # releasing the ranked universe — the range boundaries came from
+    # sampling, so recomputing after unpersist could re-sample
+    out = pick.orderBy("anchor", "positive").localCheckpoint(eager=True)
+    for df in release:
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    return out

@@ -3773,6 +3773,66 @@ ORDER BY 1, 2
 """
 
 
+def q_contrastive_pairs(spark, sf_dir):
+    """Contrastive training-triple mining: LSH-confirmed near-dup
+    pairs (jaccard >= 0.5) become (anchor, positive) with a
+    deterministic hash-drawn negative — see
+    sampling.contrastive_pairs for the slot-advance collision rule
+    and the no-global-Window universe index."""
+    from graphit_spark.functions.sampling import contrastive_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    cands = D.lsh_candidate_pairs(docs, k=MINHASH_K)
+    return contrastive_pairs(docs, D.jaccard_on_candidates(docs, cands))
+
+
+def _contrastive_sql() -> str:
+    """Twin of q_contrastive_pairs: the jaccard-LSH chain, then the
+    identical 60-bit md5 slot draw over the row_number()-indexed doc
+    universe, the same two near-dup collision exclusions, min-j pick."""
+    from graphit_spark.functions.sampling import (
+        CONTRASTIVE_CANDS,
+        CONTRASTIVE_TAU,
+    )
+
+    return f"""
+WITH {_jaccard_lsh_ctes()},
+pos AS MATERIALIZED (
+  SELECT doc_a AS anchor, doc_b AS positive FROM jac
+  WHERE jaccard >= {CONTRASTIVE_TAU}
+),
+nd AS (SELECT count(*) AS n FROM documents),
+ranked AS MATERIALIZED (
+  SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS idx
+  FROM documents
+),
+cand AS (
+  SELECT anchor, positive, j,
+         (('0x' || substr(md5(CAST(anchor AS VARCHAR) || '_'
+                              || CAST(positive AS VARCHAR)), 1, 15))::BIGINT
+          + j) % (SELECT n FROM nd) AS idx
+  FROM pos, unnest(generate_series(0, {CONTRASTIVE_CANDS - 1})) AS t(j)
+),
+negs AS (
+  SELECT c.anchor, c.positive, c.j, r.doc_id AS negative
+  FROM cand c JOIN ranked r USING (idx)
+  WHERE r.doc_id <> c.anchor AND r.doc_id <> c.positive
+    AND NOT EXISTS (SELECT 1 FROM pos p
+                    WHERE p.anchor = least(c.anchor, r.doc_id)
+                      AND p.positive = greatest(c.anchor, r.doc_id))
+    AND NOT EXISTS (SELECT 1 FROM pos p
+                    WHERE p.anchor = least(c.positive, r.doc_id)
+                      AND p.positive = greatest(c.positive, r.doc_id))
+),
+pick AS (
+  SELECT anchor, positive, min(j) AS j FROM negs GROUP BY anchor, positive
+)
+SELECT n.anchor, n.positive, n.negative
+FROM negs n JOIN pick USING (anchor, positive, j)
+ORDER BY anchor, positive
+"""
+
+
 def q_corpus_pmi(spark, sf_dir):
     """Collocation mining: top word pairs by pointwise mutual
     information within a PMI_WINDOW sliding window, rare pairs cut at
@@ -3821,6 +3881,7 @@ LIMIT {K}
 
 TEXT_QUERIES: dict[str, tuple] = {
     "corpus_pmi": (q_corpus_pmi, _pmi_sql()),
+    "corpus_contrastive_pairs": (q_contrastive_pairs, _contrastive_sql()),
     "doc_token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
     "doc_quality": (q_quality, SQL_QUALITY),
     "doc_lang_id": (q_lang_id, _lang_sql()),

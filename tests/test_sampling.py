@@ -180,3 +180,52 @@ class TestPackSequences:
             assert False, "expected ValueError"
         except ValueError:
             pass
+
+
+class TestContrastivePairs:
+    def _oracle(self, doc_ids, pos_pairs, n_cands):
+        universe = sorted(doc_ids)
+        n = len(universe)
+        pos_set = {tuple(sorted(p)) for p in pos_pairs}
+        out = []
+        for a, b in sorted(pos_pairs):
+            base = int(hashlib.md5(f"{a}_{b}".encode()).hexdigest()[:15], 16)
+            for j in range(n_cands):
+                neg = universe[(base + j) % n]
+                if neg in (a, b):
+                    continue
+                if tuple(sorted((a, neg))) in pos_set:
+                    continue
+                if tuple(sorted((b, neg))) in pos_set:
+                    continue
+                out.append((a, b, neg))
+                break
+        return out
+
+    def test_matches_python_oracle(self, spark):
+        from graphit_spark.functions.sampling import contrastive_pairs
+
+        # non-contiguous ids exercise the ranked universe mapping
+        doc_ids = [2 * i + 1 for i in range(40)]
+        docs = spark.createDataFrame([(d,) for d in doc_ids], "doc_id long")
+        pos_pairs = [(1, 3), (1, 5), (3, 5), (21, 23), (41, 61), (7, 79)]
+        positives = spark.createDataFrame(
+            [(a, b, 0.9) for a, b in pos_pairs],
+            "doc_a long, doc_b long, jaccard double",
+        )
+        got = [
+            (r.anchor, r.positive, r.negative)
+            for r in contrastive_pairs(
+                docs, positives, tau=0.5, n_cands=5
+            ).collect()
+        ]
+        assert got == self._oracle(doc_ids, pos_pairs, 5)
+
+    def test_tau_filters_and_empty(self, spark):
+        from graphit_spark.functions.sampling import contrastive_pairs
+
+        docs = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+        positives = spark.createDataFrame(
+            [(0, 1, 0.2)], "doc_a long, doc_b long, jaccard double"
+        )
+        assert contrastive_pairs(docs, positives, tau=0.5).count() == 0
