@@ -65,7 +65,7 @@ _CHECK_FIRST = [
     "corpus_bpe_merges", "corpus_tokenize_bpe", "corpus_dsir_weights",
     "corpus_train_split",
     "link_prediction", "salsa", "cms_heavy_hitters", "ego_subgraph",
-    "corpus_pmi", "cocitation", "corpus_contrastive_pairs",
+    "corpus_pmi", "cocitation", "corpus_contrastive_pairs", "ppr_batch",
     "corpus_sample_stratified", "walk_cooccurrence", "scc_condensation",
     "motif_counts", "degree_histogram", "rank_churn", "sim_int8_topk",
     "who_to_follow", "sim_pq_topk", "katz_centrality", "doc_boilerplate",

@@ -2806,6 +2806,62 @@ def ppr_sql(iters: int = PR_ITERS, source: int = PPR_SOURCE) -> str:
     )
 
 
+PPR_BATCH_SEEDS = [0, 1, 2, 3]
+
+
+def q_ppr_batch(spark, sf_dir):
+    """K PPR vectors from one shared loop (sparse (seed, id, rank)
+    state, one edge scan per round for all seeds) — see
+    kernels/pagerank.py personalized_pagerank_batch."""
+    from graphit_spark.kernels import personalized_pagerank_batch
+
+    g = graph(spark, sf_dir, "raw")
+    return personalized_pagerank_batch(
+        g, PPR_BATCH_SEEDS, max_iters=PPR_ITERS
+    ).select("seed", "id", F.round("rank", ROUND_PPR).alias("rank"))
+
+
+def ppr_batch_sql(
+    iters: int = PPR_ITERS, seeds: list[int] | None = None
+) -> str:
+    """Twin of q_ppr_batch: the dense (seed × verts) unrolled
+    recurrence with the identical per-row expression; rows the sparse
+    engine never materializes are EXACTLY 0.0 in the dense recurrence
+    (every sparse row's rank is a positive sum), so `rank <> 0`
+    reproduces the sparse row set precisely."""
+    seeds = seeds or PPR_BATCH_SEEDS
+    seed_list = ", ".join(str(int(s)) for s in seeds)
+    ind = "CASE WHEN p.id = p.seed THEN 1e0 ELSE 0e0 END"
+    ctes = [
+        _SQL_COMMON.strip().rstrip(","),
+        f"seeds AS (SELECT unnest([{seed_list}]) AS seed)",
+        "pr0 AS (SELECT s.seed, v.id,"
+        " CASE WHEN v.id = s.seed THEN 1e0 ELSE 0e0 END AS rank"
+        " FROM verts v, seeds s)",
+    ]
+    for k in range(1, iters + 1):
+        p = f"pr{k - 1}"
+        ctes.append(
+            f"""pr{k} AS MATERIALIZED (
+  SELECT p.seed, p.id,
+         (1e0 - 0.85e0) * {ind}
+           + 0.85e0 * coalesce(s.acc, 0e0) AS rank
+  FROM {p} p LEFT JOIN (
+    SELECT r.seed, e.dst AS id, sum(r.rank / d.out_degree) AS acc
+    FROM edges e
+    JOIN {p} r ON e.src = r.id
+    JOIN deg d ON e.src = d.id AND d.out_degree > 0
+    GROUP BY r.seed, e.dst
+  ) s USING (seed, id)
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT seed, id, round(rank, {ROUND_PPR}) AS rank"
+        f" FROM pr{iters} WHERE rank <> 0 ORDER BY seed, id"
+    )
+
+
 def q_ppr(spark, sf_dir):
     from graphit_spark.kernels import personalized_pagerank
 
@@ -4462,6 +4518,7 @@ GRAPH_QUERIES: dict[str, tuple] = {
     "degree_histogram": (q_degree_histogram, degree_histogram_sql()),
     "degree_assortativity": (q_assortativity, assortativity_sql()),
     "ego_subgraph": (q_ego_subgraph, ego_subgraph_sql()),
+    "ppr_batch": (q_ppr_batch, ppr_batch_sql()),
     "hits": (q_hits, hits_sql()),
     "salsa": (q_salsa, salsa_sql()),
     "k_truss": (q_k_truss, truss_sql()),

@@ -2,6 +2,7 @@ from graphit_spark.kernels.pagerank import (
     pagerank,
     pagerank_delta,
     personalized_pagerank,
+    personalized_pagerank_batch,
     trustrank,
     weighted_pagerank,
 )
@@ -107,6 +108,7 @@ __all__ = [
     "pagerank",
     "pagerank_delta",
     "personalized_pagerank",
+    "personalized_pagerank_batch",
     "trustrank",
     "weighted_pagerank",
     "connected_components",

@@ -480,3 +480,84 @@ def pagerank_delta(
     if own_cache_d:
         graph.unpersist()
     return state.select("id", F.col("cur_rank").alias("rank"))
+
+
+def personalized_pagerank_batch(
+    graph: LinkGraph,
+    sources: list[int],
+    *,
+    damp: float = 0.85,
+    max_iters: int = 10,
+) -> DataFrame:
+    """K personalized-PageRank vectors computed as ONE shared loop —
+    the batch analogue of `personalized_pagerank`, the way
+    `landmark_distances` batches K BFS runs: state is the SPARSE
+    (seed, id, rank) table (only nonzero entries — PPR mass stays
+    near the seed, so the state is a neighborhood, not K full
+    vectors), and every round all K recurrences share a single edge
+    scan, one shuffle, one checkpoint. Per-row arithmetic is exactly
+    `personalized_pagerank`'s (beta·[id==seed] + damp·gather, no
+    dangling redistribution), so each (seed, ·) slice equals the
+    single-seed kernel's output on its reached set; unreached rows
+    are exactly-0 in the dense recurrence and absent here.
+
+    Reference provenance: apps/pagerank.gt's gather composed with the
+    multi-source batching idiom (the WTF circle-of-trust pipeline
+    computes PPR per user; batching K seeds through one traversal is
+    how that ships at scale).
+
+    Scale shape: per round one edges⋈state equi-join on src (state is
+    seed-replicated only where mass is nonzero) + one map-side-combined
+    groupBy(seed, dst) + one full-outer join against the K-row seed
+    base. Lineage truncated per round, superseded checkpoints released.
+    """
+    if not sources:
+        raise ValueError("sources must be non-empty")
+    own_cache = graph.ensure_persisted()
+    spark = graph.spark
+    beta = 1.0 - damp
+    seeds_df = (
+        spark.createDataFrame(
+            [(int(s), int(s)) for s in sources], "seed long, id long"
+        ).distinct()
+    )
+    deg_ck = fresh_checkpoint(
+        graph.out_degrees().filter(F.col("out_degree") > 0)
+    )
+    state = seeds_df.withColumn("rank", F.lit(1.0)).transform(fresh_checkpoint)
+    prev_ck = state
+    base = seeds_df.withColumn("base", F.lit(beta))
+    for _ in range(max_iters):
+        contrib = state.join(deg_ck, "id").select(
+            "seed",
+            F.col("id").alias("src"),
+            (F.col("rank") / F.col("out_degree")).alias("contrib"),
+        )
+        gather = (
+            graph.edges.join(contrib, "src")
+            .groupBy("seed", F.col("dst").alias("id"))
+            .agg(F.sum("contrib").alias("gathered"))
+        )
+        new_state = (
+            gather.join(base, ["seed", "id"], "full_outer")
+            .select(
+                "seed",
+                "id",
+                (
+                    F.lit(beta)
+                    * F.when(F.col("base").isNotNull(), F.lit(1.0)).otherwise(
+                        F.lit(0.0)
+                    )
+                    + F.lit(damp)
+                    * F.coalesce(F.col("gathered"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .transform(fresh_checkpoint)
+        )
+        prev_ck.unpersist()
+        prev_ck = new_state
+        state = new_state
+    deg_ck.unpersist()
+    if own_cache:
+        graph.unpersist()
+    return state

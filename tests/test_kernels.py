@@ -1949,3 +1949,38 @@ class TestCocitation:
         g = LinkGraph.from_pairs(spark, [(0, 1)], persist=False)
         with pytest.raises(ValueError):
             cocitation(g, max_degree=1)
+
+
+class TestPprBatch:
+    def test_each_slice_equals_single_seed_kernel(self, spark):
+        from graphit_spark.kernels import (
+            personalized_pagerank,
+            personalized_pagerank_batch,
+        )
+
+        edges = _rand_graph(50, 220, seed=11)
+        g = LinkGraph.from_pairs(spark, edges, persist=False)
+        batch = personalized_pagerank_batch(g, [0, 7], max_iters=4)
+        got = {
+            (r.seed, r.id): r.rank for r in batch.collect()
+        }
+        for s in (0, 7):
+            single = {
+                r.id: r.rank
+                for r in personalized_pagerank(g, s, max_iters=4).collect()
+            }
+            # sparse slice must equal the dense kernel on nonzeros and
+            # be absent exactly where the dense kernel is exactly 0.0
+            for vid, rank in single.items():
+                if rank != 0.0:
+                    assert abs(got[(s, vid)] - rank) < 1e-12, (s, vid)
+                else:
+                    assert (s, vid) not in got
+        assert {k[0] for k in got} == {0, 7}
+
+    def test_empty_sources(self, spark):
+        from graphit_spark.kernels import personalized_pagerank_batch
+
+        g = LinkGraph.from_pairs(spark, [(0, 1)], persist=False)
+        with pytest.raises(ValueError):
+            personalized_pagerank_batch(g, [])
