@@ -62,18 +62,37 @@ def main() -> None:
     times: dict[str, float] = {}
     throughput: dict[str, float] = {}
 
-    def timed(name, fn):
-        t0 = time.time()
-        out = fn()
-        times[name] = round(time.time() - t0, 3)
+    def timed(name, fn, trials=1):
+        """Record fn()'s wall time; with trials>1, best-of-N (the
+        reference harness pattern, graphit_eval/eval/table7/benchmark.py
+        runs 10): this host's capacity swings several-fold minute to
+        minute, so single shots measure the host, not the engine. Only
+        the round-over-round comparison queries pay the extra trials."""
+        trial_times = []
+        out = None
+        for _ in range(max(1, trials)):
+            t0 = time.time()
+            out = fn()
+            trial_times.append(round(time.time() - t0, 3))
+        times[name] = min(trial_times)
+        if len(trial_times) > 1:
+            throughput.setdefault("sf_trials", {})[name] = trial_times
         return out
 
+    # best-of-N for the queries tracked round-over-round (BENCH_r{N}
+    # comparisons); everything newer runs single-shot to bound wall time
+    sf_trials = int(os.environ.get("BENCH_SF_TRIALS", "2"))
+
     # testdata-derived kernel queries (the driver's correctness queries at bench sf)
-    timed("pagerank_sf", lambda: q_pagerank(spark, sf_dir).count())
-    timed("connected_components_sf", lambda: q_cc(spark, sf_dir).count())
-    timed("label_propagation_sf", lambda: q_lpa(spark, sf_dir).count())
+    timed("pagerank_sf", lambda: q_pagerank(spark, sf_dir).count(),
+          trials=sf_trials)
+    timed("connected_components_sf", lambda: q_cc(spark, sf_dir).count(),
+          trials=sf_trials)
+    timed("label_propagation_sf", lambda: q_lpa(spark, sf_dir).count(),
+          trials=sf_trials)
     timed("louvain_sf", lambda: q_louvain(spark, sf_dir).count())
-    timed("triangle_count_sf", lambda: q_triangle_count(spark, sf_dir).collect())
+    timed("triangle_count_sf", lambda: q_triangle_count(spark, sf_dir).collect(),
+          trials=sf_trials)
     # DOULION sparsified estimator (p=1/4): the TC scale path — should
     # beat the exact kernel by roughly the sampled edge/intersect work
     from graphit_spark.benchqueries import q_triangle_count_approx
@@ -83,7 +102,7 @@ def main() -> None:
         lambda: q_triangle_count_approx(spark, sf_dir).collect(),
     )
     throughput["triangle_approx_est"] = int(approx[0]["triangles_est"])
-    timed("bfs_sf", lambda: q_bfs(spark, sf_dir).count())
+    timed("bfs_sf", lambda: q_bfs(spark, sf_dir).count(), trials=sf_trials)
     # round-3 kernels: directed bowtie SCC, HITS, k-truss peel,
     # HyperBall harmonic centrality (the crawl-scale closeness path)
     timed("scc_sf", lambda: q_scc(spark, sf_dir).count())
@@ -109,7 +128,7 @@ def main() -> None:
         edges, _ids = pages_to_edges(pages)
         return edges.count()
 
-    n_links = timed("extract_pages", ingest)
+    n_links = timed("extract_pages", ingest, trials=sf_trials)
     throughput["extract_pages_per_sec"] = round(n_pages / times["extract_pages"], 1)
     throughput["extract_links"] = n_links
 
