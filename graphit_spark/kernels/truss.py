@@ -48,14 +48,22 @@ from graphit_spark.graph import LinkGraph
 from graphit_spark.plans.state import fresh_checkpoint
 
 
-def _full_support(und: DataFrame) -> DataFrame:
+def _full_support(und: DataFrame, deg: DataFrame | None = None) -> DataFrame:
     """(u, v, support) for every undirected edge (u < v) of ``und`` —
     one degree-oriented sorted-adjacency triangle enumeration, each
-    triangle crediting its three edges (map-side combined count)."""
+    triangle crediting its three edges (map-side combined count).
+
+    ``deg`` (a, d) is the orientation key table; when supplied it may be
+    STALE (degrees of a supergraph): orientation only needs a fixed
+    total order on vertices — (d, id) with any consistent d is acyclic,
+    so every triangle is still enumerated exactly once. Passing the
+    initial graph's cached degrees lets the peel loop skip an E-scan +
+    groupBy per dense round."""
     both = und.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
         und.select(F.col("v").alias("a"), F.col("u").alias("b"))
     )
-    deg = both.groupBy("a").agg(F.count("*").alias("d"))
+    if deg is None:
+        deg = both.groupBy("a").agg(F.count("*").alias("d"))
     du = deg.select(F.col("a").alias("u"), F.col("d").alias("du"))
     dv = deg.select(F.col("a").alias("v"), F.col("d").alias("dv"))
     keyed = und.join(du, "u").join(dv, "v")
@@ -99,7 +107,7 @@ DENSE_FRACTION = 8
 
 
 def _decrement_round(
-    scored: DataFrame, peel: DataFrame, k: int
+    scored: DataFrame, peel: DataFrame, k: int, deg: DataFrame
 ) -> DataFrame:
     """One sparse peel round: enumerate only the triangles that die
     with ``peel`` and subtract them from the survivors' supports.
@@ -108,12 +116,19 @@ def _decrement_round(
     (sum(min-degree(peel)) proposals — the same skew-safety argument as
     the degree-oriented DAG in _full_support: a hub's full adjacency is
     only walked when both endpoints are hubs). The peel side is
-    frontier-sized, so AQE plans these joins as broadcasts."""
+    frontier-sized, so AQE plans these joins as broadcasts.
+
+    ``deg`` is the INITIAL graph's cached degree table, not the current
+    residual's: the choice of walked endpoint is a cost heuristic only
+    (candidates come from the current alive adjacency and are confirmed
+    against the current alive closing-edge set either way), so stale
+    degrees change constant factors, never the result — and hoisting the
+    table out of the loop removes an E-scan + groupBy shuffle from
+    every one of the (potentially hundreds of) tail rounds."""
     alive = scored.select("u", "v")  # pre-removal edge set
     both = alive.select(
         F.col("u").alias("a"), F.col("v").alias("b")
     ).unionAll(alive.select(F.col("v").alias("a"), F.col("u").alias("b")))
-    deg = both.groupBy("a").agg(F.count("*").alias("d"))
     # orient each peeled edge (p, q) so deg(p) <= deg(q): proposals walk
     # p's adjacency, membership of (q, w) is a hash-join lookup
     keyed = (
@@ -216,42 +231,60 @@ def k_truss(
 
     spill_seq = [0]  # alternate two slots; never write the slot in use
 
-    def spill(df: DataFrame) -> DataFrame:
+    def spill(df: DataFrame) -> tuple[DataFrame, int, int]:
+        """Write the round's state and return (state, n_alive, n_peel).
+        The counts ride the write job as Observation metrics — one
+        driver action per round instead of a write plus a separate
+        count job (at hundreds of tail rounds, job-scheduling latency
+        is the dominant cost of the sparse phase)."""
+        from pyspark.sql import Observation
+
+        obs = Observation()
         path = f"{work_dir}/state_{spill_seq[0] % 2}"
         spill_seq[0] += 1
-        df.write.mode("overwrite").parquet(path)
-        return spark.read.parquet(path)
+        df.observe(
+            obs,
+            F.count(F.lit(1)).alias("alive"),
+            F.sum(
+                F.when(F.col("support") < k - 2, 1).otherwise(0)
+            ).alias("peel"),
+        ).write.mode("overwrite").parquet(path)
+        got = obs.get
+        return spark.read.parquet(path), int(got["alive"]), int(got["peel"] or 0)
 
     sym = graph.symmetrize()
     und = sym.edges.filter(F.col("src") < F.col("dst")).select(
         F.col("src").alias("u"), F.col("dst").alias("v")
     )
-    scored = spill(_full_support(und))
-    n_alive = scored.count()
+    # orientation key table, computed ONCE on the initial graph and
+    # reused every round (see _decrement_round/_full_support: any fixed
+    # total order is correct; currency only tunes constant factors)
+    both0 = und.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
+        und.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    )
+    deg0 = both0.groupBy("a").agg(F.count("*").alias("d")).persist()
+    scored, n_alive, n_peel = spill(_full_support(und, deg0))
     rounds = 1  # the full scoring pass
-    while True:
-        # peel is a filter over the parquet-backed state — cheap to
-        # re-evaluate, no checkpoint needed
-        peel = scored.filter(F.col("support") < k - 2).select("u", "v")
-        n_peel = peel.count()
-        if n_peel == 0:
-            break
+    while n_peel > 0:
         rounds += 1
         if rounds > max_rounds:
             raise RuntimeError(
                 f"k_truss did not converge within max_rounds={max_rounds}"
             )
+        # peel is a filter over the parquet-backed state — cheap to
+        # re-evaluate, no checkpoint needed
+        peel = scored.filter(F.col("support") < k - 2).select("u", "v")
         if n_peel * DENSE_FRACTION >= n_alive:
             # dense round: recount on the survivor set (one full
             # enumeration of the residual graph — the avalanche regime)
             surv_edges = scored.filter(F.col("support") >= k - 2).select(
                 "u", "v"
             )
-            new_scored = _full_support(surv_edges)
+            new_scored = _full_support(surv_edges, deg0)
         else:
-            new_scored = _decrement_round(scored, peel, k)
-        scored = spill(new_scored)
-        n_alive -= n_peel
+            new_scored = _decrement_round(scored, peel, k, deg0)
+        scored, n_alive, n_peel = spill(new_scored)
+    deg0.unpersist()
     if own_cache:
         graph.unpersist()
     if metrics_out is not None:
