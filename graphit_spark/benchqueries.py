@@ -130,14 +130,44 @@ def bowtie_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return intra.unionByName(cross)
 
 
-def graph(spark: SparkSession, sf_dir: str, variant: str = "raw") -> LinkGraph:
+#: (sf_dir, variant) -> (session, LinkGraph). The reference benchmark
+#: methodology loads a graph ONCE and times kernels against it
+#: (graphit_eval/eval/table7/benchmark.py; GAPBS ditto), and the
+#: driver's correctness gate runs 148 queries over the same handful of
+#: inputs — rebuilding (scan + squish + cache) the identical edge table
+#: per query re-pays the build dozens of times per run. Entries are
+#: keyed to the owning session (a new SparkSession invalidates cached
+#: plans) and re-validated on the persisted flag, so a caller that
+#: unpersists a memoized graph just triggers a rebuild on next use.
+_GRAPH_MEMO: dict[tuple[str, str], tuple[SparkSession, LinkGraph]] = {}
+
+
+def graph(
+    spark: SparkSession,
+    sf_dir: str,
+    variant: str = "raw",
+    fresh: bool = False,
+) -> LinkGraph:
+    """The bench/driver input graph, memoized per (session, dir,
+    variant) and pre-persisted: kernels' ensure_persisted() then
+    reports not-owned, so no kernel releases the shared cache.
+    ``fresh=True`` bypasses the memo and returns an unpersisted build
+    (for plan-shape tests that must see the parquet scan nodes)."""
     builders = {
         "raw": raw_edges,
         "blocked": blocked_edges,
         "weighted": weighted_edges,
         "bowtie": bowtie_edges,
     }
-    return LinkGraph(builders[variant](spark, sf_dir), persist=False)
+    if fresh:
+        return LinkGraph(builders[variant](spark, sf_dir), persist=False)
+    hit = _GRAPH_MEMO.get((sf_dir, variant))
+    if hit is not None and hit[0] is spark and hit[1]._persisted:
+        return hit[1]
+    g = LinkGraph(builders[variant](spark, sf_dir), persist=False)
+    g.ensure_persisted()
+    _GRAPH_MEMO[(sf_dir, variant)] = (spark, g)
+    return g
 
 
 # ---------------------------------------------------------------------------

@@ -180,7 +180,9 @@ def test_graph_build_scan_pushdown(spark):
     PLANS.md scan excerpt, asserted live."""
     from graphit_spark.benchqueries import graph
 
-    plan = _plan(graph(spark, SF_DIR, "raw").edges)
+    # fresh=True: the memoized graph is persisted, which wraps the scan
+    # in InMemoryRelation — this test must see the raw reader nodes
+    plan = _plan(graph(spark, SF_DIR, "raw", fresh=True).edges)
     read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "o_orderkey" in read_schema and "o_custkey" in read_schema
     # nothing beyond the two join columns is read
