@@ -246,9 +246,12 @@ verts AS MATERIALIZED (SELECT c_custkey AS id FROM customer
 """
 
 
-def pagerank_sql(iters: int = PR_ITERS) -> str:
+def _pr_chain(iters: int) -> list[str]:
+    """The PageRank twin's unrolled CTE chain r0..r{iters} (shared by
+    pagerank_sql and the kernel_certificates twin, which needs one
+    extra unrounded iteration)."""
     ctes = [_SQL_COMMON.strip().rstrip(","),
-            f"r0 AS (SELECT id, 1e0 / (SELECT n FROM nv) AS rank FROM verts)"]
+            "r0 AS (SELECT id, 1e0 / (SELECT n FROM nv) AS rank FROM verts)"]
     for k in range(1, iters + 1):
         p = f"r{k - 1}"
         ctes.append(
@@ -265,8 +268,12 @@ def pagerank_sql(iters: int = PR_ITERS) -> str:
   ) s USING (id)
 )"""
         )
+    return ctes
+
+
+def pagerank_sql(iters: int = PR_ITERS) -> str:
     return (
-        "WITH " + ",\n".join(ctes)
+        "WITH " + ",\n".join(_pr_chain(iters))
         + f"\nSELECT id, round(rank, {ROUND_RANK}) AS rank FROM r{iters} ORDER BY id"
     )
 
@@ -392,7 +399,7 @@ def out_degrees_sql() -> str:
     )
 
 
-def cc_sql(rounds: int = CC_ROUNDS) -> str:
+def _cc_chain(rounds: int) -> list[str]:
     ctes = [_SQL_BLOCKED.strip(),
             "l0 AS (SELECT id, id AS comp FROM verts)"]
     for k in range(1, rounds + 1):
@@ -407,8 +414,12 @@ def cc_sql(rounds: int = CC_ROUNDS) -> str:
   ) m USING (id)
 )"""
         )
+    return ctes
+
+
+def cc_sql(rounds: int = CC_ROUNDS) -> str:
     return (
-        "WITH " + ",\n".join(ctes)
+        "WITH " + ",\n".join(_cc_chain(rounds))
         + f"\nSELECT id, comp FROM l{rounds} ORDER BY id"
     )
 
@@ -867,7 +878,7 @@ ORDER BY v.id"""
     )
 
 
-def bfs_sql(rounds: int = BFS_ROUNDS, source: int = 0) -> str:
+def _bfs_chain(rounds: int, source: int) -> list[str]:
     ctes = [_SQL_COMMON.strip(),
             f"d0 AS (SELECT id, CASE WHEN id = {source} THEN CAST(0 AS BIGINT) END AS dist FROM verts)"]
     for k in range(1, rounds + 1):
@@ -883,8 +894,12 @@ def bfs_sql(rounds: int = BFS_ROUNDS, source: int = 0) -> str:
   ) m USING (id)
 )"""
         )
+    return ctes
+
+
+def bfs_sql(rounds: int = BFS_ROUNDS, source: int = 0) -> str:
     return (
-        "WITH " + ",\n".join(ctes)
+        "WITH " + ",\n".join(_bfs_chain(rounds, source))
         + f"\nSELECT id, dist FROM d{rounds} ORDER BY id"
     )
 
@@ -918,7 +933,7 @@ def landmarks_sql(rounds: int = BFS_ROUNDS, k: int = N_LANDMARKS) -> str:
     )
 
 
-def sssp_sql(rounds: int = SSSP_ROUNDS, source: int = 0) -> str:
+def _sssp_chain(rounds: int, source: int) -> list[str]:
     prefix = """
 params AS (SELECT count(*) AS c FROM customer),
 raww AS MATERIALIZED (SELECT o_custkey AS src, o_orderkey % (SELECT c FROM params) AS dst,
@@ -945,8 +960,12 @@ verts AS MATERIALIZED (SELECT c_custkey AS id FROM customer
   ) m USING (id)
 )"""
         )
+    return ctes
+
+
+def sssp_sql(rounds: int = SSSP_ROUNDS, source: int = 0) -> str:
     return (
-        "WITH " + ",\n".join(ctes)
+        "WITH " + ",\n".join(_sssp_chain(rounds, source))
         + f"\nSELECT id, dist FROM d{rounds} ORDER BY id"
     )
 
@@ -4532,6 +4551,145 @@ LIMIT {COCITE_TOP_K}
 """
 
 
+def q_kernel_certificates(spark, sf_dir):
+    """The reference's `--verify` layer as one driver query: run the
+    five core kernels at their standard budgets (identical configs to
+    their standalone queries) and emit every distributed certificate
+    row (kernel, probe, violations) — see graphit_spark/verifiers.py
+    for the certificate semantics (test/verifiers/*.cpp analogues).
+    On a correct engine every count is 0 except PageRank's, which
+    reports how many vertices still move > 1e-6 after the 10-iteration
+    budget (a convergence readout, not a defect)."""
+    from graphit_spark.kernels import (
+        bfs,
+        connected_components,
+        pagerank,
+        sssp,
+        triangle_count,
+    )
+    from graphit_spark.verifiers import (
+        cc_certificate,
+        distance_certificate,
+        pr_certificate,
+        tc_certificate,
+    )
+
+    graw = graph(spark, sf_dir, "raw")
+    gblk = graph(spark, sf_dir, "blocked")
+    gw = graph(spark, sf_dir, "weighted")
+    parts = [
+        ("pagerank", pr_certificate(graw, pagerank(graw, max_iters=PR_ITERS))),
+        ("connected_components",
+         cc_certificate(gblk, connected_components(gblk))),
+        ("bfs",
+         distance_certificate(
+             graw, bfs(graw, 0, max_iters=BFS_ROUNDS), 0, budget=BFS_ROUNDS
+         )),
+        ("sssp",
+         distance_certificate(gw, sssp(gw, 0, max_iters=SSSP_ROUNDS), 0)),
+        ("triangle_count", tc_certificate(graw, triangle_count(graw))),
+    ]
+    out = None
+    for kern, df in parts:
+        row = df.select(F.lit(kern).alias("kernel"), "probe", "violations")
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("kernel", "probe")
+
+
+def kernel_certificates_sql() -> str:
+    """Twin of q_kernel_certificates: recompute each kernel with its
+    existing unrolled-CTE chain inside a scoped derived table, then
+    apply the identical certificate predicates in SQL. The only float
+    comparison (PR's |r11-r10| > 1e-6) has a ~1e-6 margin against
+    ~1e-14 cross-engine sum-order noise — the pagerank_delta twin's
+    stability argument."""
+    pr = "WITH " + ",\n".join(_pr_chain(PR_ITERS + 1)) + f"""
+SELECT 'unconverged_after_budget' AS probe,
+       (SELECT count(*) FROM r{PR_ITERS} a JOIN r{PR_ITERS + 1} b USING (id)
+        WHERE abs(b.rank - a.rank) > 1e-6) AS violations"""
+    cc = "WITH " + ",\n".join(_cc_chain(CC_ROUNDS)) + f"""
+SELECT 'edge_label_mismatch' AS probe,
+       (SELECT count(*) FROM sym e
+        JOIN l{CC_ROUNDS} a ON e.src = a.id
+        JOIN l{CC_ROUNDS} b ON e.dst = b.id
+        WHERE a.comp <> b.comp) AS violations
+UNION ALL
+SELECT 'non_canonical_label',
+       (SELECT count(*) FROM
+          (SELECT comp, min(id) AS m FROM l{CC_ROUNDS} GROUP BY comp) t
+        WHERE t.m <> t.comp)"""
+    fin = f"d{BFS_ROUNDS}"
+    bfs_block = "WITH " + ",\n".join(_bfs_chain(BFS_ROUNDS, 0)) + f"""
+SELECT 'source_dist_nonzero' AS probe,
+       (SELECT count(*) FROM {fin}
+        WHERE id = 0 AND (dist IS NULL OR dist <> 0)) AS violations
+UNION ALL
+SELECT 'relaxable_edge',
+       (SELECT count(*) FROM edges e
+        JOIN {fin} a ON e.src = a.id JOIN {fin} b ON e.dst = b.id
+        WHERE a.dist IS NOT NULL AND b.dist IS NOT NULL
+          AND b.dist > a.dist + 1)
+UNION ALL
+SELECT 'unreached_expansion',
+       (SELECT count(*) FROM edges e
+        JOIN {fin} a ON e.src = a.id JOIN {fin} b ON e.dst = b.id
+        WHERE a.dist IS NOT NULL AND b.dist IS NULL
+          AND a.dist < {BFS_ROUNDS})
+UNION ALL
+SELECT 'missing_witness',
+       (SELECT count(*) FROM {fin} v
+        WHERE v.dist IS NOT NULL AND v.id <> 0 AND NOT EXISTS (
+          SELECT 1 FROM edges e JOIN {fin} u ON e.src = u.id
+          WHERE e.dst = v.id AND u.dist IS NOT NULL
+            AND u.dist + 1 = v.dist))"""
+    sfin = f"d{SSSP_ROUNDS}"
+    sssp_block = "WITH " + ",\n".join(_sssp_chain(SSSP_ROUNDS, 0)) + f"""
+SELECT 'source_dist_nonzero' AS probe,
+       (SELECT count(*) FROM {sfin}
+        WHERE id = 0 AND (dist IS NULL OR dist <> 0)) AS violations
+UNION ALL
+SELECT 'relaxable_edge',
+       (SELECT count(*) FROM wedges e
+        JOIN {sfin} a ON e.src = a.id JOIN {sfin} b ON e.dst = b.id
+        WHERE a.dist IS NOT NULL AND b.dist IS NOT NULL
+          AND b.dist > a.dist + e.w)
+UNION ALL
+SELECT 'unreached_expansion',
+       (SELECT count(*) FROM wedges e
+        JOIN {sfin} a ON e.src = a.id JOIN {sfin} b ON e.dst = b.id
+        WHERE a.dist IS NOT NULL AND b.dist IS NULL)
+UNION ALL
+SELECT 'missing_witness',
+       (SELECT count(*) FROM {sfin} v
+        WHERE v.dist IS NOT NULL AND v.id <> 0 AND NOT EXISTS (
+          SELECT 1 FROM wedges e JOIN {sfin} u ON e.src = u.id
+          WHERE e.dst = v.id AND u.dist IS NOT NULL
+            AND u.dist + e.w = v.dist))"""
+    tc = "WITH " + _SQL_COMMON.strip() + """,
+und AS (SELECT src, dst FROM sym WHERE src < dst)
+SELECT 'recount_mismatch' AS probe,
+       abs(CAST((SELECT count(*) FROM sym a
+                 JOIN sym b ON a.dst = b.src
+                 JOIN sym c ON a.src = c.src AND b.dst = c.dst) / 6
+                AS BIGINT)
+           - (SELECT count(*) FROM und a
+              JOIN und b ON a.dst = b.src
+              JOIN und c ON a.src = c.src AND b.dst = c.dst)) AS violations"""
+    blocks = [
+        ("pagerank", pr),
+        ("connected_components", cc),
+        ("bfs", bfs_block),
+        ("sssp", sssp_block),
+        ("triangle_count", tc),
+    ]
+    selects = [
+        f"SELECT '{kern}' AS kernel, probe,"
+        f" CAST(violations AS BIGINT) AS violations FROM (\n{body}\n) t_{i}"
+        for i, (kern, body) in enumerate(blocks)
+    ]
+    return "\nUNION ALL\n".join(selects) + "\nORDER BY kernel, probe"
+
+
 GRAPH_QUERIES: dict[str, tuple] = {
     "cocitation": (q_cocitation, cocitation_sql()),
     # name: (spark_callable, oracle_sql_or_None)
@@ -4611,4 +4769,5 @@ GRAPH_QUERIES: dict[str, tuple] = {
     "personalized_pagerank": (q_ppr, ppr_sql()),
     "who_to_follow": (q_who_to_follow, who_to_follow_sql()),
     "local_cluster": (q_local_cluster, local_cluster_sql()),
+    "kernel_certificates": (q_kernel_certificates, kernel_certificates_sql()),
 }
