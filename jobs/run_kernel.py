@@ -71,6 +71,12 @@ def main() -> None:
                    help="link_prediction hub wedge-center cap")
     p.add_argument("--min-cn", type=int, default=1,
                    help="link_prediction common-neighbor floor")
+    p.add_argument("--verify", action="store_true",
+                   help="run the kernel's distributed output certificate "
+                        "after the write (graphit_spark/verifiers.py — the "
+                        "reference's --verify convention, test/verifiers/"
+                        "*.cpp); exits 1 on violations. Supported: pagerank "
+                        "cc bfs sssp triangle_count")
     args = p.parse_args()
 
     from graphit_spark import LinkGraph, SnapshotStore
@@ -292,14 +298,68 @@ def main() -> None:
 
     out.write.mode("overwrite").parquet(args.output)
     rows = spark.read.parquet(args.output).count()
-    print(json.dumps({
+    report = {
         "kernel": args.kernel,
         "vertices": g.num_vertices,
         "edges": g.num_edges,
         "output_rows": rows,
         "elapsed_sec": round(time.time() - t0, 2),
-    }))
+    }
+    failed = False
+    if args.verify:
+        # certify the WRITTEN table (what a downstream consumer reads),
+        # not the in-memory result — the post-resume / post-incident
+        # check this flag exists for
+        written = spark.read.parquet(args.output)
+        certs = {
+            # certify at the tolerance the run was asked to reach
+            "pagerank": lambda: _pr_cert(g, written, args.tol or 1e-6),
+            "cc": lambda: _cc_cert(g, written),
+            "bfs": lambda: _dist_cert(g, written, args.source,
+                                      args.max_iters),
+            "sssp": lambda: _dist_cert(g, written, args.source, None),
+            "triangle_count": lambda: _tc_cert(g, written),
+        }
+        if args.kernel not in certs:
+            p.error(f"--verify not supported for kernel {args.kernel}")
+        probes = {r["probe"]: r["violations"]
+                  for r in certs[args.kernel]().collect()}
+        report["verify"] = probes
+        # pagerank's probe is a convergence readout, not a defect count
+        # — it gates only when the caller asked for a tolerance
+        gating = dict(probes)
+        if args.kernel == "pagerank" and args.tol is None:
+            gating.pop("unconverged_after_budget", None)
+        failed = any(v != 0 for v in gating.values())
+        report["verify_ok"] = not failed
+    print(json.dumps(report))
     spark.stop()
+    if failed:
+        sys.exit(1)
+
+
+def _pr_cert(g, written, eps):
+    from graphit_spark.verifiers import pr_certificate
+
+    return pr_certificate(g, written, eps=eps)
+
+
+def _cc_cert(g, written):
+    from graphit_spark.verifiers import cc_certificate
+
+    return cc_certificate(g, written)
+
+
+def _dist_cert(g, written, source, budget):
+    from graphit_spark.verifiers import distance_certificate
+
+    return distance_certificate(g, written, source, budget=budget)
+
+
+def _tc_cert(g, written):
+    from graphit_spark.verifiers import tc_certificate
+
+    return tc_certificate(g, written)
 
 
 if __name__ == "__main__":
