@@ -43,6 +43,7 @@ def _incremental_stream(
     kernel_name: str,
     run_kernel,
     max_files_per_trigger: int,
+    certify=None,
 ):
     from graphit_spark.graph import LinkGraph
 
@@ -58,6 +59,17 @@ def _incremental_stream(
         init = store.read(spark, prev) if prev is not None else None
         metrics: dict = {}
         out = run_kernel(g, init, metrics)
+        if certify is not None:
+            # distributed output certificate (verifiers.py) per batch:
+            # the warm-start contract ("fixpoint identical to a cold
+            # run on the grown graph") is asserted on every snapshot,
+            # not trusted — the probe counts land in the manifest next
+            # to the lineage. Cost: ~one extra superstep over the
+            # kernel's checkpointed result.
+            metrics["certificate"] = {
+                r["probe"]: int(r["violations"])
+                for r in certify(g, out).collect()
+            }
         store.write(
             out,
             (prev if prev is not None else -1) + 1,
@@ -89,12 +101,15 @@ def incremental_pagerank_stream(
     tol: float = 1e-6,
     max_iters: int = 100,
     max_files_per_trigger: int = 4,
+    verify: bool = False,
 ):
     """Start (and return, with its SnapshotStore) a streaming query that
     maintains converged PageRank over an edge table growing under
     `edges_dir`. Drive synchronously in tests with
     q.processAllAvailable(); read the current ranks with
-    store.read(spark, store.latest())."""
+    store.read(spark, store.latest()). With ``verify`` every batch's
+    manifest carries the pr_certificate probe counts for its snapshot
+    (0 = the written ranks are a tol-fixpoint of the grown graph)."""
     from graphit_spark.kernels import pagerank
 
     def run(g, init, metrics):
@@ -104,9 +119,16 @@ def incremental_pagerank_stream(
             init_ranks=init_ranks, metrics_out=metrics,
         )
 
+    certify = None
+    if verify:
+        from graphit_spark.verifiers import pr_certificate
+
+        def certify(g, out):
+            return pr_certificate(g, out, damp=damp, eps=tol)
+
     return _incremental_stream(
         spark, edges_dir, work_dir, "incremental_pagerank", run,
-        max_files_per_trigger,
+        max_files_per_trigger, certify,
     )
 
 
@@ -116,10 +138,15 @@ def incremental_cc_stream(
     work_dir: str,
     *,
     max_files_per_trigger: int = 4,
+    verify: bool = False,
 ):
     """Streaming connected components with warm labels: additions only
     merge components, so the previous labels are a valid start state
-    and each batch converges in O(merged-chain) rounds."""
+    and each batch converges in O(merged-chain) rounds. With ``verify``
+    every batch's manifest carries the cc_certificate probe counts
+    (this is exactly the case the certificate exists for: a warm start
+    from stale labels that failed to merge would show up as
+    edge_label_mismatch > 0 in that batch's manifest)."""
     from graphit_spark.kernels import connected_components
 
     def run(g, init, metrics):
@@ -128,7 +155,14 @@ def incremental_cc_stream(
             g, init_labels=init_labels, metrics_out=metrics
         )
 
+    certify = None
+    if verify:
+        from graphit_spark.verifiers import cc_certificate
+
+        def certify(g, out):
+            return cc_certificate(g, out)
+
     return _incremental_stream(
         spark, edges_dir, work_dir, "incremental_cc", run,
-        max_files_per_trigger,
+        max_files_per_trigger, certify,
     )

@@ -411,6 +411,47 @@ class TestIncrementalKernels:
         }
         assert got == cold
 
+    def test_incremental_verify_manifests_certificates(self, spark, tmp_path):
+        """verify=True: every batch's manifest carries its snapshot's
+        distributed certificate (verifiers.py) with 0 violations —
+        the warm-start contract asserted per batch, not trusted."""
+        from graphit_spark.streaming import (
+            incremental_cc_stream,
+            incremental_pagerank_stream,
+        )
+
+        edges_dir = str(tmp_path / "edges_in")
+        b1 = [(0, 1), (1, 2), (3, 4)]
+        b2 = [(2, 3), (5, 6), (6, 0)]
+
+        self._write_edges(spark, b1, edges_dir, "overwrite")
+        q, store = incremental_cc_stream(
+            spark, edges_dir, str(tmp_path / "work_cc"), verify=True
+        )
+        try:
+            q.processAllAvailable()
+            self._write_edges(spark, b2, edges_dir, "append")
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        for it in (0, 1):
+            cert = store.manifest(it)["metrics"]["certificate"]
+            assert cert == {
+                "edge_label_mismatch": 0,
+                "non_canonical_label": 0,
+            }
+
+        qp, pstore = incremental_pagerank_stream(
+            spark, edges_dir, str(tmp_path / "work_pr"),
+            tol=1e-9, verify=True,
+        )
+        try:
+            qp.processAllAvailable()
+        finally:
+            qp.stop()
+        cert = pstore.manifest(pstore.latest())["metrics"]["certificate"]
+        assert cert == {"unconverged_after_budget": 0}
+
 
 class TestStreamingDedup:
     """applyInPandasWithState first-seen exact dedup (streaming/dedup.py)."""
