@@ -115,6 +115,19 @@ def main() -> None:
     timed("k_truss_sf", lambda: q_k_truss(spark, sf_dir).count())
     timed("hyperball_sf", lambda: q_hyperball_harmonic(spark, sf_dir).count())
 
+    # output-verification overhead: the distributed PR certificate
+    # (verifiers.py, run_kernel --verify) over the sf pagerank output —
+    # the evidence for "verify-after-resume costs ~one superstep"
+    from graphit_spark.benchqueries import graph as bench_graph
+    from graphit_spark.verifiers import pr_certificate
+
+    graw = bench_graph(spark, sf_dir, "raw")
+    ranks_sf = pagerank(graw, max_iters=10)
+    timed(
+        "pagerank_verify_sf",
+        lambda: pr_certificate(graw, ranks_sf).collect(),
+    )
+
     # ingest throughput: Arrow extraction + url-dict + edge build, read
     # from a materialized pages table (generation is test-fixture work,
     # not engine work — kept out of the timed span)
