@@ -240,7 +240,12 @@ class LinkGraph:
             self.edges.select(*cols),
             squished=True,
             num_partitions=self.num_partitions,
-            persist=self._persisted,
+            # derived graphs start UNPERSISTED regardless of the base's
+            # state: kernels own their input caches (ensure_persisted /
+            # own_cache release), and inheriting persist from a shared
+            # long-lived base (e.g. benchqueries' memoized graph) would
+            # persist a new DF per derivation that nobody ever releases.
+            persist=False,
             num_vertices=self.num_vertices,
         )
 
@@ -256,7 +261,7 @@ class LinkGraph:
         # trailing isolated vertices) would otherwise vanish here.
         return LinkGraph(
             both, squished=False, num_partitions=self.num_partitions,
-            persist=self._persisted, num_vertices=self.num_vertices,
+            persist=False, num_vertices=self.num_vertices,
         )
 
     def contract(self, mapping: DataFrame) -> DataFrame:
@@ -360,7 +365,7 @@ class LinkGraph:
         # preserved exactly — forward it.
         return LinkGraph(
             e, squished=True, num_partitions=self.num_partitions,
-            persist=self._persisted, num_vertices=self.num_vertices,
+            persist=False, num_vertices=self.num_vertices,
         )
 
     def save_bucketed(
