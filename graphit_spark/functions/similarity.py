@@ -156,6 +156,62 @@ def embedding_dup_pairs_lsh(
     )
 
 
+def semantic_dedup_keep(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    train_iters: int = 2,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): partition the
+    embedding space with deterministic spherical k-means, then look for
+    cosine near-duplicates ONLY within each cluster — a row is dropped
+    when a lower-id same-cluster row has rounded cosine ≥ threshold.
+    Returns the KEPT rows as (vec_id, cell, csim), csim = similarity to
+    the assigned centroid.
+
+    Scale shape: centroid training/assignment is the audited broadcast
+    corpus × n_cells scan (ivf_train_centroids/ivf_assign); the
+    near-dup search is an equi-join keyed on the cluster id, so the
+    pair fan-out is Σ|cell|² — n_cells grows with the corpus (the
+    paper's design point), never the all-pairs cross join. Drop rule is
+    min-id-wins, identical to the engine's other dedup canonicals, so
+    the output is deterministic and SQL-twin-comparable.
+    """
+    cents = ivf_train_centroids(
+        embeddings, n_cells=n_cells, iters=train_iters,
+        id_col=id_col, vec_col=vec_col,
+    )
+    asg = ivf_assign(
+        embeddings, n_cells, id_col=id_col, vec_col=vec_col,
+        centroids=cents,
+    )
+    withv = asg.select(id_col, "cell", "cscore").join(
+        embeddings.select(id_col, F.col(vec_col).alias("v")), id_col
+    )
+    left = withv.select(
+        "cell", F.col(id_col).alias("a"), F.col("v").alias("av")
+    )
+    right = withv.select(
+        "cell", F.col(id_col).alias("b"), F.col("v").alias("bv")
+    )
+    dup_b = (
+        left.join(right, "cell")
+        .filter(F.col("a") < F.col("b"))
+        .filter(
+            F.round(cosine(F.col("av"), F.col("bv")), ROUND_SCORE)
+            >= threshold
+        )
+        .select(F.col("b").alias(id_col))
+        .distinct()
+    )
+    return (
+        asg.join(dup_b, id_col, "left_anti")
+        .select(id_col, "cell", F.col("cscore").alias("csim"))
+    )
+
+
 ROUND_CENTROID = 9  # absorbs cross-engine sum-order noise in the means
 
 

@@ -2612,14 +2612,16 @@ def q_doc_clusters_kmeans(spark, sf_dir):
     )
 
 
-def _doc_clusters_sql(
+def _kmeans_assign_ctes(
     iters: int = IVF_TRAIN_ITERS,
     dim: int = EMB_DIM,
     n_cells: int = IVF_CELLS,
-) -> str:
-    """Twin of q_doc_clusters_kmeans: the _ivf_kmeans_sql training CTEs
-    (identical Lloyd rounds, identical 9-decimal mean rounding) with the
-    final assignment emitted instead of the ANN probe."""
+) -> list[str]:
+    """Shared Lloyd-training + assignment CTE chain (v, c0..c{iters},
+    ascore, asg) — identical rounds and 9-decimal mean rounding as
+    ivf_train_centroids/ivf_assign, so every consumer (doc clustering,
+    semantic dedup) trains the same centroids bit for bit. ``asg`` is
+    the final (vec_id, cell, cscore) nearest-centroid assignment."""
     ctes = [
         "v AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS ev"
         " FROM embeddings)",
@@ -2648,21 +2650,81 @@ def _doc_clusters_sql(
   ) s USING (cell)
 )"""
         )
-    return (
-        "WITH " + ",\n".join(ctes)
-        + f""",
-ascore AS MATERIALIZED (
+    ctes.append(
+        f"""ascore AS MATERIALIZED (
   SELECT v.vec_id, c.cell,
          {_SQL_COS.format(a='v.ev', b='c.centv')} AS cscore
   FROM v CROSS JOIN c{iters} c
-)
-SELECT vec_id, cell, cscore AS csim FROM (
-  SELECT vec_id, cell, cscore,
-         row_number() OVER (PARTITION BY vec_id
-                            ORDER BY cscore DESC, cell ASC) AS rn
-  FROM ascore
-) WHERE rn = 1
+)"""
+    )
+    ctes.append(
+        """asg AS MATERIALIZED (
+  SELECT vec_id, cell, cscore FROM (
+    SELECT vec_id, cell, cscore,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cscore DESC, cell ASC) AS rn
+    FROM ascore
+  ) WHERE rn = 1
+)"""
+    )
+    return ctes
+
+
+def _doc_clusters_sql(
+    iters: int = IVF_TRAIN_ITERS,
+    dim: int = EMB_DIM,
+    n_cells: int = IVF_CELLS,
+) -> str:
+    """Twin of q_doc_clusters_kmeans: the _ivf_kmeans_sql training CTEs
+    (identical Lloyd rounds, identical 9-decimal mean rounding) with the
+    final assignment emitted instead of the ANN probe."""
+    return (
+        "WITH " + ",\n".join(_kmeans_assign_ctes(iters, dim, n_cells))
+        + """
+SELECT vec_id, cell, cscore AS csim FROM asg
 ORDER BY vec_id"""
+    )
+
+
+def q_dedup_semantic(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): k-means-cluster the embedding
+    space, then drop any row whose cluster holds a lower-id row with
+    rounded cosine ≥ DUP_THRESHOLD — near-dup search confined to
+    clusters, so the pair join is keyed on the cluster id (Σ|cell|²
+    fan-out, the paper's design point) instead of the all-pairs cross
+    join of dedup_embedding. Emits the kept (vec_id, cell, csim)."""
+    emb = load(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    assert dim == EMB_DIM, f"oracle twin assumes dim={EMB_DIM}, got {dim}"
+    return S.semantic_dedup_keep(
+        emb, n_cells=IVF_CELLS, train_iters=IVF_TRAIN_ITERS,
+        threshold=DUP_THRESHOLD,
+    )
+
+
+def _dedup_semantic_sql(
+    iters: int = IVF_TRAIN_ITERS,
+    dim: int = EMB_DIM,
+    n_cells: int = IVF_CELLS,
+) -> str:
+    """Twin of q_dedup_semantic: shared k-means assignment CTEs, then
+    the in-cluster lower-id near-dup rule as a NOT-EXISTS anti-join."""
+    return (
+        "WITH " + ",\n".join(_kmeans_assign_ctes(iters, dim, n_cells))
+        + f""",
+av AS MATERIALIZED (
+  SELECT a.vec_id, a.cell, v.ev
+  FROM asg a JOIN v USING (vec_id)
+),
+dupb AS (
+  SELECT DISTINCT y.vec_id
+  FROM av x JOIN av y ON x.cell = y.cell AND x.vec_id < y.vec_id
+  WHERE {_SQL_COS.format(a='x.ev', b='y.ev')} >= {DUP_THRESHOLD}
+)
+SELECT a.vec_id, a.cell, a.cscore AS csim
+FROM asg a LEFT JOIN dupb d ON d.vec_id = a.vec_id
+WHERE d.vec_id IS NULL
+ORDER BY a.vec_id"""
     )
 
 
@@ -3951,6 +4013,7 @@ TEXT_QUERIES: dict[str, tuple] = {
     "sim_ivf_topk": (q_ivf_topk, SQL_IVF_TOPK),
     "sim_ivf_kmeans_topk": (q_ivf_kmeans_topk, _ivf_kmeans_sql()),
     "doc_clusters_kmeans": (q_doc_clusters_kmeans, _doc_clusters_sql()),
+    "dedup_semantic": (q_dedup_semantic, _dedup_semantic_sql()),
     "dedup_embedding_lsh": (q_embedding_dups_lsh, SQL_EMBEDDING_DUPS_LSH),
     "hll_registers": (q_hll_registers, _hll_registers_sql()),
     "hll_distinct": (q_hll_distinct, _hll_distinct_sql()),

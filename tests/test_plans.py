@@ -32,6 +32,8 @@ ALL_PAIRS_BASELINES = {
     "sim_ivf_kmeans_topk",  # same broadcast corpus x n_cells scan
     "sim_pq_topk",  # codebook training/ADC over the same baseline scan
     "doc_clusters_kmeans",  # same broadcast corpus x n_cells scan
+    "dedup_semantic",  # same broadcast training scan; pair join is
+    # an equi-join on the cluster id (asserted below)
     "sim_recall_multiprobe",  # embeds the brute-force exact side by design
     "sim_ivfpq_topk",  # same broadcast corpus x codebook/centroid scans
     "sim_mmr_topk",  # re-ranks the brute-force exact baseline by design
