@@ -72,7 +72,7 @@ _CHECK_FIRST = [
     "who_to_follow", "sim_pq_topk", "katz_centrality", "doc_boilerplate",
     "resolve_redirects", "doc_bm25_search", "dedup_containment_lsh",
     "host_trustrank", "host_spam_mass", "doc_clusters_kmeans",
-    "dedup_semantic",
+    "dedup_semantic", "graph_diff",
     "events_spikes", "rich_club", "corpus_source_stats",
     "community_conductance", "sim_recall_multiprobe", "host_locality",
     "sim_ivfpq_topk", "host_communities", "corpus_pack_sequences",

@@ -4690,7 +4690,72 @@ SELECT 'recount_mismatch' AS probe,
     return "\nUNION ALL\n".join(selects) + "\nORDER BY kernel, probe"
 
 
+def q_graph_diff(spark, sf_dir):
+    """Crawl-over-crawl structural diff: two deterministic crawl
+    snapshots of the raw link graph (old = orders surviving
+    o_orderkey % 10 <> 0, new = surviving % 7 <> 0 — overlapping sets
+    with both additions and removals), edge-set full-outer diff
+    (graph.edge_diff), then per-vertex churn (graph.vertex_churn):
+    (id, out_added, out_removed, in_added, in_removed) for every vertex
+    a changed edge touches — the recrawl-scheduler signal rank_churn
+    complements with rank movement. An edge survives a snapshot when
+    ANY surviving order produces it (set semantics, both engines)."""
+    from graphit_spark.graph import edge_diff, vertex_churn
+
+    c = _num_customers(spark, sf_dir)
+    orders = load(spark, sf_dir, "orders")
+
+    def crawl(mod):
+        return orders.filter(F.col("o_orderkey") % mod != 0).select(
+            F.col("o_custkey").alias("src"),
+            (F.col("o_orderkey") % F.lit(c)).alias("dst"),
+        )
+
+    return vertex_churn(edge_diff(crawl(10), crawl(7)))
+
+
+def graph_diff_sql() -> str:
+    return """WITH params AS (SELECT count(*) AS c FROM customer),
+a AS (SELECT DISTINCT o_custkey AS src,
+             o_orderkey % (SELECT c FROM params) AS dst
+      FROM orders WHERE o_orderkey % 10 <> 0),
+b AS (SELECT DISTINCT o_custkey AS src,
+             o_orderkey % (SELECT c FROM params) AS dst
+      FROM orders WHERE o_orderkey % 7 <> 0),
+ch AS (
+  SELECT src, dst, 'added' AS status
+  FROM (SELECT * FROM b EXCEPT SELECT * FROM a)
+  UNION ALL
+  SELECT src, dst, 'removed' AS status
+  FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+),
+outs AS (
+  SELECT src AS id,
+         sum(CASE WHEN status = 'added' THEN 1 ELSE 0 END)::BIGINT
+           AS out_added,
+         sum(CASE WHEN status = 'removed' THEN 1 ELSE 0 END)::BIGINT
+           AS out_removed
+  FROM ch GROUP BY src
+),
+ins AS (
+  SELECT dst AS id,
+         sum(CASE WHEN status = 'added' THEN 1 ELSE 0 END)::BIGINT
+           AS in_added,
+         sum(CASE WHEN status = 'removed' THEN 1 ELSE 0 END)::BIGINT
+           AS in_removed
+  FROM ch GROUP BY dst
+)
+SELECT coalesce(o.id, i.id) AS id,
+       coalesce(out_added, 0)::BIGINT AS out_added,
+       coalesce(out_removed, 0)::BIGINT AS out_removed,
+       coalesce(in_added, 0)::BIGINT AS in_added,
+       coalesce(in_removed, 0)::BIGINT AS in_removed
+FROM outs o FULL JOIN ins i ON o.id = i.id
+ORDER BY id"""
+
+
 GRAPH_QUERIES: dict[str, tuple] = {
+    "graph_diff": (q_graph_diff, graph_diff_sql()),
     "cocitation": (q_cocitation, cocitation_sql()),
     # name: (spark_callable, oracle_sql_or_None)
     "pagerank": (q_pagerank, pagerank_sql()),

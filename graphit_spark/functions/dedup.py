@@ -155,6 +155,29 @@ def minhash_signatures(
     return sh.groupBy("doc_id").agg(*aggs)
 
 
+def band_table(
+    df: DataFrame, text_col: str = "text", k: int = 4, rows_per_band: int = 2
+) -> DataFrame:
+    """(doc_id, band, bkey) LSH band keys: band = index, bkey = md5 of
+    rows_per_band concatenated minhashes. One explode over the
+    signatures — the shingle blow-up and the minhash aggregation run
+    exactly once regardless of how many consumers read the result.
+    Shared by the batch candidate-pair join (below) and the streaming
+    incremental dedup (streaming/incremental.py), so both sides of the
+    stream-equals-batch contract hash identically."""
+    sig = minhash_signatures(df, text_col, k)
+    n_bands = k // rows_per_band
+    band_structs = []
+    for b in range(n_bands):
+        cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        key = F.md5(F.concat_ws("_", *[c.cast("string") for c in cols]).cast("binary"))
+        band_structs.append(F.struct(F.lit(b).alias("band"), key.alias("bkey")))
+    return (
+        sig.select("doc_id", F.explode(F.array(*band_structs)).alias("bb"))
+        .select("doc_id", "bb.band", "bb.bkey")
+    )
+
+
 def lsh_candidate_pairs(
     df: DataFrame, text_col: str = "text", k: int = 4, rows_per_band: int = 2
 ) -> DataFrame:
@@ -166,17 +189,8 @@ def lsh_candidate_pairs(
     # the shingle explosion + minhash aggregation run exactly once, not
     # once per band per side. localCheckpoint (not persist): blocks are
     # GC-freed with the result, so one-shot calls don't leak cache.
-    sig = minhash_signatures(df, text_col, k)
-    n_bands = k // rows_per_band
-    band_structs = []
-    for b in range(n_bands):
-        cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
-        key = F.md5(F.concat_ws("_", *[c.cast("string") for c in cols]).cast("binary"))
-        band_structs.append(F.struct(F.lit(b).alias("band"), key.alias("bkey")))
-    allb = (
-        sig.select("doc_id", F.explode(F.array(*band_structs)).alias("bb"))
-        .select("doc_id", "bb.band", "bb.bkey")
-        .localCheckpoint(eager=True)
+    allb = band_table(df, text_col, k, rows_per_band).localCheckpoint(
+        eager=True
     )
     left = allb.select("band", "bkey", F.col("doc_id").alias("doc_a"))
     right = allb.select("band", "bkey", F.col("doc_id").alias("doc_b"))

@@ -420,3 +420,56 @@ class LinkGraph:
         # let a later ensure_persisted() re-cache (the DataFrames stay
         # valid — only their cached blocks are dropped)
         self._persisted = False
+
+
+def edge_diff(old_edges: DataFrame, new_edges: DataFrame) -> DataFrame:
+    """Crawl-over-crawl edge diff: (src, dst, status) where status is
+    'added' (new only), 'removed' (old only) or 'kept' (both). Inputs
+    are plain (src, dst[, ...]) edge DataFrames — two snapshots of the
+    link graph; duplicate edges within a snapshot are collapsed first,
+    so the diff is over edge SETS (the reference's graphs are sets too:
+    SURVEY §2.1 squish semantics).
+
+    Scale shape: one distinct per side (map-side combined hash agg) and
+    one full-outer equi-join on (src, dst) — both shuffle on the edge
+    key, uniform by construction, no skew pivot. At 10^12 edges this is
+    the plan a crawl-delta job wants: no driver state, no collect."""
+    o = old_edges.select("src", "dst").distinct().withColumn(
+        "in_old", F.lit(True)
+    )
+    n = new_edges.select("src", "dst").distinct().withColumn(
+        "in_new", F.lit(True)
+    )
+    return o.join(n, ["src", "dst"], "full_outer").select(
+        "src",
+        "dst",
+        F.when(F.col("in_old").isNotNull() & F.col("in_new").isNotNull(), F.lit("kept"))
+        .when(F.col("in_old").isNotNull(), F.lit("removed"))
+        .otherwise(F.lit("added"))
+        .alias("status"),
+    )
+
+
+def vertex_churn(diff: DataFrame) -> DataFrame:
+    """Per-vertex churn summary over an edge_diff result: for every
+    vertex touched by a CHANGED edge, how many out-/in-edges appeared
+    and disappeared between the snapshots — the per-host signal a
+    recrawl scheduler ranks on. Emits (id, out_added, out_removed,
+    in_added, in_removed); 'kept' edges contribute nothing and vertices
+    with no change emit no row. Two V-bounded aggregations + one
+    full-outer join on id — scale-clean."""
+    ch = diff.filter(F.col("status") != "kept")
+    added = (F.col("status") == "added").cast("long")
+    removed = (F.col("status") == "removed").cast("long")
+    outs = ch.groupBy(F.col("src").alias("id")).agg(
+        F.sum(added).alias("out_added"),
+        F.sum(removed).alias("out_removed"),
+    )
+    ins = ch.groupBy(F.col("dst").alias("id")).agg(
+        F.sum(added).alias("in_added"),
+        F.sum(removed).alias("in_removed"),
+    )
+    return (
+        outs.join(ins, "id", "full_outer")
+        .na.fill(0, ["out_added", "out_removed", "in_added", "in_removed"])
+    )

@@ -1,5 +1,6 @@
 from graphit_spark.streaming.incremental import (
     incremental_cc_stream,
+    incremental_lsh_dedup_stream,
     incremental_pagerank_stream,
 )
 from graphit_spark.streaming.dedup import dedup_stream
@@ -20,4 +21,5 @@ __all__ = [
     "sessionize",
     "incremental_pagerank_stream",
     "incremental_cc_stream",
+    "incremental_lsh_dedup_stream",
 ]

@@ -166,3 +166,143 @@ def incremental_cc_stream(
         spark, edges_dir, work_dir, "incremental_cc", run,
         max_files_per_trigger, certify,
     )
+
+
+DOC_SCHEMA = "doc_id long, text string"
+
+
+def incremental_lsh_dedup_stream(
+    spark: SparkSession,
+    docs_dir: str,
+    work_dir: str,
+    *,
+    k: int = 4,
+    rows_per_band: int = 2,
+    max_files_per_trigger: int = 4,
+    verify: bool = False,
+):
+    """Streaming MinHash-LSH near-duplicate suppression over a growing
+    crawl: each micro-batch of (doc_id, text) is banded with the SAME
+    band derivation as the batch operator (functions/dedup.band_table),
+    and a document is suppressed iff any of its band buckets is already
+    occupied by a lower-id document — earlier batch OR same batch. The
+    surviving documents of each batch land in a SnapshotStore iteration
+    (per-partition lineage + {arrived, kept, suppressed} metrics), so
+    the deduped corpus is the union of snapshots and a killed stream
+    resumes from the stream checkpoint without re-emitting.
+
+    Contract (pinned in tests/test_streaming.py): because ALL arriving
+    documents' bands are registered — suppressed ones too — the kept
+    set after in-doc_id-order delivery equals the batch rule's keep set
+    exactly: {d : d appears as doc_b in no lsh_candidate_pairs row},
+    i.e. batch `dedup_lsh_pairs` + min-id-wins. Under out-of-order
+    delivery a doc already emitted cannot be recalled when a lower-id
+    bucket-mate arrives later (both ship — the inherent streaming
+    divergence, same note as dedup_stream's first-seen contract).
+
+    Scale shape (100 TB crawl): per batch, one shingle scan of the
+    DELTA only (never the accumulated corpus), one band-keyed semi-join
+    against the accumulated band table — an equi-join on (band, bkey),
+    uniform by construction — and one batch-local min-per-bucket
+    aggregation. The accumulated state is the band table (n_bands rows
+    per distinct document), append-only parquet partitioned by the
+    bucket hash; nothing driver-side grows with corpus size. With
+    ``verify`` each batch's manifest carries an independent certificate
+    recount: for every KEPT doc, the number of its buckets occupied by
+    a lower-id registered doc (must be 0).
+    """
+    store = SnapshotStore(os.path.join(work_dir, "snapshots"), "incremental_lsh_dedup")
+    bands_dir = os.path.join(work_dir, "bands")
+
+    from graphit_spark.functions.dedup import band_table
+
+    def process(batch_df, batch_id: int):
+        bands = band_table(batch_df, "text", k, rows_per_band).localCheckpoint(
+            eager=True
+        )
+        seen_prior = os.path.isdir(bands_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(bands_dir)
+        )
+        # within-batch rule: a doc is novel only if it IS the min id of
+        # every bucket it occupies among this batch's arrivals …
+        first = bands.groupBy("band", "bkey").agg(
+            F.min("doc_id").alias("first_id")
+        )
+        dup_batch = (
+            bands.join(first, ["band", "bkey"])
+            .filter(F.col("doc_id") > F.col("first_id"))
+            .select("doc_id")
+        )
+        # … and no bucket was registered by a LOWER-ID doc in an
+        # earlier batch. Strict lower-id (not mere occupancy) keeps the
+        # rule identical to the batch candidate-pair semantics under
+        # in-order delivery AND makes a replayed half-committed batch
+        # safe: a doc's own already-registered bands carry an EQUAL id,
+        # so the rerun reproduces the same keep decision instead of
+        # suppressing the doc against itself. Bands of suppressed docs
+        # are registered too (the batch rule ranges over all docs).
+        if seen_prior:
+            seen = spark.read.parquet(bands_dir)
+            dup_prev = (
+                bands.alias("nb")
+                .join(
+                    seen.alias("sb"),
+                    (F.col("nb.band") == F.col("sb.band"))
+                    & (F.col("nb.bkey") == F.col("sb.bkey"))
+                    & (F.col("sb.doc_id") < F.col("nb.doc_id")),
+                    "left_semi",
+                )
+                .select("doc_id")
+            )
+            dups = dup_batch.union(dup_prev).distinct()
+        else:
+            dups = dup_batch.distinct()
+        kept = batch_df.join(dups, "doc_id", "left_anti")
+        arrived = batch_df.count()
+        metrics: dict = {"batch_id": int(batch_id), "arrived": int(arrived)}
+        if verify:
+            # independent recount straight off the registered tables:
+            # kept docs' buckets must have no lower-id occupant.
+            all_bands = (
+                spark.read.parquet(bands_dir).unionByName(bands)
+                if seen_prior
+                else bands
+            )
+            kept_bands = bands.join(kept.select("doc_id"), "doc_id", "left_semi")
+            viol = (
+                kept_bands.alias("kb")
+                .join(
+                    all_bands.alias("ab"),
+                    (F.col("kb.band") == F.col("ab.band"))
+                    & (F.col("kb.bkey") == F.col("ab.bkey"))
+                    & (F.col("ab.doc_id") < F.col("kb.doc_id")),
+                )
+                .count()
+            )
+            metrics["certificate"] = {"kept_bucket_violations": int(viol)}
+        kept_n = kept.count()
+        metrics["kept"] = int(kept_n)
+        metrics["suppressed"] = int(arrived - kept_n)
+        # keyed on batch_id (stable across restarts via the stream
+        # checkpoint) and store.write is an overwrite — replaying a
+        # half-committed batch rewrites the SAME snapshot instead of
+        # appending a duplicate slice to the corpus-union.
+        store.write(kept, int(batch_id), metrics=metrics)
+        # register AFTER the snapshot commit: on replay of a failed
+        # batch the bands append re-runs, and duplicate band rows are
+        # harmless (the rule only asks bucket occupancy / min id).
+        bands.write.mode("append").parquet(bands_dir)
+
+    stream = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(docs_dir)
+    )
+    return (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(process)
+        .option(
+            "checkpointLocation", os.path.join(work_dir, "stream_checkpoint")
+        )
+        .start()
+    ), store
