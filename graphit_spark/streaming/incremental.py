@@ -8,7 +8,11 @@ FROM THE PREVIOUS BATCH'S STATE instead of from scratch. The fixpoint
 is identical to a cold run on the grown graph (Jacobi limits and
 min-label fixpoints don't depend on the start vector; warm CC labels
 stay valid because edge ADDITIONS only merge components), so each
-batch pays only the iterations the delta actually perturbs.
+batch pays only the iterations the delta actually perturbs. With
+``with_deletes=True`` the stream carries (src, dst, op) rows and the
+edge set is last-writer-wins; PageRank warm starts are unconditionally
+valid, CC repairs locally by resetting exactly the components a
+deleted edge touches (exactness argument in the function docstring).
 
 Every batch's converged state lands in a SnapshotStore iteration
 (= the streaming batch sequence), with per-partition lineage and the
@@ -34,6 +38,7 @@ from pyspark.sql import SparkSession, functions as F
 from graphit_spark.checkpoint import SnapshotStore
 
 EDGE_SCHEMA = "src long, dst long"
+OPS_SCHEMA = "src long, dst long, op string"
 
 
 def _incremental_stream(
@@ -44,6 +49,7 @@ def _incremental_stream(
     run_kernel,
     max_files_per_trigger: int,
     certify=None,
+    with_deletes: bool = False,
 ):
     from graphit_spark.graph import LinkGraph
 
@@ -52,13 +58,36 @@ def _incremental_stream(
 
     def process(batch_df, batch_id: int):
         delta = batch_df.filter(F.col("src") != F.col("dst"))
-        delta.write.mode("append").parquet(acc_dir)
-        edges = spark.read.parquet(acc_dir)
+        dels = None
+        if with_deletes:
+            # append-only (src, dst, op, seq) log; the live edge set is
+            # last-writer-wins per edge, 'del' beating 'add' inside one
+            # batch. One groupBy on the edge key per batch — the same
+            # shuffle class as the kernel's own squish; at crawl scale
+            # compact the log periodically (rewrite the winning rows)
+            # exactly like any Iceberg merge-on-read table.
+            delta.withColumn("seq", F.lit(int(batch_id))).write.mode(
+                "append"
+            ).parquet(acc_dir)
+            log = spark.read.parquet(acc_dir)
+            last = log.groupBy("src", "dst").agg(
+                F.max(
+                    F.struct(
+                        F.col("seq"),
+                        (F.col("op") == "del").cast("int").alias("d"),
+                    )
+                ).alias("m")
+            )
+            edges = last.filter(F.col("m.d") == 0).select("src", "dst")
+            dels = delta.filter(F.col("op") == "del").select("src", "dst")
+        else:
+            delta.write.mode("append").parquet(acc_dir)
+            edges = spark.read.parquet(acc_dir)
         g = LinkGraph(edges)
         prev = store.latest()
         init = store.read(spark, prev) if prev is not None else None
         metrics: dict = {}
-        out = run_kernel(g, init, metrics)
+        out = run_kernel(g, init, metrics, dels)
         if certify is not None:
             # distributed output certificate (verifiers.py) per batch:
             # the warm-start contract ("fixpoint identical to a cold
@@ -78,7 +107,7 @@ def _incremental_stream(
         g.unpersist()
 
     stream = (
-        spark.readStream.schema(EDGE_SCHEMA)
+        spark.readStream.schema(OPS_SCHEMA if with_deletes else EDGE_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(edges_dir)
     )
@@ -102,6 +131,7 @@ def incremental_pagerank_stream(
     max_iters: int = 100,
     max_files_per_trigger: int = 4,
     verify: bool = False,
+    with_deletes: bool = False,
 ):
     """Start (and return, with its SnapshotStore) a streaming query that
     maintains converged PageRank over an edge table growing under
@@ -109,10 +139,16 @@ def incremental_pagerank_stream(
     q.processAllAvailable(); read the current ranks with
     store.read(spark, store.latest()). With ``verify`` every batch's
     manifest carries the pr_certificate probe counts for its snapshot
-    (0 = the written ranks are a tol-fixpoint of the grown graph)."""
+    (0 = the written ranks are a tol-fixpoint of the grown graph).
+
+    with_deletes: the stream schema becomes (src, dst, op) with op in
+    {'add', 'del'} and the maintained edge set is last-writer-wins per
+    edge. PageRank's warm start stays valid under removals unchanged —
+    the Jacobi fixpoint is independent of the start vector — so each
+    batch still re-converges from the previous ranks."""
     from graphit_spark.kernels import pagerank
 
-    def run(g, init, metrics):
+    def run(g, init, metrics, _dels):
         init_ranks = init.select("id", "rank") if init is not None else None
         return pagerank(
             g, damp=damp, tol=tol, max_iters=max_iters,
@@ -128,7 +164,7 @@ def incremental_pagerank_stream(
 
     return _incremental_stream(
         spark, edges_dir, work_dir, "incremental_pagerank", run,
-        max_files_per_trigger, certify,
+        max_files_per_trigger, certify, with_deletes=with_deletes,
     )
 
 
@@ -139,6 +175,7 @@ def incremental_cc_stream(
     *,
     max_files_per_trigger: int = 4,
     verify: bool = False,
+    with_deletes: bool = False,
 ):
     """Streaming connected components with warm labels: additions only
     merge components, so the previous labels are a valid start state
@@ -146,11 +183,45 @@ def incremental_cc_stream(
     every batch's manifest carries the cc_certificate probe counts
     (this is exactly the case the certificate exists for: a warm start
     from stale labels that failed to merge would show up as
-    edge_label_mismatch > 0 in that batch's manifest)."""
+    edge_label_mismatch > 0 in that batch's manifest).
+
+    with_deletes: stream schema (src, dst, op), op in {'add', 'del'},
+    edge set = last-writer-wins. Deletions can SPLIT components, which
+    invalidates a naive warm start (a stale merged-min label is too
+    small and min-propagation never raises it). Exact localized repair:
+    every vertex whose PREVIOUS component contains an endpoint of a
+    deleted edge restarts at its own id; all other labels are kept.
+    Why exact: an untouched old component cannot have split (no edge of
+    it was removed), so its kept label is the id of a member — and the
+    new fixpoint is min-over-init-labels per new component = min(member
+    ids, own ids) = the cold answer. Cost scales with the size of the
+    components the deletions touch, not the graph; the per-batch
+    cc_certificate (``verify=True``) independently re-proves exactness
+    of every snapshot."""
     from graphit_spark.kernels import connected_components
 
-    def run(g, init, metrics):
-        init_labels = init.select("id", "comp") if init is not None else None
+    def run(g, init, metrics, dels):
+        init_labels = None
+        if init is not None:
+            init_labels = init.select("id", "comp")
+            if dels is not None:
+                touched = (
+                    dels.select(F.col("src").alias("id"))
+                    .union(dels.select(F.col("dst").alias("id")))
+                    .distinct()
+                )
+                affected = (
+                    init_labels.join(touched, "id", "left_semi")
+                    .select("comp")
+                    .distinct()
+                    .withColumn("hit", F.lit(True))
+                )
+                init_labels = init_labels.join(affected, "comp", "left").select(
+                    "id",
+                    F.when(F.col("hit").isNotNull(), F.col("id"))
+                    .otherwise(F.col("comp"))
+                    .alias("comp"),
+                )
         return connected_components(
             g, init_labels=init_labels, metrics_out=metrics
         )
@@ -164,7 +235,7 @@ def incremental_cc_stream(
 
     return _incremental_stream(
         spark, edges_dir, work_dir, "incremental_cc", run,
-        max_files_per_trigger, certify,
+        max_files_per_trigger, certify, with_deletes=with_deletes,
     )
 
 

@@ -816,3 +816,119 @@ class TestIncrementalLshDedup:
         kept1 = {r["doc_id"] for r in store2.read(spark, 1).collect()}
         assert 6 not in kept1  # cross-restart band state suppressed the dup
         assert {5, 7} <= kept1
+
+
+class TestIncrementalDeletes:
+    """with_deletes=True: (src, dst, op) log, last-writer-wins edge
+    set; CC repairs split components locally and exactly."""
+
+    @staticmethod
+    def _write(spark, path, rows, mode):
+        spark.createDataFrame(
+            rows, "src long, dst long, op string"
+        ).coalesce(1).write.mode(mode).parquet(path)
+
+    def test_cc_delete_splits_component_exactly(self, spark, tmp_path):
+        from graphit_spark import LinkGraph
+        from graphit_spark.kernels import connected_components
+        from graphit_spark.streaming import incremental_cc_stream
+
+        edges_dir = str(tmp_path / "ops")
+        work = str(tmp_path / "work")
+        # two chains 0-1-2-3 and 10-11-12-13, bridged by 3-10; plus an
+        # untouched third component 20-21
+        b1 = [
+            (0, 1, "add"), (1, 2, "add"), (2, 3, "add"),
+            (10, 11, "add"), (11, 12, "add"), (12, 13, "add"),
+            (3, 10, "add"), (20, 21, "add"),
+        ]
+        # delete the bridge (splits {0..13} back into two), delete one
+        # never-added edge (noop), add a fresh edge into the 10-chain
+        b2 = [(3, 10, "del"), (5, 6, "del"), (13, 14, "add")]
+        self._write(spark, edges_dir, b1, "overwrite")
+        q, store = incremental_cc_stream(
+            spark, edges_dir, work, verify=True, with_deletes=True
+        )
+        try:
+            q.processAllAvailable()
+            assert store.latest() == 0
+            self._write(spark, edges_dir, b2, "append")
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        assert store.latest() == 1
+
+        got = {
+            r["id"]: r["comp"] for r in store.read(spark, 1).collect()
+        }
+        final_pairs = [
+            (s, d) for s, d, _ in b1
+        ] + [(13, 14)]
+        final_pairs.remove((3, 10))
+        cold = {
+            r["id"]: r["comp"]
+            for r in connected_components(
+                LinkGraph.from_pairs(spark, final_pairs, persist=False)
+            ).collect()
+        }
+        # exact equality on shared universe (stream universe may differ
+        # only by isolated max-id trailing vertices — none here)
+        assert {k: v for k, v in got.items() if k in cold} == cold
+        assert got[10] == 10 and got[0] == 0  # the split really happened
+        for it in (0, 1):
+            cert = store.manifest(it)["metrics"]["certificate"]
+            assert all(v == 0 for v in cert.values()), cert
+
+    def test_pagerank_with_deletes_matches_cold(self, spark, tmp_path):
+        import numpy as np
+
+        from graphit_spark import LinkGraph
+        from graphit_spark.kernels import pagerank
+        from graphit_spark.streaming import incremental_pagerank_stream
+
+        import random
+
+        rng = random.Random(11)
+        b1 = [
+            (rng.randrange(40), rng.randrange(40), "add") for _ in range(150)
+        ]
+        removed = [(s, d, "del") for s, d, _ in b1[:20]]
+        b2 = removed + [
+            (rng.randrange(40), rng.randrange(40), "add") for _ in range(10)
+        ]
+        edges_dir = str(tmp_path / "ops")
+        work = str(tmp_path / "work")
+        self._write(spark, edges_dir, b1, "overwrite")
+        q, store = incremental_pagerank_stream(
+            spark, edges_dir, work, tol=1e-9, with_deletes=True
+        )
+        try:
+            q.processAllAvailable()
+            self._write(spark, edges_dir, b2, "append")
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = {
+            r["id"]: r["rank"]
+            for r in store.read(spark, 1).select("id", "rank").collect()
+        }
+        # cold final edge set: last op wins, del beats add in one batch
+        final = {}
+        for seq, batch in enumerate((b1, b2)):
+            dels = {(s, d) for s, d, o in batch if o == "del"}
+            for s, d, o in batch:
+                if s == d:
+                    continue
+                final[(s, d)] = (o == "add") and (s, d) not in dels
+        pairs = [e for e, live in final.items() if live]
+        cold = {
+            r["id"]: r["rank"]
+            for r in pagerank(
+                LinkGraph.from_pairs(spark, pairs, persist=False),
+                tol=1e-9, max_iters=100,
+            ).collect()
+        }
+        shared = sorted(set(got) & set(cold))
+        assert np.allclose(
+            [got[k] for k in shared], [cold[k] for k in shared], atol=1e-6
+        )
