@@ -1238,6 +1238,56 @@ def corpus_select_full(docs: DataFrame) -> DataFrame:
     return selected2.join(keep, "doc_id", "left_semi")
 
 
+SEM_NEAR_DUP = 0.35  # same rationale as LSH_DUP_THRESHOLD: the
+# synthetic embeddings are near-orthogonal, so the paper's 0.9 would be
+# vacuous at test scale; the composition semantics are threshold-free
+
+
+def q_corpus_select_semantic(spark, sf_dir):
+    """Curation with SEMANTIC near-dup removal — SemDeDup (Abbas et
+    al. 2023) composed after the text gates: the embedding-space
+    counterpart of corpus_select_dedup's lexical MinHash stage. Gates
+    run first (cheapest, one documents pass); k-means is then trained
+    on the SURVIVORS' embeddings only, and any survivor whose cluster
+    holds a lower-id survivor with rounded cosine >= SEM_NEAR_DUP is
+    dropped — min-doc_id canonical, like every other dedup stage.
+
+    Scale shape: gates one pass; centroid training/assignment is the
+    audited broadcast corpus x n_cells scan; the near-dup pair join is
+    keyed on the cluster id (sum |cell|^2 fan-out, the paper's design
+    point), never all-pairs. Docs without an embedding row carry no
+    semantic signal and pass through."""
+    return corpus_select_semantic(
+        load(spark, sf_dir, "documents"), load(spark, sf_dir, "embeddings")
+    )
+
+
+def corpus_select_semantic(docs: DataFrame, emb: DataFrame) -> DataFrame:
+    """DataFrame-level body of q_corpus_select_semantic (shared with
+    the jobs/run_curation.py spark-submit entry)."""
+    selected = _corpus_selected(docs)
+    sel_emb = emb.join(
+        selected.select(F.col("doc_id").alias("vec_id")),
+        "vec_id",
+        "left_semi",
+    )
+    if sel_emb.select("vec_id").first() is None:
+        # no survivor has an embedding: no semantic signal, gates only
+        return selected
+    kept = S.semantic_dedup_keep(
+        sel_emb,
+        n_cells=IVF_CELLS,
+        train_iters=IVF_TRAIN_ITERS,
+        threshold=SEM_NEAR_DUP,
+    )
+    dropped = (
+        sel_emb.select("vec_id")
+        .join(kept.select("vec_id"), "vec_id", "left_anti")
+        .select(F.col("vec_id").alias("doc_id"))
+    )
+    return selected.join(dropped, "doc_id", "left_anti")
+
+
 SAMPLE_BUDGET_DIVISOR = 4  # keep ~1/4 of the curated tokens
 
 
@@ -2616,15 +2666,19 @@ def _kmeans_assign_ctes(
     iters: int = IVF_TRAIN_ITERS,
     dim: int = EMB_DIM,
     n_cells: int = IVF_CELLS,
+    src: str = "embeddings",
 ) -> list[str]:
     """Shared Lloyd-training + assignment CTE chain (v, c0..c{iters},
     ascore, asg) — identical rounds and 9-decimal mean rounding as
     ivf_train_centroids/ivf_assign, so every consumer (doc clustering,
     semantic dedup) trains the same centroids bit for bit. ``asg`` is
-    the final (vec_id, cell, cscore) nearest-centroid assignment."""
+    the final (vec_id, cell, cscore) nearest-centroid assignment.
+    ``src`` swaps the trained corpus (a table or a parenthesized
+    subquery exposing vec_id + embedding) — corpus_select_semantic
+    trains over the gate SURVIVORS' embeddings only."""
     ctes = [
         "v AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS ev"
-        " FROM embeddings)",
+        f" FROM {src})",
         f"c0 AS (SELECT vec_id AS cell, ev AS centv FROM v"
         f" WHERE vec_id < {n_cells})",
     ]
@@ -2954,6 +3008,46 @@ dropped AS (
 SELECT s.doc_id, s.n_tokens, s.alpha_ratio, s.stopword_ratio
 FROM sel s
 WHERE s.doc_id NOT IN (SELECT doc_id FROM dropped)
+ORDER BY doc_id
+"""
+
+
+def _corpus_select_semantic_sql(
+    iters: int = IVF_TRAIN_ITERS,
+    dim: int = EMB_DIM,
+    n_cells: int = IVF_CELLS,
+) -> str:
+    """Twin of q_corpus_select_semantic: gates -> shared k-means CTEs
+    trained over the survivors' embeddings (identical Lloyd rounds,
+    identical 9-decimal mean rounding, identical vec_id < n_cells
+    seeding over the SAME filtered set) -> in-cluster lower-id near-dup
+    rule at SEM_NEAR_DUP."""
+    ctes, body = _corpus_sel_parts()
+    km = ",\n".join(
+        _kmeans_assign_ctes(
+            iters,
+            dim,
+            n_cells,
+            src="(SELECT e.vec_id, e.embedding FROM embeddings e"
+            " JOIN sel s ON e.vec_id = s.doc_id)",
+        )
+    )
+    return f"""
+WITH {ctes},
+sel AS MATERIALIZED ({body}),
+{km},
+av AS MATERIALIZED (
+  SELECT a.vec_id, a.cell, v.ev
+  FROM asg a JOIN v USING (vec_id)
+),
+dupb AS (
+  SELECT DISTINCT y.vec_id
+  FROM av x JOIN av y ON x.cell = y.cell AND x.vec_id < y.vec_id
+  WHERE {_SQL_COS.format(a='x.ev', b='y.ev')} >= {SEM_NEAR_DUP}
+)
+SELECT s.doc_id, s.n_tokens, s.alpha_ratio, s.stopword_ratio
+FROM sel s
+WHERE s.doc_id NOT IN (SELECT vec_id FROM dupb)
 ORDER BY doc_id
 """
 
@@ -3987,6 +4081,8 @@ TEXT_QUERIES: dict[str, tuple] = {
     "corpus_select": (q_corpus_select, _corpus_select_sql()),
     "corpus_select_dedup": (q_corpus_select_dedup, _corpus_select_dedup_sql()),
     "corpus_select_cluster": (q_corpus_select_cluster, _corpus_select_cluster_sql()),
+    "corpus_select_semantic": (q_corpus_select_semantic,
+                               _corpus_select_semantic_sql()),
     "corpus_select_full": (q_corpus_select_full, _corpus_select_full_sql()),
     "corpus_sample_budget": (q_corpus_sample_budget, _corpus_sample_budget_sql()),
     "corpus_sample_stratified": (q_corpus_sample_stratified,

@@ -40,6 +40,9 @@ Stages (each also writes the previous stages' accounting):
               it at <output>_merges (bpe_tokenize / bpe_merges)
     split     dedup-aware train/val/test split: md5 hash split with
               near-dup-cluster leakage repair (corpus_train_split)
+    semantic  select + SemDeDup embedding near-dup removal trained on
+              the gate survivors' embeddings (--embeddings, second
+              parquet; corpus_select_semantic)
 
 Input schema: (doc_id:long, text:string, ...) — extra columns pass
 through untouched by the gates and are ignored by the dedup stages.
@@ -61,16 +64,21 @@ def main() -> None:
     p.add_argument("--stage", required=True,
                    choices=["select", "dedup", "cluster", "clusters",
                             "full", "sample", "decontaminate", "pack",
-                            "spans", "tokenize", "split"])
+                            "spans", "tokenize", "split", "semantic"])
     p.add_argument("--documents", required=True,
                    help="parquet documents table (doc_id, text, ...)")
     p.add_argument("--output", required=True)
     p.add_argument("--benchmark",
                    help="held-out benchmark parquet (doc_id, text, ...);"
                         " required for --stage decontaminate")
+    p.add_argument("--embeddings",
+                   help="parquet embeddings table (vec_id, embedding);"
+                        " required for --stage semantic")
     args = p.parse_args()
     if args.stage == "decontaminate" and not args.benchmark:
         p.error("--stage decontaminate requires --benchmark")
+    if args.stage == "semantic" and not args.embeddings:
+        p.error("--stage semantic requires --embeddings")
 
     from graphit_spark.session import get_spark
     from graphit_spark import textqueries as T
@@ -93,6 +101,9 @@ def main() -> None:
     elif args.stage == "decontaminate":
         bench = spark.read.parquet(args.benchmark)
         out = T.decontaminate_bloom(docs, bench)
+    elif args.stage == "semantic":
+        emb = spark.read.parquet(args.embeddings)
+        out = T.corpus_select_semantic(docs, emb)
     elif args.stage == "pack":
         # curate, then lay the kept docs out as training sequences:
         # the manifest a data loader consumes (sequence id, offset,

@@ -34,6 +34,8 @@ ALL_PAIRS_BASELINES = {
     "doc_clusters_kmeans",  # same broadcast corpus x n_cells scan
     "dedup_semantic",  # same broadcast training scan; pair join is
     # an equi-join on the cluster id (asserted below)
+    "corpus_select_semantic",  # SemDeDup composed after the gates:
+    # same broadcast k-means training scan, same cluster-keyed pairs
     "sim_recall_multiprobe",  # embeds the brute-force exact side by design
     "sim_ivfpq_topk",  # same broadcast corpus x codebook/centroid scans
     "sim_mmr_topk",  # re-ranks the brute-force exact baseline by design
