@@ -70,14 +70,16 @@ _CHECK_FIRST = [
     "corpus_sample_stratified", "walk_cooccurrence", "scc_condensation",
     "motif_counts", "degree_histogram", "rank_churn", "sim_int8_topk",
     "who_to_follow", "sim_pq_topk", "katz_centrality", "doc_boilerplate",
-    "resolve_redirects", "doc_bm25_search", "dedup_containment_lsh",
+    "resolve_redirects", "url_canonical_dedup", "doc_bm25_search",
+    "dedup_containment_lsh",
     "host_trustrank", "host_spam_mass", "doc_clusters_kmeans",
     "dedup_semantic", "graph_diff",
     "events_spikes", "rich_club", "corpus_source_stats",
     "community_conductance", "sim_recall_multiprobe", "host_locality",
     "sim_ivfpq_topk", "host_communities", "corpus_pack_sequences",
     "dedup_spans", "host_simrank", "sim_mmr_topk", "doc_readability",
-    "corpus_select_spamsafe", "emb_top_pc", "crawl_budget",
+    "corpus_select_spamsafe", "corpus_select_semantic", "emb_top_pc",
+    "crawl_budget",
     "host_lang_mix", "dedup_embedding_whitened", "events_funnel",
     "landmark_distances", "doc_lm_score", "cc_incremental",
     "doc_quality_probe",

@@ -14,6 +14,7 @@ from graphit_spark.benchqueries import load
 from graphit_spark.functions import dedup as D
 from graphit_spark.functions import similarity as S
 from graphit_spark.functions import textops as T
+from graphit_spark.functions.urls import TRACKING_PARAM_RE
 
 MINHASH_K = 4
 JACCARD_MAX_DOC = 40
@@ -279,6 +280,129 @@ SELECT w.src, w.cur AS target, w.hops, FALSE AS cycle
 FROM walk w
 WHERE w.cur NOT IN (SELECT src FROM r)
 ORDER BY w.src"""
+
+
+def _synth_urls(docs: DataFrame) -> DataFrame:
+    """Deterministic messy-url table derived from documents: every 4
+    consecutive doc_ids are variants of page doc_id//4 on host
+    (doc_id//4)%7, exercising each canonicalization rule — case, the
+    default :80 port, trailing slash, tracking params, unsorted
+    params, fragments. Variants 0+1 and 2+3 canonicalize pairwise
+    equal (2/3 carry a real ?a=1&b=2 query that 0/1 lack)."""
+    b = (F.col("doc_id") - F.col("doc_id") % 4) / F.lit(4)
+    b = b.cast("long").cast("string")
+    h = ((F.col("doc_id") - F.col("doc_id") % 4) / F.lit(4) % 7)
+    h = h.cast("long").cast("string")
+    v = F.col("doc_id") % 4
+    url = (
+        F.when(v == 0, F.concat(
+            F.lit("http://host"), h, F.lit(".example.com/page/"), b))
+        .when(v == 1, F.concat(
+            F.lit("HTTP://Host"), h, F.lit(".Example.COM:80/page/"), b,
+            F.lit("/")))
+        .when(v == 2, F.concat(
+            F.lit("http://host"), h, F.lit(".example.com/page/"), b,
+            F.lit("?utm_source=x&b=2&a=1")))
+        .otherwise(F.concat(
+            F.lit("http://host"), h, F.lit(".example.com:80/page/"), b,
+            F.lit("/?b=2&a=1#frag")))
+    )
+    return docs.select("doc_id", url.alias("url"))
+
+
+def q_url_canonical_dedup(spark, sf_dir):
+    """Canonical-url dedup — the fetch-level dedup every Common-Crawl
+    pipeline runs before anything else: canonicalize (case, default
+    port, trailing slash, tracking/unsorted query params, fragments;
+    functions/urls.py rules), group by the canonical form, keep the
+    min doc_id, count merged variants. Input is the deterministic
+    messy-url table derived from documents (same fixture idiom as
+    resolve_redirects), so both engines canonicalize identical
+    strings.
+
+    Scale shape: canonicalization is a per-row native expression
+    inside the scan (no UDF); the dedup is one short-row map-side-
+    combined groupBy — the cost class of dedup_exact at 10^12 urls."""
+    from graphit_spark.functions.urls import canonical_dedup
+
+    return canonical_dedup(_synth_urls(load(spark, sf_dir, "documents")))
+
+
+def _url_canonical_sql() -> str:
+    """Twin of q_url_canonical_dedup: identical url synthesis, then the
+    same canonicalization steps in DuckDB string functions (split_part
+    returns '' where Spark's split-getItem gives NULL — the Spark side
+    coalesces to '' so the engines agree)."""
+    return f"""
+WITH ids AS (
+  SELECT doc_id, (doc_id // 4)::VARCHAR AS b,
+         ((doc_id // 4) % 7)::VARCHAR AS h
+  FROM documents
+),
+urls AS (
+  SELECT doc_id,
+    CASE doc_id % 4
+      WHEN 0 THEN 'http://host' || h || '.example.com/page/' || b
+      WHEN 1 THEN 'HTTP://Host' || h || '.Example.COM:80/page/' || b || '/'
+      WHEN 2 THEN 'http://host' || h || '.example.com/page/' || b
+                  || '?utm_source=x&b=2&a=1'
+      ELSE 'http://host' || h || '.example.com:80/page/' || b
+           || '/?b=2&a=1#frag'
+    END AS url
+  FROM ids
+),
+parts AS (
+  SELECT doc_id, url,
+         split_part(url, '#', 1) AS u
+  FROM urls
+),
+p2 AS (
+  SELECT doc_id, url,
+         lower(split_part(u, '://', 1)) AS scheme,
+         split_part(u, '://', 2) AS rest,
+         u LIKE '%://%' AS absolute
+  FROM parts
+),
+p3 AS (
+  SELECT *, split_part(rest, '/', 1) AS hostport,
+         substr(rest, length(split_part(rest, '/', 1)) + 1) AS pathq
+  FROM p2
+),
+p4 AS (
+  SELECT *,
+         lower(split_part(hostport, ':', 1)) AS host,
+         split_part(hostport, ':', 2) AS port,
+         split_part(pathq, '?', 1) AS raw_path,
+         split_part(pathq, '?', 2) AS query
+  FROM p3
+),
+p5 AS (
+  SELECT *,
+         CASE WHEN regexp_replace(raw_path, '/+$', '') = '' THEN '/'
+              ELSE regexp_replace(raw_path, '/+$', '') END AS path,
+         array_to_string(list_sort(list_filter(string_split(query, '&'),
+           x -> x <> '' AND NOT regexp_matches(x, '{TRACKING_PARAM_RE}'))),
+           '&') AS qsorted,
+         port <> '' AND NOT ((scheme = 'http' AND port = '80')
+                             OR (scheme = 'https' AND port = '443'))
+           AS keep_port
+  FROM p4
+),
+canon AS (
+  SELECT doc_id,
+         CASE WHEN NOT absolute THEN url
+              ELSE scheme || '://' || host
+                   || CASE WHEN keep_port THEN ':' || port ELSE '' END
+                   || path
+                   || CASE WHEN qsorted <> '' THEN '?' || qsorted
+                           ELSE '' END
+         END AS canon_url
+  FROM p5
+)
+SELECT canon_url, min(doc_id) AS doc_id, count(*) AS n_variants
+FROM canon GROUP BY canon_url
+ORDER BY canon_url
+"""
 
 
 
@@ -4077,6 +4201,7 @@ TEXT_QUERIES: dict[str, tuple] = {
     "dedup_simhash": (q_simhash, _simhash_sql()),
     "doc_boilerplate": (q_doc_boilerplate, _boilerplate_sql()),
     "resolve_redirects": (q_resolve_redirects, SQL_RESOLVE_REDIRECTS),
+    "url_canonical_dedup": (q_url_canonical_dedup, _url_canonical_sql()),
     "doc_bm25_search": (q_bm25_search, _bm25_sql()),
     "corpus_select": (q_corpus_select, _corpus_select_sql()),
     "corpus_select_dedup": (q_corpus_select_dedup, _corpus_select_dedup_sql()),
