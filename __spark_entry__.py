@@ -62,6 +62,7 @@ _CHECK_FIRST = [
     "corpus_decontaminate", "corpus_inverted_index", "hll_distinct",
     # ---- positions 51+: variants whose machinery a kept sibling
     # already exercises (checked when the driver scans deeper) ----
+    "influence_max",
     "doc_token_percentiles",
     "corpus_bpe_merges", "corpus_tokenize_bpe", "corpus_dsir_weights",
     "corpus_train_split",

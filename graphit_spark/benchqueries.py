@@ -4754,9 +4754,77 @@ FROM outs o FULL JOIN ins i ON o.id = i.id
 ORDER BY id"""
 
 
+def q_influence_max(spark, sf_dir):
+    """Degree-discount influence maximization (Chen/Wang/Yang KDD'09)
+    on the symmetrized link graph — the `applyUpdatePriority` greedy
+    shape of apps/set_cover.gt applied to IC-model seed selection.
+    k driver-scalar rounds: one argmax aggregate + one seed-adjacency
+    join each; deterministic min-id tie-break (kernels/influence.py)."""
+    from graphit_spark.kernels import influence_max
+
+    g = graph(spark, sf_dir, "raw")
+    return influence_max(g)
+
+
+def influence_max_sql(k: int | None = None, p: float | None = None) -> str:
+    """Twin of kernels/influence.py::influence_max, unrolled to k
+    rounds: st{r} carries (id, d, t); s{r} is the round-r argmax of
+    dd = d - 2t - (d-t)*t*p over not-yet-chosen vertices (ORDER BY dd
+    DESC, id LIMIT 1 ≡ the engine's max(struct(dd, -id))); the winner's
+    sym-neighbors get t += 1. Float parity: dd is the identical double
+    expression on both sides over integer d, t."""
+    from graphit_spark.kernels.influence import IM_PROB, IM_SEEDS
+
+    k = IM_SEEDS if k is None else k
+    p = IM_PROB if p is None else p
+    ctes = [
+        _SQL_COMMON.strip(),
+        """st0 AS MATERIALIZED (
+  SELECT v.id, CAST(coalesce(d.d, 0) AS BIGINT) AS d, CAST(0 AS BIGINT) AS t
+  FROM verts v LEFT JOIN
+       (SELECT src AS id, count(*) AS d FROM sym GROUP BY src) d USING (id)
+)""",
+        "sel0 AS (SELECT CAST(NULL AS BIGINT) AS id WHERE FALSE)",
+    ]
+    outs = []
+    for r in range(1, k + 1):
+        ctes.append(
+            f"""s{r} AS MATERIALIZED (
+  SELECT id, CAST(d AS DOUBLE) - 2.0 * t - (d - t) * t * {p!r} AS dd
+  FROM st{r - 1}
+  WHERE id NOT IN (SELECT id FROM sel{r - 1})
+  ORDER BY dd DESC, id LIMIT 1
+)"""
+        )
+        ctes.append(
+            f"sel{r} AS (SELECT id FROM sel{r - 1} "
+            f"UNION ALL SELECT id FROM s{r})"
+        )
+        outs.append(
+            f"SELECT CAST(id AS BIGINT) AS seed, CAST({r} AS INT) AS round, "
+            f"round(dd, {ROUND_RANK}) AS dd FROM s{r}"
+        )
+        if r < k:
+            ctes.append(
+                f"""st{r} AS MATERIALIZED (
+  SELECT st.id, st.d,
+         st.t + (CASE WHEN nb.id IS NOT NULL THEN 1 ELSE 0 END) AS t
+  FROM st{r - 1} st LEFT JOIN
+       (SELECT dst AS id FROM sym
+        WHERE src = (SELECT id FROM s{r})) nb USING (id)
+)"""
+            )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + "\n" + " UNION ALL ".join(outs).join(["SELECT * FROM (", ")"])
+        + " ORDER BY round"
+    )
+
+
 GRAPH_QUERIES: dict[str, tuple] = {
     "graph_diff": (q_graph_diff, graph_diff_sql()),
     "cocitation": (q_cocitation, cocitation_sql()),
+    "influence_max": (q_influence_max, influence_max_sql()),
     # name: (spark_callable, oracle_sql_or_None)
     "pagerank": (q_pagerank, pagerank_sql()),
     "out_degrees": (q_out_degrees, out_degrees_sql()),

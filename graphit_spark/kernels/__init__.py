@@ -33,6 +33,7 @@ from graphit_spark.kernels.centrality import (
 )
 from graphit_spark.kernels.delta_stepping import sssp_delta_stepping
 from graphit_spark.kernels.fused import fused_pr_eigenvector, fused_trust_spam
+from graphit_spark.kernels.influence import influence_max
 from graphit_spark.kernels.hyperball import (
     effective_diameter,
     hyperball_harmonic,
@@ -103,6 +104,7 @@ __all__ = [
     "fused_trust_spam",
     "greedy_coloring",
     "effective_diameter",
+    "influence_max",
     "hyperball_harmonic",
     "neighborhood_function",
     "pagerank",

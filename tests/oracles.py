@@ -725,3 +725,36 @@ def truss_oracle(edges, k):
         if keep == cur:
             return sup
         cur = keep
+
+
+def influence_max_oracle(edges, k=5, p=0.05):
+    """Serial degree-discount greedy (Chen/Wang/Yang KDD'09) over the
+    squished symmetrized graph; ties break toward the smaller id.
+    Returns [(seed, round, dd)] with dd rounded to 6."""
+    sym = set()
+    for s, d in squish(edges):
+        sym.add((s, d))
+        sym.add((d, s))
+    n = num_vertices(edges)
+    adj = {v: set() for v in range(n)}
+    for s, d in sym:
+        adj.setdefault(s, set()).add(d)
+    deg = {v: len(adj.get(v, ())) for v in range(n)}
+    t = {v: 0 for v in range(n)}
+    chosen, out = set(), []
+    for r in range(1, k + 1):
+        best = None
+        for v in range(n):
+            if v in chosen:
+                continue
+            dd = deg[v] - 2 * t[v] - (deg[v] - t[v]) * t[v] * p
+            if best is None or dd > best[0] or (dd == best[0] and v < best[1]):
+                best = (dd, v)
+        if best is None:
+            break
+        dd, v = best
+        chosen.add(v)
+        out.append((v, r, round(dd, 6)))
+        for u in adj.get(v, ()):
+            t[u] += 1
+    return out

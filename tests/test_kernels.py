@@ -1984,3 +1984,33 @@ class TestPprBatch:
         g = LinkGraph.from_pairs(spark, [(0, 1)], persist=False)
         with pytest.raises(ValueError):
             personalized_pagerank_batch(g, [])
+
+
+class TestInfluenceMax:
+    @pytest.mark.parametrize("seed,n,m", [(7, 25, 120), (11, 40, 200)])
+    def test_matches_degree_discount_oracle(self, spark, seed, n, m):
+        from graphit_spark.kernels import influence_max
+        from tests.oracles import influence_max_oracle
+
+        rng = random.Random(seed)
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        g = LinkGraph.from_pairs(spark, edges, persist=False)
+        got = sorted(
+            (r["seed"], r["round"], r["dd"])
+            for r in influence_max(g, k=4).collect()
+        )
+        assert got == sorted(influence_max_oracle(edges, k=4))
+
+    def test_hub_then_discounted(self, spark):
+        from graphit_spark.kernels import influence_max
+
+        # star 0-(1..10) plus a 3-clique 11-12-13: the hub goes first,
+        # then the discount (t=1 for every spoke) must drop the spokes
+        # below the untouched clique vertices.
+        edges = [(0, v) for v in range(1, 11)] + [
+            (11, 12), (12, 13), (11, 13)]
+        rows = {r["round"]: r["seed"]
+                for r in influence_max(LinkGraph.from_pairs(
+                    spark, edges, persist=False), k=2).collect()}
+        assert rows[1] == 0
+        assert rows[2] == 11  # min-id clique vertex, dd = 2 > spoke dd
