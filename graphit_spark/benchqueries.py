@@ -3168,6 +3168,81 @@ def q_sweep_cut(spark, sf_dir):
     return sweep_cut(g, vals)
 
 
+SPECTRAL_ROUNDS = 8  # keep in sync with kernels/spectral.py
+_SPECTRAL_MULT = 2654435761
+_SPECTRAL_MOD = 2048
+
+
+def spectral_sql(rounds: int = SPECTRAL_ROUNDS) -> str:
+    """Twin of kernels/spectral.py::spectral_bisection on the symmetrized
+    blocked graph: deflated power iteration on M = cI − L (c = 2·max
+    degree), per round y = (c − d)·x + Σ_nbr x, then mean-center and
+    L2-normalize with the round's own scalar stats — each stats CTE is
+    the SQL image of the kernel's single combined driver aggregate, and
+    every float expression (m = s1/n, norm = sqrt(s2 − s1·s1/n), the
+    var ≤ 0 → 1 guard) is written with the identical operation order."""
+    ctes = [
+        _SQL_BLOCKED.strip().rstrip(","),
+        """sdeg AS MATERIALIZED (
+  SELECT v.id, CAST(coalesce(d.cnt, 0) AS BIGINT) AS d
+  FROM verts v LEFT JOIN
+       (SELECT src AS id, count(*) AS cnt FROM sym GROUP BY src) d USING (id)
+)""",
+        "cc AS (SELECT 2 * max(d) AS c FROM sdeg)",
+        f"""x0 AS MATERIALIZED (
+  SELECT id, d,
+         ((CAST(id AS BIGINT) * {_SPECTRAL_MULT}) % {_SPECTRAL_MOD})
+           / {float(_SPECTRAL_MOD)} - 0.5e0 AS x
+  FROM sdeg
+)""",
+    ]
+    for k in range(1, rounds + 1):
+        p = f"x{k - 1}"
+        ctes.append(
+            f"""y{k} AS MATERIALIZED (
+  SELECT v.id, v.d,
+         ((SELECT c FROM cc) - v.d) * v.x + coalesce(s.acc, 0e0) AS y
+  FROM {p} v LEFT JOIN (
+    SELECT e.dst AS id, sum(r.x) AS acc
+    FROM sym e JOIN {p} r ON e.src = r.id
+    GROUP BY e.dst
+  ) s USING (id)
+)"""
+        )
+        ctes.append(
+            f"st{k} AS (SELECT sum(y) AS s1, sum(y*y) AS s2,"
+            f" count(*) AS n FROM y{k})"
+        )
+        ctes.append(
+            f"""x{k} AS MATERIALIZED (
+  SELECT id, d,
+         (y - (SELECT s1 / n FROM st{k}))
+           / (SELECT CASE WHEN s2 - s1 * s1 / n <= 0 THEN 1e0
+                          ELSE sqrt(s2 - s1 * s1 / n) END FROM st{k}) AS x
+  FROM y{k}
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT id, round(x, {ROUND_RANK}) + 0e0 AS fiedler,
+       CAST(CASE WHEN round(x, {ROUND_RANK}) > 0 THEN 1 ELSE 0 END
+            AS INTEGER) AS side
+FROM x{rounds} ORDER BY id"""
+    )
+
+
+def q_spectral_bisection(spark, sf_dir):
+    """Fiedler-vector bisection of the blocked community graph — the
+    spectral seed for graph partitioning (kernel symmetrizes
+    internally)."""
+    from graphit_spark.kernels import spectral_bisection
+
+    return spectral_bisection(
+        graph(spark, sf_dir, "blocked"), rounds=SPECTRAL_ROUNDS
+    )
+
+
 WALK_LEN = 4
 WALK_SEED = 7
 
@@ -4899,6 +4974,7 @@ GRAPH_QUERIES: dict[str, tuple] = {
     "lpa_modularity": (q_modularity, modularity_sql()),
     "louvain_modularity": (q_louvain_modularity, louvain_modularity_sql()),
     "sweep_cut": (q_sweep_cut, sweep_cut_sql()),
+    "spectral_bisection": (q_spectral_bisection, spectral_sql()),
     "personalized_pagerank": (q_ppr, ppr_sql()),
     "who_to_follow": (q_who_to_follow, who_to_follow_sql()),
     "local_cluster": (q_local_cluster, local_cluster_sql()),

@@ -53,6 +53,7 @@ from graphit_spark.kernels.mis import maximal_independent_set
 from graphit_spark.kernels.matching import maximal_matching
 from graphit_spark.kernels.mst import minimum_spanning_forest
 from graphit_spark.kernels.setcover import set_cover
+from graphit_spark.kernels.spectral import spectral_bisection
 from graphit_spark.kernels.sweepcut import sweep_cut
 from graphit_spark.kernels.walks import (
     build_alias_tables,
@@ -76,6 +77,7 @@ __all__ = [
     "link_prediction",
     "salsa",
     "strongly_connected_components",
+    "spectral_bisection",
     "sweep_cut",
     "random_in_neighbor",
     "random_out_neighbor",

@@ -2014,3 +2014,39 @@ class TestInfluenceMax:
                     spark, edges, persist=False), k=2).collect()}
         assert rows[1] == 0
         assert rows[2] == 11  # min-id clique vertex, dd = 2 > spoke dd
+
+
+class TestSpectralBisection:
+    def test_two_cliques_split_by_sign(self, spark):
+        from graphit_spark.kernels import spectral_bisection
+
+        # Two 8-cliques joined by a single bridge edge: the Fiedler
+        # vector's sign separates them (Fiedler 1973).
+        edges = []
+        for a in range(8):
+            for b in range(8):
+                if a != b:
+                    edges.append((a, b))
+                    edges.append((8 + a, 8 + b))
+        edges.append((0, 8))
+        g = LinkGraph.from_pairs(spark, edges, persist=False)
+        rows = spectral_bisection(g, rounds=12).collect()
+        side = {r["id"]: r["side"] for r in rows}
+        left = {side[i] for i in range(8)}
+        right = {side[i] for i in range(8, 16)}
+        assert len(left) == 1 and len(right) == 1 and left != right
+        # Fiedler coordinates are mean-centered: both signs present,
+        # and the vector is (near) unit-norm.
+        vals = np.array([r["fiedler"] for r in rows])
+        assert abs(vals.sum()) < 1e-3
+        assert 0.9 < np.sqrt((vals ** 2).sum()) < 1.1
+
+    def test_mean_zero_unit_norm_random(self, spark):
+        from graphit_spark.kernels import spectral_bisection
+
+        g = LinkGraph.from_pairs(spark, _rand_graph(60, 400, 3),
+                                 persist=False)
+        rows = spectral_bisection(g, rounds=6).collect()
+        vals = np.array([r["fiedler"] for r in rows])
+        assert abs(vals.sum()) < 1e-3
+        assert 0.9 < np.sqrt((vals ** 2).sum()) < 1.1
