@@ -3232,6 +3232,81 @@ FROM x{rounds} ORDER BY id"""
     )
 
 
+PUSH_SOURCE = 0
+
+
+def ppr_push_sql(rounds: int = 12, source: int = PUSH_SOURCE,
+                 alpha_num: int = 15, alpha_den: int = 100,
+                 eps_units: int = 1000) -> str:
+    """Twin of kernels/pprpush.py::approximate_ppr_push on the
+    symmetrized blocked graph. Dense-state unroll of the sparse kernel:
+    untouched vertices have r = 0, are never active, and receive
+    nothing, so the WHERE r > 0 final filter reproduces the kernel's
+    sparse touched set exactly (every kernel row keeps r >= 1: an
+    active row retains keep = (r - gain) - (r - gain)//2 >= 1 plus the
+    push remainder, an inactive touched row keeps its r unchanged).
+    All arithmetic is BIGINT nano-units with positive-operand
+    floor-divs (`//` == Spark `div`), so the match is bit-exact —
+    active-threshold knife-edges included. Rounds where no vertex
+    passes the threshold are no-ops, which makes the fixed unroll
+    budget-idempotent vs the kernel's early break."""
+    ctes = [
+        _SQL_BLOCKED.strip().rstrip(","),
+        """pdeg AS MATERIALIZED (
+  SELECT v.id, CAST(coalesce(c.cnt, 0) AS BIGINT) AS d
+  FROM verts v LEFT JOIN
+       (SELECT src AS id, count(*) AS cnt FROM sym GROUP BY src) c USING (id)
+)""",
+        f"""s0 AS MATERIALIZED (
+  SELECT id, d, CAST(0 AS BIGINT) AS p,
+         CAST(CASE WHEN id = {source} THEN 1000000000 ELSE 0 END
+              AS BIGINT) AS r
+  FROM pdeg
+)""",
+    ]
+    for k in range(1, rounds + 1):
+        prev = f"s{k - 1}"
+        ctes.append(
+            f"""a{k} AS MATERIALIZED (
+  SELECT id, d, r,
+         (r * {alpha_num}) // {alpha_den} AS gain,
+         (r - (r * {alpha_num}) // {alpha_den}) // 2 AS push_total
+  FROM {prev} WHERE r > {eps_units} * d AND d > 0
+)""")
+        ctes.append(
+            f"""g{k} AS MATERIALIZED (
+  SELECT e.dst AS id, SUM(a.push_total // a.d) AS recv
+  FROM sym e JOIN a{k} a ON e.src = a.id
+  WHERE a.push_total // a.d > 0
+  GROUP BY e.dst
+)""")
+        ctes.append(
+            f"""s{k} AS MATERIALIZED (
+  SELECT v.id, v.d,
+         v.p + coalesce(a.gain, 0) AS p,
+         CASE WHEN a.id IS NOT NULL
+              THEN v.r - a.gain - (a.push_total // a.d) * a.d
+              ELSE v.r END + coalesce(g.recv, 0) AS r
+  FROM {prev} v LEFT JOIN a{k} a USING (id) LEFT JOIN g{k} g USING (id)
+)""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT id, p AS ppr_units, r AS r_units, p / 1000000000.0 AS ppr
+FROM s{rounds} WHERE r > 0 ORDER BY id"""
+    )
+
+
+def q_ppr_push(spark, sf_dir):
+    """ACL local-push personalized PageRank: the sparse, touched-set-only
+    seed query (cost independent of graph size) vs the power-iteration
+    `personalized_pagerank`."""
+    from graphit_spark.kernels import approximate_ppr_push
+
+    return approximate_ppr_push(graph(spark, sf_dir, "blocked"),
+                                PUSH_SOURCE)
+
+
 def q_spectral_bisection(spark, sf_dir):
     """Fiedler-vector bisection of the blocked community graph — the
     spectral seed for graph partitioning (kernel symmetrizes
@@ -4975,6 +5050,7 @@ GRAPH_QUERIES: dict[str, tuple] = {
     "louvain_modularity": (q_louvain_modularity, louvain_modularity_sql()),
     "sweep_cut": (q_sweep_cut, sweep_cut_sql()),
     "spectral_bisection": (q_spectral_bisection, spectral_sql()),
+    "ppr_push": (q_ppr_push, ppr_push_sql()),
     "personalized_pagerank": (q_ppr, ppr_sql()),
     "who_to_follow": (q_who_to_follow, who_to_follow_sql()),
     "local_cluster": (q_local_cluster, local_cluster_sql()),

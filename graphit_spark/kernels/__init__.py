@@ -53,6 +53,7 @@ from graphit_spark.kernels.mis import maximal_independent_set
 from graphit_spark.kernels.matching import maximal_matching
 from graphit_spark.kernels.mst import minimum_spanning_forest
 from graphit_spark.kernels.setcover import set_cover
+from graphit_spark.kernels.pprpush import approximate_ppr_push
 from graphit_spark.kernels.spectral import spectral_bisection
 from graphit_spark.kernels.sweepcut import sweep_cut
 from graphit_spark.kernels.walks import (
@@ -77,6 +78,7 @@ __all__ = [
     "link_prediction",
     "salsa",
     "strongly_connected_components",
+    "approximate_ppr_push",
     "spectral_bisection",
     "sweep_cut",
     "random_in_neighbor",

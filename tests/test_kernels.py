@@ -2050,3 +2050,49 @@ class TestSpectralBisection:
         vals = np.array([r["fiedler"] for r in rows])
         assert abs(vals.sum()) < 1e-3
         assert 0.9 < np.sqrt((vals ** 2).sum()) < 1.1
+
+
+class TestPprPush:
+    def test_mass_conservation_and_threshold(self, spark):
+        from graphit_spark.kernels import approximate_ppr_push
+        from graphit_spark.kernels.pprpush import (
+            PUSH_EPS_UNITS,
+            PUSH_SCALE,
+        )
+
+        edges = _rand_graph(80, 400, 11)
+        g = LinkGraph.from_pairs(spark, edges, persist=False)
+        rows = approximate_ppr_push(g, 0, max_rounds=50).collect()
+        # Integer mass is conserved exactly: gains move r->p, pushes
+        # move r between vertices, floor remainders stay put.
+        assert sum(r["ppr_units"] + r["r_units"] for r in rows) == PUSH_SCALE
+        # 50 rounds is far beyond convergence on 80 vertices: every
+        # touched vertex with degree > 0 is below the push threshold.
+        deg = {r["id"]: r["out_degree"]
+               for r in g.symmetrize().out_degrees().collect()}
+        for r in rows:
+            if deg.get(r["id"], 0) > 0:
+                assert r["r_units"] <= PUSH_EPS_UNITS * deg[r["id"]]
+        # touched set is sparse state: every kept row holds mass
+        assert all(r["r_units"] >= 1 for r in rows)
+
+    def test_isolated_source_keeps_all_mass(self, spark):
+        from graphit_spark.kernels import approximate_ppr_push
+        from graphit_spark.kernels.pprpush import PUSH_SCALE
+
+        # vertex 5 exists (universe max id 5) but has no sym edges
+        g = LinkGraph.from_pairs(spark, [(0, 1), (5, 5)], persist=False)
+        rows = approximate_ppr_push(g, 5, max_rounds=4).collect()
+        assert len(rows) == 1
+        assert rows[0]["id"] == 5 and rows[0]["r_units"] == PUSH_SCALE
+
+    def test_touched_set_is_local(self, spark):
+        from graphit_spark.kernels import approximate_ppr_push
+
+        # two far-apart components: pushing from one never touches the other
+        edges = [(i, i + 1) for i in range(20)]
+        edges += [(100 + i, 100 + i + 1) for i in range(20)]
+        g = LinkGraph.from_pairs(spark, edges, persist=False)
+        ids = {r["id"] for r in
+               approximate_ppr_push(g, 0, max_rounds=30).collect()}
+        assert ids and all(i < 100 for i in ids)
