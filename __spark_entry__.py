@@ -84,7 +84,7 @@ _CHECK_FIRST = [
     "host_lang_mix", "dedup_embedding_whitened", "events_funnel",
     "landmark_distances", "doc_lm_score", "cc_incremental",
     "doc_quality_probe",
-    "spectral_bisection", "ppr_push",
+    "spectral_bisection", "ppr_push", "local_cluster_push",
     "louvain", "maximal_matching", "clustering_coeff",
     "triangle_count_approx",
     "anchor_text_index", "events_retention", "events_dau",

@@ -3235,18 +3235,13 @@ FROM x{rounds} ORDER BY id"""
 PUSH_SOURCE = 0
 
 
-def ppr_push_sql(rounds: int = 12, source: int = PUSH_SOURCE,
-                 alpha_num: int = 15, alpha_den: int = 100,
-                 eps_units: int = 1000) -> str:
-    """Twin of kernels/pprpush.py::approximate_ppr_push on the
-    symmetrized blocked graph. Dense-state unroll of the sparse kernel:
-    untouched vertices have r = 0, are never active, and receive
-    nothing, so the WHERE r > 0 final filter reproduces the kernel's
-    sparse touched set exactly (every kernel row keeps r >= 1: an
-    active row retains keep = (r - gain) - (r - gain)//2 >= 1 plus the
-    push remainder, an inactive touched row keeps its r unchanged).
-    All arithmetic is BIGINT nano-units with positive-operand
-    floor-divs (`//` == Spark `div`), so the match is bit-exact —
+def _ppr_push_chain(rounds: int, source: int, alpha_num: int,
+                    alpha_den: int, eps_units: int) -> list[str]:
+    """CTE chain shared by ppr_push_sql and local_cluster_push_sql:
+    dense-state unroll of the sparse kernel over _SQL_BLOCKED's sym
+    (untouched vertices have r = 0, are never active, and receive
+    nothing). All arithmetic is BIGINT nano-units with positive-operand
+    floor-divs (`//` == Spark `div`) — bit-exact vs the kernel,
     active-threshold knife-edges included. Rounds where no vertex
     passes the threshold are no-ops, which makes the fixed unroll
     budget-idempotent vs the kernel's early break."""
@@ -3289,12 +3284,105 @@ def ppr_push_sql(rounds: int = 12, source: int = PUSH_SOURCE,
               ELSE v.r END + coalesce(g.recv, 0) AS r
   FROM {prev} v LEFT JOIN a{k} a USING (id) LEFT JOIN g{k} g USING (id)
 )""")
+    return ctes
+
+
+def ppr_push_sql(rounds: int = 12, source: int = PUSH_SOURCE,
+                 alpha_num: int = 15, alpha_den: int = 100,
+                 eps_units: int = 1000) -> str:
+    """Twin of kernels/pprpush.py::approximate_ppr_push. The final
+    WHERE r > 0 reproduces the kernel's sparse touched set exactly:
+    every kernel row keeps r >= 1 (an active row retains
+    keep = (r - gain) - (r - gain)//2 >= 1 plus the push remainder; an
+    inactive touched row keeps its r unchanged)."""
+    ctes = _ppr_push_chain(rounds, source, alpha_num, alpha_den, eps_units)
     return (
         "WITH " + ",\n".join(ctes)
         + f"""
 SELECT id, p AS ppr_units, r AS r_units, p / 1000000000.0 AS ppr
 FROM s{rounds} WHERE r > 0 ORDER BY id"""
     )
+
+
+def local_cluster_push_sql(rounds: int = 12, source: int = PUSH_SOURCE,
+                           alpha_num: int = 15, alpha_den: int = 100,
+                           eps_units: int = 1000) -> str:
+    """Twin of q_local_cluster_push — the full ACL pipeline: local push
+    from the seed, degree-normalized settled mass as the sweep ordering
+    (p(v)/d(v), realized as the exact BIGINT (p·1e9) // d so both
+    engines rank identical integers), then the conductance sweep from
+    sweep_cut_sql. The ordering integers are exact, so there is zero
+    float-tie ambiguity anywhere in the composition."""
+    ctes = _ppr_push_chain(rounds, source, alpha_num, alpha_den, eps_units)
+    ctes.append("mm AS (SELECT count(*) AS m FROM sym)")
+    ctes.append(
+        f"""rk AS MATERIALIZED (
+  SELECT s.id,
+         CASE WHEN s.d > 0 THEN (s.p * 1000000000) // s.d ELSE 0 END AS val,
+         s.d AS deg,
+         CAST(row_number() OVER (
+           ORDER BY CASE WHEN s.d > 0 THEN (s.p * 1000000000) // s.d
+                         ELSE 0 END DESC, s.id ASC) - 1 AS BIGINT) AS r
+  FROM s{rounds} s
+)"""
+    )
+    ctes.append(
+        """deltas AS MATERIALIZED (
+  SELECT a.r, sum(CASE WHEN b.r IS NULL OR b.r > a.r THEN 1 ELSE -1 END) AS delta
+  FROM sym e JOIN rk a ON e.src = a.id LEFT JOIN rk b ON e.dst = b.id
+  GROUP BY a.r
+)"""
+    )
+    ctes.append(
+        """swept AS MATERIALIZED (
+  SELECT rk.id, rk.r,
+         sum(rk.deg) OVER (ORDER BY rk.r ROWS UNBOUNDED PRECEDING) AS vol,
+         sum(coalesce(dl.delta, 0)) OVER (ORDER BY rk.r ROWS UNBOUNDED PRECEDING) AS crossing
+  FROM rk LEFT JOIN deltas dl ON rk.r = dl.r
+)"""
+    )
+    ctes.append(
+        """best AS (
+  SELECT r FROM (
+    SELECT r,
+           CASE WHEN crossing = 0
+                     OR least(vol, (SELECT m FROM mm) - vol) = 0 THEN 1e0
+                ELSE crossing * 1e0 / least(vol, (SELECT m FROM mm) - vol)
+           END AS cond
+    FROM swept
+  ) ORDER BY cond, r LIMIT 1
+)"""
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + "\nSELECT id FROM swept WHERE r < (SELECT r FROM best) ORDER BY id"
+    )
+
+
+def q_local_cluster_push(spark, sf_dir):
+    """The ACL local-clustering pipeline at its intended scale shape:
+    sparse push PPR (touched-set cost, not V-sized supersteps) feeding
+    the distributed conductance sweep. Ordering key is the exact
+    integer (p·1e9) // d — degree-normalized settled mass."""
+    from graphit_spark.kernels import approximate_ppr_push, sweep_cut
+
+    g0 = graph(spark, sf_dir, "blocked")
+    g = g0.symmetrize()
+    push = approximate_ppr_push(g0, PUSH_SOURCE)
+    vals = (
+        g0.vertices()
+        .join(push.select("id", "ppr_units"), "id", "left")
+        .join(g.out_degrees(), "id", "left")
+        .select(
+            "id",
+            F.expr(
+                "CASE WHEN coalesce(out_degree, 0) > 0"
+                " THEN (coalesce(ppr_units, 0) * 1000000000) div out_degree"
+                " ELSE 0 END"
+            ).alias("val"),
+        )
+    )
+    return sweep_cut(g, vals)
 
 
 def q_ppr_push(spark, sf_dir):
@@ -5051,6 +5139,7 @@ GRAPH_QUERIES: dict[str, tuple] = {
     "sweep_cut": (q_sweep_cut, sweep_cut_sql()),
     "spectral_bisection": (q_spectral_bisection, spectral_sql()),
     "ppr_push": (q_ppr_push, ppr_push_sql()),
+    "local_cluster_push": (q_local_cluster_push, local_cluster_push_sql()),
     "personalized_pagerank": (q_ppr, ppr_sql()),
     "who_to_follow": (q_who_to_follow, who_to_follow_sql()),
     "local_cluster": (q_local_cluster, local_cluster_sql()),
