@@ -3406,6 +3406,96 @@ def q_spectral_bisection(spark, sf_dir):
     )
 
 
+SPECTRAL_PART_LEVELS = 2
+SPECTRAL_PART_ROUNDS = 6
+
+
+def spectral_partition_sql(levels: int = SPECTRAL_PART_LEVELS,
+                           rounds: int = SPECTRAL_PART_ROUNDS) -> str:
+    """Twin of kernels/spectral.py::spectral_partition: each level
+    materializes the within-part edge table once, then runs the
+    deflated power iteration with PER-PART grouped stats (the grouped
+    image of the bisection twin's scalar st CTEs); the level boundary
+    quantizes at round(x, 6) and shifts the part code left one bit."""
+    ctes = [
+        _SQL_BLOCKED.strip().rstrip(","),
+        "p0 AS MATERIALIZED (SELECT id, CAST(0 AS BIGINT) AS part"
+        " FROM verts)",
+    ]
+    for lv in range(levels):
+        ctes.append(
+            f"""pe{lv} AS MATERIALIZED (
+  SELECT e.src, e.dst, a.part
+  FROM sym e JOIN p{lv} a ON e.src = a.id JOIN p{lv} b ON e.dst = b.id
+  WHERE a.part = b.part
+)""")
+        ctes.append(
+            f"""bs{lv} AS MATERIALIZED (
+  SELECT p.id, p.part, CAST(coalesce(d.cnt, 0) AS BIGINT) AS d
+  FROM p{lv} p LEFT JOIN
+       (SELECT src AS id, count(*) AS cnt FROM pe{lv} GROUP BY src) d
+       USING (id)
+)""")
+        ctes.append(
+            f"cm{lv} AS (SELECT part, CAST(2 * max(d) AS BIGINT) AS c"
+            f" FROM bs{lv} GROUP BY part)")
+        ctes.append(
+            f"""x{lv}_0 AS MATERIALIZED (
+  SELECT b.id, b.part, b.d, c.c,
+         ((CAST(b.id AS BIGINT) * {_SPECTRAL_MULT}) % {_SPECTRAL_MOD})
+           / {float(_SPECTRAL_MOD)} - 0.5e0 AS x
+  FROM bs{lv} b JOIN cm{lv} c USING (part)
+)""")
+        for k in range(1, rounds + 1):
+            p = f"x{lv}_{k - 1}"
+            ctes.append(
+                f"""y{lv}_{k} AS MATERIALIZED (
+  SELECT v.id, v.part, v.d, v.c,
+         (v.c - v.d) * v.x + coalesce(s.acc, 0e0) AS y
+  FROM {p} v LEFT JOIN (
+    SELECT e.dst AS id, sum(r.x) AS acc
+    FROM pe{lv} e JOIN {p} r ON e.src = r.id
+    GROUP BY e.dst
+  ) s USING (id)
+)""")
+            ctes.append(
+                f"st{lv}_{k} AS (SELECT part, sum(y) AS s1,"
+                f" sum(y*y) AS s2, count(*) AS n"
+                f" FROM y{lv}_{k} GROUP BY part)")
+            ctes.append(
+                f"""x{lv}_{k} AS MATERIALIZED (
+  SELECT y.id, y.part, y.d, y.c,
+         (y.y - t.s1 / t.n)
+           / (CASE WHEN t.s2 - t.s1 * t.s1 / t.n <= 0 THEN 1e0
+                   ELSE sqrt(t.s2 - t.s1 * t.s1 / t.n) END) AS x
+  FROM y{lv}_{k} y JOIN st{lv}_{k} t USING (part)
+)""")
+        ctes.append(
+            f"""p{lv + 1} AS MATERIALIZED (
+  SELECT id,
+         CAST(part * 2 + CASE WHEN round(x, {ROUND_RANK}) > 0
+                              THEN 1 ELSE 0 END AS BIGINT) AS part
+  FROM x{lv}_{rounds}
+)""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id, part FROM p{levels} ORDER BY id"
+    )
+
+
+def q_spectral_partition(spark, sf_dir):
+    """Recursive spectral partition of the blocked graph into
+    2^levels parts — all parts iterate simultaneously via grouped
+    stats (no per-part driver scalars)."""
+    from graphit_spark.kernels import spectral_partition
+
+    return spectral_partition(
+        graph(spark, sf_dir, "blocked"),
+        levels=SPECTRAL_PART_LEVELS,
+        rounds=SPECTRAL_PART_ROUNDS,
+    )
+
+
 WALK_LEN = 4
 WALK_SEED = 7
 
@@ -5139,6 +5229,7 @@ GRAPH_QUERIES: dict[str, tuple] = {
     "sweep_cut": (q_sweep_cut, sweep_cut_sql()),
     "spectral_bisection": (q_spectral_bisection, spectral_sql()),
     "ppr_push": (q_ppr_push, ppr_push_sql()),
+    "spectral_partition": (q_spectral_partition, spectral_partition_sql()),
     "local_cluster_push": (q_local_cluster_push, local_cluster_push_sql()),
     "personalized_pagerank": (q_ppr, ppr_sql()),
     "who_to_follow": (q_who_to_follow, who_to_follow_sql()),

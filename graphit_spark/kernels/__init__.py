@@ -54,7 +54,7 @@ from graphit_spark.kernels.matching import maximal_matching
 from graphit_spark.kernels.mst import minimum_spanning_forest
 from graphit_spark.kernels.setcover import set_cover
 from graphit_spark.kernels.pprpush import approximate_ppr_push
-from graphit_spark.kernels.spectral import spectral_bisection
+from graphit_spark.kernels.spectral import spectral_bisection, spectral_partition
 from graphit_spark.kernels.sweepcut import sweep_cut
 from graphit_spark.kernels.walks import (
     build_alias_tables,
@@ -80,6 +80,7 @@ __all__ = [
     "strongly_connected_components",
     "approximate_ppr_push",
     "spectral_bisection",
+    "spectral_partition",
     "sweep_cut",
     "random_in_neighbor",
     "random_out_neighbor",

@@ -2096,3 +2096,45 @@ class TestPprPush:
         ids = {r["id"] for r in
                approximate_ppr_push(g, 0, max_rounds=30).collect()}
         assert ids and all(i < 100 for i in ids)
+
+
+class TestSpectralPartition:
+    def test_hierarchical_cliques(self, spark):
+        from graphit_spark.kernels import spectral_partition
+
+        # Hierarchical structure so each recursion level has a STRONG
+        # eigengap (a power method separates modes at a rate set by the
+        # lambda_2/lambda_3 gap — a chain/ring of equal cliques has two
+        # comparably small eigenvalues and needs rounds ~ 1/gap, which
+        # no fixed budget covers): cliques A-B and C-D are coupled by
+        # 4 bridges each (one tight pair per side), the two pairs by a
+        # single bridge. Level 1 must cut the single bridge
+        # ({A,B} vs {C,D}); level 2 splits each pair.
+        # contiguous ids: gap ids would be isolated vertices, i.e.
+        # extra zero-eigenvalue components that the iteration correctly
+        # treats as the best (zero-conductance) cut — see docstring
+        edges = []
+        for c in range(4):
+            base = 6 * c
+            for a in range(6):
+                for b in range(6):
+                    if a != b:
+                        edges.append((base + a, base + b))
+        for i in range(4):  # A-B and C-D: 4 bridges each
+            edges.append((0 + i, 6 + i))
+            edges.append((12 + i, 18 + i))
+        edges.append((11, 13))  # the single inter-pair bridge
+        g = LinkGraph.from_pairs(spark, edges, persist=False)
+        rows = spectral_partition(g, levels=2, rounds=30).collect()
+        part = {r["id"]: r["part"] for r in rows}
+        clique_parts = []
+        for c in range(4):
+            ps = {part[6 * c + i] for i in range(6)}
+            assert len(ps) == 1, f"clique {c} split across parts {ps}"
+            clique_parts.append(ps.pop())
+        assert len(set(clique_parts)) == 4  # all four separated
+        assert all(0 <= p < 4 for p in clique_parts)
+        # level-1 bit respects the pair structure: A with B, C with D
+        assert clique_parts[0] // 2 == clique_parts[1] // 2
+        assert clique_parts[2] // 2 == clique_parts[3] // 2
+        assert clique_parts[0] // 2 != clique_parts[2] // 2
