@@ -68,7 +68,8 @@ _CHECK_FIRST = [
     "corpus_train_split",
     "link_prediction", "salsa", "cms_heavy_hitters", "ego_subgraph",
     "corpus_pmi", "cocitation", "corpus_contrastive_pairs", "ppr_batch",
-    "corpus_sample_stratified", "walk_cooccurrence", "scc_condensation",
+    "corpus_sample_stratified", "corpus_sample_priority",
+    "walk_cooccurrence", "scc_condensation",
     "motif_counts", "degree_histogram", "rank_churn", "sim_int8_topk",
     "who_to_follow", "sim_pq_topk", "katz_centrality", "doc_boilerplate",
     "resolve_redirects", "url_canonical_dedup", "doc_bm25_search",
@@ -85,7 +86,7 @@ _CHECK_FIRST = [
     "landmark_distances", "doc_lm_score", "cc_incremental",
     "doc_quality_probe",
     "spectral_bisection", "ppr_push", "local_cluster_push",
-    "spectral_partition",
+    "spectral_partition", "label_spreading",
     "louvain", "maximal_matching", "clustering_coeff",
     "triangle_count_approx",
     "anchor_text_index", "events_retention", "events_dau",

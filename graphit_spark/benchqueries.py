@@ -3406,6 +3406,67 @@ def q_spectral_bisection(spark, sf_dir):
     )
 
 
+SPREAD_ROUNDS = 6
+SPREAD_CLASSES = 4
+
+
+def label_spreading_sql(rounds: int = SPREAD_ROUNDS) -> str:
+    """Twin of kernels/labelprop.py::label_spreading on the symmetrized
+    blocked graph, seeded at block heads (id % BLOCK == 0) with class
+    (id // BLOCK) % SPREAD_CLASSES: hard-clamped seeds, argmax
+    (count desc, label asc) over LABELED neighbors per round, NULL for
+    unreached — all-integer, bit-exact."""
+    ctes = [
+        _SQL_BLOCKED.strip().rstrip(","),
+        f"""seeds AS MATERIALIZED (
+  SELECT id, CAST((id // {BLOCK}) % {SPREAD_CLASSES} AS BIGINT)
+           AS seed_label
+  FROM verts WHERE id % {BLOCK} = 0
+)""",
+        "ls0 AS MATERIALIZED (SELECT v.id, s.seed_label AS label"
+        " FROM verts v LEFT JOIN seeds s USING (id))",
+    ]
+    for k in range(1, rounds + 1):
+        p = f"ls{k - 1}"
+        ctes.append(
+            f"""ls{k} AS MATERIALIZED (
+  SELECT v.id, coalesce(s.seed_label, b.label, v.label) AS label
+  FROM {p} v LEFT JOIN seeds s USING (id) LEFT JOIN (
+    SELECT id, label FROM (
+      SELECT c.id, c.label,
+             row_number() OVER (PARTITION BY c.id
+                                ORDER BY c.cnt DESC, c.label ASC) AS rn
+      FROM (SELECT e.dst AS id, l.label, count(*) AS cnt
+            FROM sym e JOIN {p} l ON e.src = l.id
+            WHERE l.label IS NOT NULL
+            GROUP BY e.dst, l.label) c
+    ) x WHERE rn = 1
+  ) b USING (id)
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id, label FROM ls{rounds} ORDER BY id"
+    )
+
+
+def q_label_spreading(spark, sf_dir):
+    """Weak-supervision label spreading: clamped block-head seeds
+    propagate their class over the blocked community graph."""
+    from graphit_spark.kernels import label_spreading
+
+    g = graph(spark, sf_dir, "blocked")
+    seeds = (
+        g.vertices()
+        .filter(F.col("id") % BLOCK == 0)
+        .select(
+            "id",
+            F.expr(f"(id div {BLOCK}) % {SPREAD_CLASSES}").alias("label"),
+        )
+    )
+    return label_spreading(g, seeds, rounds=SPREAD_ROUNDS)
+
+
 SPECTRAL_PART_LEVELS = 2
 SPECTRAL_PART_ROUNDS = 6
 
@@ -5230,6 +5291,7 @@ GRAPH_QUERIES: dict[str, tuple] = {
     "spectral_bisection": (q_spectral_bisection, spectral_sql()),
     "ppr_push": (q_ppr_push, ppr_push_sql()),
     "spectral_partition": (q_spectral_partition, spectral_partition_sql()),
+    "label_spreading": (q_label_spreading, label_spreading_sql()),
     "local_cluster_push": (q_local_cluster_push, local_cluster_push_sql()),
     "personalized_pagerank": (q_ppr, ppr_sql()),
     "who_to_follow": (q_who_to_follow, who_to_follow_sql()),

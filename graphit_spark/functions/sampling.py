@@ -301,3 +301,81 @@ def contrastive_pairs(
         except Exception:
             pass
     return out
+
+
+def priority_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str = "n_tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Priority sampling (Duffield-Lund-Thorup JACM'07): a deterministic
+    weight-proportional sample of ``k`` rows with unbiased subset-sum
+    estimation weights.
+
+    Each row gets priority w / u with u ~ U(0,1]; the k highest
+    priorities are kept and tau = the (k+1)-th priority; the estimator
+    weight of a kept row is max(w, tau) (unbiased for every subset sum —
+    the property that makes this the right sampler for "train on a
+    weighted subsample but report corpus-level token statistics").
+
+    Determinism discipline: u = (h+1)/2^60 with h a salted 60-bit md5 of
+    the id, so priority = w / (h+1) up to the constant 2^60 factor that
+    cancels in the ordering — ONE IEEE division of exactly-represented
+    integers, bit-identical across engines; ordering ties broken by id.
+    Keeping the budget-sampler's hash UNSALTED and this one salted
+    ('pri|' prefix) keeps the two samplers independent.
+
+    Scale shape: one corpus scan computing (w, priority), one
+    TakeOrderedAndProject for the k+1 head rows, then windows over the
+    (k+1)-row result only — the single-partition window is bounded by
+    k+1, never corpus-sized.
+    """
+    from pyspark.sql import Window
+
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("pri|"), F.col(id_col).cast("string")
+                ).cast("binary")
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    keyed = df.select(
+        F.col(id_col),
+        F.col(weight_col).cast("long").alias("w"),
+        (
+            F.col(weight_col).cast("double")
+            / (h + F.lit(1)).cast("double")
+        ).alias("pri"),
+    )
+    top = keyed.orderBy(F.desc("pri"), F.asc(id_col)).limit(k + 1)
+    w_rank = Window.orderBy(F.desc("pri"), F.asc(id_col))
+    w_all = Window.orderBy(F.desc("pri"), F.asc(id_col)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = top.select(
+        id_col,
+        "w",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count("*").over(w_all).alias("cnt"),
+        F.min("pri").over(w_all).alias("minpri"),
+    )
+    tau = F.when(F.col("cnt") == k + 1, F.col("minpri")).otherwise(
+        F.lit(0.0)
+    )
+    return (
+        ranked.filter(F.col("rn") <= k)
+        .select(
+            id_col,
+            F.col("w").alias(weight_col),
+            F.greatest(F.col("w").cast("double"), tau).alias(
+                f"est_{weight_col}"
+            ),
+        )
+    )

@@ -10,6 +10,7 @@ from graphit_spark.kernels.components import connected_components
 from graphit_spark.kernels.scc import strongly_connected_components
 from graphit_spark.kernels.labelprop import (
     label_propagation,
+    label_spreading,
     weighted_label_propagation,
 )
 from graphit_spark.kernels.louvain import louvain_communities, louvain_move
@@ -120,6 +121,7 @@ __all__ = [
     "weighted_pagerank",
     "connected_components",
     "label_propagation",
+    "label_spreading",
     "weighted_label_propagation",
     "simrank",
     "triangle_count",

@@ -120,3 +120,80 @@ def weighted_label_propagation(
     if own_cache:
         g.unpersist()
     return labels
+
+
+def label_spreading(
+    graph: LinkGraph,
+    seeds: DataFrame,
+    *,
+    rounds: int = 6,
+    symmetrize: bool = True,
+) -> DataFrame:
+    """Semi-supervised label spreading with HARD-CLAMPED seeds (the
+    majority-vote variant of Zhu-Ghahramani label propagation) — the
+    weak-supervision workhorse: propagate a small set of trusted labels
+    (spam/quality/language verdicts on a few hosts or docs) over the
+    link graph to label everything reachable.
+
+    Contract: seeds never change; an unlabeled vertex adopts the argmax
+    (count desc, label asc) of its LABELED neighbors each synchronous
+    round and may keep flipping as votes evolve; vertices never reached
+    stay NULL. Fixed round count (same deterministic, testable contract
+    as label_propagation).
+
+    Plan per round: identical to LPA's two-level skew-safe aggregation,
+    except the gather side is pre-filtered to labeled vertices — early
+    rounds scan only the seeded frontier's edges.
+    Returns (id, label) with label NULL for unreached vertices.
+
+    Seeds are expected as (id, label) with integer labels; rows whose id
+    is outside the graph's vertex universe are ignored.
+    """
+    g = graph.symmetrize() if symmetrize else graph
+    own_cache = g.ensure_persisted()
+
+    seed_map = seeds.select(
+        F.col("id").cast("long").alias("id"),
+        F.col("label").cast("long").alias("seed_label"),
+    )
+    labels = (
+        graph.vertices()
+        .join(seed_map, "id", "left")
+        .select("id", F.col("seed_label").alias("label"))
+        .transform(fresh_checkpoint)
+    )
+    prev = labels
+    for _ in range(rounds):
+        counts = (
+            g.edges.join(
+                labels.filter(F.col("label").isNotNull()).select(
+                    F.col("id").alias("src"), "label"
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("id"), "label")
+            .agg(F.count("*").alias("cnt"))
+        )
+        best = counts.groupBy("id").agg(
+            F.max_by(
+                "label",
+                F.struct(F.col("cnt"), (-F.col("label")).alias("neg")),
+            ).alias("best_label")
+        )
+        labels = (
+            labels.join(seed_map, "id", "left")
+            .join(best, "id", "left")
+            .select(
+                "id",
+                F.coalesce("seed_label", "best_label", "label").alias(
+                    "label"
+                ),
+            )
+            .transform(fresh_checkpoint)
+        )
+        prev.unpersist()
+        prev = labels
+
+    if own_cache:
+        g.unpersist()
+    return labels

@@ -3577,6 +3577,56 @@ ORDER BY doc_id
 """
 
 
+PRIORITY_SAMPLE_K = 100
+
+
+def q_corpus_sample_priority(spark, sf_dir):
+    """Priority sampling (Duffield-Lund-Thorup): a deterministic
+    token-weighted sample of K docs with unbiased subset-sum estimator
+    weights max(w, tau) — the sampler to use when training on a
+    subsample but reporting corpus-level token statistics. One corpus
+    scan + TakeOrdered(K+1) + windows over K+1 rows only."""
+    from graphit_spark.functions import sampling as SA
+
+    docs = load(spark, sf_dir, "documents")
+    weighted = docs.select(
+        "doc_id", T.token_count(F.col("text")).alias("n_tokens")
+    )
+    return SA.priority_sample(weighted, PRIORITY_SAMPLE_K)
+
+
+def _corpus_sample_priority_sql(k: int = PRIORITY_SAMPLE_K) -> str:
+    """Twin of functions/sampling.py::priority_sample over whitespace
+    token counts: priority = w / (h+1) with the salted 60-bit md5 —
+    one IEEE division of exact integers, so ordering, tau, and the
+    max(w, tau) estimator all match bit for bit."""
+    return f"""
+WITH keyed AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS w,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+           / CAST((('0x' || substr(md5('pri|' || CAST(doc_id AS VARCHAR)),
+                     1, 15))::BIGINT + 1) AS DOUBLE) AS pri
+  FROM documents
+),
+top AS MATERIALIZED (
+  SELECT * FROM keyed ORDER BY pri DESC, doc_id ASC LIMIT {k + 1}
+),
+stats AS (SELECT count(*) AS cnt, min(pri) AS minpri FROM top),
+ranked AS (
+  SELECT doc_id, w,
+         row_number() OVER (ORDER BY pri DESC, doc_id ASC) AS rn
+  FROM top
+)
+SELECT doc_id, w AS n_tokens,
+       greatest(CAST(w AS DOUBLE),
+                CASE WHEN (SELECT cnt FROM stats) = {k + 1}
+                     THEN (SELECT minpri FROM stats) ELSE 0e0 END)
+         AS est_n_tokens
+FROM ranked WHERE rn <= {k} ORDER BY doc_id
+"""
+
+
 def _corpus_sample_stratified_sql() -> str:
     """Per-stratum row_number in the same (skey, doc_id) order; quota =
     (n·num + den−1) // den in integer arithmetic — the keep set is
@@ -4210,6 +4260,8 @@ TEXT_QUERIES: dict[str, tuple] = {
                                _corpus_select_semantic_sql()),
     "corpus_select_full": (q_corpus_select_full, _corpus_select_full_sql()),
     "corpus_sample_budget": (q_corpus_sample_budget, _corpus_sample_budget_sql()),
+    "corpus_sample_priority": (q_corpus_sample_priority,
+                               _corpus_sample_priority_sql()),
     "corpus_sample_stratified": (q_corpus_sample_stratified,
                                  _corpus_sample_stratified_sql()),
     "corpus_pack_sequences": (q_corpus_pack_sequences,

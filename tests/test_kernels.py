@@ -2138,3 +2138,47 @@ class TestSpectralPartition:
         assert clique_parts[0] // 2 == clique_parts[1] // 2
         assert clique_parts[2] // 2 == clique_parts[3] // 2
         assert clique_parts[0] // 2 != clique_parts[2] // 2
+
+
+class TestLabelSpreading:
+    def test_two_cliques_two_classes(self, spark):
+        from graphit_spark.kernels import label_spreading
+
+        # two 5-cliques bridged by one edge (majority votes inside a
+        # clique are decisive — a degree-2 path would tie 1-1 at every
+        # frontier and the min-label tie-break would walk label 7
+        # across it, which is correct but tests nothing); plus an
+        # unreached isolated pair 10-11.
+        edges = [(10, 11)]
+        for a in range(5):
+            for b in range(5):
+                if a != b:
+                    edges.append((a, b))
+                    edges.append((20 + a, 20 + b))
+        edges.append((0, 20))
+        g = LinkGraph.from_pairs(spark, edges, persist=False)
+        seeds = spark.createDataFrame(
+            [(1, 7), (21, 9)], "id long, label long"
+        )
+        got = {r["id"]: r["label"]
+               for r in label_spreading(g, seeds, rounds=6).collect()}
+        assert got[1] == 7 and got[21] == 9  # clamped
+        assert all(got[i] == 7 for i in range(5))
+        assert all(got[20 + i] == 9 for i in range(5))
+        assert got[10] is None and got[11] is None  # unreached
+
+    def test_seed_clamped_when_outvoted(self, spark):
+        from graphit_spark.kernels import label_spreading
+
+        # star: center 0 seeded class 5; all leaves seeded class 2.
+        # center must stay 5 despite unanimous neighbor votes for 2.
+        edges = [(0, i) for i in range(1, 6)]
+        g = LinkGraph.from_pairs(spark, edges, persist=False)
+        seeds = spark.createDataFrame(
+            [(0, 5)] + [(i, 2) for i in range(1, 6)],
+            "id long, label long",
+        )
+        got = {r["id"]: r["label"]
+               for r in label_spreading(g, seeds, rounds=4).collect()}
+        assert got[0] == 5
+        assert all(got[i] == 2 for i in range(1, 6))

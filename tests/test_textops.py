@@ -513,3 +513,37 @@ def test_pmi_pairs_short_and_empty_docs(spark):
     # unigrams only and must not crash the pair expression
     assert got and all(r.token_a <= r.token_b for r in got)
     assert {(r.token_a, r.token_b) for r in got} <= {("x", "y"), ("x", "x"), ("y", "y")}
+
+
+class TestPrioritySample:
+    def test_matches_pure_python_oracle(self, spark):
+        import hashlib
+
+        from graphit_spark.functions.sampling import priority_sample
+
+        rows = [(i, (i * 37) % 101 + 1) for i in range(300)]
+        df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+        k = 25
+        got = {r["doc_id"]: (r["n_tokens"], r["est_n_tokens"])
+               for r in priority_sample(df, k).collect()}
+
+        def pri(i, w):
+            h = int(hashlib.md5(f"pri|{i}".encode()).hexdigest()[:15], 16)
+            return float(w) / float(h + 1)
+
+        ordered = sorted(rows, key=lambda t: (-pri(t[0], t[1]), t[0]))
+        tau = pri(*ordered[k]) if len(ordered) > k else 0.0
+        exp = {i: (w, max(float(w), tau)) for i, w in ordered[:k]}
+        assert got == exp
+
+    def test_small_corpus_keeps_all(self, spark):
+        from graphit_spark.functions.sampling import priority_sample
+
+        df = spark.createDataFrame(
+            [(1, 10), (2, 20)], "doc_id long, n_tokens long"
+        )
+        got = priority_sample(df, 5).collect()
+        # fewer than k+1 rows: tau = 0, estimator = true weight
+        assert sorted((r["doc_id"], r["est_n_tokens"]) for r in got) == [
+            (1, 10.0), (2, 20.0)
+        ]
