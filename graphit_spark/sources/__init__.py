@@ -3,6 +3,11 @@ from graphit_spark.sources.edgelist import (
     read_weighted_edge_list,
     write_edge_list,
 )
+from graphit_spark.sources.partitioned import (
+    read_partitioned,
+    with_day,
+    write_partitioned,
+)
 from graphit_spark.sources.serialized import (
     load_sg_graph,
     read_bin,
@@ -13,6 +18,9 @@ from graphit_spark.sources.serialized import (
 
 __all__ = [
     "read_edge_list",
+    "read_partitioned",
+    "with_day",
+    "write_partitioned",
     "read_weighted_edge_list",
     "write_edge_list",
     "load_sg_graph",

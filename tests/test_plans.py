@@ -608,3 +608,38 @@ def test_pmi_and_cocitation_plan_shape(spark):
     coc_plan = _plan(qs["cocitation"](spark, SF_DIR))
     assert "CartesianProduct" not in coc_plan
     assert "BroadcastNestedLoop" not in coc_plan
+
+
+def test_partition_pruning_reaches_the_scan(spark, tmp_path):
+    """Hive-partitioned crawl layout: a filter on the partition column
+    must prune at PLANNING time — PartitionFilters on the scan node and
+    only the matching day's files read (sources/partitioned.py)."""
+    from graphit_spark.sources import (
+        read_partitioned,
+        with_day,
+        write_partitioned,
+    )
+    from pyspark.sql import functions as F
+
+    events = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+    store = str(tmp_path / "events_by_day")
+    write_partitioned(with_day(events, "ts"), store, ["day"])
+
+    back = read_partitioned(spark, store)
+    # Spark infers the partition directory values' type on read-back
+    # (yyyy-MM-dd strings come back as DATE) — normalize to strings.
+    days = [str(r["day"])
+            for r in back.select("day").distinct().collect()]
+    assert len(days) > 1, "need multiple partitions to prove pruning"
+    pick = sorted(days)[0]
+    q = back.filter(F.col("day") == pick).groupBy("event_type").count()
+    plan = _plan(q)
+    scan = next(
+        ln for ln in plan.splitlines() if "PartitionFilters" in ln
+    )
+    assert pick in scan, f"day predicate not pushed to the scan: {scan}"
+    # pruned correctness: equals the unpartitioned filter
+    expected = (
+        events.filter(F.date_format("ts", "yyyy-MM-dd") == pick).count()
+    )
+    assert q.agg(F.sum("count")).first()[0] == expected
