@@ -86,7 +86,7 @@ _CHECK_FIRST = [
     "landmark_distances", "doc_lm_score", "cc_incremental",
     "doc_quality_probe",
     "spectral_bisection", "ppr_push", "local_cluster_push",
-    "spectral_partition", "label_spreading",
+    "spectral_partition", "label_spreading", "wl_refinement",
     "louvain", "maximal_matching", "clustering_coeff",
     "triangle_count_approx",
     "anchor_text_index", "events_retention", "events_dau",

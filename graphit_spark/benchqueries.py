@@ -3406,6 +3406,62 @@ def q_spectral_bisection(spark, sf_dir):
     )
 
 
+WL_Q_ROUNDS = 3
+
+
+def wl_sql(rounds: int = WL_Q_ROUNDS) -> str:
+    """Twin of kernels/wl.py::wl_refinement on the symmetrized blocked
+    graph: degree-init 60-bit md5 colors, per round the order-
+    independent multiset digest (count, bit_xor, sum mod 1000003) —
+    exact integers all the way, so the colors match bit for bit.
+    DuckDB's sum(BIGINT) returns HUGEINT; the CAST back to BIGINT keeps
+    the decimal string identical to Spark's."""
+    ctes = [
+        _SQL_BLOCKED.strip().rstrip(","),
+        """wdeg AS MATERIALIZED (
+  SELECT v.id, CAST(coalesce(c.cnt, 0) AS BIGINT) AS d
+  FROM verts v LEFT JOIN
+       (SELECT src AS id, count(*) AS cnt FROM sym GROUP BY src) c USING (id)
+)""",
+        """wc0 AS MATERIALIZED (
+  SELECT id, ('0x' || substr(md5(CAST(d AS VARCHAR)), 1, 15))::BIGINT
+           AS color
+  FROM wdeg
+)""",
+    ]
+    for k in range(1, rounds + 1):
+        p = f"wc{k - 1}"
+        ctes.append(
+            f"""dg{k} AS MATERIALIZED (
+  SELECT e.dst AS id, count(*) AS cnt, bit_xor(r.color) AS x,
+         CAST(sum(r.color % 1000003) AS BIGINT) AS s
+  FROM sym e JOIN {p} r ON e.src = r.id GROUP BY e.dst
+)""")
+        ctes.append(
+            f"""wc{k} AS MATERIALIZED (
+  SELECT v.id,
+         ('0x' || substr(md5(CAST(v.color AS VARCHAR) || '|' ||
+            CAST(coalesce(d.cnt, 0) AS VARCHAR) || '|' ||
+            CAST(coalesce(d.x, 0) AS VARCHAR) || '|' ||
+            CAST(coalesce(d.s, 0) AS VARCHAR)), 1, 15))::BIGINT AS color
+  FROM {p} v LEFT JOIN dg{k} d USING (id)
+)""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id, color FROM wc{rounds} ORDER BY id"
+    )
+
+
+def q_wl_refinement(spark, sf_dir):
+    """1-WL structural fingerprints of the blocked graph (3 rounds):
+    equal colors = structurally indistinguishable at radius 3 — the
+    link-farm/template detector and subgraph-match pruner."""
+    from graphit_spark.kernels import wl_refinement
+
+    return wl_refinement(graph(spark, sf_dir, "blocked"),
+                         rounds=WL_Q_ROUNDS)
+
+
 SPREAD_ROUNDS = 6
 SPREAD_CLASSES = 4
 
@@ -5292,6 +5348,7 @@ GRAPH_QUERIES: dict[str, tuple] = {
     "ppr_push": (q_ppr_push, ppr_push_sql()),
     "spectral_partition": (q_spectral_partition, spectral_partition_sql()),
     "label_spreading": (q_label_spreading, label_spreading_sql()),
+    "wl_refinement": (q_wl_refinement, wl_sql()),
     "local_cluster_push": (q_local_cluster_push, local_cluster_push_sql()),
     "personalized_pagerank": (q_ppr, ppr_sql()),
     "who_to_follow": (q_who_to_follow, who_to_follow_sql()),

@@ -14,6 +14,7 @@ from graphit_spark.kernels.labelprop import (
     weighted_label_propagation,
 )
 from graphit_spark.kernels.louvain import louvain_communities, louvain_move
+from graphit_spark.kernels.wl import wl_refinement
 from graphit_spark.kernels.simrank import simrank
 from graphit_spark.kernels.triangles import (
     triangle_count,
@@ -122,6 +123,7 @@ __all__ = [
     "connected_components",
     "label_propagation",
     "label_spreading",
+    "wl_refinement",
     "weighted_label_propagation",
     "simrank",
     "triangle_count",

@@ -2182,3 +2182,41 @@ class TestLabelSpreading:
                for r in label_spreading(g, seeds, rounds=4).collect()}
         assert got[0] == 5
         assert all(got[i] == 2 for i in range(1, 6))
+
+
+class TestWlRefinement:
+    def test_structural_classes_on_star_and_path(self, spark):
+        from graphit_spark.kernels import wl_refinement
+
+        # star 0-(1..5)  +  path 10-11-12-13-14
+        edges = [(0, i) for i in range(1, 6)]
+        edges += [(10 + i, 11 + i) for i in range(4)]
+        g = LinkGraph.from_pairs(spark, edges, persist=False)
+        col = {r["id"]: r["color"]
+               for r in wl_refinement(g, rounds=3).collect()}
+        # leaves of the star are mutually indistinguishable
+        assert len({col[i] for i in range(1, 6)}) == 1
+        # center differs from leaves
+        assert col[0] != col[1]
+        # path: endpoints equal, first-interior equal, middle unique
+        assert col[10] == col[14] and col[11] == col[13]
+        assert col[12] not in (col[10], col[11])
+        # star classes differ from path classes
+        assert {col[0], col[1]}.isdisjoint(
+            {col[10], col[11], col[12]})
+
+    def test_isomorphic_components_same_multiset(self, spark):
+        from graphit_spark.kernels import wl_refinement
+
+        # two disjoint copies of the same 6-cycle with chord
+        def copy(base):
+            e = [(base + i, base + (i + 1) % 6) for i in range(6)]
+            e.append((base + 0, base + 3))
+            return e
+
+        g = LinkGraph.from_pairs(spark, copy(0) + copy(6), persist=False)
+        col = {r["id"]: r["color"]
+               for r in wl_refinement(g, rounds=3).collect()}
+        a = sorted(col[i] for i in range(6))
+        b = sorted(col[6 + i] for i in range(6))
+        assert a == b
