@@ -73,6 +73,7 @@ _CHECK_FIRST = [
     "motif_counts", "degree_histogram", "rank_churn", "sim_int8_topk",
     "who_to_follow", "sim_pq_topk", "katz_centrality", "doc_boilerplate",
     "resolve_redirects", "url_canonical_dedup", "doc_bm25_search",
+    "doc_lexical_topk",
     "dedup_containment_lsh",
     "host_trustrank", "host_spam_mass", "doc_clusters_kmeans",
     "dedup_semantic", "graph_diff",

@@ -1027,3 +1027,103 @@ def pmi_pairs(
     return scored.orderBy(
         F.desc("pmi"), F.asc("token_a"), F.asc("token_b")
     ).limit(k)
+
+
+LEX_IDF_CAP = 32768  # idf saturation (Lucene-style clamp): keeps the
+# squared-idf integer unit <= 2^30 at ANY corpus size, so per-doc BIGINT
+# sums cannot overflow even at 10^12 documents
+LEX_DF_DIV = 10  # stop-term prune: keep terms with df <= N/10 + 1
+
+
+def lexical_topk(
+    df: DataFrame,
+    *,
+    k: int = 10,
+    n_queries: int = 5,
+    text_col: str = "text",
+    df_cap: int | None = None,
+) -> DataFrame:
+    """Related-document retrieval: top-k most lexically similar docs per
+    query doc by SET-tf-idf cosine over the inverted index — the
+    lexical complement of the embedding ANN queries (MinHash estimates
+    Jaccard; this ranks by idf-weighted term overlap, so rare shared
+    vocabulary dominates).
+
+    Determinism discipline: per-term weight is the exact integer
+    r², r = min((N+1) div (df+1), LEX_IDF_CAP) — so overlaps and norms
+    are BIGINT sums (shuffle-order-independent), and the only float is
+    the final su / sqrt(nq·nd) from exact integers. The idf cap is the
+    standard saturation clamp and makes the unit overflow-proof at any
+    corpus size; the df <= N/LEX_DF_DIV + 1 prune drops stop terms and
+    bounds the candidate fan-out by sum over query terms of df(t).
+
+    Scale shape: one tokenize pass -> distinct postings (map-side
+    combined), vocabulary-sized df agg, term-keyed equi-join of the
+    (tiny) query-side postings against the pruned index, pair-keyed
+    BIGINT sum, two V-sized norm joins, per-query Window top-k. Never
+    corpus-quadratic.
+    """
+    from pyspark.sql import Window
+
+    n_docs = df.count()  # one scalar action (the sampling-budget idiom)
+    # df_cap: tiny corpora (tests) pass it explicitly — the derived
+    # N//10 prune is meaningless below ~30 docs
+    df_max = df_cap if df_cap is not None else n_docs // LEX_DF_DIV + 1
+    posts = df.select(
+        "doc_id",
+        F.explode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("term"),
+    ).distinct()
+    dfreq = posts.groupBy("term").agg(F.count("*").alias("dfr"))
+    units = dfreq.filter(F.col("dfr") <= df_max).select(
+        "term",
+        (
+            F.least(
+                F.expr(f"{n_docs + 1} div (dfr + 1)"),
+                F.lit(LEX_IDF_CAP),
+            )
+            * F.least(
+                F.expr(f"{n_docs + 1} div (dfr + 1)"),
+                F.lit(LEX_IDF_CAP),
+            )
+        ).cast("long").alias("w2"),
+    )
+    wp = posts.join(units, "term")
+    norms = wp.groupBy("doc_id").agg(F.sum("w2").alias("nu"))
+    qp = wp.filter(F.col("doc_id") < n_queries).select(
+        F.col("doc_id").alias("q_doc"), "term", "w2"
+    )
+    ov = (
+        qp.join(wp.select("doc_id", "term"), "term")
+        .filter(F.col("doc_id") != F.col("q_doc"))
+        .groupBy("q_doc", "doc_id")
+        .agg(F.sum("w2").alias("su"))
+    )
+    scored = (
+        ov.join(norms.select(F.col("doc_id").alias("q_doc"),
+                             F.col("nu").alias("nq")), "q_doc")
+        .join(norms.select("doc_id", F.col("nu").alias("nd")), "doc_id")
+        .select(
+            "q_doc",
+            "doc_id",
+            (
+                F.col("su").cast("double")
+                / F.sqrt(
+                    F.col("nq").cast("double") * F.col("nd").cast("double")
+                )
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("q_doc").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            "q_doc",
+            "doc_id",
+            (F.round(F.col("score"), 9) + F.lit(0.0)).alias("score"),
+        )
+    )

@@ -3577,6 +3577,76 @@ ORDER BY doc_id
 """
 
 
+LEX_TOPK_K = 10
+LEX_TOPK_QUERIES = 5
+
+
+def q_doc_lexical_topk(spark, sf_dir):
+    """Related-document retrieval: set-tf-idf cosine top-k per query doc
+    over the inverted index — the lexical complement of the embedding
+    ANN queries. Integer-unit overlaps/norms, one final float."""
+    return T.lexical_topk(
+        load(spark, sf_dir, "documents"),
+        k=LEX_TOPK_K,
+        n_queries=LEX_TOPK_QUERIES,
+    )
+
+
+def _doc_lexical_topk_sql(k: int = LEX_TOPK_K,
+                          n_queries: int = LEX_TOPK_QUERIES) -> str:
+    """Twin of textops.lexical_topk: same tokenization as the tfidf
+    twins, same exact-integer r² units (r = min((N+1)//(df+1), 32768)),
+    BIGINT overlap/norm sums, the identical final
+    su / sqrt(nq·nd) double, round(·, 9)."""
+    return f"""
+WITH nn AS (SELECT count(*) AS n FROM documents),
+posts AS MATERIALIZED (
+  SELECT DISTINCT doc_id, term FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+    FROM documents) x
+),
+dfx AS MATERIALIZED (
+  SELECT term, count(*) AS dfr FROM posts GROUP BY term
+),
+units AS MATERIALIZED (
+  SELECT term,
+         CAST(least(((SELECT n FROM nn) + 1) // (dfr + 1), {T.LEX_IDF_CAP})
+              * least(((SELECT n FROM nn) + 1) // (dfr + 1), {T.LEX_IDF_CAP})
+              AS BIGINT) AS w2
+  FROM dfx WHERE dfr <= (SELECT n FROM nn) // {T.LEX_DF_DIV} + 1
+),
+wp AS MATERIALIZED (
+  SELECT p.doc_id, p.term, u.w2 FROM posts p JOIN units u USING (term)
+),
+norms AS MATERIALIZED (
+  SELECT doc_id, CAST(sum(w2) AS BIGINT) AS nu FROM wp GROUP BY doc_id
+),
+ov AS MATERIALIZED (
+  SELECT q.doc_id AS q_doc, d.doc_id AS doc_id,
+         CAST(sum(q.w2) AS BIGINT) AS su
+  FROM wp q JOIN (SELECT doc_id, term FROM wp) d USING (term)
+  WHERE q.doc_id < {n_queries} AND d.doc_id <> q.doc_id
+  GROUP BY q.doc_id, d.doc_id
+),
+sc AS (
+  SELECT ov.q_doc, ov.doc_id,
+         CAST(su AS DOUBLE)
+           / sqrt(CAST(a.nu AS DOUBLE) * CAST(b.nu AS DOUBLE)) AS score
+  FROM ov JOIN norms a ON ov.q_doc = a.doc_id
+          JOIN norms b ON ov.doc_id = b.doc_id
+),
+rk AS (
+  SELECT q_doc, doc_id, score,
+         row_number() OVER (PARTITION BY q_doc
+                            ORDER BY score DESC, doc_id ASC) AS rn
+  FROM sc
+)
+SELECT q_doc, doc_id, round(score, 9) + 0e0 AS score
+FROM rk WHERE rn <= {k} ORDER BY q_doc, doc_id
+"""
+
+
 PRIORITY_SAMPLE_K = 100
 
 
@@ -4262,6 +4332,7 @@ TEXT_QUERIES: dict[str, tuple] = {
     "corpus_sample_budget": (q_corpus_sample_budget, _corpus_sample_budget_sql()),
     "corpus_sample_priority": (q_corpus_sample_priority,
                                _corpus_sample_priority_sql()),
+    "doc_lexical_topk": (q_doc_lexical_topk, _doc_lexical_topk_sql()),
     "corpus_sample_stratified": (q_corpus_sample_stratified,
                                  _corpus_sample_stratified_sql()),
     "corpus_pack_sequences": (q_corpus_pack_sequences,

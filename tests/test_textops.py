@@ -547,3 +547,39 @@ class TestPrioritySample:
         assert sorted((r["doc_id"], r["est_n_tokens"]) for r in got) == [
             (1, 10.0), (2, 20.0)
         ]
+
+
+class TestLexicalTopk:
+    def test_rare_shared_terms_dominate(self, spark):
+        from graphit_spark.functions.textops import lexical_topk
+
+        # with df_cap=2 the stop term "c" (df=5) is pruned; r1/r2/r3
+        # each appear in exactly two docs and survive
+        docs = [
+            (0, "r1 r2 r3 c"),
+            (1, "r1 r2 x1 c"),   # shares rare r1, r2 with 0
+            (2, "c x4 x5 x6"),   # shares only the pruned stop term
+            (3, "r3 x2 x3 c"),   # shares rare r3 with 0
+            (4, "u1 u2 u3 c"),
+            (5, "u4 u5 u6 u7"),
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = lexical_topk(df, k=3, n_queries=1, df_cap=2).collect()
+        by_rank = [r["doc_id"] for r in sorted(got, key=lambda r: -r["score"])]
+        assert by_rank == [1, 3]  # two rare shared terms beat one;
+        # doc 2 (stop-term overlap only) produces no candidate at all
+        assert all(r["q_doc"] == 0 for r in got)
+        assert all(0.0 < r["score"] <= 1.0 for r in got)
+
+    def test_identical_docs_score_one(self, spark):
+        from graphit_spark.functions.textops import lexical_topk
+
+        df = spark.createDataFrame(
+            [(0, "alpha beta gamma"), (1, "alpha beta gamma"),
+             (2, "delta epsilon zeta"), (3, "eta theta iota"),
+             (4, "kappa lambda mu"), (5, "nu xi omicron")],
+            "doc_id long, text string",
+        )
+        got = {(r["q_doc"], r["doc_id"]): r["score"]
+               for r in lexical_topk(df, k=2, n_queries=1, df_cap=3).collect()}
+        assert got[(0, 1)] == 1.0  # identical term sets -> cosine 1
