@@ -50,7 +50,7 @@ _CHECK_FIRST = [
     "k_truss", "pseudo_diameter", "label_propagation",
     "louvain_communities",
     "triangle_count", "bfs", "sssp", "pagerank_delta", "k_core",
-    "betweenness",
+    "betweenness", "edge_betweenness",
     "fused_pr_eigenvector", "hyperball_harmonic", "kernel_certificates",
     "maximal_independent_set", "greedy_coloring", "host_pagerank",
     "ppr_push", "local_cluster_push", "spectral_partition",
@@ -63,16 +63,17 @@ _CHECK_FIRST = [
     "doc_repetition",
     "doc_tfidf_terms", "doc_pii_scrub", "events_sessions",
     "dedup_exact",
-    "dedup_lsh_pairs", "dedup_jaccard_lsh", "dedup_simhash",
+    "dedup_lsh_pairs", "dedup_jaccard_lsh",
     "dedup_clusters", "dedup_embedding_lsh", "sim_lsh_multiprobe_topk",
-    "sim_ivf_kmeans_topk", "corpus_select_full", "corpus_sample_budget",
+    "corpus_select_full", "corpus_sample_budget",
     "corpus_sample_priority", "doc_lexical_topk",
     "corpus_decontaminate", "corpus_inverted_index", "hll_distinct",
     # ---- positions 51+: variants whose machinery a kept sibling
     # already exercises, and r02-green queries whose recorded driver
     # rows stand (checked again when the driver scans deeper) ----
     "sssp_delta_stepping", "astar", "min_spanning_forest", "set_cover",
-    "collab_filtering", "eigenvector", "spectral_bisection",
+    "collab_filtering", "eigenvector", "dedup_simhash",
+    "sim_ivf_kmeans_topk", "spectral_bisection",
     "influence_max",
     "doc_token_percentiles",
     "corpus_bpe_merges", "corpus_tokenize_bpe", "corpus_dsir_weights",

@@ -2602,6 +2602,71 @@ ORDER BY v.id"""
     )
 
 
+def edge_betweenness_sql(
+    n_pivots: int = BC_PIVOTS, levels: int | None = None
+) -> str:
+    """Twin of kernels/bc.py::edge_betweenness summed over the same K
+    deterministic pivots as betweenness_pivots: per pivot, the credit
+    of each shortest-path-DAG edge is sigma_src/sigma_dst*(1+delta_dst)
+    (depth(dst) = depth(src)+1), reusing _bc_chain_ctes' depth/sigma/
+    del0 tables; estimate = (n/K)·sum over pivots, rounded 6 (the
+    K-term sum-order argument of betweenness_pivots_sql)."""
+    levels = BC_LEVELS if levels is None else levels
+    ctes = [_SQL_COMMON.strip()]
+    parts = []
+    for i in range(n_pivots):
+        ctes += _bc_chain_ctes(i, levels, prefix=f"e{i}")
+        parts.append(
+            f"""SELECT e.src, e.dst,
+       sv.sigma / sw.sigma * (1e0 + dl.delta) AS credit
+FROM edges e
+JOIN e{i}depth du ON e.src = du.id
+JOIN e{i}depth dw ON e.dst = dw.id AND dw.depth = du.depth + 1
+JOIN e{i}sigma sv ON e.src = sv.id
+JOIN e{i}sigma sw ON e.dst = sw.id
+JOIN e{i}del0 dl ON e.dst = dl.id"""
+        )
+    union = "\nUNION ALL\n".join(parts)
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f""",
+cred AS MATERIALIZED ({union})
+SELECT src, dst,
+       round((SELECT n FROM nv) / {n_pivots}e0 * sum(credit), 6)
+         AS ebc_est
+FROM cred GROUP BY src, dst ORDER BY src, dst"""
+    )
+
+
+def q_edge_betweenness(spark, sf_dir):
+    """Girvan-Newman edge scores from K deterministic pivots: per-edge
+    Brandes credits summed and scaled by n/K — the edge-removal
+    ranking community peeling runs on. Sparse: only shortest-path-DAG
+    edges of some pivot appear."""
+    from graphit_spark.kernels.bc import edge_betweenness
+
+    g = graph(spark, sf_dir, "raw")
+    own = g.ensure_persisted()
+    n = g.num_vertices
+    total = None
+    for s in range(BC_PIVOTS):
+        c = edge_betweenness(g, s)
+        total = c if total is None else total.unionByName(c)
+    if own:
+        g.unpersist()
+    return (
+        total.groupBy("src", "dst")
+        .agg(F.sum("credit").alias("acc"))
+        .select(
+            "src",
+            "dst",
+            F.round(
+                F.lit(float(n)) / F.lit(float(BC_PIVOTS)) * F.col("acc"), 6
+            ).alias("ebc_est"),
+        )
+    )
+
+
 MSF_ROUNDS = 12  # >= ceil(log2(V)) at oracle sf — Boruvka halves comps
 MSF_JUMPS = 12  # pointer-doubling covers pseudo-tree depth 2^12
 
@@ -5307,6 +5372,7 @@ GRAPH_QUERIES: dict[str, tuple] = {
     "k_core": (q_kcore, kcore_sql()),
     "betweenness": (q_betweenness, betweenness_sql()),
     "betweenness_pivots": (q_betweenness_pivots, betweenness_pivots_sql()),
+    "edge_betweenness": (q_edge_betweenness, edge_betweenness_sql()),
     "collab_filtering": (q_cf, cf_sql()),
     "eigenvector": (q_eigenvector, eigenvector_sql()),
     "katz_centrality": (q_katz, katz_sql()),

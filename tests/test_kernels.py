@@ -2220,3 +2220,33 @@ class TestWlRefinement:
         a = sorted(col[i] for i in range(6))
         b = sorted(col[6 + i] for i in range(6))
         assert a == b
+
+
+class TestEdgeBetweenness:
+    def test_path_credits_by_hand(self, spark):
+        from graphit_spark.kernels.bc import edge_betweenness
+
+        g = LinkGraph.from_pairs(spark, [(0, 1), (1, 2), (2, 3)],
+                                 persist=False)
+        got = {(r["src"], r["dst"]): r["credit"]
+               for r in edge_betweenness(g, 0).collect()}
+        # Brandes credits on a path: edge (v,w) carries 1 + delta_w
+        assert got == {(0, 1): 3.0, (1, 2): 2.0, (2, 3): 1.0}
+
+    def test_credits_sum_to_vertex_delta(self, spark):
+        from graphit_spark.kernels.bc import (
+            betweenness_centrality,
+            edge_betweenness,
+        )
+
+        edges = _rand_graph(40, 160, 5)
+        g = LinkGraph.from_pairs(spark, edges, persist=False)
+        bc = {r["id"]: r["bc"]
+              for r in betweenness_centrality(g, 0).collect()}
+        by_src = {}
+        for r in edge_betweenness(g, 0).collect():
+            by_src[r["src"]] = by_src.get(r["src"], 0.0) + r["credit"]
+        # delta_v == sum of credits over v's DAG out-edges (Brandes)
+        for v, s in by_src.items():
+            if v != 0:
+                assert abs(s - bc[v]) < 1e-9, (v, s, bc[v])
