@@ -643,3 +643,57 @@ def test_partition_pruning_reaches_the_scan(spark, tmp_path):
         events.filter(F.date_format("ts", "yyyy-MM-dd") == pick).count()
     )
     assert q.agg(F.sum("count")).first()[0] == expected
+
+
+def test_ppr_push_gather_keeps_partial_sum(spark):
+    """The push kernel's receive gather (edge join vs the tiny active
+    set, groupBy(dst) BIGINT sum) must keep its aggregate partial —
+    the hub-destination rows collapse map-side. Built manually (the
+    kernel's rounds are checkpoint-truncated in the returned plan)."""
+    from pyspark.sql import functions as F
+
+    from graphit_spark.benchqueries import graph
+
+    g = graph(spark, SF_DIR, "blocked").symmetrize()
+    act = g.vertices().limit(5).select(
+        F.col("id").alias("src"), F.lit(1000).alias("per_nbr")
+    )
+    recv = (
+        g.edges.join(act, "src")
+        .groupBy(F.col("dst").alias("id"))
+        .agg(F.sum("per_nbr").alias("recv"))
+    )
+    plan = _plan(recv)
+    assert "partial_sum" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_wl_digest_keeps_partial_aggregates(spark):
+    """The WL multiset digest (count, bit_xor, sum-mod) replaces the
+    sorted-array collect precisely so the hub digest reduces map-side:
+    all three aggregates must be partial, and no collect_list/sort
+    appears anywhere in the round."""
+    from pyspark.sql import functions as F
+
+    from graphit_spark.benchqueries import graph
+    from graphit_spark.kernels.wl import WL_SUM_MOD
+
+    g = graph(spark, SF_DIR, "blocked").symmetrize()
+    colors = g.vertices().select(
+        "id", (F.col("id") * 7 + 1).alias("c")
+    )
+    digest = (
+        g.edges.join(
+            colors.select(F.col("id").alias("src"), "c"), "src"
+        )
+        .groupBy(F.col("dst").alias("id"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.expr("bit_xor(c)").alias("x"),
+            F.sum(F.col("c") % WL_SUM_MOD).alias("s"),
+        )
+    )
+    plan = _plan(digest)
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "collect_list" not in plan and "sort_array" not in plan
+    assert "CartesianProduct" not in plan
