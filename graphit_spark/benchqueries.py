@@ -2667,6 +2667,127 @@ def q_edge_betweenness(spark, sf_dir):
     )
 
 
+GN_REMOVE = 20  # edges cut in one Girvan-Newman step
+GN_CC_ROUNDS = 12  # gather+double-jump rounds: covers diameter ~ 2^12
+
+
+def girvan_newman_sql(n_pivots: int = BC_PIVOTS,
+                      levels: int | None = None,
+                      remove: int = GN_REMOVE,
+                      cc_rounds: int = GN_CC_ROUNDS) -> str:
+    """Twin of q_girvan_newman_step on the blocked graph: pivot edge
+    betweenness (prefixed chains over the directed edge table), cut the
+    top `remove` edges by (rounded ebc desc, src, dst) — the rounding
+    happens BEFORE the cut on both sides, so the rank order is
+    bit-identical — then min-label CC with two pointer-doubling hops
+    per round over the remaining symmetrized edges (doubling covers the
+    stretched diameters a bridge cut creates; the min-id fixpoint is
+    unique, so only convergence matters, not the round-by-round
+    trajectory)."""
+    levels = BC_LEVELS if levels is None else levels
+    ctes = [_SQL_BLOCKED.strip().rstrip(",")]
+    parts = []
+    for i in range(n_pivots):
+        ctes += _bc_chain_ctes(i, levels, prefix=f"g{i}")
+        parts.append(
+            f"""SELECT e.src, e.dst,
+       sv.sigma / sw.sigma * (1e0 + dl.delta) AS credit
+FROM edges e
+JOIN g{i}depth du ON e.src = du.id
+JOIN g{i}depth dw ON e.dst = dw.id AND dw.depth = du.depth + 1
+JOIN g{i}sigma sv ON e.src = sv.id
+JOIN g{i}sigma sw ON e.dst = sw.id
+JOIN g{i}del0 dl ON e.dst = dl.id"""
+        )
+    ctes.append(
+        "gcred AS MATERIALIZED (" + "\nUNION ALL\n".join(parts) + ")"
+    )
+    ctes.append(
+        f"""gebc AS MATERIALIZED (
+  SELECT src, dst,
+         round((SELECT n FROM nv) / {n_pivots}e0 * sum(credit), 6) AS ebc
+  FROM gcred GROUP BY src, dst
+)""")
+    ctes.append(
+        f"gtop AS MATERIALIZED (SELECT src, dst FROM gebc"
+        f" ORDER BY ebc DESC, src, dst LIMIT {remove})")
+    ctes.append(
+        """grem AS MATERIALIZED (
+  SELECT e.src, e.dst FROM edges e
+  LEFT JOIN gtop t ON e.src = t.src AND e.dst = t.dst
+  WHERE t.src IS NULL
+)""")
+    ctes.append(
+        """gsym AS MATERIALIZED (
+  SELECT src, dst FROM grem UNION SELECT dst AS src, src AS dst FROM grem
+)""")
+    ctes.append("gl0 AS MATERIALIZED (SELECT id, id AS comp FROM verts)")
+    for k in range(1, cc_rounds + 1):
+        p = f"gl{k - 1}"
+        ctes.append(
+            f"""gla{k} AS MATERIALIZED (
+  SELECT v.id, least(v.comp, coalesce(m.mn, v.comp)) AS comp
+  FROM {p} v LEFT JOIN (
+    SELECT e.dst AS id, min(l.comp) AS mn
+    FROM gsym e JOIN {p} l ON e.src = l.id
+    GROUP BY e.dst
+  ) m USING (id)
+)""")
+        ctes.append(
+            f"""glb{k} AS MATERIALIZED (
+  SELECT a.id, b.comp FROM gla{k} a JOIN gla{k} b ON a.comp = b.id
+)""")
+        ctes.append(
+            f"""gl{k} AS MATERIALIZED (
+  SELECT a.id, b.comp FROM glb{k} a JOIN glb{k} b ON a.comp = b.id
+)""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id, comp FROM gl{cc_rounds} ORDER BY id"
+    )
+
+
+def q_girvan_newman_step(spark, sf_dir):
+    """One Girvan-Newman peel on the blocked community graph: cut the
+    `GN_REMOVE` highest-edge-betweenness edges (pivot estimate, rounded
+    rank keys) and return the connected components of what remains —
+    the classic divisive community step, composed entirely from audited
+    kernels (edge_betweenness + connected_components)."""
+    from graphit_spark import LinkGraph
+    from graphit_spark.kernels import connected_components
+    from graphit_spark.kernels.bc import edge_betweenness
+
+    g = graph(spark, sf_dir, "blocked")
+    own = g.ensure_persisted()
+    n = g.num_vertices
+    total = None
+    for s in range(BC_PIVOTS):
+        c = edge_betweenness(g, s)
+        total = c if total is None else total.unionByName(c)
+    scores = total.groupBy("src", "dst").agg(
+        F.round(
+            F.lit(float(n)) / F.lit(float(BC_PIVOTS)) * F.sum("credit"), 6
+        ).alias("ebc")
+    )
+    top = (
+        scores.orderBy(F.desc("ebc"), F.asc("src"), F.asc("dst"))
+        .limit(GN_REMOVE)
+        .select("src", "dst")
+    )
+    remaining = g.edges.join(top, ["src", "dst"], "left_anti")
+    g2 = LinkGraph(
+        remaining,
+        squished=True,
+        num_partitions=g.num_partitions,
+        persist=False,
+        num_vertices=n,
+    )
+    res = connected_components(g2)
+    if own:
+        g.unpersist()
+    return res
+
+
 MSF_ROUNDS = 12  # >= ceil(log2(V)) at oracle sf — Boruvka halves comps
 MSF_JUMPS = 12  # pointer-doubling covers pseudo-tree depth 2^12
 
@@ -5373,6 +5494,7 @@ GRAPH_QUERIES: dict[str, tuple] = {
     "betweenness": (q_betweenness, betweenness_sql()),
     "betweenness_pivots": (q_betweenness_pivots, betweenness_pivots_sql()),
     "edge_betweenness": (q_edge_betweenness, edge_betweenness_sql()),
+    "girvan_newman_step": (q_girvan_newman_step, girvan_newman_sql()),
     "collab_filtering": (q_cf, cf_sql()),
     "eigenvector": (q_eigenvector, eigenvector_sql()),
     "katz_centrality": (q_katz, katz_sql()),

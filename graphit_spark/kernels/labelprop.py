@@ -40,6 +40,7 @@ def label_propagation(
 
     labels = graph.vertices().select("id", F.col("id").alias("label"))
     labels = labels.transform(fresh_checkpoint)
+    prev = labels  # superseded checkpoints released per round
 
     for _ in range(rounds):
         counts = (
@@ -61,6 +62,8 @@ def label_propagation(
             .transform(fresh_checkpoint)
         )
         labels = new_labels
+        prev.unpersist()
+        prev = labels
 
     if own_cache:
         g.unpersist()
@@ -95,6 +98,7 @@ def weighted_label_propagation(
 
     labels = graph.vertices().select("id", F.col("id").alias("label"))
     labels = labels.transform(fresh_checkpoint)
+    prev = labels  # superseded checkpoints released per round
 
     for _ in range(rounds):
         votes = (
@@ -116,6 +120,8 @@ def weighted_label_propagation(
             .transform(fresh_checkpoint)
         )
         labels = new_labels
+        prev.unpersist()
+        prev = labels
 
     if own_cache:
         g.unpersist()

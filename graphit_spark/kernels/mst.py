@@ -79,6 +79,7 @@ def minimum_spanning_forest(graph: LinkGraph) -> DataFrame:
     )
     comp = graph.vertices().select("id", F.col("id").alias("comp"))
     comp = comp.transform(fresh_checkpoint)
+    prev_comp = comp  # superseded checkpoints released per round
 
     forest_parts: list[DataFrame] = []
     for _ in range(_MAX_ROUNDS):
@@ -142,6 +143,8 @@ def minimum_spanning_forest(graph: LinkGraph) -> DataFrame:
             .select("id", F.col("p").alias("comp"))
             .transform(fresh_checkpoint)
         )
+        prev_comp.unpersist()
+        prev_comp = comp
 
     und.unpersist()
     if not forest_parts:

@@ -41,6 +41,7 @@ def _min_distance_fixpoint(
         ).alias("dist"),
     )
     dist = dist.transform(fresh_checkpoint)
+    prev_ck = dist  # superseded checkpoints are released each round
     frontier = dist.filter(F.col("dist").isNotNull()).select("id")
     frontier_size, frontier_deg = 1, 0
 
@@ -100,6 +101,8 @@ def _min_distance_fixpoint(
             )
         dist = new_dist.select("id", "dist")
         frontier = changed
+        prev_ck.unpersist()
+        prev_ck = new_dist
         if frontier_size == 0:
             break
     if own_cache:

@@ -54,6 +54,7 @@ def set_cover(
     spark = elems.sparkSession
 
     covered = spark.createDataFrame([], "e long").transform(fresh_checkpoint)
+    prev_cov = covered  # superseded checkpoints released per round
     cover_parts: list[DataFrame] = []
     bucket_of = F.floor(F.lit(x) * F.log(F.col("rdeg").cast("double")))
 
@@ -85,6 +86,8 @@ def set_cover(
             )
             newly = winners.join(admitted, "s").select("e")
             covered = covered.union(newly).transform(fresh_checkpoint)
+            prev_cov.unpersist()
+            prev_cov = covered
         else:
             # unreachable given integer degrees: p = floor(x*ln(rdeg))
             # implies ceil((1+eps)^p) <= max rdeg, so the top bucket is

@@ -35,11 +35,46 @@ hint it explicitly (F.broadcast), which bypasses size estimation.
 bytecode, reachable from py4j, and stable across Spark 3.x/4.x — but
 guard anyway: any failure falls back to the plain checkpointed frame,
 which is merely slower, never wrong.
+
+Release semantics (measured, Spark 4.1.2): ``DataFrame.unpersist()`` on
+a localCheckpointed frame — stripped or not — only touches the SQL
+cacheManager and is a NO-OP for the checkpoint's RDD blocks; the blocks
+otherwise linger until the JVM ContextCleaner garbage-collects the RDD
+(async, unbounded lag under driver memory pressure — the exact moment
+you need the release). The kernels' ``prev.unpersist()`` discipline
+therefore only worked by GC luck. ``fresh_checkpoint`` now captures the
+persisted RDD (``LogicalRDD.rdd()``) and binds an instance-level
+``unpersist`` on the returned frame that unpersists THAT RDD — every
+existing call site becomes a real, immediate release. Releasing a
+localCheckpointed RDD makes it unrecomputable (Spark logs a warning we
+silence once), which is exactly the contract: kernels release only
+SUPERSEDED state, and every consumer of live state holds an EAGER
+checkpoint of its own.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+
+_WARN_SILENCED = False
+
+
+def _silence_unpersist_warning(spark) -> None:
+    """The 'locally checkpointed ... cannot be recomputed' WARN fires on
+    every intentional release — once per superseded round. Lower that
+    one logger to ERROR (log4j2), best-effort."""
+    global _WARN_SILENCED
+    if _WARN_SILENCED:
+        return
+    _WARN_SILENCED = True
+    try:  # pragma: no cover - logging cosmetics only
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.rdd.MapPartitionsRDD",
+            jvm.org.apache.logging.log4j.Level.ERROR,
+        )
+    except Exception:
+        pass
 
 
 def fresh_checkpoint(df: DataFrame) -> DataFrame:
@@ -47,15 +82,27 @@ def fresh_checkpoint(df: DataFrame) -> DataFrame:
 
     Drop-in replacement for ``df.localCheckpoint(eager=True)`` in
     fixpoint loops. Returns a DataFrame over the checkpointed RDD whose
-    stats do not compound across rounds (see module docstring).
-    """
+    stats do not compound across rounds (see module docstring), and
+    whose ``unpersist()`` actually frees the checkpoint's blocks."""
     ck = df.localCheckpoint(eager=True)
     try:
         spark = ck.sparkSession
         jdf = ck._jdf
+        ck_rdd = jdf.queryExecution().analyzed().rdd()  # the persisted RDD
         stripped = spark._jsparkSession.internalCreateDataFrame(
             jdf.queryExecution().toRdd(), jdf.schema(), False
         )
-        return DataFrame(stripped, spark)
+        out = DataFrame(stripped, spark)
     except Exception:  # pragma: no cover - py4j surface drift
         return ck
+
+    def _unpersist(blocking: bool = False):
+        _silence_unpersist_warning(spark)
+        try:
+            ck_rdd.unpersist(blocking)
+        except Exception:  # pragma: no cover - already released / gone
+            pass
+        return out
+
+    out.unpersist = _unpersist
+    return out

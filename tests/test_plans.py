@@ -697,3 +697,26 @@ def test_wl_digest_keeps_partial_aggregates(spark):
     assert "partial_count" in plan or "partial_sum" in plan
     assert "collect_list" not in plan and "sort_array" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_fresh_checkpoint_release_frees_blocks(spark):
+    """unpersist() on a fresh_checkpoint frame must free the checkpoint
+    RDD's blocks IMMEDIATELY (DataFrame.unpersist on a localCheckpointed
+    frame only touches the SQL cacheManager — a storage no-op — and the
+    ContextCleaner frees blocks asynchronously at GC's leisure; the
+    kernels' superseded-state releases must not depend on GC timing).
+    Pins the instance-bound unpersist in plans/state.py."""
+    from graphit_spark.plans.state import fresh_checkpoint
+
+    sc = spark.sparkContext
+
+    def cached_ids():
+        return {r.id() for r in sc._jsc.sc().getRDDStorageInfo()}
+
+    before = cached_ids()
+    df = fresh_checkpoint(spark.range(100).selectExpr("id", "id * 2 AS y"))
+    assert df.count() == 100
+    mine = cached_ids() - before
+    assert mine, "checkpoint should hold blocks"
+    df.unpersist()
+    assert not (cached_ids() & mine), "release must be immediate"
