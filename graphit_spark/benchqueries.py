@@ -5182,6 +5182,116 @@ LIMIT {COCITE_TOP_K}
 """
 
 
+def q_butterfly_count(spark, sf_dir):
+    """Butterfly (4-cycle) census on the blocked graph: wedges, dst
+    pairs with a co-citing source, and butterflies (two sources citing
+    the same dst pair). Exact — the blocked graph's out-degrees are
+    structurally bounded by orders-per-customer, so the per-source pair
+    explode never meets a hub (kernels/cocite.py butterfly_count;
+    max_degree is the estimator knob for unbounded graphs)."""
+    from graphit_spark.kernels import butterfly_count
+
+    return butterfly_count(graph(spark, sf_dir, "blocked"))
+
+
+def butterfly_count_sql() -> str:
+    """Twin of q_butterfly_count: identical sorted-adjacency pair
+    expansion and all-integer census — bit-exact."""
+    return f"""
+WITH {_SQL_BLOCKED.strip()},
+adj AS (
+  SELECT src, list(dst ORDER BY dst) AS nbrs
+  FROM edges GROUP BY src HAVING count(*) >= 2
+),
+pairs AS (
+  SELECT p[1] AS a, p[2] AS b FROM (
+    SELECT unnest(flatten(list_transform(generate_series(1, len(nbrs) - 1),
+      i -> list_transform(generate_series(i + 1, len(nbrs)),
+                          j -> [nbrs[i], nbrs[j]])))) AS p
+    FROM adj) x
+),
+cnt AS (SELECT a, b, count(*) AS c FROM pairs GROUP BY a, b)
+SELECT CAST(coalesce((SELECT sum(c) FROM cnt), 0) AS BIGINT) AS wedges,
+       CAST((SELECT count(*) FROM cnt) AS BIGINT) AS cocited_pairs,
+       CAST(coalesce((SELECT sum(c * (c - 1) // 2) FROM cnt), 0) AS BIGINT)
+         AS butterflies
+"""
+
+
+DS_ROUNDS = 20  # > log_1.5(V) at driver sf: each peel drops > 1/3 of verts
+
+
+def q_densest_subgraph(spark, sf_dir):
+    """Densest subgraph via parallel greedy peel (kernels/densest.py —
+    Bahmani et al.'s 2(1+eps) MapReduce peel at eps = 1/2): vertices of
+    the best-density peel prefix on the symmetrized blocked graph, with
+    the winning round and its 6-dp density on every row."""
+    from graphit_spark.kernels import densest_subgraph
+
+    g = graph(spark, sf_dir, "blocked")
+    return densest_subgraph(g, max_rounds=DS_ROUNDS)
+
+
+def densest_subgraph_sql(rounds: int = DS_ROUNDS) -> str:
+    """Twin of q_densest_subgraph: the same integer-exact peel
+    (survive iff deg * n > 3 * m) unrolled per round, best round by
+    unrounded density with ties to the earliest (equal fractions give
+    bit-equal doubles; unequal fractions at these magnitudes differ by
+    >> double resolution, so the float order equals the kernel's exact
+    cross-multiplication order)."""
+    ctes = [
+        _SQL_BLOCKED.strip(),
+        "v0 AS MATERIALIZED (SELECT id FROM verts)",
+    ]
+    for k in range(rounds + 1):
+        ctes.append(
+            f"""e{k} AS MATERIALIZED (
+  SELECT e.src, e.dst FROM sym e
+  JOIN v{k} a ON e.src = a.id JOIN v{k} b ON e.dst = b.id
+)"""
+        )
+        ctes.append(
+            f"""s{k} AS MATERIALIZED (
+  SELECT (SELECT count(*) FROM v{k}) AS n,
+         (SELECT count(*) FROM e{k} WHERE src < dst) AS m
+)"""
+        )
+        if k < rounds:
+            ctes.append(
+                f"""v{k + 1} AS MATERIALIZED (
+  SELECT v.id FROM v{k} v
+  LEFT JOIN (SELECT src AS id, count(*) AS d FROM e{k} GROUP BY src) dg
+    USING (id)
+  WHERE coalesce(dg.d, 0) * (SELECT n FROM s{k}) > 3 * (SELECT m FROM s{k})
+)"""
+            )
+    ctes.append(
+        "stats AS (" + "\nUNION ALL\n".join(
+            f"SELECT {k} AS round, n, m FROM s{k}" for k in range(rounds + 1)
+        ) + ")"
+    )
+    ctes.append(
+        """best AS (
+  SELECT round, n, m FROM stats WHERE n > 0
+  ORDER BY m * 1e0 / n DESC, round LIMIT 1
+)"""
+    )
+    ctes.append(
+        "vall AS (" + "\nUNION ALL\n".join(
+            f"SELECT {k} AS round, id FROM v{k}" for k in range(rounds + 1)
+        ) + ")"
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + """
+SELECT v.id, CAST(b.round AS BIGINT) AS best_round,
+       round(b.m * 1e0 / b.n, 6) AS density
+FROM vall v JOIN best b ON v.round = b.round
+ORDER BY v.id
+"""
+    )
+
+
 def q_kernel_certificates(spark, sf_dir):
     """The reference's `--verify` layer as one driver query: run the
     five core kernels at their standard budgets (identical configs to
@@ -5455,6 +5565,8 @@ def influence_max_sql(k: int | None = None, p: float | None = None) -> str:
 GRAPH_QUERIES: dict[str, tuple] = {
     "graph_diff": (q_graph_diff, graph_diff_sql()),
     "cocitation": (q_cocitation, cocitation_sql()),
+    "butterfly_count": (q_butterfly_count, butterfly_count_sql()),
+    "densest_subgraph": (q_densest_subgraph, densest_subgraph_sql()),
     "influence_max": (q_influence_max, influence_max_sql()),
     # name: (spark_callable, oracle_sql_or_None)
     "pagerank": (q_pagerank, pagerank_sql()),

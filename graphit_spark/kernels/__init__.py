@@ -43,7 +43,8 @@ from graphit_spark.kernels.hyperball import (
 )
 from graphit_spark.kernels.hits import hits
 from graphit_spark.kernels.landmarks import landmark_distances
-from graphit_spark.kernels.cocite import cocitation
+from graphit_spark.kernels.cocite import butterfly_count, cocitation
+from graphit_spark.kernels.densest import densest_subgraph
 from graphit_spark.kernels.ego import ego_subgraph
 from graphit_spark.kernels.linkpred import link_prediction
 from graphit_spark.kernels.redirects import resolve_redirects
@@ -131,7 +132,9 @@ __all__ = [
     "triangle_count_per_vertex",
     "worth_relabelling",
     "bfs",
+    "butterfly_count",
     "cocitation",
+    "densest_subgraph",
     "ego_subgraph",
     "landmark_distances",
     "sssp",

@@ -77,3 +77,58 @@ def cocitation(
     return counts.orderBy(
         F.desc("n_common"), F.asc("page_a"), F.asc("page_b")
     ).limit(k)
+
+
+def butterfly_count(
+    graph: LinkGraph, *, max_degree: int | None = None
+) -> DataFrame:
+    """Butterfly (bipartite 4-cycle) census over the directed edge set:
+    one row (wedges, cocited_pairs, butterflies) where a wedge is an
+    ordered source citing a dst pair (a < b), cocited_pairs counts the
+    distinct dst pairs with at least one co-citing source, and a
+    butterfly is two distinct sources citing the same dst pair — the
+    standard bipartite cohesion census (Sanei-Mehri et al., KDD 2018,
+    public literature) read on the src→dst link relation.
+
+    butterflies = sum over dst pairs of C(c, 2) for c co-citing
+    sources — all-integer arithmetic, bit-exact.
+
+    Scale shape: identical to cocitation() — per-source sorted-array
+    pair expansion (no self-join), map-side-combined pair groupBy, one
+    scalar aggregate. Cost is sum of out_degree^2 over sources;
+    ``max_degree`` (None = exact) is the documented estimator knob for
+    graphs whose out-degrees are not structurally bounded — portal-like
+    hub sources are cut BEFORE the explode, the same cap discipline as
+    cocitation and LSH banding.
+    """
+    adj = graph.edges.groupBy("src").agg(
+        F.sort_array(F.collect_set("dst")).alias("nbrs")
+    )
+    if max_degree is not None:
+        adj = adj.filter(F.size("nbrs") <= max_degree)
+    adj = adj.filter(F.size("nbrs") >= 2)
+    n = F.size(F.col("nbrs"))
+    pair_structs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.transform(
+                F.sequence(i + 1, n),
+                lambda j: F.struct(
+                    F.element_at(F.col("nbrs"), i).alias("a"),
+                    F.element_at(F.col("nbrs"), j).alias("b"),
+                ),
+            ),
+        )
+    )
+    cnt = (
+        adj.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.count("*").alias("c"))
+    )
+    return cnt.agg(
+        F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("wedges"),
+        F.count("*").cast("long").alias("cocited_pairs"),
+        F.coalesce(F.sum(F.expr("c * (c - 1) DIV 2")), F.lit(0))
+        .cast("long")
+        .alias("butterflies"),
+    )

@@ -2250,3 +2250,66 @@ class TestEdgeBetweenness:
         for v, s in by_src.items():
             if v != 0:
                 assert abs(s - bc[v]) < 1e-9, (v, s, bc[v])
+
+
+class TestButterflyCount:
+    def test_hand_counted(self, spark):
+        # sources 10, 11 cite {0,1}; source 12 cites {0,1,2}:
+        # wedges = 1 + 1 + 3; pairs (0,1)x3 (0,2)x1 (1,2)x1;
+        # butterflies = C(3,2) = 3 (all on the (0,1) pair)
+        from graphit_spark.kernels import butterfly_count
+
+        edges = [(10, 0), (10, 1), (11, 0), (11, 1),
+                 (12, 0), (12, 1), (12, 2)]
+        g = LinkGraph.from_pairs(spark, edges, persist=False)
+        row = butterfly_count(g).first()
+        assert (row["wedges"], row["cocited_pairs"], row["butterflies"]) \
+            == (5, 3, 3)
+
+    def test_degree_cap_cuts_hub_before_explode(self, spark):
+        from graphit_spark.kernels import butterfly_count
+
+        edges = [(10, 0), (10, 1), (11, 0), (11, 1),
+                 (12, 0), (12, 1), (12, 2)]
+        g = LinkGraph.from_pairs(spark, edges, persist=False)
+        row = butterfly_count(g, max_degree=2).first()
+        assert (row["wedges"], row["cocited_pairs"], row["butterflies"]) \
+            == (2, 1, 1)
+
+    def test_no_pairs_graph(self, spark):
+        # every source has out-degree 1: zero wedges, zero butterflies
+        from graphit_spark.kernels import butterfly_count
+
+        g = LinkGraph.from_pairs(spark, [(0, 1), (2, 3)], persist=False)
+        row = butterfly_count(g).first()
+        assert (row["wedges"], row["cocited_pairs"], row["butterflies"]) \
+            == (0, 0, 0)
+
+
+class TestDensestSubgraph:
+    def test_peel_finds_clique_core(self, spark):
+        # K6 (density 2.5) + 30-vertex path tail attached at vertex 5:
+        # round 0 density 45/36 = 1.25 -> threshold 3.75 peels the path,
+        # round 1 is K6 alone (density 2.5) and wins
+        from graphit_spark.kernels import densest_subgraph
+
+        edges = [(i, j) for i in range(6) for j in range(i + 1, 6)]
+        edges += [(5, 6)] + [(v, v + 1) for v in range(6, 35)]
+        g = LinkGraph.from_pairs(spark, edges, persist=False)
+        rows = densest_subgraph(g).collect()
+        assert sorted(r["id"] for r in rows) == [0, 1, 2, 3, 4, 5]
+        assert all(r["best_round"] == 1 for r in rows)
+        assert all(r["density"] == 2.5 for r in rows)
+
+    def test_uniform_graph_keeps_round_zero(self, spark):
+        # a single triangle: round 0 density 1.0, threshold 3 peels all
+        # -> best stays the full graph at round 0
+        from graphit_spark.kernels import densest_subgraph
+
+        g = LinkGraph.from_pairs(
+            spark, [(0, 1), (1, 2), (2, 0)], persist=False
+        )
+        rows = densest_subgraph(g).collect()
+        assert sorted(r["id"] for r in rows) == [0, 1, 2]
+        assert all(r["best_round"] == 0 for r in rows)
+        assert all(r["density"] == 1.0 for r in rows)
