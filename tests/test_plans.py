@@ -720,3 +720,42 @@ def test_fresh_checkpoint_release_frees_blocks(spark):
     assert mine, "checkpoint should hold blocks"
     df.unpersist()
     assert not (cached_ids() & mine), "release must be immediate"
+
+
+def test_butterfly_census_plan_no_self_join(spark):
+    """The butterfly census must stay on the cocitation shape: one
+    sorted-adjacency build, a Column-expression pair explode (no edge
+    self-join, no cartesian), and a map-side-combined pair count whose
+    final census is a partial aggregate."""
+    from graphit_spark.benchqueries import q_butterfly_count
+
+    plan = _plan(q_butterfly_count(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_densest_peel_round_is_semi_join_plus_agg(spark):
+    """One densest-subgraph peel round = two left-semi restrictions of
+    the cached edge table + a map-side-combined degree count + the
+    integer threshold filter — no collect, no cartesian. Built manually
+    (the kernel's rounds are checkpoint-truncated in the result)."""
+    from pyspark.sql import functions as F
+
+    from graphit_spark.benchqueries import graph
+
+    g = graph(spark, SF_DIR, "blocked").symmetrize()
+    keep = g.vertices().limit(500)
+    alive = g.edges.join(
+        keep.select(F.col("id").alias("src")), "src", "left_semi"
+    ).join(keep.select(F.col("id").alias("dst")), "dst", "left_semi")
+    deg = alive.groupBy(F.col("src").alias("id")).agg(
+        F.count("*").alias("d")
+    )
+    survivors = keep.join(deg, "id", "left").filter(
+        F.coalesce("d", F.lit(0)) * F.lit(500) > F.lit(3 * 1000)
+    )
+    plan = _plan(survivors)
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("LeftSemi") >= 2
