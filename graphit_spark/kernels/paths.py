@@ -24,28 +24,48 @@ from graphit_spark.plans.traversal import choose_direction
 
 def _min_distance_fixpoint(
     graph: LinkGraph, source: int, dist_expr, max_iters: int,
-    threshold_fraction: int = 20,
+    threshold_fraction: int = 20, store=None, resume: bool = False,
+    metrics_out: dict | None = None, kernel_name: str = "bfs",
 ) -> DataFrame:
     """Shared driver loop: dist[dst] min= dist[src] + cost(edge).
 
     threshold_fraction: the sparse/dense direction-switch denominator
     (reference default 20, gen_edge_apply_func_decl.cpp:722) — exposed
-    as a schedule knob for graphit_spark.tune."""
+    as a schedule knob for graphit_spark.tune.
+
+    store/resume: per-superstep SnapshotStore checkpointing of the dist
+    frame (same contract as kernels/pagerank.py and components.py —
+    north-rule resumability). Resume restarts from the latest committed
+    snapshot with a conservative frontier (every reached vertex
+    re-relaxes once; min= is idempotent, so re-running a completed
+    round is a no-change round, never a wrong one)."""
+    import time as _time
+
     own_cache = graph.ensure_persisted()
     num_edges = graph.num_edges
     inf = None  # represented as NULL = unreached
-    dist = graph.vertices().select(
-        "id",
-        F.when(F.col("id") == source, F.lit(0).cast("long")).otherwise(
-            F.lit(inf).cast("long")
-        ).alias("dist"),
-    )
-    dist = dist.transform(fresh_checkpoint)
+    start_iter = 0
+    if resume and store is not None and store.latest() is not None:
+        start_iter = store.latest() + 1
+        dist = store.read(graph.spark, store.latest()).select("id", "dist")
+        dist = dist.transform(fresh_checkpoint)
+        frontier = dist.filter(F.col("dist").isNotNull()).select("id")
+        frontier_size, frontier_deg = frontier.count(), num_edges
+    else:
+        dist = graph.vertices().select(
+            "id",
+            F.when(F.col("id") == source, F.lit(0).cast("long")).otherwise(
+                F.lit(inf).cast("long")
+            ).alias("dist"),
+        )
+        dist = dist.transform(fresh_checkpoint)
+        frontier = dist.filter(F.col("dist").isNotNull()).select("id")
+        frontier_size, frontier_deg = 1, 0
     prev_ck = dist  # superseded checkpoints are released each round
-    frontier = dist.filter(F.col("dist").isNotNull()).select("id")
-    frontier_size, frontier_deg = 1, 0
+    rounds_run = 0
 
-    for _ in range(max_iters):
+    for it in range(start_iter, max_iters):
+        t0 = _time.time()
         direction = choose_direction(
             frontier_size, frontier_deg, num_edges, threshold_fraction
         )
@@ -101,10 +121,25 @@ def _min_distance_fixpoint(
             )
         dist = new_dist.select("id", "dist")
         frontier = changed
+        rounds_run += 1
+        if store is not None:
+            store.write(
+                dist,
+                it,
+                {
+                    "kernel": kernel_name,
+                    "elapsed_sec": _time.time() - t0,
+                    "frontier_size": frontier_size,
+                    "direction": direction,
+                },
+            )
         prev_ck.unpersist()
         prev_ck = new_dist
         if frontier_size == 0:
             break
+    if metrics_out is not None:
+        metrics_out["iterations"] = rounds_run
+        metrics_out["final_frontier"] = frontier_size
     if own_cache:
         graph.unpersist()  # dist is checkpointed; cache no longer needed
     return dist
@@ -112,18 +147,21 @@ def _min_distance_fixpoint(
 
 def bfs(
     graph: LinkGraph, source: int = 0, *, max_iters: int = 500,
-    threshold_fraction: int = 20,
+    threshold_fraction: int = 20, store=None, resume: bool = False,
+    metrics_out: dict | None = None,
 ) -> DataFrame:
     """(id, dist) hop distances from source; NULL dist = unreachable."""
     return _min_distance_fixpoint(
         graph, source, F.col("sdist") + F.lit(1), max_iters,
-        threshold_fraction,
+        threshold_fraction, store=store, resume=resume,
+        metrics_out=metrics_out, kernel_name="bfs",
     )
 
 
 def sssp(
     graph: LinkGraph, source: int = 0, *, max_iters: int = 500,
-    threshold_fraction: int = 20,
+    threshold_fraction: int = 20, store=None, resume: bool = False,
+    metrics_out: dict | None = None,
 ) -> DataFrame:
     """Bellman-Ford shortest paths over the weighted edge table
     (apps/sssp.gt); requires graph.weighted."""
@@ -131,5 +169,6 @@ def sssp(
         raise ValueError("sssp requires a weighted graph (src, dst, weight)")
     return _min_distance_fixpoint(
         graph, source, F.col("sdist") + F.col("weight"), max_iters,
-        threshold_fraction,
+        threshold_fraction, store=store, resume=resume,
+        metrics_out=metrics_out, kernel_name="sssp",
     )

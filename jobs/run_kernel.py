@@ -145,11 +145,13 @@ def main() -> None:
     elif args.kernel == "bfs":
         from graphit_spark.kernels import bfs
 
-        out = bfs(g, args.source, max_iters=args.max_iters)
+        out = bfs(g, args.source, max_iters=args.max_iters,
+                  store=store, resume=args.resume)
     elif args.kernel == "sssp":
         from graphit_spark.kernels import sssp
 
-        out = sssp(g, args.source, max_iters=args.max_iters)
+        out = sssp(g, args.source, max_iters=args.max_iters,
+                   store=store, resume=args.resume)
     elif args.kernel == "sssp_delta":
         from graphit_spark.kernels import sssp_delta_stepping
 

@@ -84,3 +84,58 @@ def test_cc_resume(spark, tmp_path):
         for r in connected_components(g, store=store, resume=True).collect()
     }
     assert resumed == full
+
+
+def test_bfs_resume_identical(spark, tmp_path):
+    """BFS snapshots every superstep's dist frame; resuming after a
+    'kill' at round 2 converges to the byte-exact uninterrupted result
+    (min= is idempotent: the conservative all-reached resume frontier
+    re-relaxes one round and continues)."""
+    from graphit_spark.kernels import bfs
+
+    edges = _edges()
+    g = LinkGraph.from_pairs(spark, edges, persist=False)
+    full = {r["id"]: r["dist"] for r in bfs(g, 0).collect()}
+
+    store = SnapshotStore(str(tmp_path), "bfs")
+    bfs(g, 0, max_iters=2, store=store)  # "killed" after two rounds
+    assert store.complete_iterations() == [0, 1]
+    m = store.manifest(1)
+    assert m["metrics"]["kernel"] == "bfs"
+    assert m["metrics"]["frontier_size"] > 0
+    assert m["metrics"]["direction"] in ("sparse", "dense")
+
+    metrics: dict = {}
+    resumed = {
+        r["id"]: r["dist"]
+        for r in bfs(
+            g, 0, store=store, resume=True, metrics_out=metrics
+        ).collect()
+    }
+    assert resumed == full
+    assert metrics["final_frontier"] == 0
+    # resume ran only the remaining rounds, not the whole fixpoint
+    assert 0 < metrics["iterations"]
+    assert store.latest() >= 2
+
+
+def test_sssp_resume_identical(spark, tmp_path):
+    from graphit_spark.kernels import sssp
+
+    import random
+
+    rng = random.Random(23)
+    edges = [
+        (rng.randrange(40), rng.randrange(40), rng.randrange(1, 9))
+        for _ in range(160)
+    ]
+    g = LinkGraph.from_pairs(spark, edges, persist=False)
+    full = {r["id"]: r["dist"] for r in sssp(g, 0).collect()}
+
+    store = SnapshotStore(str(tmp_path), "sssp")
+    sssp(g, 0, max_iters=1, store=store)
+    resumed = {
+        r["id"]: r["dist"]
+        for r in sssp(g, 0, store=store, resume=True).collect()
+    }
+    assert resumed == full
