@@ -2313,3 +2313,74 @@ class TestDensestSubgraph:
         assert sorted(r["id"] for r in rows) == [0, 1, 2]
         assert all(r["best_round"] == 0 for r in rows)
         assert all(r["density"] == 1.0 for r in rows)
+
+
+def _butterfly_brute(edges):
+    from collections import defaultdict
+    adj = defaultdict(set)
+    for s, d in edges:
+        if s != d:
+            adj[s].add(d)
+    pair = defaultdict(int)
+    wedges = 0
+    for s, nbrs in adj.items():
+        ns = sorted(nbrs)
+        for i in range(len(ns)):
+            for j in range(i + 1, len(ns)):
+                pair[(ns[i], ns[j])] += 1
+                wedges += 1
+    bf = sum(c * (c - 1) // 2 for c in pair.values())
+    return wedges, len(pair), bf
+
+
+def _densest_brute(edges, rounds=20):
+    und = set()
+    verts = set()
+    for s, d in edges:
+        verts.add(s)
+        verts.add(d)
+        if s != d:
+            und.add((min(s, d), max(s, d)))
+    verts = set(range(max(verts) + 1)) if verts else set()
+    best = None  # (r, n, m, vertset)
+    keep = set(verts)
+    for r in range(rounds + 1):
+        sub = {(a, b) for a, b in und if a in keep and b in keep}
+        n, m = len(keep), len(sub)
+        if n == 0:
+            break
+        if best is None or m * best[1] > best[2] * n:
+            best = (r, n, m, set(keep))
+        if r == rounds or m == 0:
+            break
+        deg = {v: 0 for v in keep}
+        for a, b in sub:
+            deg[a] += 1
+            deg[b] += 1
+        keep = {v for v in keep if deg[v] * n > 3 * m}
+    return best
+
+
+class TestNewKernelsVsBruteForce:
+    @pytest.mark.parametrize("seed", [1, 2, 3])
+    def test_butterfly_random(self, spark, seed):
+        from graphit_spark.kernels import butterfly_count
+
+        edges = _rand_graph(25, 120, seed)
+        g = LinkGraph.from_pairs(spark, edges, persist=False)
+        row = butterfly_count(g).first()
+        assert (
+            row["wedges"], row["cocited_pairs"], row["butterflies"]
+        ) == _butterfly_brute(edges)
+
+    @pytest.mark.parametrize("seed", [4, 5])
+    def test_densest_random(self, spark, seed):
+        from graphit_spark.kernels import densest_subgraph
+
+        edges = _rand_graph(40, 200, seed)
+        g = LinkGraph.from_pairs(spark, edges, persist=False)
+        rows = densest_subgraph(g).collect()
+        r, n, m, vs = _densest_brute(edges)
+        assert sorted(row["id"] for row in rows) == sorted(vs)
+        assert all(row["best_round"] == r for row in rows)
+        assert all(row["density"] == round(m / n, 6) for row in rows)
