@@ -314,3 +314,56 @@ def test_cf_latents_match_reference(spark):
     assert np.allclose(
         np.array(rows[0]), np.array(fix["latent_v0"]), atol=1e-9
     )
+
+
+@needs_reference
+@pytest.mark.parametrize("graph_name", ["4_sym.el", "rmat10.el"])
+def test_core_decomposition_matches_reference_runtime(spark, graph_name):
+    """apps/k_core.gt (Julienne lazy buckets: priority = out-degree,
+    decrements clamped at the dequeue level — the dequeue priority IS
+    the core number) against our synchronous-peel core_decomposition.
+    Both fixture inputs are symmetric edge lists, so the unique peel
+    fixpoint equals undirected coreness and our kernel's symmetrize is
+    an identity (modulo the shared squish semantics). Fixture:
+    tests/ref_outputs/kcore_reference.json (see its _provenance)."""
+    from graphit_spark.kernels import core_decomposition
+
+    with open(
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "ref_outputs",
+            "kcore_reference.json",
+        )
+    ) as f:
+        want = json.load(f)[graph_name]["core"]
+    g = _graph(spark, graph_name)
+    got = {r["id"]: r["core"] for r in core_decomposition(g).collect()}
+    assert len(got) == len(want)
+    mism = {v: (got[v], want[v]) for v in got if got[v] != want[v]}
+    assert not mism, f"core mismatches: {dict(list(mism.items())[:5])}"
+
+
+@needs_reference
+@pytest.mark.parametrize("graph_name", ["4_sym.el", "4.el", "rmat10.el"])
+def test_set_cover_matches_reference_runtime(spark, graph_name):
+    """apps/set_cover.gt + set_cover_extern.cpp (Julienne MaxCover).
+    The extern's stale-bucket dequeue sequence and our fresh-bucket
+    rounds visit the same EFFECTIVE rounds (a stale bucket's members
+    repack below k and are filtered by the ceil(1.01^k) threshold, so
+    still_active = {true bucket == k} on both sides), and writeMin
+    min-set-id acquisition makes the admitted cover unique — the cover
+    SET must match exactly. Fixture:
+    tests/ref_outputs/setcover_reference.json (see _provenance)."""
+    from graphit_spark.kernels import set_cover
+
+    with open(
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "ref_outputs",
+            "setcover_reference.json",
+        )
+    ) as f:
+        want = json.load(f)[graph_name]["cover"]
+    g = _graph(spark, graph_name)
+    got = sorted(r["set_id"] for r in set_cover(g).collect())
+    assert got == want
