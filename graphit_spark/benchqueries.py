@@ -5141,6 +5141,61 @@ ORDER BY e.src, e.dst
     )
 
 
+FANOUT_EVERY = 100  # deterministic seed set: block heads
+FANOUT_F1, FANOUT_F2, FANOUT_SEED = 3, 2, 7
+
+
+def q_sample_fanout(spark, sf_dir):
+    """2-layer GraphSAGE-style minibatch sampling on the blocked graph
+    (kernels/ego.py sample_fanout): roots = block heads, fanouts (3, 2),
+    md5 hash-draw keys — the GNN training-batch exporter, deterministic
+    and SQL-twinnable like the walk family."""
+    from graphit_spark.kernels import sample_fanout
+
+    g = graph(spark, sf_dir, "blocked")
+    seeds = g.vertices().filter(F.col("id") % FANOUT_EVERY == 0)
+    return sample_fanout(
+        g, seeds, fanout1=FANOUT_F1, fanout2=FANOUT_F2, seed=FANOUT_SEED
+    )
+
+
+def sample_fanout_sql(
+    every: int = FANOUT_EVERY, f1: int = FANOUT_F1, f2: int = FANOUT_F2,
+    seed: int = FANOUT_SEED,
+) -> str:
+    """Twin of q_sample_fanout: identical md5 draw keys (md5 of the
+    canonical "{src}_{dst}_{hop}_{seed}" string — distinct strings, so
+    no rank ties), per-src row_number window, same node-level layer
+    scheme and root expansion."""
+    def hk(hop):
+        return (
+            f"md5(CAST(e.src AS VARCHAR) || '_' || CAST(e.dst AS VARCHAR)"
+            f" || '_{hop}_{seed}')"
+        )
+    return f"""
+WITH {_SQL_BLOCKED.strip()},
+seeds AS (SELECT id FROM verts WHERE id % {every} = 0),
+h1 AS (
+  SELECT e.src, e.dst,
+         row_number() OVER (PARTITION BY e.src ORDER BY {hk(1)}) AS rn
+  FROM edges e JOIN seeds s ON e.src = s.id
+),
+s1 AS MATERIALIZED (SELECT src, dst FROM h1 WHERE rn <= {f1}),
+front2 AS (SELECT DISTINCT dst AS id FROM s1),
+h2 AS (
+  SELECT e.src, e.dst,
+         row_number() OVER (PARTITION BY e.src ORDER BY {hk(2)}) AS rn
+  FROM edges e JOIN front2 f ON e.src = f.id
+),
+s2 AS MATERIALIZED (SELECT src, dst FROM h2 WHERE rn <= {f2})
+SELECT src AS root, src, dst, CAST(1 AS BIGINT) AS hop FROM s1
+UNION ALL
+SELECT a.src AS root, b.src, b.dst, CAST(2 AS BIGINT) AS hop
+FROM s1 a JOIN s2 b ON a.dst = b.src
+ORDER BY root, hop, src, dst
+"""
+
+
 def q_cocitation(spark, sf_dir):
     """Related pages by co-citation: pairs most often cited together
     (kernels/cocite.py — per-source pair explosion with a hub cap,
@@ -5582,6 +5637,7 @@ GRAPH_QUERIES: dict[str, tuple] = {
     "degree_histogram": (q_degree_histogram, degree_histogram_sql()),
     "degree_assortativity": (q_assortativity, assortativity_sql()),
     "ego_subgraph": (q_ego_subgraph, ego_subgraph_sql()),
+    "sample_fanout": (q_sample_fanout, sample_fanout_sql()),
     "ppr_batch": (q_ppr_batch, ppr_batch_sql()),
     "hits": (q_hits, hits_sql()),
     "salsa": (q_salsa, salsa_sql()),

@@ -45,7 +45,7 @@ from graphit_spark.kernels.hits import hits
 from graphit_spark.kernels.landmarks import landmark_distances
 from graphit_spark.kernels.cocite import butterfly_count, cocitation
 from graphit_spark.kernels.densest import densest_subgraph
-from graphit_spark.kernels.ego import ego_subgraph
+from graphit_spark.kernels.ego import ego_subgraph, sample_fanout
 from graphit_spark.kernels.linkpred import link_prediction
 from graphit_spark.kernels.redirects import resolve_redirects
 from graphit_spark.kernels.salsa import salsa
@@ -136,6 +136,7 @@ __all__ = [
     "cocitation",
     "densest_subgraph",
     "ego_subgraph",
+    "sample_fanout",
     "landmark_distances",
     "sssp",
     "sssp_delta_stepping",

@@ -83,3 +83,78 @@ def ego_subgraph(
     if own_cache:
         graph.unpersist()
     return out
+
+
+def sample_fanout(
+    graph: LinkGraph,
+    seeds: DataFrame,
+    *,
+    fanout1: int = 3,
+    fanout2: int = 2,
+    seed: int = 7,
+) -> DataFrame:
+    """Deterministic 2-layer GraphSAGE-style neighbor sampling — the
+    GNN-minibatch exporter for training pipelines (Hamilton et al.
+    NeurIPS 2017, public literature): per frontier node take the
+    ``fanout`` out-neighbors with the smallest md5 draw keys (the
+    engine's SQL-reproducible hash-draw contract, kernels/walks.py),
+    then expand hop-2 samples per root. Returns
+    (root, src, dst, hop) — hop 1 rows are the root's own samples,
+    hop 2 rows the samples of its sampled neighbors.
+
+    Sampling is NODE-level (each frontier node's sample set is drawn
+    once and shared across roots — the standard GraphSAGE layer-wise
+    scheme), so the per-round cost is frontier-adjacency-sized, never
+    roots x fanout^2. The top-f pick is a per-src window over the hash
+    key: the shuffle keys on src like every gather; a hub's full
+    out-list is sorted once per round — bounded out-degrees here, and
+    the cap discipline of cocite.py applies when they are not.
+
+    ``seeds``: DataFrame with an ``id`` column.
+    """
+    if fanout1 < 1 or fanout2 < 1:
+        raise ValueError("fanouts must be >= 1")
+    from pyspark.sql import Window
+
+    own_cache = graph.ensure_persisted()
+
+    def layer(frontier: DataFrame, hop: int, f: int) -> DataFrame:
+        e = graph.edges.join(
+            frontier.select(F.col("id").alias("src")), "src", "left_semi"
+        )
+        hk = F.md5(
+            F.concat_ws(
+                "_",
+                F.col("src").cast("string"),
+                F.col("dst").cast("string"),
+                F.lit(hop).cast("string"),
+                F.lit(seed).cast("string"),
+            ).cast("binary")
+        )
+        rn = F.row_number().over(
+            Window.partitionBy("src").orderBy(hk.asc())
+        )
+        return (
+            e.select("src", "dst", rn.alias("rn"))
+            .filter(F.col("rn") <= f)
+            .select("src", "dst")
+        )
+    s1 = layer(seeds, 1, fanout1).transform(fresh_checkpoint)
+    front2 = s1.select(F.col("dst").alias("id")).distinct()
+    s2 = layer(front2, 2, fanout2).transform(fresh_checkpoint)
+    hop1 = s1.select(
+        F.col("src").alias("root"), "src", "dst",
+        F.lit(1).cast("long").alias("hop"),
+    )
+    hop2 = (
+        s1.select(F.col("src").alias("root"), F.col("dst").alias("mid"))
+        .join(s2.select(F.col("src").alias("mid"), "dst"), "mid")
+        .select(
+            "root", F.col("mid").alias("src"), "dst",
+            F.lit(2).cast("long").alias("hop"),
+        )
+    )
+    out = hop1.unionByName(hop2)
+    if own_cache:
+        graph.unpersist()  # s1/s2 are checkpointed; out derives from them
+    return out

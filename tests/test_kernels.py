@@ -2384,3 +2384,45 @@ class TestNewKernelsVsBruteForce:
         assert sorted(row["id"] for row in rows) == sorted(vs)
         assert all(row["best_round"] == r for row in rows)
         assert all(row["density"] == round(m / n, 6) for row in rows)
+
+
+class TestSampleFanout:
+    def test_fanout_counts_and_node_level_sharing(self, spark):
+        from graphit_spark.kernels import sample_fanout
+
+        # complete-ish digraph: 0..5 each link to all others
+        edges = [(i, j) for i in range(6) for j in range(6) if i != j]
+        g = LinkGraph.from_pairs(spark, edges, persist=False)
+        seeds = g.vertices().filter(F.col("id") < 2)
+        rows = sample_fanout(g, seeds, fanout1=3, fanout2=2).collect()
+        hop1 = [r for r in rows if r["hop"] == 1]
+        hop2 = [r for r in rows if r["hop"] == 2]
+        # every root draws exactly fanout1 hop-1 samples
+        from collections import Counter
+        c1 = Counter(r["root"] for r in hop1)
+        assert c1 == {0: 3, 1: 3}
+        # each sampled mid contributes exactly fanout2 hop-2 rows per root
+        c2 = Counter((r["root"], r["src"]) for r in hop2)
+        assert all(v == 2 for v in c2.values())
+        assert len(c2) == 6  # 2 roots x 3 mids
+        # node-level sharing: a mid sampled by BOTH roots yields the
+        # SAME dst pair for each (layer-wise GraphSAGE scheme)
+        by_mid = {}
+        for r in hop2:
+            by_mid.setdefault(r["src"], set()).add((r["root"], r["dst"]))
+        for mid, pairs in by_mid.items():
+            dsts = {}
+            for root, dst in pairs:
+                dsts.setdefault(root, set()).add(dst)
+            vals = list(dsts.values())
+            assert all(v == vals[0] for v in vals)
+
+    def test_determinism_across_runs(self, spark):
+        from graphit_spark.kernels import sample_fanout
+
+        edges = _rand_graph(30, 200, 9)
+        g = LinkGraph.from_pairs(spark, edges, persist=False)
+        seeds = g.vertices().filter(F.col("id") % 5 == 0)
+        a = sorted(map(tuple, sample_fanout(g, seeds).collect()))
+        b = sorted(map(tuple, sample_fanout(g, seeds).collect()))
+        assert a == b and len(a) > 0
