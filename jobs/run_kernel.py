@@ -43,7 +43,8 @@ def main() -> None:
                             "katz", "trustrank", "resolve_redirects",
                             "simrank", "weighted_lpa",
                             "landmark_distances", "ego_subgraph",
-                            "cocitation"])
+                            "cocitation", "butterfly_count",
+                            "densest_subgraph", "sample_fanout"])
     p.add_argument("--edges", help="parquet edge table (src,dst[,weight])")
     p.add_argument("--pages", help="parquet pages table (extracted first)")
     p.add_argument("--synth-vertices", type=int, help="synthetic graph size")
@@ -280,6 +281,23 @@ def main() -> None:
         from graphit_spark.kernels import cocitation
 
         out = cocitation(g)
+    elif args.kernel == "butterfly_count":
+        from graphit_spark.kernels import butterfly_count
+
+        out = butterfly_count(g)
+    elif args.kernel == "densest_subgraph":
+        from graphit_spark.kernels import densest_subgraph
+
+        out = densest_subgraph(g)
+    elif args.kernel == "sample_fanout":
+        from pyspark.sql import functions as F
+
+        from graphit_spark.kernels import sample_fanout
+
+        seeds = g.vertices().filter(
+            F.col("id").isin([int(s) for s in args.seeds.split(",")])
+        )
+        out = sample_fanout(g, seeds)
     elif args.kernel == "weighted_lpa":
         from graphit_spark.kernels import weighted_label_propagation
 
