@@ -73,6 +73,12 @@ def densest_subgraph(
         n = new_keep.count()
         keep = new_keep
 
+    if not rounds:  # vertexless graph: nothing to peel
+        if own_cache:
+            g.unpersist()
+        return graph.spark.createDataFrame(
+            [], "id long, best_round long, density double"
+        )
     # densest round: compare m/n as exact fractions (no float), ties to
     # the earliest round — a pure driver scalar pass over <= max_rounds
     # tuples, never data-sized

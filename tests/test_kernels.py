@@ -2426,3 +2426,15 @@ class TestSampleFanout:
         a = sorted(map(tuple, sample_fanout(g, seeds).collect()))
         b = sorted(map(tuple, sample_fanout(g, seeds).collect()))
         assert a == b and len(a) > 0
+
+    def test_empty_graph(self, spark):
+        from graphit_spark import LinkGraph
+        from graphit_spark.kernels import butterfly_count, densest_subgraph
+
+        g = LinkGraph(
+            spark.createDataFrame([], "src long, dst long"), persist=False
+        )
+        assert densest_subgraph(g).count() == 0
+        row = butterfly_count(g).first()
+        assert (row["wedges"], row["cocited_pairs"], row["butterflies"]) \
+            == (0, 0, 0)
