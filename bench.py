@@ -83,6 +83,24 @@ def main() -> None:
     # comparisons); everything newer runs single-shot to bound wall time
     sf_trials = int(os.environ.get("BENCH_SF_TRIALS", "2"))
 
+    # soft wall-clock guard for the single-shot tail: this host's
+    # capacity swings 4-5x minute to minute (BENCH/BASELINE.md), and a
+    # slow window must never prevent the run from reaching the headline
+    # metrics and emitting its JSON line. Tail queries past the budget
+    # are skipped and listed in throughput["skipped"]; the
+    # round-over-round comparison set and the headline always run.
+    t_start = time.time()
+    soft_deadline = float(os.environ.get("BENCH_SOFT_DEADLINE_SEC", "1200"))
+
+    def budget_left() -> bool:
+        return time.time() - t_start < soft_deadline
+
+    def timed_tail(name, fn, trials=1):
+        if budget_left():
+            return timed(name, fn, trials)
+        throughput.setdefault("skipped", []).append(name)
+        return None
+
     # testdata-derived kernel queries (the driver's correctness queries at bench sf)
     timed("pagerank_sf", lambda: q_pagerank(spark, sf_dir).count(),
           trials=sf_trials)
@@ -90,30 +108,32 @@ def main() -> None:
           trials=sf_trials)
     timed("label_propagation_sf", lambda: q_lpa(spark, sf_dir).count(),
           trials=sf_trials)
-    timed("louvain_sf", lambda: q_louvain(spark, sf_dir).count())
+    timed_tail("louvain_sf", lambda: q_louvain(spark, sf_dir).count())
     timed("triangle_count_sf", lambda: q_triangle_count(spark, sf_dir).collect(),
           trials=sf_trials)
     # DOULION sparsified estimator (p=1/4): the TC scale path — should
     # beat the exact kernel by roughly the sampled edge/intersect work
     from graphit_spark.benchqueries import q_triangle_count_approx
 
-    approx = timed(
+    approx = timed_tail(
         "triangle_approx_sf",
         lambda: q_triangle_count_approx(spark, sf_dir).collect(),
     )
-    throughput["triangle_approx_est"] = int(approx[0]["triangles_est"])
+    if approx is not None:
+        throughput["triangle_approx_est"] = int(approx[0]["triangles_est"])
     timed("bfs_sf", lambda: q_bfs(spark, sf_dir).count(), trials=sf_trials)
     # round-3 kernels: directed bowtie SCC, HITS, k-truss peel,
     # HyperBall harmonic centrality (the crawl-scale closeness path)
-    timed("scc_sf", lambda: q_scc(spark, sf_dir).count())
-    timed("hits_sf", lambda: q_hits(spark, sf_dir).count())
+    timed_tail("scc_sf", lambda: q_scc(spark, sf_dir).count())
+    timed_tail("hits_sf", lambda: q_hits(spark, sf_dir).count())
     from graphit_spark.benchqueries import q_link_prediction, q_salsa
 
-    timed("salsa_sf", lambda: q_salsa(spark, sf_dir).count())
-    timed("link_prediction_sf",
-          lambda: q_link_prediction(spark, sf_dir).count())
-    timed("k_truss_sf", lambda: q_k_truss(spark, sf_dir).count())
-    timed("hyperball_sf", lambda: q_hyperball_harmonic(spark, sf_dir).count())
+    timed_tail("salsa_sf", lambda: q_salsa(spark, sf_dir).count())
+    timed_tail("link_prediction_sf",
+               lambda: q_link_prediction(spark, sf_dir).count())
+    timed_tail("k_truss_sf", lambda: q_k_truss(spark, sf_dir).count())
+    timed_tail("hyperball_sf",
+               lambda: q_hyperball_harmonic(spark, sf_dir).count())
 
     # output-verification overhead: the distributed PR certificate
     # (verifiers.py, run_kernel --verify) over the sf pagerank output —
@@ -121,12 +141,15 @@ def main() -> None:
     from graphit_spark.benchqueries import graph as bench_graph
     from graphit_spark.verifiers import pr_certificate
 
-    graw = bench_graph(spark, sf_dir, "raw")
-    ranks_sf = pagerank(graw, max_iters=10)
-    timed(
-        "pagerank_verify_sf",
-        lambda: pr_certificate(graw, ranks_sf).collect(),
-    )
+    if budget_left():
+        graw = bench_graph(spark, sf_dir, "raw")
+        ranks_sf = pagerank(graw, max_iters=10)
+        timed(
+            "pagerank_verify_sf",
+            lambda: pr_certificate(graw, ranks_sf).collect(),
+        )
+    else:
+        throughput.setdefault("skipped", []).append("pagerank_verify_sf")
 
     # ingest throughput: Arrow extraction + url-dict + edge build, read
     # from a materialized pages table (generation is test-fixture work,
@@ -189,9 +212,9 @@ def main() -> None:
             q_dedup_clusters,
         )
 
-        timed("corpus_select_dedup_sf",
+        timed_tail("corpus_select_dedup_sf",
               lambda: q_corpus_select_dedup(spark, sf_dir).count())
-        timed("dedup_clusters_sf",
+        timed_tail("dedup_clusters_sf",
               lambda: q_dedup_clusters(spark, sf_dir).count())
 
     # headline: PageRank on the synthetic power-law graph (BASELINE
