@@ -33,16 +33,34 @@ def label_propagation(
     *,
     rounds: int = 5,
     symmetrize: bool = True,
+    store=None,
+    resume: bool = False,
 ) -> DataFrame:
-    """Returns (id, label) after `rounds` synchronous LPA rounds."""
+    """Returns (id, label) after `rounds` synchronous LPA rounds.
+
+    store/resume: per-round SnapshotStore checkpointing of the label
+    frame (the same north-rule contract as pagerank/components/paths):
+    resume restarts from the latest committed round's labels and runs
+    only the remaining rounds — LPA is a fixed-round synchronous
+    recurrence, so replaying from round k is byte-identical to an
+    uninterrupted run (integer argmax, no float wobble)."""
+    import time as _time
+
     g = graph.symmetrize() if symmetrize else graph
     own_cache = g.ensure_persisted()
 
-    labels = graph.vertices().select("id", F.col("id").alias("label"))
-    labels = labels.transform(fresh_checkpoint)
+    start_round = 0
+    if resume and store is not None and store.latest() is not None:
+        start_round = store.latest() + 1
+        labels = store.read(g.spark, store.latest()).select("id", "label")
+        labels = labels.transform(fresh_checkpoint)
+    else:
+        labels = graph.vertices().select("id", F.col("id").alias("label"))
+        labels = labels.transform(fresh_checkpoint)
     prev = labels  # superseded checkpoints released per round
 
-    for _ in range(rounds):
+    for it in range(start_round, rounds):
+        t0 = _time.time()
         counts = (
             g.edges.join(
                 labels.select(F.col("id").alias("src"), "label"), "src"
@@ -62,6 +80,12 @@ def label_propagation(
             .transform(fresh_checkpoint)
         )
         labels = new_labels
+        if store is not None:
+            store.write(
+                labels,
+                it,
+                {"kernel": "lpa", "elapsed_sec": _time.time() - t0},
+            )
         prev.unpersist()
         prev = labels
 

@@ -138,7 +138,8 @@ def main() -> None:
     elif args.kernel == "lpa":
         from graphit_spark.kernels import label_propagation
 
-        out = label_propagation(g, rounds=args.rounds)
+        out = label_propagation(g, rounds=args.rounds,
+                                store=store, resume=args.resume)
     elif args.kernel == "triangle_count":
         from graphit_spark.kernels import triangle_count
 

@@ -139,3 +139,27 @@ def test_sssp_resume_identical(spark, tmp_path):
         for r in sssp(g, 0, store=store, resume=True).collect()
     }
     assert resumed == full
+
+
+def test_lpa_resume_identical(spark, tmp_path):
+    """LPA is a fixed-round integer recurrence: resume after a 'kill'
+    at round 2 must be BYTE-identical to the uninterrupted run."""
+    from graphit_spark.kernels import label_propagation
+
+    edges = _edges()
+    g = LinkGraph.from_pairs(spark, edges, persist=False)
+    full = {
+        r["id"]: r["label"]
+        for r in label_propagation(g, rounds=5).collect()
+    }
+    store = SnapshotStore(str(tmp_path), "lpa")
+    label_propagation(g, rounds=2, store=store)
+    assert store.complete_iterations() == [0, 1]
+    resumed = {
+        r["id"]: r["label"]
+        for r in label_propagation(
+            g, rounds=5, store=store, resume=True
+        ).collect()
+    }
+    assert resumed == full
+    assert store.latest() == 4
