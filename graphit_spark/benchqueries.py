@@ -698,6 +698,54 @@ ORDER BY t.id"""
     )
 
 
+def scan_statistics_sql() -> str:
+    """Twin of q_scan_statistics: same triangle enumeration as
+    tc_per_vertex_sql, scan1 = sym-degree + tri_count, and the 3-sigma
+    anomaly flag evaluated in EXACT integer arithmetic (N*scan1 vs sums
+    of BIGINTs) so the flag is bit-deterministic across engines — no
+    float mean/stddev ever materializes."""
+    return (
+        "WITH " + _SQL_COMMON.strip()
+        + """,
+und AS (SELECT src, dst FROM sym WHERE src < dst),
+tris AS (
+  SELECT a.src AS x, a.dst AS y, b.dst AS z
+  FROM und a
+  JOIN und b ON a.dst = b.src
+  JOIN und c ON a.src = c.src AND b.dst = c.dst
+),
+corners AS (
+  SELECT x AS id FROM tris
+  UNION ALL SELECT y FROM tris
+  UNION ALL SELECT z FROM tris
+),
+per AS (
+  SELECT v.id,
+         CAST(coalesce(d.d, 0) AS BIGINT) AS degree,
+         CAST(coalesce(t.cnt, 0) AS BIGINT) AS tri_count,
+         CAST(coalesce(d.d, 0) + coalesce(t.cnt, 0) AS BIGINT) AS scan1
+  FROM verts v
+  LEFT JOIN (SELECT src AS id, count(*) AS d FROM sym GROUP BY src) d
+         USING (id)
+  LEFT JOIN (SELECT id, count(*) AS cnt FROM corners GROUP BY id) t
+         USING (id)
+),
+st AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(scan1) AS BIGINT) AS s,
+         CAST(sum(scan1 * scan1) AS BIGINT) AS q
+  FROM per
+)
+SELECT p.id, p.degree, p.tri_count, p.scan1,
+       CAST(CASE WHEN p.scan1 * st.n - st.s > 0
+                  AND (p.scan1 * st.n - st.s) * (p.scan1 * st.n - st.s)
+                      > 9 * (st.n * st.q - st.s * st.s)
+                 THEN 1 ELSE 0 END AS INTEGER) AS is_anomaly
+FROM per p, st
+ORDER BY p.id"""
+    )
+
+
 def link_prediction_sql(
     min_cn: int = LINKPRED_MIN_CN, topk: int = LINKPRED_TOPK
 ) -> str:
@@ -1784,6 +1832,57 @@ def q_clustering(spark, sf_dir):
             ).otherwise(F.lit(0.0)),
             6,
         ).alias("lcc"),
+    )
+
+
+def q_scan_statistics(spark, sf_dir):
+    """Scan statistics (Priebe's scan1) — the classic graph
+    anomaly-detection operator a web pipeline runs to surface link
+    farms and spam clusters: scan1(v) = edges inside v's closed 1-hop
+    neighborhood = sym-degree(v) + per-vertex triangle count. Vertices
+    whose scan1 exceeds mean + 3·stddev are flagged.
+
+    Composition of two audited primitives (the degree-oriented
+    triangle enumeration + the V-sized symmetric degree table), one
+    broadcast of the 1-row global-moments aggregate. The 3-sigma flag
+    is evaluated in exact integer arithmetic (compare N·scan1 - S
+    against the integer variance term), so it is bit-deterministic —
+    no float mean/stddev is ever materialized. Reference analogue:
+    GraphIt expresses this as a tc() + degree vertex apply
+    (apps/tc.gt pattern); the statistic itself is standard scan-stat
+    literature, recomputed here as a single extra V-sized join."""
+    from graphit_spark.kernels import triangle_count_per_vertex
+
+    g = graph(spark, sf_dir, "raw")
+    und = g.symmetrize()
+    tri = triangle_count_per_vertex(g)
+    deg = und.out_degrees().select(
+        "id", F.col("out_degree").alias("degree")
+    )
+    per = tri.join(deg, "id").select(
+        "id",
+        "degree",
+        "tri_count",
+        (F.col("degree") + F.col("tri_count")).alias("scan1"),
+    )
+    stats = per.agg(
+        F.count("*").alias("n"),
+        F.sum("scan1").alias("s"),
+        F.sum(F.col("scan1") * F.col("scan1")).alias("q"),
+    )
+    dev = F.col("scan1") * F.col("n") - F.col("s")
+    var_term = F.lit(9) * (
+        F.col("n") * F.col("q") - F.col("s") * F.col("s")
+    )
+    return per.crossJoin(F.broadcast(stats)).select(
+        "id",
+        "degree",
+        "tri_count",
+        "scan1",
+        F.when((dev > 0) & (dev * dev > var_term), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("is_anomaly"),
     )
 
 
@@ -5652,6 +5751,7 @@ GRAPH_QUERIES: dict[str, tuple] = {
     "triangle_count_approx": (q_triangle_count_approx,
                               triangle_count_approx_sql()),
     "triangle_per_vertex": (q_tc_per_vertex, tc_per_vertex_sql()),
+    "scan_statistics": (q_scan_statistics, scan_statistics_sql()),
     "bfs": (q_bfs, bfs_sql()),
     "landmark_distances": (q_landmark_distances, landmarks_sql()),
     "sssp": (q_sssp, sssp_sql()),

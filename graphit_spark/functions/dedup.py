@@ -453,3 +453,81 @@ def duplicate_spans(
     out = spans.localCheckpoint(eager=True)
     grams.unpersist()
     return out
+
+
+def source_mirror_pairs(
+    df: DataFrame,
+    *,
+    source_col: str = "source",
+    text_col: str = "text",
+    max_sources: int = 10,
+) -> DataFrame:
+    """Mirror / template detection ACROSS sources (hosts): for every
+    pair of sources, how much of the smaller one's distinct-shingle
+    set also appears on the other — the host-level containment signal
+    a crawl pipeline uses to spot mirrored sites and shared site
+    templates before page-level dedup ever runs.
+
+    Returns (source_a, source_b, shared_shingles, containment) for
+    every source pair sharing at least one kept shingle, where
+    containment = shared / min(|A|, |B|) over distinct shingle sets.
+
+    100 TB plan: one shingle explode collapsed to DISTINCT
+    (source, shingle) in-stage (groupBy short keys, map-side partial
+    aggregation — the same cost class as minhash_signatures), then a
+    self-equi-join on shingle that is fan-out-bounded by construction:
+    shingles present on more than `max_sources` sources are dropped
+    first (they are cross-site boilerplate — nav chrome, licence
+    blurbs — and carry no mirror signal), so one shingle contributes
+    at most C(max_sources, 2) pair rows. The pair aggregation groups
+    on the (tiny) source-pair key; source-set sizes join back
+    broadcast-sized (one row per source). Never quadratic in sources
+    or documents.
+    """
+    sh = (
+        _shingles(
+            df.select(F.col(source_col).alias("doc_id"), text_col), text_col
+        )
+        .select(F.col("doc_id").alias("source"), "shingle")
+        .localCheckpoint(eager=True)
+    )
+    sizes = sh.groupBy("source").agg(F.count("*").alias("n_shingles"))
+    boiler = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("__ns"))
+        .filter(F.col("__ns") > max_sources)
+        .select("shingle")
+    )
+    kept = sh.join(boiler, "shingle", "left_anti")
+    a, b = kept.alias("a"), kept.alias("b")
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count("*").alias("shared_shingles"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(sizes.withColumnRenamed("source", "source_a")),
+            "source_a",
+        )
+        .withColumnRenamed("n_shingles", "__na")
+        .join(
+            F.broadcast(sizes.withColumnRenamed("source", "source_b")),
+            "source_b",
+        )
+        .withColumnRenamed("n_shingles", "__nb")
+        .select(
+            "source_a",
+            "source_b",
+            "shared_shingles",
+            F.round(
+                F.col("shared_shingles")
+                / F.least(F.col("__na"), F.col("__nb")),
+                6,
+            ).alias("containment"),
+        )
+    )

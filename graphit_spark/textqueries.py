@@ -682,6 +682,56 @@ ORDER BY source"""
 
 
 
+MIRROR_MAX_SOURCES = 10  # shingles on more sources = cross-site boilerplate
+
+
+def q_source_mirror(spark, sf_dir):
+    """Host-level mirror / shared-template detection: per source pair,
+    how much of the smaller source's distinct-shingle set the other
+    also serves (containment over shingle sets). The crawl-pipeline
+    step that catches mirrored sites before any page-level dedup —
+    fan-out bounded by the boilerplate cap, never all-pairs in docs
+    (functions/dedup.py::source_mirror_pairs for the 100 TB plan)."""
+    return D.source_mirror_pairs(
+        load(spark, sf_dir, "documents"), max_sources=MIRROR_MAX_SOURCES
+    )
+
+
+SQL_SOURCE_MIRROR = f"""
+WITH sh AS MATERIALIZED (
+  SELECT DISTINCT d.source,
+         substr(lower(trim(d.text)),
+                CAST(g.k * {D.SHINGLE_STRIDE} + 1 AS INT),
+                {D.SHINGLE_LEN}) AS shingle
+  FROM documents d,
+       LATERAL (
+         SELECT unnest(range(0,
+           greatest(CAST((length(lower(trim(d.text))) - {D.SHINGLE_LEN}) AS BIGINT)
+                      // {D.SHINGLE_STRIDE} + 1, 1))) AS k
+       ) g
+),
+sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n_shingles
+          FROM sh GROUP BY source),
+boiler AS (SELECT shingle FROM sh GROUP BY shingle
+           HAVING count(*) > {MIRROR_MAX_SOURCES}),
+kept AS (SELECT s.source, s.shingle FROM sh s
+         WHERE NOT EXISTS (SELECT 1 FROM boiler b
+                           WHERE b.shingle = s.shingle)),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(count(*) AS BIGINT) AS shared_shingles
+  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT p.source_a, p.source_b, p.shared_shingles,
+       round(p.shared_shingles * 1e0 / least(x.n_shingles, y.n_shingles), 6)
+         AS containment
+FROM pairs p
+JOIN sizes x ON x.source = p.source_a
+JOIN sizes y ON y.source = p.source_b
+ORDER BY p.source_a, p.source_b"""
+
+
 def q_exact_dedup(spark, sf_dir):
     return D.exact_duplicates(load(spark, sf_dir, "documents"))
 
@@ -4313,6 +4363,7 @@ TEXT_QUERIES: dict[str, tuple] = {
     "corpus_heaps_law": (q_corpus_heaps_law, _heaps_sql()),
     "anchor_text_index": (q_anchor_text_index, _anchor_index_sql()),
     "corpus_source_stats": (q_corpus_source_stats, SQL_CORPUS_SOURCE_STATS),
+    "source_mirror": (q_source_mirror, SQL_SOURCE_MIRROR),
     "dedup_exact": (q_exact_dedup, SQL_EXACT_DEDUP),
     "dedup_minhash": (q_minhash, _minhash_sql()),
     "dedup_lsh_pairs": (q_lsh_pairs, _lsh_pairs_sql()),
