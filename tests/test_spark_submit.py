@@ -1,0 +1,74 @@
+"""The north-rule submission path, actually executed: `spark-submit
+--py-files dist/graphit_spark.zip jobs/run_kernel.py` with NO source
+tree on the import path. The job script is copied into a temp dir and
+PYTHONPATH is scrubbed, so every `graphit_spark` import — driver side
+AND executor side — must resolve from the shipped artifact alone. This
+is the exact mechanism a real multi-executor cluster submission uses
+(reference analogue: the generated GraphIt binary running standalone,
+SURVEY.md §3 entry point 3); a stale or incomplete zip fails here, not
+on the cluster.
+"""
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+import duckdb
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SPARK_SUBMIT = shutil.which("spark-submit") or "/opt/spark/bin/spark-submit"
+
+
+@pytest.mark.skipif(
+    not os.path.exists(SPARK_SUBMIT), reason="spark-submit not installed"
+)
+def test_spark_submit_py_files_artifact(tmp_path):
+    job = tmp_path / "run_kernel.py"
+    shutil.copy(os.path.join(ROOT, "jobs", "run_kernel.py"), job)
+    out_dir = tmp_path / "ranks"
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env["PYSPARK_PYTHON"] = sys.executable
+    env["PYSPARK_DRIVER_PYTHON"] = sys.executable
+    env["SPARK_GRAFT_CPUS"] = "2"
+    res = subprocess.run(
+        [
+            SPARK_SUBMIT,
+            "--master", "local[2]",
+            "--conf", "spark.ui.enabled=false",
+            "--conf", "spark.ui.showConsoleProgress=false",
+            "--py-files", os.path.join(ROOT, "dist", "graphit_spark.zip"),
+            str(job),
+            "--kernel", "pagerank",
+            "--synth-vertices", "2000",
+            "--max-iters", "5",
+            "--output", str(out_dir),
+        ],
+        cwd=str(tmp_path),
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert res.returncode == 0, (
+        f"spark-submit failed\nstdout: {res.stdout[-2000:]}\n"
+        f"stderr: {res.stderr[-4000:]}"
+    )
+    # the job prints a one-line JSON report; the output table must be a
+    # readable parquet with one row per vertex
+    report = None
+    for line in res.stdout.splitlines():
+        line = line.strip()
+        if line.startswith("{") and '"kernel"' in line:
+            report = json.loads(line)
+    assert report is not None, res.stdout[-2000:]
+    assert report["kernel"] == "pagerank"
+    n = (
+        duckdb.connect()
+        .execute(f"SELECT count(*) FROM '{out_dir}/*.parquet'")
+        .fetchone()[0]
+    )
+    assert n == report["output_rows"] > 0
+    assert n == report["vertices"]
