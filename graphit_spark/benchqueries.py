@@ -4562,6 +4562,74 @@ def q_random_walks(spark, sf_dir):
     return random_walks(g, WALK_LEN, seed=WALK_SEED)
 
 
+MC_PR_WALKS = 3
+MC_PR_LEN = 8
+
+
+def q_pagerank_montecarlo(spark, sf_dir):
+    """Monte-Carlo PageRank: the cheap-pass estimator whose total cost
+    is V·R/(1−α) walk rows, independent of rounds-to-convergence —
+    the scale alternative when full-precision power iteration is
+    overkill (kernels/walks.py::montecarlo_pagerank for the plan)."""
+    from graphit_spark.kernels import montecarlo_pagerank
+
+    g = graph(spark, sf_dir, "raw")
+    return montecarlo_pagerank(
+        g, walks_per_vertex=MC_PR_WALKS, walk_len=MC_PR_LEN, seed=WALK_SEED
+    )
+
+
+def montecarlo_pr_sql(
+    R: int = MC_PR_WALKS, walk_len: int = MC_PR_LEN, seed: int = WALK_SEED
+) -> str:
+    """Twin of montecarlo_pagerank: same md5 continue draw (seed+101
+    stream, alpha = 17/20 as an integer comparison), same neighbor draw
+    over the sorted adjacency, same walk_len truncation — bit-identical
+    visit counts; rank_est = visits·3/(20·n·R) in one double divide."""
+    ctes = [
+        _SQL_COMMON.strip(),
+        "adj AS MATERIALIZED (SELECT src, list_sort(list(dst)) AS nbrs "
+        "FROM edges GROUP BY src)",
+        f"""w0 AS MATERIALIZED (
+  SELECT id * {R} + g.k AS walk_id, id AS v
+  FROM verts, LATERAL (SELECT unnest(range(0, {R})) AS k) g
+)""",
+    ]
+    for t in range(1, walk_len + 1):
+        hc = (
+            f"('0x' || substr(md5(CAST(w.walk_id AS VARCHAR) "
+            f"|| '_{t}_{seed + 101}'), 1, 8))::BIGINT"
+        )
+        hn = (
+            f"('0x' || substr(md5(CAST(w.walk_id AS VARCHAR) "
+            f"|| '_{t}_{seed}'), 1, 8))::BIGINT"
+        )
+        ctes.append(
+            f"""w{t} AS MATERIALIZED (
+  SELECT w.walk_id,
+         a.nbrs[CAST({hn} % len(a.nbrs) AS INT) + 1] AS v
+  FROM w{t - 1} w JOIN adj a ON w.v = a.src
+  WHERE {hc} % 20 < 17
+)"""
+        )
+    outs = " UNION ALL ".join(
+        f"SELECT v FROM w{t}" for t in range(0, walk_len + 1)
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f""",
+vis AS (SELECT v AS vertex, CAST(count(*) AS BIGINT) AS visits
+        FROM ({outs}) GROUP BY v)
+SELECT ver.id,
+       CAST(coalesce(vis.visits, 0) AS BIGINT) AS visits,
+       round((coalesce(vis.visits, 0) * 3e0)
+             / CAST(20 * (SELECT n FROM nv) * {R} AS DOUBLE), 6)
+         AS rank_est
+FROM verts ver LEFT JOIN vis ON vis.vertex = ver.id
+ORDER BY ver.id"""
+    )
+
+
 def q_walk_cooccurrence(spark, sf_dir):
     """DeepWalk skip-gram pairs: deterministic random walks → within-
     walk (center, context) pair counts at distance ≤ COOC_WINDOW — the
@@ -5791,6 +5859,7 @@ GRAPH_QUERIES: dict[str, tuple] = {
     "set_cover": (q_set_cover, set_cover_sql()),
     "core_numbers": (q_core_numbers, core_numbers_sql()),
     "random_walks": (q_random_walks, walks_sql()),
+    "pagerank_montecarlo": (q_pagerank_montecarlo, montecarlo_pr_sql()),
     "walk_cooccurrence": (q_walk_cooccurrence, walk_cooccurrence_sql()),
     "weighted_random_walks": (q_weighted_random_walks, weighted_walks_sql()),
     "random_walks_alias": (q_random_walks_alias, alias_walks_sql()),

@@ -61,6 +61,7 @@ from graphit_spark.kernels.spectral import spectral_bisection, spectral_partitio
 from graphit_spark.kernels.sweepcut import sweep_cut
 from graphit_spark.kernels.walks import (
     build_alias_tables,
+    montecarlo_pagerank,
     build_node2vec_alias_tables,
     node2vec_walks,
     node2vec_walks_alias,
@@ -89,6 +90,7 @@ __all__ = [
     "random_out_neighbor",
     "random_walks",
     "random_walks_alias",
+    "montecarlo_pagerank",
     "build_alias_tables",
     "weighted_random_walks",
     "node2vec_walks",

@@ -667,3 +667,85 @@ def walk_cooccurrence(walks: DataFrame, window: int = 2) -> DataFrame:
         .groupBy("u", "v")
         .agg(F.count("*").cast("long").alias("cnt"))
     )
+
+
+def montecarlo_pagerank(
+    graph: LinkGraph,
+    *,
+    walks_per_vertex: int = 3,
+    walk_len: int = 8,
+    seed: int = 0,
+) -> DataFrame:
+    """Monte-Carlo PageRank (complete-path estimator): R walks start at
+    every vertex; at each step a walk continues with probability
+    alpha = 17/20 (0.85 as an EXACT rational, so the continue draw is
+    an integer comparison) and otherwise terminates; a sink terminates
+    its walk (the dangling walk restarts nowhere — complete-path
+    semantics). PR(v) ~= visits(v) * (1 - alpha) / (V * R) over all
+    visited positions (Avrachenkov et al. 2007, "Monte Carlo methods
+    in PageRank computation" — the standard cheap-pass alternative to
+    power iteration when a full-precision rank is not needed).
+
+    Determinism contract: the continue draw hashes (walk_id, step,
+    seed + 101) and the neighbor draw hashes (walk_id, step, seed) —
+    two independent md5 streams, both reproducible in ANSI SQL, so the
+    estimator has a real DuckDB twin (same truncation at `walk_len`,
+    identical draws, bit-identical counts).
+
+    100 TB plan: step t materializes only the walks still alive —
+    expected (17/20)^t * V * R rows, geometrically shrinking; each step
+    is one frontier ⋈ adjacency equi-join (the same shape as every
+    other kernel's superstep, hub rows stay one wide array row). The
+    final visit count is a map-side-combined groupBy on vertex. Total
+    cost ~ V*R/(1-alpha) walk-rows — independent of iteration-to-
+    convergence, which is the point of the MC path at crawl scale."""
+    R = walks_per_vertex
+    own_cache = graph.ensure_persisted()
+    adj = graph.adjacency()
+    n = graph.num_vertices
+    cur = (
+        graph.vertices()
+        .select(
+            F.explode(F.sequence(F.lit(0), F.lit(R - 1))).alias("r"),
+            F.col("id").alias("v"),
+        )
+        .select(
+            (F.col("v") * R + F.col("r")).alias("walk_id"), "v"
+        )
+        .transform(fresh_checkpoint)
+    )
+    parts = [cur.select(F.col("v").alias("vertex"))]
+    for t in range(1, walk_len + 1):
+        alive = cur.filter(
+            _hash_mod(F.col("walk_id"), t, seed + 101, F.lit(20)) < 17
+        )
+        idx = _hash_mod(F.col("walk_id"), t, seed, F.size("nbrs"))
+        cur = (
+            alive.join(adj, alive["v"] == adj["src"])
+            .select(
+                "walk_id",
+                F.element_at("nbrs", (idx + 1).cast("int")).alias("v"),
+            )
+            .transform(fresh_checkpoint)
+        )
+        parts.append(cur.select(F.col("v").alias("vertex")))
+    visits = parts[0]
+    for p in parts[1:]:
+        visits = visits.unionByName(p)
+    counts = visits.groupBy("vertex").agg(F.count("*").alias("visits"))
+    out = (
+        graph.vertices()
+        .join(counts, F.col("id") == F.col("vertex"), "left")
+        .select(
+            "id",
+            F.coalesce("visits", F.lit(0)).cast("long").alias("visits"),
+            F.round(
+                (F.coalesce("visits", F.lit(0)) * F.lit(3.0))
+                / F.lit(float(20 * n * R)),
+                6,
+            ).alias("rank_est"),
+        )
+    )
+    if own_cache:
+        graph.unpersist()
+    return out
