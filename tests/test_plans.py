@@ -759,3 +759,40 @@ def test_densest_peel_round_is_semi_join_plus_agg(spark):
     assert "partial_count" in plan
     assert "CartesianProduct" not in plan
     assert plan.count("LeftSemi") >= 2
+
+
+def test_scan_statistics_plan_shape(spark):
+    """scan1 = audited triangle enumeration + V-sized degree join; the
+    only non-equi join allowed is the broadcast of the ONE-ROW global
+    moments aggregate (the scalar-threshold idiom every kernel's error
+    norm uses). Degree/visit aggregates stay map-side partial."""
+    from graphit_spark.benchqueries import q_scan_statistics
+
+    plan = _plan(q_scan_statistics(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "partial_sum" in plan or "partial_count" in plan
+
+
+def test_source_mirror_plan_shape(spark):
+    """Mirror detection must stay fan-out-bounded: the boilerplate cap
+    is a left-anti equi-join on shingle (no nested loop), the pair
+    explosion is a shingle equi-join, and both the pair count and the
+    per-source set sizes keep partial aggregates."""
+    from graphit_spark.textqueries import q_source_mirror
+
+    plan = _plan(q_source_mirror(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "partial_count" in plan
+
+
+def test_montecarlo_pagerank_plan_shape(spark):
+    """Every MC step is a frontier ⋈ adjacency equi-join; the final
+    visit count is a map-side-combined groupBy. No nested loop, no
+    cartesian, anywhere in the unrolled walk plan."""
+    from graphit_spark.benchqueries import q_pagerank_montecarlo
+
+    plan = _plan(q_pagerank_montecarlo(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "partial_count" in plan
