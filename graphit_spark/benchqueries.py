@@ -1839,51 +1839,13 @@ def q_scan_statistics(spark, sf_dir):
     """Scan statistics (Priebe's scan1) — the classic graph
     anomaly-detection operator a web pipeline runs to surface link
     farms and spam clusters: scan1(v) = edges inside v's closed 1-hop
-    neighborhood = sym-degree(v) + per-vertex triangle count. Vertices
-    whose scan1 exceeds mean + 3·stddev are flagged.
+    neighborhood, with a bit-deterministic exact-integer 3-sigma flag
+    (kernels/triangles.py::scan_statistics for the full plan notes).
+    Reference analogue: GraphIt expresses this as a tc() + degree
+    vertex apply (apps/tc.gt pattern)."""
+    from graphit_spark.kernels import scan_statistics
 
-    Composition of two audited primitives (the degree-oriented
-    triangle enumeration + the V-sized symmetric degree table), one
-    broadcast of the 1-row global-moments aggregate. The 3-sigma flag
-    is evaluated in exact integer arithmetic (compare N·scan1 - S
-    against the integer variance term), so it is bit-deterministic —
-    no float mean/stddev is ever materialized. Reference analogue:
-    GraphIt expresses this as a tc() + degree vertex apply
-    (apps/tc.gt pattern); the statistic itself is standard scan-stat
-    literature, recomputed here as a single extra V-sized join."""
-    from graphit_spark.kernels import triangle_count_per_vertex
-
-    g = graph(spark, sf_dir, "raw")
-    und = g.symmetrize()
-    tri = triangle_count_per_vertex(g)
-    deg = und.out_degrees().select(
-        "id", F.col("out_degree").alias("degree")
-    )
-    per = tri.join(deg, "id").select(
-        "id",
-        "degree",
-        "tri_count",
-        (F.col("degree") + F.col("tri_count")).alias("scan1"),
-    )
-    stats = per.agg(
-        F.count("*").alias("n"),
-        F.sum("scan1").alias("s"),
-        F.sum(F.col("scan1") * F.col("scan1")).alias("q"),
-    )
-    dev = F.col("scan1") * F.col("n") - F.col("s")
-    var_term = F.lit(9) * (
-        F.col("n") * F.col("q") - F.col("s") * F.col("s")
-    )
-    return per.crossJoin(F.broadcast(stats)).select(
-        "id",
-        "degree",
-        "tri_count",
-        "scan1",
-        F.when((dev > 0) & (dev * dev > var_term), 1)
-        .otherwise(0)
-        .cast("int")
-        .alias("is_anomaly"),
-    )
+    return scan_statistics(graph(spark, sf_dir, "raw"))
 
 
 def q_k_truss(spark, sf_dir):

@@ -17,6 +17,7 @@ from graphit_spark.kernels.louvain import louvain_communities, louvain_move
 from graphit_spark.kernels.wl import wl_refinement
 from graphit_spark.kernels.simrank import simrank
 from graphit_spark.kernels.triangles import (
+    scan_statistics,
     triangle_count,
     triangle_count_approx,
     triangle_count_per_vertex,
@@ -91,6 +92,7 @@ __all__ = [
     "random_walks",
     "random_walks_alias",
     "montecarlo_pagerank",
+    "scan_statistics",
     "build_alias_tables",
     "weighted_random_walks",
     "node2vec_walks",

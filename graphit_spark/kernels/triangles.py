@@ -237,3 +237,48 @@ def directed_motifs(graph: LinkGraph) -> DataFrame:
             )
         ).cast("long").alias("cycles"),
     )
+
+
+def scan_statistics(graph: LinkGraph) -> DataFrame:
+    """Scan statistics (Priebe's scan1) — per-vertex edges inside the
+    closed 1-hop neighborhood on the symmetrized simple graph:
+    scan1(v) = sym-degree(v) + incident triangles(v). Returns
+    (id, degree, tri_count, scan1, is_anomaly) with is_anomaly = 1 when
+    scan1 > mean + 3*stddev, evaluated in EXACT integer arithmetic
+    (N*scan1 - S compared against the integer variance term 9*(N*Q - S^2))
+    so the flag never depends on float aggregation order — the web-scale
+    link-farm / spam-cluster detector.
+
+    100 TB plan: the audited triangle enumeration + one V-sized degree
+    join + a broadcast of the ONE-ROW global-moments aggregate (the
+    same scalar-threshold idiom as PageRank's error norm)."""
+    und = graph.symmetrize()
+    tri = triangle_count_per_vertex(graph)
+    deg = und.out_degrees().select(
+        "id", F.col("out_degree").alias("degree")
+    )
+    per = tri.join(deg, "id").select(
+        "id",
+        "degree",
+        "tri_count",
+        (F.col("degree") + F.col("tri_count")).alias("scan1"),
+    )
+    stats = per.agg(
+        F.count("*").alias("n"),
+        F.sum("scan1").alias("s"),
+        F.sum(F.col("scan1") * F.col("scan1")).alias("q"),
+    )
+    dev = F.col("scan1") * F.col("n") - F.col("s")
+    var_term = F.lit(9) * (
+        F.col("n") * F.col("q") - F.col("s") * F.col("s")
+    )
+    return per.crossJoin(F.broadcast(stats)).select(
+        "id",
+        "degree",
+        "tri_count",
+        "scan1",
+        F.when((dev > 0) & (dev * dev > var_term), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("is_anomaly"),
+    )

@@ -44,7 +44,8 @@ def main() -> None:
                             "simrank", "weighted_lpa",
                             "landmark_distances", "ego_subgraph",
                             "cocitation", "butterfly_count",
-                            "densest_subgraph", "sample_fanout"])
+                            "densest_subgraph", "sample_fanout",
+                            "scan_statistics", "montecarlo_pagerank"])
     p.add_argument("--edges", help="parquet edge table (src,dst[,weight])")
     p.add_argument("--pages", help="parquet pages table (extracted first)")
     p.add_argument("--synth-vertices", type=int, help="synthetic graph size")
@@ -290,6 +291,16 @@ def main() -> None:
         from graphit_spark.kernels import densest_subgraph
 
         out = densest_subgraph(g)
+    elif args.kernel == "scan_statistics":
+        from graphit_spark.kernels import scan_statistics
+
+        out = scan_statistics(g)
+    elif args.kernel == "montecarlo_pagerank":
+        from graphit_spark.kernels import montecarlo_pagerank
+
+        out = montecarlo_pagerank(
+            g, walk_len=args.walk_len, seed=args.seed
+        )
     elif args.kernel == "sample_fanout":
         from pyspark.sql import functions as F
 
