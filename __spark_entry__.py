@@ -74,7 +74,7 @@ _CHECK_FIRST = [
     "sssp_delta_stepping", "astar", "min_spanning_forest", "set_cover",
     "girvan_newman_step", "densest_subgraph", "butterfly_count",
     "sample_fanout", "scan_statistics", "source_mirror",
-    "pagerank_montecarlo",
+    "pagerank_montecarlo", "emb_knn_graph", "semantic_topics",
     "collab_filtering", "eigenvector", "dedup_simhash",
     "sim_ivf_kmeans_topk", "spectral_bisection",
     "influence_max",

@@ -895,3 +895,56 @@ def embedding_dup_pairs_whitened(
         res, dim=dim, threshold=threshold, n_planes=n_planes,
         id_col=id_col, vec_col="rv",
     )
+
+
+def knn_graph(
+    embeddings: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate k-NN graph over the corpus: (src, dst, rank, score)
+    — each vector's top-k rounded-cosine neighbors among its
+    hyperplane-LSH bucket cohort (rank by score desc, id asc; rounded
+    scores make the ties deterministic). The semantic-graph builder:
+    its output is a LinkGraph edge table, so every graph kernel (LPA
+    topics, components, PageRank centrality of documents) composes
+    directly on embedding similarity.
+
+    100 TB plan: the same bucket-join discipline as
+    embedding_dup_pairs_lsh — candidate fan-out is Σ bucket², tuned by
+    n_planes, never the all-pairs cross join; the per-src top-k window
+    sorts only a bucket-sized candidate list per vector. Recall knob:
+    n_planes down (bigger buckets) or multi-probe on the src side
+    (sim_lsh_multiprobe_topk's mechanism) — both leave the plan shape
+    unchanged."""
+    from pyspark.sql import Window
+
+    b = embeddings.select(
+        F.col(id_col),
+        F.col(vec_col).alias("v"),
+        lsh_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
+    )
+    l = b.select("bucket", F.col(id_col).alias("src"), F.col("v").alias("av"))
+    r = b.select("bucket", F.col(id_col).alias("dst"), F.col("v").alias("bv"))
+    cand = (
+        l.join(r, "bucket")
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            "src",
+            "dst",
+            F.round(cosine(F.col("av"), F.col("bv")), ROUND_SCORE).alias(
+                "score"
+            ),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(
+        F.col("score").desc(), F.col("dst").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("src", "dst", "rank", "score")
+    )

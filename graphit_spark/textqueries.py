@@ -2649,6 +2649,116 @@ SELECT a, b, score FROM scored WHERE score >= {LSH_DUP_THRESHOLD}
 ORDER BY a, b
 """
 
+
+KNN_GRAPH_K = 5
+TOPIC_ROUNDS = 4
+
+
+def q_knn_graph(spark, sf_dir):
+    """Approximate k-NN semantic graph over the embedding corpus —
+    LSH-bucketed candidates, in-bucket exact re-rank, per-vector top-k
+    (functions/similarity.py::knn_graph). The output IS a LinkGraph
+    edge table: the bridge from embedding space to every graph kernel."""
+    emb = load(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    return S.knn_graph(emb, dim=dim, k=KNN_GRAPH_K)
+
+
+SQL_KNN_GRAPH = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev,
+                  len(embedding) AS d FROM embeddings),
+b AS (
+  SELECT vec_id, ev,
+         {_SQL_LSH_BUCKET.format(v='v.ev', d='v.d')} AS bucket
+  FROM v
+),
+cand AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         {_SQL_COS.format(a='a.ev', b='b.ev')} AS score
+  FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+)
+SELECT src, dst, CAST(rn AS INTEGER) AS rank, score
+FROM (
+  SELECT src, dst, score,
+         row_number() OVER (PARTITION BY src
+                            ORDER BY score DESC, dst ASC) AS rn
+  FROM cand
+) x WHERE rn <= {KNN_GRAPH_K}
+ORDER BY src, rank
+"""
+
+
+def q_semantic_topics(spark, sf_dir):
+    """Topic discovery = the LPA community kernel run on the k-NN
+    SEMANTIC graph: embeddings → LSH-bucketed k-NN edges → symmetrize →
+    synchronous label propagation. The flagship embeddings × graph
+    composition — the same audited kernel that labels host communities
+    labels topic clusters, because the k-NN builder emits a LinkGraph
+    edge table. Cost = the knn_graph bucket join + TOPIC_ROUNDS
+    gather-argmax supersteps on a k·V-edge graph."""
+    from graphit_spark.graph import LinkGraph
+    from graphit_spark.kernels import label_propagation
+
+    emb = load(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    n = emb.agg(F.max("vec_id")).first()[0] + 1
+    kg = S.knn_graph(emb, dim=dim, k=KNN_GRAPH_K).select("src", "dst")
+    g = LinkGraph(kg, persist=False, num_vertices=int(n))
+    return label_propagation(g, rounds=TOPIC_ROUNDS).select(
+        F.col("id").alias("vec_id"), F.col("label").alias("topic")
+    )
+
+
+def _semantic_topics_sql(rounds: int = TOPIC_ROUNDS) -> str:
+    """Twin of q_semantic_topics: the same knn edge CTE as
+    SQL_KNN_GRAPH, symmetrized by UNION (the kernel's E ∪ Eᵀ dedup),
+    then LPA rounds unrolled with the kernel's exact argmax total order
+    (count desc, label asc)."""
+    ctes = [
+        """v AS (SELECT vec_id, embedding::DOUBLE[] AS ev,
+              len(embedding) AS d FROM embeddings)""",
+        f"""b AS (
+  SELECT vec_id, ev,
+         {_SQL_LSH_BUCKET.format(v='v.ev', d='v.d')} AS bucket
+  FROM v
+)""",
+        f"""kg AS MATERIALIZED (
+  SELECT src, dst FROM (
+    SELECT a.vec_id AS src, b.vec_id AS dst,
+           row_number() OVER (PARTITION BY a.vec_id
+                              ORDER BY {_SQL_COS.format(a='a.ev', b='b.ev')} DESC,
+                                       b.vec_id ASC) AS rn
+    FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+  ) x WHERE rn <= {KNN_GRAPH_K}
+)""",
+        "esym AS MATERIALIZED (SELECT src, dst FROM kg "
+        "UNION SELECT dst, src FROM kg)",
+        "verts AS (SELECT vec_id AS id FROM embeddings)",
+        "t0 AS (SELECT id, id AS label FROM verts)",
+    ]
+    for r in range(1, rounds + 1):
+        p = f"t{r - 1}"
+        ctes.append(
+            f"""t{r} AS MATERIALIZED (
+  SELECT v.id, coalesce(bst.label, v.label) AS label
+  FROM {p} v LEFT JOIN (
+    SELECT id, label FROM (
+      SELECT c.id, c.label,
+             row_number() OVER (PARTITION BY c.id
+                                ORDER BY c.cnt DESC, c.label ASC) AS rn
+      FROM (SELECT e.dst AS id, l.label, count(*) AS cnt
+            FROM esym e JOIN {p} l ON e.src = l.id
+            GROUP BY e.dst, l.label) c
+    ) x WHERE rn = 1
+  ) bst USING (id)
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id AS vec_id, label AS topic FROM t{rounds} ORDER BY vec_id"
+    )
+
+
 def _ivf_kmeans_sql(
     iters: int = IVF_TRAIN_ITERS,
     dim: int = EMB_DIM,
@@ -4410,6 +4520,8 @@ TEXT_QUERIES: dict[str, tuple] = {
     "doc_clusters_kmeans": (q_doc_clusters_kmeans, _doc_clusters_sql()),
     "dedup_semantic": (q_dedup_semantic, _dedup_semantic_sql()),
     "dedup_embedding_lsh": (q_embedding_dups_lsh, SQL_EMBEDDING_DUPS_LSH),
+    "emb_knn_graph": (q_knn_graph, SQL_KNN_GRAPH),
+    "semantic_topics": (q_semantic_topics, _semantic_topics_sql()),
     "hll_registers": (q_hll_registers, _hll_registers_sql()),
     "hll_distinct": (q_hll_distinct, _hll_distinct_sql()),
     "cms_heavy_hitters": (q_cms_heavy_hitters, _cms_heavy_hitters_sql()),

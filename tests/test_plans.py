@@ -796,3 +796,36 @@ def test_montecarlo_pagerank_plan_shape(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
     assert "partial_count" in plan
+
+
+def test_knn_graph_and_topics_plan_shape(spark):
+    """The k-NN semantic graph must be the bucket-join discipline: LSH
+    bucket equi-join (never a cross join), per-src window over a
+    bucket-sized candidate list. The LPA composition's result is
+    checkpoint-truncated, so its gather superstep is planned directly
+    (the densest-peel convention): knn edges ⋈ labels → grouped count
+    must keep the map-side partial aggregate and stay cartesian-free."""
+    from pyspark.sql import functions as F
+
+    from graphit_spark.functions.similarity import knn_graph
+    from graphit_spark.textqueries import KNN_GRAPH_K, load, q_knn_graph
+
+    plan = _plan(q_knn_graph(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "hashpartitioning(bucket" in plan or "bucket" in plan
+
+    emb = load(spark, SF_DIR, "embeddings")
+    kg = knn_graph(emb, dim=64, k=KNN_GRAPH_K).select("src", "dst")
+    labels = emb.select(
+        F.col("vec_id").alias("src"), F.col("vec_id").alias("label")
+    )
+    gather = (
+        kg.join(labels, "src")
+        .groupBy(F.col("dst").alias("id"), "label")
+        .agg(F.count("*").alias("cnt"))
+    )
+    plan = _plan(gather)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "partial_count" in plan
