@@ -37,24 +37,49 @@ def sssp_delta_stepping(
     *,
     delta: int = 4,
     max_rounds: int = 10_000,
+    store=None,
+    resume: bool = False,
 ) -> DataFrame:
     """(id, dist) exact shortest paths; NULL = unreachable.
 
     delta: bucket width in weight units (reference default set per-graph
     by schedule; weights here are small ints so a few weight-units wide
     is a good default).
-    """
+
+    store/resume: the north-rule checkpoint contract extended to the
+    Julienne priority-bucket layer — each relaxation round snapshots
+    (id, dist) with the NEXT scalar bucket cursor in its manifest
+    metrics, so a killed run restarts inside the correct bucket.
+    Distances are integers and the relaxation is a min-fixpoint, so the
+    resumed run is byte-identical to an uninterrupted one (same
+    argument as BFS/SSSP; bucket-advance scans between snapshots are
+    idempotent and simply replay)."""
     if not graph.weighted:
         raise ValueError("delta-stepping requires a weighted graph")
-    own_cache = graph.ensure_persisted()
+    import time as _time
 
-    dist = graph.vertices().select(
-        "id",
-        F.when(F.col("id") == source, F.lit(0).cast("long")).alias("dist"),
-    ).transform(fresh_checkpoint)
+    own_cache = graph.ensure_persisted()
 
     bucket = 0
     rounds = 0
+    if resume and store is not None and store.latest() is not None:
+        it = store.latest()
+        dist = (
+            store.read(graph.spark, it)
+            .select("id", "dist")
+            .transform(fresh_checkpoint)
+        )
+        meta = store.manifest(it).get("metrics") or {}
+        bucket = int(meta.get("bucket", 0))
+        rounds = it + 1
+    else:
+        dist = graph.vertices().select(
+            "id",
+            F.when(F.col("id") == source, F.lit(0).cast("long")).alias(
+                "dist"
+            ),
+        ).transform(fresh_checkpoint)
+
     while rounds < max_rounds:
         # frontier = current bucket's members (dequeue_ready_set)
         frontier = dist.filter(
@@ -75,6 +100,7 @@ def sssp_delta_stepping(
             bucket = int(nxt)
             continue
         rounds += 1
+        t0 = _time.time()
         cand = (
             graph.edges.join(frontier, "src")
             .select(
@@ -114,6 +140,16 @@ def sssp_delta_stepping(
         prev.unpersist()
         if improved_in_bucket == 0:
             bucket += 1
+        if store is not None:
+            store.write(
+                dist,
+                rounds - 1,
+                {
+                    "kernel": "sssp_delta_stepping",
+                    "bucket": bucket,
+                    "elapsed_sec": _time.time() - t0,
+                },
+            )
     if own_cache:
         graph.unpersist()
     return dist

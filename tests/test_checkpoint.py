@@ -163,3 +163,36 @@ def test_lpa_resume_identical(spark, tmp_path):
     }
     assert resumed == full
     assert store.latest() == 4
+
+
+def test_delta_stepping_resume_identical(spark, tmp_path):
+    """The Julienne priority-bucket layer honors the same resume
+    contract: kill after 2 relaxation rounds, resume from the snapshot
+    (which carries the scalar bucket cursor in its manifest metrics) —
+    distances must equal the uninterrupted run exactly."""
+    import random
+
+    from graphit_spark.kernels import sssp_delta_stepping
+
+    rng = random.Random(31)
+    edges = [
+        (rng.randrange(40), rng.randrange(40), rng.randrange(1, 9))
+        for _ in range(160)
+    ]
+    g = LinkGraph.from_pairs(spark, edges, persist=False)
+    full = {
+        r["id"]: r["dist"]
+        for r in sssp_delta_stepping(g, 0, delta=3).collect()
+    }
+
+    store = SnapshotStore(str(tmp_path), "sssp_delta")
+    sssp_delta_stepping(g, 0, delta=3, max_rounds=2, store=store)
+    assert store.complete_iterations() == [0, 1]
+    assert "bucket" in (store.manifest(1).get("metrics") or {})
+    resumed = {
+        r["id"]: r["dist"]
+        for r in sssp_delta_stepping(
+            g, 0, delta=3, store=store, resume=True
+        ).collect()
+    }
+    assert resumed == full
