@@ -948,3 +948,83 @@ def knn_graph(
         .filter(F.col("rank") <= k)
         .select("src", "dst", "rank", "score")
     )
+
+
+FEATPROP_SCALE = 1_000_000  # micro-units: exact integer feature sums
+
+
+def feature_propagation(
+    embeddings: DataFrame,
+    edges: DataFrame,
+    rounds: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Graph feature smoothing — the propagation step of
+    Correct & Smooth (Huang et al. 2021) / feature-prop GNN inference:
+    each round replaces every vertex's feature vector with the mean of
+    its neighbors' vectors under `edges` (src, dst), vertices with no
+    in-edges keeping their current vector. Returns the EXPLODED form
+    (vec_id, dim, value) — one row per vector component — so the
+    result compares scalar-exactly across engines.
+
+    Determinism contract (the doc_lm_score floor-scaled-integer
+    pattern): vectors are quantized to floor(v * 1e6) BIGINT micro-units
+    before each round's sum, the mean is one integer floor-division per
+    component, and only the final output divides back to a rounded
+    double — no float accumulates in any aggregation, so the result is
+    bit-identical at any partitioning and in the DuckDB twin.
+
+    100 TB plan: one round = edges ⋈ features(src) → posexplode to
+    (dst, dim, unit) → map-side-combined groupBy(dst, dim) sum/count →
+    re-assemble via sort_array(collect_list(struct(dim, q))). Cost
+    E·dim rows through one exchange per round — the standard
+    feature-prop bill; hub rows fan out by dim only, never by degree²."""
+    q = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(x * F.lit(float(FEATPROP_SCALE))).cast(
+                "long"
+            ),
+        ).alias("qv"),
+    )
+    for _ in range(rounds):
+        contrib = (
+            edges.join(q.select(F.col("id").alias("src"), "qv"), "src")
+            .select(
+                F.col("dst").alias("id"),
+                F.posexplode("qv").alias("dim", "unit"),
+            )
+            .groupBy("id", "dim")
+            .agg(
+                F.sum("unit").alias("s"),
+                F.count("*").alias("c"),
+            )
+            .select(
+                "id",
+                "dim",
+                F.floor(F.col("s") / F.col("c")).cast("long").alias("u"),
+            )
+        )
+        agg = contrib.groupBy("id").agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("dim", "u"))
+                ),
+                lambda s: s["u"],
+            ).alias("nqv")
+        )
+        q = q.join(agg, "id", "left").select(
+            "id", F.coalesce("nqv", "qv").alias("qv")
+        )
+    return q.select(
+        "id",
+        F.posexplode("qv").alias("dim", "unit"),
+    ).select(
+        F.col("id").alias(id_col),
+        "dim",
+        F.round(F.col("unit") / F.lit(float(FEATPROP_SCALE)), 6).alias(
+            "value"
+        ),
+    )

@@ -1182,6 +1182,79 @@ LSH_DUP_THRESHOLD = 0.35  # synthetic embeddings are near-orthogonal
 # result set so the bucketed plan is exercised end to end
 
 
+FEATPROP_ROUNDS = 2
+
+
+def q_feature_prop(spark, sf_dir):
+    """Feature propagation (the Correct & Smooth smoothing step) over
+    the k-NN semantic graph: each round every vector becomes the mean
+    of its neighbors' vectors, in exact integer micro-units so the
+    result is bit-identical at any partitioning
+    (functions/similarity.py::feature_propagation). Output is the
+    exploded (vec_id, dim, value) form for scalar-exact comparison."""
+    emb = load(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    kg = S.knn_graph(emb, dim=dim, k=KNN_GRAPH_K).select("src", "dst")
+    sym = kg.union(
+        kg.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    return S.feature_propagation(emb, sym, rounds=FEATPROP_ROUNDS)
+
+
+def _feature_prop_sql(rounds: int = FEATPROP_ROUNDS) -> str:
+    """Twin of q_feature_prop: same knn + UNION symmetrization CTEs as
+    the topics twin, then each round is an exact integer mean per
+    (vertex, dim) — floor-scaled micro-units, floor(double-division)
+    on both engines, one rounded double only at the end."""
+    sc = S.FEATPROP_SCALE
+    ctes = [
+        """v AS (SELECT vec_id, embedding::DOUBLE[] AS ev,
+              len(embedding) AS d FROM embeddings)""",
+        f"""b AS (
+  SELECT vec_id, ev,
+         {_SQL_LSH_BUCKET.format(v='v.ev', d='v.d')} AS bucket
+  FROM v
+)""",
+        f"""kg AS MATERIALIZED (
+  SELECT src, dst FROM (
+    SELECT a.vec_id AS src, b.vec_id AS dst,
+           row_number() OVER (PARTITION BY a.vec_id
+                              ORDER BY {_SQL_COS.format(a='a.ev', b='b.ev')} DESC,
+                                       b.vec_id ASC) AS rn
+    FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+  ) x WHERE rn <= {KNN_GRAPH_K}
+)""",
+        "esym AS MATERIALIZED (SELECT src, dst FROM kg "
+        "UNION SELECT dst, src FROM kg)",
+        f"""q0 AS MATERIALIZED (
+  SELECT e.vec_id AS id, CAST(g.i AS INT) AS dim,
+         CAST(floor(e.embedding[g.i + 1]::DOUBLE * {sc}) AS BIGINT) AS unit
+  FROM embeddings e,
+       LATERAL (SELECT unnest(range(0, len(e.embedding))) AS i) g
+)""",
+    ]
+    for r in range(1, rounds + 1):
+        p = f"q{r - 1}"
+        ctes.append(
+            f"""q{r} AS MATERIALIZED (
+  SELECT v.id, v.dim, coalesce(c.u, v.unit) AS unit
+  FROM {p} v LEFT JOIN (
+    SELECT e.dst AS id, q.dim,
+           CAST(floor(CAST(sum(q.unit) AS BIGINT) * 1e0 / count(*))
+                AS BIGINT) AS u
+    FROM esym e JOIN {p} q ON e.src = q.id
+    GROUP BY e.dst, q.dim
+  ) c ON c.id = v.id AND c.dim = v.dim
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT id AS vec_id, dim, round(unit / {float(sc)}, 6) AS value
+FROM q{rounds} ORDER BY vec_id, dim"""
+    )
+
+
 def q_embedding_dups_lsh(spark, sf_dir):
     """Embedding near-dup pairs via the SCALE path: hyperplane-LSH
     bucket join + in-bucket exact re-rank — no cross join anywhere in
@@ -4522,6 +4595,7 @@ TEXT_QUERIES: dict[str, tuple] = {
     "dedup_embedding_lsh": (q_embedding_dups_lsh, SQL_EMBEDDING_DUPS_LSH),
     "emb_knn_graph": (q_knn_graph, SQL_KNN_GRAPH),
     "semantic_topics": (q_semantic_topics, _semantic_topics_sql()),
+    "emb_feature_prop": (q_feature_prop, _feature_prop_sql()),
     "hll_registers": (q_hll_registers, _hll_registers_sql()),
     "hll_distinct": (q_hll_distinct, _hll_distinct_sql()),
     "cms_heavy_hitters": (q_cms_heavy_hitters, _cms_heavy_hitters_sql()),

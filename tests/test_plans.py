@@ -829,3 +829,16 @@ def test_knn_graph_and_topics_plan_shape(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
     assert "partial_count" in plan
+
+
+def test_feature_prop_plan_shape(spark):
+    """Feature propagation must keep every aggregation partial (the
+    per-(vertex, dim) integer mean and the array re-assembly are both
+    map-side combined) and stay cartesian-free — E·dim rows through
+    one exchange per round is the whole bill."""
+    from graphit_spark.textqueries import q_feature_prop
+
+    plan = _plan(q_feature_prop(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "partial_sum" in plan
