@@ -1028,3 +1028,95 @@ def feature_propagation(
             "value"
         ),
     )
+
+
+def graph_beam_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    knn_edges: DataFrame,
+    k: int = 10,
+    beam: int = 12,
+    rounds: int = 3,
+    entry: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Graph-based ANN (the HNSW/NSW serving pattern, flattened to
+    synchronous beam rounds so it distributes): every query starts at
+    the `entry` vertex of a prebuilt k-NN graph (knn_graph output);
+    each round expands the current beam's out-neighbors, scores
+    beam ∪ expansion by exact rounded cosine against the query, and
+    keeps the top-`beam` (score desc, id asc — deterministic). After
+    `rounds` rounds the beam's top-k (self-match excluded) is the
+    answer. Returns (query_id, vec_id, score).
+
+    This is the third ANN family next to LSH-bucket probing and IVF
+    lists: recall comes from graph expansion rather than hash/cell
+    recall, so it trades rounds (latency) for bucket-size/fan-out
+    tuning. Deterministic start + deterministic tie-breaks give it a
+    real unrolled SQL twin like everything else.
+
+    100 TB plan: per round the state is |Q|·beam rows; expansion joins
+    the (cached, id-keyed) k-NN adjacency and the embedding table by
+    vector id only — |Q|·beam·k candidate rows through one exchange,
+    never a corpus scan per query. The k-NN graph build amortizes over
+    every query served from it (the index-once/serve-many economics of
+    graph ANN)."""
+    from pyspark.sql import Window
+
+    emb = embeddings.select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    edges = knn_edges.select(F.col("src").alias("cid"), F.col("dst"))
+    # entry as a column EXPRESSION (not a foldable literal): a constant
+    # cid would make Catalyst rewrite the first expansion join into a
+    # BroadcastNestedLoopJoin; query_id*0 + entry keeps a real join key
+    # with identical values, so every round is a hash equi-join
+    bm = q.select(
+        "query_id",
+        (F.col("query_id") * 0 + F.lit(entry)).cast("long").alias("cid"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("cid").asc()
+    )
+    for _ in range(rounds):
+        exp = bm.join(edges, "cid").select(
+            "query_id", F.col("dst").alias("cid")
+        )
+        cand = bm.select("query_id", "cid").union(exp).distinct()
+        scored = (
+            cand.join(emb, "cid")
+            .join(q, "query_id")
+            .select(
+                "query_id",
+                "cid",
+                F.round(cosine(F.col("qv"), F.col("cv")), ROUND_SCORE).alias(
+                    "score"
+                ),
+            )
+        )
+        bm = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= beam)
+            .select("query_id", "cid")
+        )
+    final = (
+        bm.join(emb, "cid")
+        .join(q, "query_id")
+        .filter(F.col("cid") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cid",
+            F.round(cosine(F.col("qv"), F.col("cv")), ROUND_SCORE).alias(
+                "score"
+            ),
+        )
+    )
+    return (
+        final.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", F.col("cid").alias(id_col), "score")
+    )

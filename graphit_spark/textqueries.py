@@ -1255,6 +1255,87 @@ FROM q{rounds} ORDER BY vec_id, dim"""
     )
 
 
+BEAM_WIDTH = 12
+BEAM_ROUNDS = 3
+
+
+def q_graph_topk(spark, sf_dir):
+    """Graph-based ANN: HNSW-style beam search over the prebuilt k-NN
+    semantic graph — the third ANN family next to LSH probing and IVF
+    lists (functions/similarity.py::graph_beam_topk). Deterministic
+    entry + tie-breaks; per-query cost |beam|·k rows per round, never
+    a corpus scan."""
+    emb = load(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    kg = S.knn_graph(emb, dim=dim, k=KNN_GRAPH_K).select("src", "dst")
+    qs = emb.filter(F.col("vec_id") < TOPK_QUERIES)
+    return S.graph_beam_topk(
+        emb, qs, kg, k=TOPK_K, beam=BEAM_WIDTH, rounds=BEAM_ROUNDS
+    )
+
+
+def _graph_topk_sql(
+    k: int = TOPK_K, beam: int = BEAM_WIDTH, rounds: int = BEAM_ROUNDS
+) -> str:
+    """Twin of q_graph_topk: the shared knn CTE, then each beam round
+    unrolled — expand along kg, union, exact cosine, keep top-beam by
+    (score desc, id asc); final top-k excludes the self-match."""
+    ctes = [
+        """v AS (SELECT vec_id, embedding::DOUBLE[] AS ev,
+              len(embedding) AS d FROM embeddings)""",
+        f"""b AS (
+  SELECT vec_id, ev,
+         {_SQL_LSH_BUCKET.format(v='v.ev', d='v.d')} AS bucket
+  FROM v
+)""",
+        f"""kg AS MATERIALIZED (
+  SELECT src, dst FROM (
+    SELECT a.vec_id AS src, b.vec_id AS dst,
+           row_number() OVER (PARTITION BY a.vec_id
+                              ORDER BY {_SQL_COS.format(a='a.ev', b='b.ev')} DESC,
+                                       b.vec_id ASC) AS rn
+    FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+  ) x WHERE rn <= {KNN_GRAPH_K}
+)""",
+        f"qs AS (SELECT vec_id AS query_id, ev AS qv FROM v WHERE vec_id < {TOPK_QUERIES})",
+        "bm0 AS (SELECT query_id, CAST(0 AS BIGINT) AS cid FROM qs)",
+    ]
+    for r in range(1, rounds + 1):
+        p = f"bm{r - 1}"
+        ctes.append(
+            f"""bm{r} AS MATERIALIZED (
+  SELECT query_id, cid FROM (
+    SELECT c.query_id, c.cid,
+           row_number() OVER (PARTITION BY c.query_id
+                              ORDER BY {_SQL_COS.format(a='q.qv', b='cv.ev')} DESC,
+                                       c.cid ASC) AS rn
+    FROM (SELECT query_id, cid FROM {p}
+          UNION
+          SELECT b.query_id, e.dst AS cid
+          FROM {p} b JOIN kg e ON e.src = b.cid) c
+    JOIN v cv ON cv.vec_id = c.cid
+    JOIN qs q ON q.query_id = c.query_id
+  ) x WHERE rn <= {beam}
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT query_id, vec_id, score FROM (
+  SELECT b.query_id, b.cid AS vec_id,
+         {_SQL_COS.format(a='q.qv', b='cv.ev')} AS score,
+         row_number() OVER (PARTITION BY b.query_id
+                            ORDER BY {_SQL_COS.format(a='q.qv', b='cv.ev')} DESC,
+                                     b.cid ASC) AS rn
+  FROM bm{rounds} b
+  JOIN v cv ON cv.vec_id = b.cid
+  JOIN qs q ON q.query_id = b.query_id
+  WHERE b.cid <> b.query_id
+) x WHERE rn <= {k}
+ORDER BY query_id, vec_id"""
+    )
+
+
 def q_embedding_dups_lsh(spark, sf_dir):
     """Embedding near-dup pairs via the SCALE path: hyperplane-LSH
     bucket join + in-bucket exact re-rank — no cross join anywhere in
@@ -4596,6 +4677,7 @@ TEXT_QUERIES: dict[str, tuple] = {
     "emb_knn_graph": (q_knn_graph, SQL_KNN_GRAPH),
     "semantic_topics": (q_semantic_topics, _semantic_topics_sql()),
     "emb_feature_prop": (q_feature_prop, _feature_prop_sql()),
+    "sim_graph_topk": (q_graph_topk, _graph_topk_sql()),
     "hll_registers": (q_hll_registers, _hll_registers_sql()),
     "hll_distinct": (q_hll_distinct, _hll_distinct_sql()),
     "cms_heavy_hitters": (q_cms_heavy_hitters, _cms_heavy_hitters_sql()),

@@ -842,3 +842,14 @@ def test_feature_prop_plan_shape(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
     assert "partial_sum" in plan
+
+
+def test_graph_beam_topk_plan_shape(spark):
+    """Beam-search ANN must touch the corpus only via id-keyed
+    equi-joins (adjacency expansion + embedding lookup) — no per-query
+    corpus scan, no cartesian, no nested loop."""
+    from graphit_spark.textqueries import q_graph_topk
+
+    plan = _plan(q_graph_topk(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
