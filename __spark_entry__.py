@@ -75,7 +75,7 @@ _CHECK_FIRST = [
     "girvan_newman_step", "densest_subgraph", "butterfly_count",
     "sample_fanout", "scan_statistics", "source_mirror",
     "pagerank_montecarlo", "emb_knn_graph", "semantic_topics",
-    "emb_feature_prop", "sim_graph_topk",
+    "emb_feature_prop", "sim_graph_topk", "sim_recall_graph",
     "collab_filtering", "eigenvector", "dedup_simhash",
     "sim_ivf_kmeans_topk", "spectral_bisection",
     "influence_max",

@@ -1165,6 +1165,60 @@ ORDER BY query_id"""
 
 
 
+def q_recall_graph(spark, sf_dir):
+    """Recall@k of the graph-based beam-search ANN against the exact
+    brute-force top-k — the same in-engine evaluation as
+    sim_recall_multiprobe, for the third ANN family. Beam-search
+    recall is bounded by graph connectivity from the entry vertex, so
+    this measurement is what sizes beam/rounds/k_nn before serving."""
+    emb = load(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    queries = emb.filter(F.col("vec_id") < TOPK_QUERIES)
+    kg = S.knn_graph(emb, dim=dim, k=KNN_GRAPH_K).select("src", "dst")
+    approx = S.graph_beam_topk(
+        emb, queries, kg, k=TOPK_K, beam=BEAM_WIDTH, rounds=BEAM_ROUNDS
+    )
+    exact = S.brute_force_topk(emb, queries, k=TOPK_K)
+    hits = (
+        approx.select("query_id", "vec_id")
+        .join(exact.select("query_id", "vec_id"), ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        queries.select(F.col("vec_id").alias("query_id"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            F.round(
+                F.coalesce("n_hits", F.lit(0)) / F.lit(float(TOPK_K)), 6
+            ).alias("recall"),
+        )
+    )
+
+
+def _recall_graph_sql() -> str:
+    """Twin of q_recall_graph: the beam-search and exact twins as
+    derived tables, joined on (query_id, vec_id)."""
+    return f"""
+WITH approx AS MATERIALIZED ({_graph_topk_sql()}),
+exact AS MATERIALIZED ({SQL_COSINE_TOPK}),
+hits AS (
+  SELECT a.query_id, CAST(count(*) AS BIGINT) AS n_hits
+  FROM approx a JOIN exact e
+    ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+  GROUP BY a.query_id
+)
+SELECT q.vec_id AS query_id,
+       coalesce(h.n_hits, 0) AS n_hits,
+       round(coalesce(h.n_hits, 0) * 1e0 / {TOPK_K}, 6) AS recall
+FROM embeddings q
+LEFT JOIN hits h ON h.query_id = q.vec_id
+WHERE q.vec_id < {TOPK_QUERIES}
+ORDER BY query_id"""
+
+
 DUP_THRESHOLD = 0.9
 IVF_CELLS = 16
 IVF_PROBE = 4
@@ -4678,6 +4732,7 @@ TEXT_QUERIES: dict[str, tuple] = {
     "semantic_topics": (q_semantic_topics, _semantic_topics_sql()),
     "emb_feature_prop": (q_feature_prop, _feature_prop_sql()),
     "sim_graph_topk": (q_graph_topk, _graph_topk_sql()),
+    "sim_recall_graph": (q_recall_graph, _recall_graph_sql()),
     "hll_registers": (q_hll_registers, _hll_registers_sql()),
     "hll_distinct": (q_hll_distinct, _hll_distinct_sql()),
     "cms_heavy_hitters": (q_cms_heavy_hitters, _cms_heavy_hitters_sql()),
