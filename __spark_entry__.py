@@ -73,7 +73,7 @@ _CHECK_FIRST = [
     # rows stand (checked again when the driver scans deeper) ----
     "sssp_delta_stepping", "astar", "min_spanning_forest", "set_cover",
     "girvan_newman_step", "densest_subgraph", "butterfly_count",
-    "sample_fanout", "scan_statistics", "source_mirror",
+    "sample_fanout", "scan_statistics", "source_mirror", "bridges",
     "pagerank_montecarlo", "emb_knn_graph", "semantic_topics",
     "emb_feature_prop", "sim_graph_topk", "sim_recall_graph",
     "collab_filtering", "eigenvector", "dedup_simhash",

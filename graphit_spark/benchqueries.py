@@ -1848,6 +1848,132 @@ def q_scan_statistics(spark, sf_dir):
     return scan_statistics(graph(spark, sf_dir, "raw"))
 
 
+BRIDGE_MOD = 5  # deterministic sparse subgraph: dense webgraphs are
+# 2-edge-connected almost everywhere; the (src+dst) % 5 residual keeps
+# ~1/5 of edges, where cut edges actually exist at oracle sf
+BRIDGE_ROUNDS = 20
+
+
+def q_bridges(spark, sf_dir):
+    """Bridge detection (2-edge-connectivity) on a deterministic sparse
+    subgraph — BFS-tree + XOR cut-coverage hashing
+    (kernels/bridges.py for the algorithm and the 100 TB plan). The
+    classical Tarjan DFS is inherently serial; this is the
+    linear-sketch formulation that distributes."""
+    from graphit_spark.kernels import bridges
+
+    g = graph(spark, sf_dir, "raw")
+    sparse = g.edges.filter(
+        (F.col("src") + F.col("dst")) % BRIDGE_MOD == 0
+    )
+    sg = LinkGraph(sparse, persist=False)
+    return bridges(sg, max_rounds=BRIDGE_ROUNDS)
+
+
+def bridges_sql(
+    mod: int = BRIDGE_MOD, rounds: int = BRIDGE_ROUNDS
+) -> str:
+    """Twin of q_bridges: the identical algorithm unrolled — min-label
+    components, multi-source BFS depths, min-parent BFS tree, 60-bit
+    md5 non-tree hashes XORed at both endpoints, bottom-up subtree
+    folds one level per CTE (levels beyond the actual max depth are
+    no-ops), bridge = non-root vertex with subtree XOR 0."""
+    ctes = [
+        _SQL_COMMON.strip(),
+        f"""su AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM edges WHERE (src + dst) % {mod} = 0
+)""",
+        "ssym AS MATERIALIZED (SELECT u AS a, v AS b FROM su "
+        "UNION ALL SELECT v, u FROM su)",
+        "sverts AS (SELECT DISTINCT a AS id FROM ssym)",
+        "l0 AS (SELECT id, id AS label FROM sverts)",
+    ]
+    for r in range(1, rounds + 1):
+        p = f"l{r - 1}"
+        ctes.append(
+            f"""l{r} AS MATERIALIZED (
+  SELECT v.id, least(v.label, coalesce(m.nl, v.label)) AS label
+  FROM {p} v LEFT JOIN (
+    SELECT e.b AS id, min(l.label) AS nl
+    FROM ssym e JOIN {p} l ON e.a = l.id GROUP BY e.b
+  ) m USING (id)
+)"""
+        )
+    ctes.append(
+        f"d0 AS (SELECT id, CASE WHEN id = label THEN CAST(0 AS BIGINT) END"
+        f" AS depth FROM l{rounds})"
+    )
+    for r in range(1, rounds + 1):
+        p = f"d{r - 1}"
+        ctes.append(
+            f"""d{r} AS MATERIALIZED (
+  SELECT v.id,
+         CASE WHEN v.depth IS NULL AND m.nd IS NOT NULL THEN m.nd
+              ELSE v.depth END AS depth
+  FROM {p} v LEFT JOIN (
+    SELECT e.b AS id, min(l.depth) + 1 AS nd
+    FROM ssym e JOIN {p} l ON e.a = l.id
+    WHERE l.depth IS NOT NULL GROUP BY e.b
+  ) m USING (id)
+)"""
+        )
+    h = ("('0x' || substr(md5(n.u::VARCHAR || '_' || n.v::VARCHAR"
+         " || '_bridge'), 1, 15))::BIGINT")
+    ctes += [
+        f"""par AS MATERIALIZED (
+  SELECT e.b AS id, min(e.a) AS parent
+  FROM ssym e
+  JOIN d{rounds} da ON e.a = da.id
+  JOIN d{rounds} db ON e.b = db.id
+  WHERE da.depth = db.depth - 1
+  GROUP BY e.b
+)""",
+        """tre AS MATERIALIZED (
+  SELECT least(parent, id) AS u, greatest(parent, id) AS v FROM par
+)""",
+        """ntr AS MATERIALIZED (
+  SELECT s.u, s.v FROM su s
+  WHERE NOT EXISTS (SELECT 1 FROM tre t WHERE t.u = s.u AND t.v = s.v)
+)""",
+        f"""hv AS MATERIALIZED (
+  SELECT id, bit_xor(h) AS h FROM (
+    SELECT n.u AS id, {h} AS h FROM ntr n
+    UNION ALL
+    SELECT n.v AS id, {h} AS h FROM ntr n
+  ) GROUP BY id
+)""",
+        f"""s0 AS MATERIALIZED (
+  SELECT d.id, d.depth, p.parent, coalesce(hv.h, 0) AS s
+  FROM d{rounds} d
+  LEFT JOIN par p USING (id)
+  LEFT JOIN hv USING (id)
+)""",
+    ]
+    lev = 0
+    for d in range(rounds, 0, -1):
+        p = f"s{lev}"
+        lev += 1
+        ctes.append(
+            f"""s{lev} AS MATERIALIZED (
+  SELECT v.id, v.depth, v.parent,
+         CASE WHEN f.x IS NOT NULL THEN xor(v.s, f.x) ELSE v.s END AS s
+  FROM {p} v LEFT JOIN (
+    SELECT parent AS id, bit_xor(s) AS x
+    FROM {p} WHERE depth = {d} GROUP BY parent
+  ) f USING (id)
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT least(parent, id) AS u, greatest(parent, id) AS v
+FROM s{lev}
+WHERE parent IS NOT NULL AND s = 0
+ORDER BY u, v"""
+    )
+
+
 def q_k_truss(spark, sf_dir):
     from graphit_spark.kernels import k_truss
 
@@ -5782,6 +5908,7 @@ GRAPH_QUERIES: dict[str, tuple] = {
                               triangle_count_approx_sql()),
     "triangle_per_vertex": (q_tc_per_vertex, tc_per_vertex_sql()),
     "scan_statistics": (q_scan_statistics, scan_statistics_sql()),
+    "bridges": (q_bridges, bridges_sql()),
     "bfs": (q_bfs, bfs_sql()),
     "landmark_distances": (q_landmark_distances, landmarks_sql()),
     "sssp": (q_sssp, sssp_sql()),

@@ -16,6 +16,7 @@ from graphit_spark.kernels.labelprop import (
 from graphit_spark.kernels.louvain import louvain_communities, louvain_move
 from graphit_spark.kernels.wl import wl_refinement
 from graphit_spark.kernels.simrank import simrank
+from graphit_spark.kernels.bridges import bridges
 from graphit_spark.kernels.triangles import (
     scan_statistics,
     triangle_count,
@@ -93,6 +94,7 @@ __all__ = [
     "random_walks_alias",
     "montecarlo_pagerank",
     "scan_statistics",
+    "bridges",
     "build_alias_tables",
     "weighted_random_walks",
     "node2vec_walks",

@@ -45,7 +45,7 @@ def main() -> None:
                             "landmark_distances", "ego_subgraph",
                             "cocitation", "butterfly_count",
                             "densest_subgraph", "sample_fanout",
-                            "scan_statistics", "montecarlo_pagerank"])
+                            "scan_statistics", "montecarlo_pagerank", "bridges"])
     p.add_argument("--edges", help="parquet edge table (src,dst[,weight])")
     p.add_argument("--pages", help="parquet pages table (extracted first)")
     p.add_argument("--synth-vertices", type=int, help="synthetic graph size")
@@ -158,7 +158,8 @@ def main() -> None:
     elif args.kernel == "sssp_delta":
         from graphit_spark.kernels import sssp_delta_stepping
 
-        out = sssp_delta_stepping(g, args.source, delta=args.delta)
+        out = sssp_delta_stepping(g, args.source, delta=args.delta,
+                                  store=store, resume=args.resume)
     elif args.kernel == "k_core":
         from graphit_spark.kernels import k_core
 
@@ -291,6 +292,10 @@ def main() -> None:
         from graphit_spark.kernels import densest_subgraph
 
         out = densest_subgraph(g)
+    elif args.kernel == "bridges":
+        from graphit_spark.kernels import bridges
+
+        out = bridges(g, max_rounds=args.max_iters)
     elif args.kernel == "scan_statistics":
         from graphit_spark.kernels import scan_statistics
 

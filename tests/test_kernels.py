@@ -2484,3 +2484,67 @@ class TestSampleFanout:
         row = butterfly_count(g).first()
         assert (row["wedges"], row["cocited_pairs"], row["butterflies"]) \
             == (0, 0, 0)
+
+
+class TestBridges:
+    @staticmethod
+    def _brute_bridges(edges):
+        """Oracle: edge {u,v} is a bridge iff removing it disconnects
+        u from v (BFS per candidate edge)."""
+        und = sorted({(min(a, b), max(a, b)) for a, b in edges if a != b})
+        adj = {}
+        for a, b in und:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        out = []
+        for u, v in und:
+            seen, stack = {u}, [u]
+            while stack:
+                x = stack.pop()
+                for y in adj[x]:
+                    if (min(x, y), max(x, y)) == (u, v):
+                        continue
+                    if y not in seen:
+                        seen.add(y)
+                        stack.append(y)
+            if v not in seen:
+                out.append((u, v))
+        return sorted(out)
+
+    def _run(self, spark, edges):
+        from graphit_spark.kernels import bridges
+
+        g = LinkGraph.from_pairs(spark, edges, persist=False)
+        got = sorted(
+            (r["u"], r["v"]) for r in bridges(g).collect()
+        )
+        assert got == self._brute_bridges(edges)
+
+    def test_path_and_cycle(self, spark):
+        # path 0-1-2-3 (all bridges) + cycle 4-5-6-4 (none) + the
+        # connector 3-4 (bridge)
+        self._run(
+            spark,
+            [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 4)],
+        )
+
+    def test_random_graphs(self, spark):
+        import random
+
+        for seed in (1, 2):
+            rng = random.Random(seed)
+            edges = [
+                (rng.randrange(25), rng.randrange(25)) for _ in range(45)
+            ]
+            self._run(spark, edges)
+
+    def test_weighted_graph_same_answer(self, spark):
+        """Weights are irrelevant to 2-edge-connectivity; the kernel
+        must ignore them rather than require or misuse them."""
+        from graphit_spark.kernels import bridges
+
+        edges = [(0, 1), (1, 2), (2, 0), (2, 3)]
+        wedges = [(a, b, 1 + (a + b) % 7) for a, b in edges]
+        g = LinkGraph.from_pairs(spark, wedges, persist=False)
+        got = sorted((r["u"], r["v"]) for r in bridges(g).collect())
+        assert got == [(2, 3)]

@@ -853,3 +853,38 @@ def test_graph_beam_topk_plan_shape(spark):
     plan = _plan(q_graph_topk(spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_bridges_plan_shape(spark):
+    """Every bridges phase is the standard gather superstep; the result
+    is checkpoint-truncated, so plan the phases directly: one label
+    round and the non-tree hash aggregation must keep partial
+    aggregates and stay cartesian-free."""
+    from pyspark.sql import functions as F
+
+    from graphit_spark.benchqueries import BRIDGE_MOD, graph
+
+    g = graph(spark, SF_DIR, "raw")
+    su = (
+        g.edges.filter((F.col("src") + F.col("dst")) % BRIDGE_MOD == 0)
+        .select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+        )
+        .distinct()
+    )
+    sym = su.select(F.col("u").alias("a"), F.col("v").alias("b")).unionByName(
+        su.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    )
+    labels = sym.select(F.col("a").alias("id")).distinct().select(
+        "id", F.col("id").alias("label")
+    )
+    round1 = (
+        sym.join(labels.select(F.col("id").alias("a"), "label"), "a")
+        .groupBy(F.col("b").alias("id"))
+        .agg(F.min("label").alias("nl"))
+    )
+    plan = _plan(round1)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "partial_min" in plan
