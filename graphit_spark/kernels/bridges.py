@@ -116,6 +116,7 @@ def bridges(graph: LinkGraph, *, max_rounds: int = 24) -> DataFrame:
             "depth"
         ),
     ).transform(fresh_checkpoint)
+    labels.unpersist()
     for _ in range(max_rounds):
         gathered = (
             sym.join(
@@ -188,6 +189,7 @@ def bridges(graph: LinkGraph, *, max_rounds: int = 24) -> DataFrame:
         )
         .transform(fresh_checkpoint)
     )
+    depth.unpersist()
     max_depth = state.agg(F.max("depth").alias("m")).collect()[0]["m"] or 0
 
     # --- bottom-up subtree XOR, one depth level per round ---
