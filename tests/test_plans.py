@@ -71,7 +71,7 @@ def test_all_pairs_baselines_are_the_only_ones(spark):
             continue
         if not name.startswith(
             ("doc_", "dedup_", "sim_", "events_", "corpus_", "hll_",
-             "cms_", "anchor_")
+             "cms_", "anchor_", "source_", "emb_")
         ):
             continue  # graph queries audited separately (BENCH/PLANS.md)
         plan = _plan(q(spark, SF_DIR))
