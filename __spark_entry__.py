@@ -74,6 +74,7 @@ _CHECK_FIRST = [
     "sssp_delta_stepping", "astar", "min_spanning_forest", "set_cover",
     "girvan_newman_step", "densest_subgraph", "butterfly_count",
     "sample_fanout", "scan_statistics", "source_mirror", "bridges",
+    "biconnected_components", "articulation_points",
     "pagerank_montecarlo", "emb_knn_graph", "semantic_topics",
     "emb_feature_prop", "sim_graph_topk", "sim_recall_graph",
     "collab_filtering", "eigenvector", "dedup_simhash",

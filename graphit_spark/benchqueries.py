@@ -1870,14 +1870,11 @@ def q_bridges(spark, sf_dir):
     return bridges(sg, max_rounds=BRIDGE_ROUNDS)
 
 
-def bridges_sql(
-    mod: int = BRIDGE_MOD, rounds: int = BRIDGE_ROUNDS
-) -> str:
-    """Twin of q_bridges: the identical algorithm unrolled — min-label
-    components, multi-source BFS depths, min-parent BFS tree, 60-bit
-    md5 non-tree hashes XORed at both endpoints, bottom-up subtree
-    folds one level per CTE (levels beyond the actual max depth are
-    no-ops), bridge = non-root vertex with subtree XOR 0."""
+def _cut_tree_ctes(mod: int, rounds: int) -> list:
+    """Shared CTE prefix of the cut-structure twins (bridges,
+    biconnected_components, articulation_points): sparse subgraph,
+    min-label components, multi-source BFS depths, min-parent BFS tree
+    (par/tre) and the non-tree remainder (ntr)."""
     ctes = [
         _SQL_COMMON.strip(),
         f"""su AS MATERIALIZED (
@@ -1918,8 +1915,6 @@ def bridges_sql(
   ) m USING (id)
 )"""
         )
-    h = ("('0x' || substr(md5(n.u::VARCHAR || '_' || n.v::VARCHAR"
-         " || '_bridge'), 1, 15))::BIGINT")
     ctes += [
         f"""par AS MATERIALIZED (
   SELECT e.b AS id, min(e.a) AS parent
@@ -1936,6 +1931,22 @@ def bridges_sql(
   SELECT s.u, s.v FROM su s
   WHERE NOT EXISTS (SELECT 1 FROM tre t WHERE t.u = s.u AND t.v = s.v)
 )""",
+    ]
+    return ctes
+
+
+def bridges_sql(
+    mod: int = BRIDGE_MOD, rounds: int = BRIDGE_ROUNDS
+) -> str:
+    """Twin of q_bridges: the identical algorithm unrolled — the shared
+    cut-tree CTEs (_cut_tree_ctes), 60-bit md5 non-tree hashes XORed at
+    both endpoints, bottom-up subtree folds one level per CTE (levels
+    beyond the actual max depth are no-ops), bridge = non-root vertex
+    with subtree XOR 0."""
+    ctes = _cut_tree_ctes(mod, rounds)
+    h = ("('0x' || substr(md5(n.u::VARCHAR || '_' || n.v::VARCHAR"
+         " || '_bridge'), 1, 15))::BIGINT")
+    ctes += [
         f"""hv AS MATERIALIZED (
   SELECT id, bit_xor(h) AS h FROM (
     SELECT n.u AS id, {h} AS h FROM ntr n
@@ -1971,6 +1982,166 @@ SELECT least(parent, id) AS u, greatest(parent, id) AS v
 FROM s{lev}
 WHERE parent IS NOT NULL AND s = 0
 ORDER BY u, v"""
+    )
+
+
+BICONN_CLIMB = 24  # >= 2x max BFS depth on the sparse subgraph
+BICONN_CC = 12  # gather + two doubling hops per round: covers 2^12
+
+
+def q_biconnected(spark, sf_dir):
+    """Biconnected components of the sparse cut-structure subgraph —
+    fundamental-cycle star aux graph + pointer-doubled CC over edge
+    keys (kernels/bridges.py::biconnected_components). Bridges are
+    exactly the singleton classes."""
+    from graphit_spark.kernels import biconnected_components
+
+    g = graph(spark, sf_dir, "raw")
+    sparse = g.edges.filter(
+        (F.col("src") + F.col("dst")) % BRIDGE_MOD == 0
+    )
+    sg = LinkGraph(sparse, persist=False)
+    return biconnected_components(
+        sg, max_rounds=BRIDGE_ROUNDS, cc_rounds=BICONN_CC
+    )
+
+
+def q_articulation(spark, sf_dir):
+    """Articulation (cut) vertices: incident to >= 2 distinct
+    biconnected components (kernels/bridges.py::articulation_points)."""
+    from graphit_spark.kernels import articulation_points
+
+    g = graph(spark, sf_dir, "raw")
+    sparse = g.edges.filter(
+        (F.col("src") + F.col("dst")) % BRIDGE_MOD == 0
+    )
+    sg = LinkGraph(sparse, persist=False)
+    return articulation_points(
+        sg, max_rounds=BRIDGE_ROUNDS, cc_rounds=BICONN_CC
+    )
+
+
+def _biconn_ctes(
+    mod: int = BRIDGE_MOD,
+    rounds: int = BRIDGE_ROUNDS,
+    climb: int = BICONN_CLIMB,
+    cc_rounds: int = BICONN_CC,
+) -> tuple:
+    """CTE list + final-label name for the biconnectivity twins: the
+    shared cut-tree CTEs, the LCA climb unrolled (each round joins the
+    live non-tree walkers to the node table, emits the star aux edges,
+    and advances the deeper endpoint — ties advance both; exhausted
+    rounds are no-ops), then aux-graph CC over edge keys with the
+    Girvan-Newman gather + two-doubling-hops pattern."""
+    B = 1 << 31
+    ctes = _cut_tree_ctes(mod, rounds)
+    ctes.append(
+        f"""npt AS MATERIALIZED (
+  SELECT d.id, d.depth, p.parent
+  FROM d{rounds} d LEFT JOIN par p USING (id)
+)"""
+    )
+    ctes.append(
+        f"c0 AS MATERIALIZED (SELECT least(u, v) * {B} + greatest(u, v)"
+        " AS ek, u AS ca, v AS cb FROM ntr)"
+    )
+    for r in range(1, climb + 1):
+        pr = f"c{r - 1}"
+        ctes.append(
+            f"""j{r} AS MATERIALIZED (
+  SELECT c.ek, c.ca, c.cb, na.depth AS da, na.parent AS pa,
+         nb.depth AS db, nb.parent AS pb
+  FROM {pr} c
+  JOIN npt na ON na.id = c.ca
+  JOIN npt nb ON nb.id = c.cb
+)"""
+        )
+        ctes.append(
+            f"""em{r} AS MATERIALIZED (
+  SELECT ek, least(ca, pa) * {B} + greatest(ca, pa) AS tek
+  FROM j{r} WHERE da >= db
+  UNION ALL
+  SELECT ek, least(cb, pb) * {B} + greatest(cb, pb) AS tek
+  FROM j{r} WHERE db >= da
+)"""
+        )
+        ctes.append(
+            f"""c{r} AS MATERIALIZED (
+  SELECT ek,
+         CASE WHEN da >= db THEN pa ELSE ca END AS ca,
+         CASE WHEN db >= da THEN pb ELSE cb END AS cb
+  FROM j{r}
+  WHERE (CASE WHEN da >= db THEN pa ELSE ca END)
+        <> (CASE WHEN db >= da THEN pb ELSE cb END)
+)"""
+        )
+    allem = " UNION ALL ".join(
+        f"SELECT ek, tek FROM em{r}" for r in range(1, climb + 1)
+    )
+    ctes.append(f"aem AS MATERIALIZED ({allem})")
+    ctes.append(
+        "aedges AS MATERIALIZED (SELECT ek AS x, tek AS y FROM aem "
+        "UNION ALL SELECT tek AS x, ek AS y FROM aem)"
+    )
+    ctes.append(
+        f"""anodes AS MATERIALIZED (
+  SELECT DISTINCT id FROM (
+    SELECT least(u, v) * {B} + greatest(u, v) AS id FROM tre
+    UNION ALL
+    SELECT least(u, v) * {B} + greatest(u, v) AS id FROM ntr
+  )
+)"""
+    )
+    ctes.append("a0 AS (SELECT id, id AS comp FROM anodes)")
+    for k in range(1, cc_rounds + 1):
+        pr = f"a{k - 1}"
+        ctes.append(
+            f"""aa{k} AS MATERIALIZED (
+  SELECT v.id, least(v.comp, coalesce(m.mn, v.comp)) AS comp
+  FROM {pr} v LEFT JOIN (
+    SELECT e.y AS id, min(l.comp) AS mn
+    FROM aedges e JOIN {pr} l ON e.x = l.id
+    GROUP BY e.y
+  ) m USING (id)
+)"""
+        )
+        ctes.append(
+            f"""ab{k} AS MATERIALIZED (
+  SELECT a.id, b.comp FROM aa{k} a JOIN aa{k} b ON a.comp = b.id
+)"""
+        )
+        ctes.append(
+            f"""a{k} AS MATERIALIZED (
+  SELECT a.id, b.comp FROM ab{k} a JOIN ab{k} b ON a.comp = b.id
+)"""
+        )
+    return ctes, f"a{cc_rounds}", B
+
+
+def biconnected_sql() -> str:
+    ctes, fin, B = _biconn_ctes()
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT s.u, s.v, a.comp
+FROM su s JOIN {fin} a ON a.id = least(s.u, s.v) * {B} + greatest(s.u, s.v)
+ORDER BY s.u, s.v"""
+    )
+
+
+def articulation_sql() -> str:
+    ctes, fin, B = _biconn_ctes()
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f""",
+bic AS MATERIALIZED (
+  SELECT s.u, s.v, a.comp
+  FROM su s JOIN {fin} a ON a.id = least(s.u, s.v) * {B} + greatest(s.u, s.v)
+)
+SELECT id, CAST(count(DISTINCT comp) AS BIGINT) AS n_components
+FROM (SELECT u AS id, comp FROM bic UNION ALL SELECT v AS id, comp FROM bic)
+GROUP BY id HAVING count(DISTINCT comp) >= 2
+ORDER BY id"""
     )
 
 
@@ -5909,6 +6080,8 @@ GRAPH_QUERIES: dict[str, tuple] = {
     "triangle_per_vertex": (q_tc_per_vertex, tc_per_vertex_sql()),
     "scan_statistics": (q_scan_statistics, scan_statistics_sql()),
     "bridges": (q_bridges, bridges_sql()),
+    "biconnected_components": (q_biconnected, biconnected_sql()),
+    "articulation_points": (q_articulation, articulation_sql()),
     "bfs": (q_bfs, bfs_sql()),
     "landmark_distances": (q_landmark_distances, landmarks_sql()),
     "sssp": (q_sssp, sssp_sql()),

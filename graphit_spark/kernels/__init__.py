@@ -16,7 +16,11 @@ from graphit_spark.kernels.labelprop import (
 from graphit_spark.kernels.louvain import louvain_communities, louvain_move
 from graphit_spark.kernels.wl import wl_refinement
 from graphit_spark.kernels.simrank import simrank
-from graphit_spark.kernels.bridges import bridges
+from graphit_spark.kernels.bridges import (
+    articulation_points,
+    biconnected_components,
+    bridges,
+)
 from graphit_spark.kernels.triangles import (
     scan_statistics,
     triangle_count,
@@ -95,6 +99,8 @@ __all__ = [
     "montecarlo_pagerank",
     "scan_statistics",
     "bridges",
+    "biconnected_components",
+    "articulation_points",
     "build_alias_tables",
     "weighted_random_walks",
     "node2vec_walks",

@@ -45,7 +45,8 @@ def main() -> None:
                             "landmark_distances", "ego_subgraph",
                             "cocitation", "butterfly_count",
                             "densest_subgraph", "sample_fanout",
-                            "scan_statistics", "montecarlo_pagerank", "bridges"])
+                            "scan_statistics", "montecarlo_pagerank", "bridges",
+                            "biconnected_components", "articulation_points"])
     p.add_argument("--edges", help="parquet edge table (src,dst[,weight])")
     p.add_argument("--pages", help="parquet pages table (extracted first)")
     p.add_argument("--synth-vertices", type=int, help="synthetic graph size")
@@ -296,6 +297,14 @@ def main() -> None:
         from graphit_spark.kernels import bridges
 
         out = bridges(g, max_rounds=args.max_iters)
+    elif args.kernel == "biconnected_components":
+        from graphit_spark.kernels import biconnected_components
+
+        out = biconnected_components(g, max_rounds=args.max_iters)
+    elif args.kernel == "articulation_points":
+        from graphit_spark.kernels import articulation_points
+
+        out = articulation_points(g, max_rounds=args.max_iters)
     elif args.kernel == "scan_statistics":
         from graphit_spark.kernels import scan_statistics
 

@@ -2548,3 +2548,114 @@ class TestBridges:
         g = LinkGraph.from_pairs(spark, wedges, persist=False)
         got = sorted((r["u"], r["v"]) for r in bridges(g).collect())
         assert got == [(2, 3)]
+
+
+class TestBiconnected:
+    @staticmethod
+    def _brute(edges):
+        """Oracle: biconnected components via Hopcroft-Tarjan (iterative
+        DFS with an edge stack), articulation points via the child
+        low-link rule; returns ({frozenset of edges per comp},
+        {articulation vertices})."""
+        und = sorted({(min(a, b), max(a, b)) for a, b in edges if a != b})
+        adj = {}
+        for a, b in und:
+            adj.setdefault(a, []).append(b)
+            adj.setdefault(b, []).append(a)
+        disc, low = {}, {}
+        comps, arts = [], set()
+        counter = [0]
+        for start in sorted(adj):
+            if start in disc:
+                continue
+            stack = [(start, None, iter(sorted(adj[start])))]
+            estack = []
+            disc[start] = low[start] = counter[0]
+            counter[0] += 1
+            root_children = 0
+            while stack:
+                v, par, it = stack[-1]
+                advanced = False
+                for w in it:
+                    if w == par and (v, par) not in [None]:
+                        # skip ONE edge back to parent (simple graph)
+                        par = None  # consume the single parent edge
+                        continue
+                    if w not in disc:
+                        estack.append((min(v, w), max(v, w)))
+                        disc[w] = low[w] = counter[0]
+                        counter[0] += 1
+                        if v == start:
+                            root_children += 1
+                        stack[-1] = (v, par, it)
+                        stack.append((w, v, iter(sorted(adj[w]))))
+                        advanced = True
+                        break
+                    elif disc[w] < disc[v]:
+                        estack.append((min(v, w), max(v, w)))
+                        low[v] = min(low[v], disc[w])
+                if advanced:
+                    continue
+                stack.pop()
+                if stack:
+                    u = stack[-1][0]
+                    low[u] = min(low[u], low[v])
+                    if low[v] >= disc[u]:
+                        comp = set()
+                        while estack:
+                            e = estack.pop()
+                            comp.add(e)
+                            if e == (min(u, v), max(u, v)):
+                                break
+                        comps.append(frozenset(comp))
+                        if u != start:
+                            arts.add(u)
+            if root_children >= 2:
+                arts.add(start)
+        return set(comps), arts
+
+    def _run(self, spark, edges):
+        from graphit_spark.kernels import (
+            articulation_points,
+            biconnected_components,
+            bridges,
+        )
+
+        g = LinkGraph.from_pairs(spark, edges, persist=False)
+        rows = biconnected_components(g).collect()
+        groups = {}
+        for r in rows:
+            groups.setdefault(r["comp"], set()).add((r["u"], r["v"]))
+        got_comps = set(frozenset(s) for s in groups.values())
+        want_comps, want_arts = self._brute(edges)
+        assert got_comps == want_comps
+        got_arts = sorted(
+            r["id"] for r in articulation_points(g).collect()
+        )
+        assert got_arts == sorted(want_arts)
+        # bridges kernel cross-check: bridges == singleton classes
+        got_bridges = sorted(
+            (r["u"], r["v"]) for r in bridges(g).collect()
+        )
+        singletons = sorted(
+            next(iter(s)) for s in got_comps if len(s) == 1
+        )
+        assert got_bridges == singletons
+
+    def test_textbook(self, spark):
+        # two cycles sharing articulation 3, plus a pendant path
+        self._run(
+            spark,
+            [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 5), (5, 3),
+             (5, 6), (6, 7)],
+        )
+
+    def test_random_graphs(self, spark):
+        import random
+
+        for seed in (3, 4):
+            rng = random.Random(seed)
+            edges = [
+                (rng.randrange(22), rng.randrange(22)) for _ in range(36)
+            ]
+            self._run(spark, edges)

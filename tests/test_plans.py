@@ -888,3 +888,38 @@ def test_bridges_plan_shape(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
     assert "partial_min" in plan
+
+
+def test_biconnected_climb_plan_shape(spark):
+    """One LCA climb round = the live walker set equi-joined to the
+    node table twice — partial aggregates in the aux CC gather, no
+    cartesian in the climb."""
+    from pyspark.sql import functions as F
+
+    from graphit_spark.benchqueries import BRIDGE_MOD, graph
+    from graphit_spark.kernels.bridges import _bfs_tree
+    from graphit_spark import LinkGraph
+
+    g = graph(spark, SF_DIR, "raw")
+    sparse = g.edges.filter((F.col("src") + F.col("dst")) % BRIDGE_MOD == 0)
+    sg = LinkGraph(sparse, persist=False)
+    und, sym, depth, parent = _bfs_tree(sg, 24, "plan-test")
+    npt = depth.join(parent, "id", "left").select("id", "depth", "parent")
+    tree = npt.filter(F.col("parent").isNotNull()).select(
+        F.least("parent", "id").alias("u"),
+        F.greatest("parent", "id").alias("v"),
+    )
+    nontree = und.join(tree, ["u", "v"], "left_anti")
+    state = nontree.select(
+        F.col("u").alias("ca"), F.col("v").alias("cb")
+    )
+    na = npt.select(
+        F.col("id").alias("ca"), F.col("depth").alias("da"),
+        F.col("parent").alias("pa"),
+    )
+    joined = state.join(na, "ca")
+    plan = _plan(joined)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    und.unpersist()
+    sym.unpersist()
