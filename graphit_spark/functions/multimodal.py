@@ -2,13 +2,17 @@
 
 Images/audio/video ride through the engine as `binary` columns with a
 small typed header; decode / feature-extract / resize / frame-sample run
-as Arrow-batched mapInPandas operators. Five REAL formats decode with
+as Arrow-batched mapInPandas operators. Six REAL formats decode with
 the stdlib alone and exercise the full pipeline end to end: BMP
 (uncompressed 8/24-bpp → grayscale, resize re-encodes a readable BMP),
 PNG (zlib inflate + all five scanline filters; gray/RGB/palette/alpha
 color types; resize re-encodes a readable grayscale PNG), GIF
 (full variable-width LZW + interlace + local color tables; resize
-re-encodes a readable GIF via literal-code LZW), netpbm PGM/PPM,
+re-encodes a readable GIF via literal-code LZW), baseline JPEG
+(SOF0 huffman + dequant + IDCT for grayscale/4:4:4 with arbitrary
+tables; the encoder emits Annex-K-quantized grayscale with a flat
+prefix code, so resize round-trips; progressive/subsampled raise),
+netpbm PGM/PPM,
 PCM WAV (via the `wave` module), and AVI video (real RIFF container
 parse; uncompressed 8-bpp DIB frame streams decode, frame_sample emits
 each kept frame as a readable BMP so the image operators compose
@@ -259,6 +263,298 @@ def encode_png_gray(arr) -> bytes:
         + chunk(b"IDAT", payload)
         + chunk(b"IEND", b"")
     )
+
+
+# --- real pure-stdlib baseline JPEG (SOF0) codec ---
+# Decoder: any baseline grayscale/YCbCr 4:4:4 stream with arbitrary
+# DHT/DQT tables (returns the Y plane — JPEG luma IS the 601-weighted
+# luminance the other decoders produce). Encoder: single-component
+# grayscale baseline with the Annex-K luminance quant table and a
+# trivially-valid flat Huffman table (all 256 symbols at 8 bits — a
+# complete prefix code, so any conforming decoder reads it; optimal
+# coding is irrelevant here, byte-identical round-trips are).
+
+_JPEG_QT = [
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+
+
+def _zigzag():
+    """The 64-entry zigzag index order, generated (not transcribed):
+    anti-diagonals, alternating direction."""
+    order = []
+    for s in range(15):
+        diag = [(i, s - i) for i in range(max(0, s - 7), min(8, s + 1))]
+        if s % 2 == 0:
+            diag.reverse()
+        order.extend(i * 8 + j for i, j in diag)
+    return order
+
+
+_ZZ = _zigzag()
+
+
+def _dct_matrix():
+    import numpy as np
+
+    t = np.zeros((8, 8))
+    for k in range(8):
+        for n in range(8):
+            t[k, n] = np.cos(np.pi * (2 * n + 1) * k / 16)
+    t *= 0.5
+    t[0, :] *= 1 / np.sqrt(2)
+    return t
+
+
+class _JpegBits:
+    """MSB-first bit reader over entropy-coded data with 0xFF00
+    unstuffing; stops at any real marker."""
+
+    def __init__(self, raw: bytes, off: int):
+        self.raw, self.off, self.cur, self.nbits = raw, off, 0, 0
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            b = self.raw[self.off]
+            if b == 0xFF:
+                nxt = self.raw[self.off + 1]
+                if nxt == 0x00:
+                    self.off += 2
+                else:
+                    raise EOFError("marker in entropy stream")
+            else:
+                self.off += 1
+            self.cur, self.nbits = b, 8
+        self.nbits -= 1
+        return (self.cur >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _huff_decode(bits: "_JpegBits", table: dict) -> int:
+    length, code = 0, 0
+    while length < 17:
+        code = (code << 1) | bits.bit()
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG huffman code")
+
+
+def _extend(v: int, n: int) -> int:
+    if n == 0:
+        return 0
+    return v if v >= (1 << (n - 1)) else v - (1 << n) + 1
+
+
+def _decode_jpeg(raw: bytes):
+    """Baseline (SOF0) JPEG → (h, w) uint8 luma plane. Components must
+    all have 1x1 sampling (4:4:4 or grayscale); progressive (SOF2),
+    subsampled, arithmetic-coded, and DRI/restart streams raise
+    NotImplementedError — real libraries plug in behind _HAVE_PIL."""
+    import numpy as np
+
+    if raw[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (no SOI)")
+    qt: dict[int, list] = {}
+    huff: dict[tuple, dict] = {}
+    frame = None
+    off = 2
+    while off < len(raw):
+        if raw[off] != 0xFF:
+            raise ValueError("bad JPEG marker stream")
+        while raw[off] == 0xFF:
+            off += 1
+        marker = raw[off]
+        off += 1
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        seglen = int.from_bytes(raw[off:off + 2], "big")
+        seg = raw[off + 2:off + seglen]
+        off += seglen
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                prec, tid = seg[p] >> 4, seg[p] & 0xF
+                p += 1
+                if prec:
+                    vals = [int.from_bytes(seg[p + 2 * i:p + 2 * i + 2],
+                                           "big") for i in range(64)]
+                    p += 128
+                else:
+                    vals = list(seg[p:p + 64])
+                    p += 64
+                qt[tid] = vals
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                cls, tid = seg[p] >> 4, seg[p] & 0xF
+                counts = list(seg[p + 1:p + 17])
+                p += 17
+                tbl, code = {}, 0
+                for ln in range(1, 17):
+                    for _ in range(counts[ln - 1]):
+                        tbl[(ln, code)] = seg[p]
+                        p += 1
+                        code += 1
+                    code <<= 1
+                huff[(cls, tid)] = tbl
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, nc = seg[0], int.from_bytes(seg[1:3], "big"), \
+                int.from_bytes(seg[3:5], "big"), seg[5]
+            comps = []
+            for i in range(nc):
+                cid, samp, tq = seg[6 + 3 * i], seg[7 + 3 * i], seg[8 + 3 * i]
+                if samp != 0x11:
+                    raise NotImplementedError(
+                        "subsampled JPEG needs PIL — not in this container"
+                    )
+                comps.append((cid, tq))
+            if prec != 8:
+                raise NotImplementedError("only 8-bit baseline JPEG")
+            frame = (h, w, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "non-baseline JPEG (progressive/arithmetic) needs PIL"
+            )
+        elif marker == 0xDD:  # DRI
+            if int.from_bytes(seg[:2], "big"):
+                raise NotImplementedError("JPEG restart intervals")
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF0")
+            h, w, comps = frame
+            ns = seg[0]
+            scan = []
+            for i in range(ns):
+                cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
+                tq = dict(comps)[cs]
+                scan.append((cs, tt >> 4, tt & 0xF, tq))
+            t = _dct_matrix()
+            bx, by = (w + 7) // 8, (h + 7) // 8
+            planes = {cs: np.zeros((by * 8, bx * 8), np.float64)
+                      for cs, _, _, _ in scan}
+            pred = {cs: 0 for cs, _, _, _ in scan}
+            bits = _JpegBits(raw, off)
+            for m in range(bx * by):
+                yb, xb = divmod(m, bx)
+                for cs, td, ta, tq in scan:
+                    zz = np.zeros(64)
+                    s = _huff_decode(bits, huff[(0, td)])
+                    pred[cs] += _extend(bits.bits(s), s)
+                    zz[0] = pred[cs]
+                    k = 1
+                    while k < 64:
+                        rs = _huff_decode(bits, huff[(1, ta)])
+                        r, sz = rs >> 4, rs & 0xF
+                        if sz == 0:
+                            if r == 15:
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        zz[k] = _extend(bits.bits(sz), sz)
+                        k += 1
+                    blk = np.zeros(64)
+                    blk[_ZZ] = zz * np.asarray(qt[tq], np.float64)
+                    px = t.T @ blk.reshape(8, 8) @ t + 128.0
+                    planes[cs][yb * 8:yb * 8 + 8, xb * 8:xb * 8 + 8] = px
+            y = planes[scan[0][0]][:h, :w]
+            return np.clip(np.rint(y), 0, 255).astype(np.uint8)
+        # APPn/COM and everything else: skipped
+    raise ValueError("JPEG had no scan data")
+
+
+def encode_jpeg_gray(arr) -> bytes:
+    """(h, w) uint8 → baseline grayscale JPEG (Annex-K luminance quant
+    table, flat 8-bit Huffman tables — valid, deliberately simple), so
+    resized output stays a readable real-format image."""
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    h, w = a.shape
+    by, bx = (h + 7) // 8, (w + 7) // 8
+    padded = np.empty((by * 8, bx * 8), np.float64)
+    padded[:h, :w] = a
+    padded[h:, :w] = a[h - 1:h, :]  # edge-replicate padding
+    padded[:, w:] = padded[:, w - 1:w]
+    t = _dct_matrix()
+    q = np.zeros(64)
+    q[_ZZ] = np.asarray(_JPEG_QT, np.float64)  # natural-order table
+    qnat = q.reshape(8, 8)
+
+    out = bytearray()
+    cur, nbits = 0, 0
+
+    def put(val: int, n: int) -> None:
+        nonlocal cur, nbits
+        for i in range(n - 1, -1, -1):
+            cur = (cur << 1) | ((val >> i) & 1)
+            nbits += 1
+            if nbits == 8:
+                out.append(cur)
+                if cur == 0xFF:
+                    out.append(0x00)
+                cur, nbits = 0, 0
+
+    pred = 0
+    for ybk in range(by):
+        for xbk in range(bx):
+            blk = padded[ybk * 8:ybk * 8 + 8, xbk * 8:xbk * 8 + 8] - 128.0
+            coef = t @ blk @ t.T
+            zz = np.rint(coef / qnat).astype(np.int64).reshape(64)[_ZZ]
+            dc = int(zz[0]) - pred
+            pred = int(zz[0])
+            mag = abs(dc)
+            sz = mag.bit_length()
+            put(sz, 8)  # flat 8-bit code for DC size symbol
+            if sz:
+                put(dc if dc > 0 else dc + (1 << sz) - 1, sz)
+            run = 0
+            for k in range(1, 64):
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    put(0xF0, 8)  # ZRL
+                    run -= 16
+                sz = abs(v).bit_length()
+                put((run << 4) | sz, 8)
+                put(v if v > 0 else v + (1 << sz) - 1, sz)
+                run = 0
+            if run:
+                put(0x00, 8)  # EOB
+    if nbits:
+        put((1 << (8 - nbits)) - 1, 8 - nbits)  # 1-pad final byte
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return b"\xff" + bytes([marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    dqt = seg(0xDB, bytes([0]) + bytes(_JPEG_QT))
+    sof = seg(0xC0, bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+              + bytes([1, 1, 0x11, 0]))
+    # 255 codes of length 8 + one of length 9: a valid prefix code
+    # over all 256 symbols with one unused 9-bit leaf
+    flat9 = bytes([0] * 7 + [255, 1] + [0] * 7) + bytes(range(256))
+    dht = seg(0xC4, bytes([0x00]) + flat9) + seg(0xC4, bytes([0x10]) + flat9)
+    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    return (b"\xff\xd8" + dqt + sof + dht + sos + bytes(out) + b"\xff\xd9")
 
 
 GIF_MAGICS = (b"GIF87a", b"GIF89a")
@@ -673,6 +969,31 @@ def attach_fake_images(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.mapInPandas(gen, schema=schema)
 
 
+def _jpeg_dims(raw: bytes):
+    """Header-only (h, w) from any SOFn marker — the EXIF-probe path;
+    works for progressive streams the full decoder refuses."""
+    off = 2
+    while off + 4 <= len(raw):
+        if raw[off] != 0xFF:
+            return None
+        while off < len(raw) and raw[off] == 0xFF:
+            off += 1
+        marker = raw[off]
+        off += 1
+        if marker in (0xD8, 0x01, 0xD9) or 0xD0 <= marker <= 0xD7:
+            continue
+        seglen = int.from_bytes(raw[off:off + 2], "big")
+        if marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                      0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            seg = raw[off + 2:off + seglen]
+            return (int.from_bytes(seg[1:3], "big"),
+                    int.from_bytes(seg[3:5], "big"))
+        if marker == 0xDA:
+            return None
+        off += seglen
+    return None
+
+
 def image_metadata(df: DataFrame, bin_col: str = "image") -> DataFrame:
     """(…, width int, height int, format string) parsed from the binary
     header — Arrow-batched; this is the shape a real EXIF/codec probe
@@ -699,6 +1020,11 @@ def image_metadata(df: DataFrame, bin_col: str = "image") -> DataFrame:
                 elif raw[:6] in GIF_MAGICS:
                     a, c = struct.unpack_from("<HH", raw, 6)
                     w.append(a); hh.append(c); fmt.append("gif")
+                elif raw[:3] == b"\xff\xd8\xff":
+                    d = _jpeg_dims(raw)
+                    w.append(d[1] if d else None)
+                    hh.append(d[0] if d else None)
+                    fmt.append("jpeg")
                 elif raw[:2] in (b"P5", b"P6"):
                     arr = _decode_pnm(raw)  # header-light format
                     w.append(arr.shape[1]); hh.append(arr.shape[0])
@@ -740,6 +1066,8 @@ def image_features(df: DataFrame, bin_col: str = "image") -> DataFrame:
                     arr = _decode_png(raw).ravel()  # real decode path
                 elif raw[:6] in GIF_MAGICS:
                     arr = _decode_gif(raw).ravel()  # real decode path
+                elif raw[:3] == b"\xff\xd8\xff":
+                    arr = _decode_jpeg(raw).ravel()  # real decode path
                 elif raw[:2] in (b"P5", b"P6"):
                     arr = _decode_pnm(raw).ravel()  # real decode path
                 elif _HAVE_PIL:  # pragma: no cover
@@ -865,9 +1193,13 @@ def image_resize(
                     arr = _decode_pnm(raw)  # real decode path
                     h, w = arr.shape
                     fmt = "pnm"
+                elif raw[:3] == b"\xff\xd8\xff":
+                    arr = _decode_jpeg(raw)  # real decode path
+                    h, w = arr.shape
+                    fmt = "jpeg"
                 else:
                     raise NotImplementedError(
-                        "image decode beyond BMP/PNG/GIF/PNM needs "
+                        "image decode beyond BMP/PNG/GIF/JPEG/PNM needs "
                         "PIL/ffmpeg — not in this container"
                     )
                 ys = (np.arange(height) * h // height).clip(0, h - 1)
@@ -883,6 +1215,8 @@ def image_resize(
                     out_bytes.append(encode_gif_gray(resized))
                 elif fmt == "pnm":
                     out_bytes.append(encode_pgm_gray(resized))
+                elif fmt == "jpeg":
+                    out_bytes.append(encode_jpeg_gray(resized))
                 else:
                     out_bytes.append(
                         IMG_MAGIC

@@ -222,10 +222,12 @@ class TestRealCodecs:
         from graphit_spark.functions.multimodal import image_features
 
         df = spark.createDataFrame(
-            [(0, bytearray(b"\xff\xd8\xff\xe0 jpeg not supported"))],
+            [(0, bytearray(b"II*\x00 tiff not supported"))],
             "doc_id long, image binary",
         )
-        with pytest.raises(Exception, match="decode beyond BMP/PNG/GIF/PNM"):
+        with pytest.raises(
+            Exception, match="decode beyond BMP/PNG/GIF/PNM"
+        ):
             image_features(df).collect()
 
 
@@ -608,3 +610,105 @@ class TestAviCodec:
         raw[strf_at + 8 + 16:strf_at + 8 + 20] = b"MJPG"
         with _pytest.raises(NotImplementedError):
             _decode_avi(bytes(raw))
+
+
+class TestJpegCodec:
+    def test_roundtrip_close_on_smooth_image(self):
+        import numpy as np
+
+        from graphit_spark.functions.multimodal import (
+            _decode_jpeg,
+            encode_jpeg_gray,
+        )
+
+        grad = np.add.outer(
+            np.arange(32) * 3, np.arange(40) * 2
+        ).astype(np.uint8)
+        dec = _decode_jpeg(encode_jpeg_gray(grad))
+        assert dec.shape == grad.shape
+        err = np.abs(dec.astype(int) - grad.astype(int))
+        # lossy by design: quantization error, bounded and small on a
+        # smooth ramp
+        assert err.max() <= 8 and err.mean() < 2.0
+
+    def test_roundtrip_nonmultiple_of_8_dims(self):
+        import numpy as np
+
+        from graphit_spark.functions.multimodal import (
+            _decode_jpeg,
+            encode_jpeg_gray,
+        )
+
+        rng = np.random.RandomState(5)
+        img = rng.randint(0, 256, (23, 17), dtype=np.uint8)
+        dec = _decode_jpeg(encode_jpeg_gray(img))
+        assert dec.shape == (23, 17)  # padding cropped exactly
+
+    def test_flat_image_roundtrips_exactly(self):
+        import numpy as np
+
+        from graphit_spark.functions.multimodal import (
+            _decode_jpeg,
+            encode_jpeg_gray,
+        )
+
+        # 80: DC = 8*(80-128) = -384 = -24 * 16 — lands exactly on the
+        # quant grid, so a flat image reconstructs bitwise (odd values
+        # sit on a half-step and shift by one: JPEG, working as designed)
+        img = np.full((16, 16), 80, dtype=np.uint8)
+        assert (_decode_jpeg(encode_jpeg_gray(img)) == img).all()
+
+    def test_progressive_raises(self):
+        import pytest
+
+        from graphit_spark.functions.multimodal import (
+            _decode_jpeg,
+            encode_jpeg_gray,
+        )
+        import numpy as np
+
+        raw = bytearray(
+            encode_jpeg_gray(np.zeros((8, 8), dtype=np.uint8))
+        )
+        i = raw.index(0xC0, 2)  # SOF0 marker byte (after 0xFF)
+        assert raw[i - 1] == 0xFF
+        raw[i] = 0xC2  # pretend progressive
+        with pytest.raises(NotImplementedError):
+            _decode_jpeg(bytes(raw))
+
+    def test_jpeg_through_pipeline_and_resize_stays_jpeg(self, spark):
+        import numpy as np
+
+        from graphit_spark.functions.multimodal import (
+            _decode_jpeg,
+            encode_jpeg_gray,
+            image_features,
+            image_metadata,
+            image_resize,
+        )
+
+        imgs = [
+            np.add.outer(
+                np.arange(20) * (i + 2), np.arange(30)
+            ).astype(np.uint8)
+            for i in range(3)
+        ]
+        df = spark.createDataFrame(
+            [(i, bytearray(encode_jpeg_gray(img))) for i, img in
+             enumerate(imgs)],
+            "doc_id long, image binary",
+        )
+        meta = {
+            r["doc_id"]: (r["width"], r["height"], r["format"])
+            for r in image_metadata(df).collect()
+        }
+        assert meta == {0: (30, 20, "jpeg"), 1: (30, 20, "jpeg"),
+                        2: (30, 20, "jpeg")}
+        feats = image_features(df).collect()
+        assert len(feats) == 3 and all(
+            0 <= r["px_mean"] <= 255 for r in feats
+        )
+        resized = image_resize(df, 10, 8).collect()
+        for r in resized:
+            arr = _decode_jpeg(bytes(r["image"]))
+            assert arr.shape == (8, 10)  # still a readable real JPEG
