@@ -14,8 +14,10 @@ tables; the encoder emits Annex-K-quantized grayscale with a flat
 prefix code, so resize round-trips; progressive/subsampled raise),
 netpbm PGM/PPM,
 PCM WAV (via the `wave` module), and AVI video (real RIFF container
-parse; uncompressed 8-bpp DIB frame streams decode, frame_sample emits
-each kept frame as a readable BMP so the image operators compose
+parse; uncompressed 8-bpp DIB frame streams decode, and MOTION-JPEG
+('MJPG') streams decode through the real JPEG codec — the engine both
+writes and reads a genuinely compressed video format; frame_sample
+emits each kept frame as a readable BMP so the image operators compose
 downstream). Everything beyond those is STUBBED (this container has no
 PIL/ffmpeg — compressed video/image codecs genuinely need them): real
 libraries plug in behind the `_HAVE_PIL` import-try, and the
@@ -855,10 +857,19 @@ def _decode_avi(raw: bytes):
     w, h, _frames, bpp, comp, pal_raw, movi = _avi_headers(raw)
     if w is None or movi is None:
         raise ValueError("AVI missing avih/movi")
+    if comp == MJPG_FOURCC:
+        # Motion-JPEG: every '00dc' chunk is a standalone baseline JPEG
+        # — decoded by the real JPEG codec above, no ffmpeg needed
+        out = []
+        for fourcc, _lt, doff, dsz in _walk_riff(raw, movi[0], movi[1]):
+            if fourcc[2:4] == b"dc" and dsz:
+                out.append(_decode_jpeg(raw[doff:doff + dsz]))
+        return out
     if comp != 0 or bpp != 8:
         raise NotImplementedError(
             f"AVI bpp={bpp} compression={comp:#x} unsupported "
-            "(only uncompressed 8-bpp DIB; compressed video needs ffmpeg)"
+            "(only uncompressed 8-bpp DIB or MJPG; other compressed "
+            "video needs ffmpeg)"
         )
     if pal_raw:
         n_pal = min(len(pal_raw) // 4, 256)
@@ -881,6 +892,58 @@ def _decode_avi(raw: bytes):
                 raise ValueError("AVI pixel index beyond palette size")
             out.append(lum[px])
     return out
+
+
+MJPG_FOURCC = int.from_bytes(b"MJPG", "little")
+
+
+def encode_avi_mjpg(frames, fps: int = 10) -> bytes:
+    """List of (h, w) uint8 arrays → Motion-JPEG AVI: biCompression =
+    'MJPG', one standalone baseline grayscale JPEG (encode_jpeg_gray)
+    per '00dc' chunk — a REAL compressed video format the engine both
+    writes and reads end to end."""
+    import numpy as np
+
+    frames = [np.asarray(f, dtype=np.uint8) for f in frames]
+    if not frames:
+        raise ValueError("need at least one frame")
+    h, w = frames[0].shape
+    payloads = []
+    for f in frames:
+        if f.shape != (h, w):
+            raise ValueError("all frames must share one shape")
+        payloads.append(encode_jpeg_gray(f))
+    buf_sz = max(len(p) for p in payloads)
+
+    def chunk(fourcc: bytes, data: bytes) -> bytes:
+        return fourcc + struct.pack("<I", len(data)) + data + (
+            b"\x00" if len(data) & 1 else b""
+        )
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    avih = struct.pack(
+        "<10I", 1_000_000 // fps, buf_sz * fps, 0, 0x10, len(frames),
+        0, 1, buf_sz, w, h,
+    ) + b"\x00" * 16
+    strh = (
+        b"vidsMJPG"
+        + struct.pack("<IHHIIIIIIIi", 0, 0, 0, 0, 1, fps, 0, len(frames),
+                      buf_sz, 0, 0)
+        + struct.pack("<4H", 0, 0, w, h)
+    )
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, MJPG_FOURCC,
+                       buf_sz, 2835, 2835, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi_body, idx, off = b"", b"", 4
+    for data in payloads:
+        movi_body += chunk(b"00dc", data)
+        idx += b"00dc" + struct.pack("<III", 0x10, off, len(data))
+        off += 8 + len(data) + (len(data) & 1)
+    body = hdrl + lst(b"movi", movi_body) + chunk(b"idx1", idx)
+    return b"RIFF" + struct.pack("<I", len(body) + 4) + b"AVI " + body
 
 
 def encode_avi_gray(frames, fps: int = 10) -> bytes:

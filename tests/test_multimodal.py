@@ -712,3 +712,41 @@ class TestJpegCodec:
         for r in resized:
             arr = _decode_jpeg(bytes(r["image"]))
             assert arr.shape == (8, 10)  # still a readable real JPEG
+
+
+class TestMjpgAvi:
+    def test_mjpg_roundtrip_and_frame_sample(self, spark):
+        import numpy as np
+
+        from graphit_spark.functions.multimodal import (
+            _decode_avi,
+            _decode_bmp,
+            encode_avi_mjpg,
+            frame_sample,
+            image_metadata,
+        )
+
+        frames = [
+            np.add.outer(
+                np.arange(16) * (i + 1), np.arange(24)
+            ).astype(np.uint8)
+            for i in range(4)
+        ]
+        raw = encode_avi_mjpg(frames)
+        dec = _decode_avi(raw)
+        assert len(dec) == 4 and dec[0].shape == (16, 24)
+        for d, f in zip(dec, frames):
+            assert np.abs(d.astype(int) - f.astype(int)).max() <= 4
+
+        df = spark.createDataFrame(
+            [(0, bytearray(raw))], "doc_id long, video binary"
+        )
+        meta = image_metadata(df, bin_col="video").collect()[0]
+        assert (meta["width"], meta["height"], meta["format"]) == (
+            24, 16, "avi",
+        )
+        kept = frame_sample(df, every_n=2).collect()
+        assert len(kept) == 2  # frames 0 and 2
+        for r in kept:
+            arr = _decode_bmp(bytes(r["frame"]))
+            assert arr.shape == (16, 24)
