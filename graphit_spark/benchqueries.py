@@ -731,14 +731,15 @@ per AS (
          USING (id)
 ),
 st AS (
-  SELECT CAST(count(*) AS BIGINT) AS n,
-         CAST(sum(scan1) AS BIGINT) AS s,
-         CAST(sum(scan1 * scan1) AS BIGINT) AS q
+  SELECT CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(scan1) AS HUGEINT) AS s,
+         CAST(sum(scan1 * scan1) AS HUGEINT) AS q
   FROM per
 )
 SELECT p.id, p.degree, p.tri_count, p.scan1,
-       CAST(CASE WHEN p.scan1 * st.n - st.s > 0
-                  AND (p.scan1 * st.n - st.s) * (p.scan1 * st.n - st.s)
+       CAST(CASE WHEN CAST(p.scan1 AS HUGEINT) * st.n - st.s > 0
+                  AND (CAST(p.scan1 AS HUGEINT) * st.n - st.s)
+                      * (CAST(p.scan1 AS HUGEINT) * st.n - st.s)
                       > 9 * (st.n * st.q - st.s * st.s)
                  THEN 1 ELSE 0 END AS INTEGER) AS is_anomaly
 FROM per p, st
@@ -1854,6 +1855,18 @@ BRIDGE_MOD = 5  # deterministic sparse subgraph: dense webgraphs are
 BRIDGE_ROUNDS = 20
 
 
+def _sparse_cut_graph(spark, sf_dir):
+    """The deterministic sparse subgraph every cut-structure query runs
+    on (dense webgraphs are 2-edge-connected almost everywhere): keep
+    edges with (src + dst) % BRIDGE_MOD == 0 — the single definition
+    the three queries AND the shared twin CTEs must agree on."""
+    g = graph(spark, sf_dir, "raw")
+    sparse = g.edges.filter(
+        (F.col("src") + F.col("dst")) % BRIDGE_MOD == 0
+    )
+    return LinkGraph(sparse, persist=False)
+
+
 def q_bridges(spark, sf_dir):
     """Bridge detection (2-edge-connectivity) on a deterministic sparse
     subgraph — BFS-tree + XOR cut-coverage hashing
@@ -1862,12 +1875,8 @@ def q_bridges(spark, sf_dir):
     linear-sketch formulation that distributes."""
     from graphit_spark.kernels import bridges
 
-    g = graph(spark, sf_dir, "raw")
-    sparse = g.edges.filter(
-        (F.col("src") + F.col("dst")) % BRIDGE_MOD == 0
-    )
-    sg = LinkGraph(sparse, persist=False)
-    return bridges(sg, max_rounds=BRIDGE_ROUNDS)
+    return bridges(_sparse_cut_graph(spark, sf_dir),
+                   max_rounds=BRIDGE_ROUNDS)
 
 
 def _cut_tree_ctes(mod: int, rounds: int) -> list:
@@ -1985,7 +1994,11 @@ ORDER BY u, v"""
     )
 
 
-BICONN_CLIMB = 24  # >= 2x max BFS depth on the sparse subgraph
+BICONN_CLIMB = 40  # = the kernel's own climb cap (2 x BRIDGE_ROUNDS):
+# the twin must cover every climb the kernel can SUCCEED at, so a deep
+# tree either converges identically in both engines or raises in the
+# kernel — never a silent twin truncation (measured max need at sf0.1
+# is 24; rounds beyond the actual depth are empty no-ops)
 BICONN_CC = 12  # gather + two doubling hops per round: covers 2^12
 
 
@@ -1996,13 +2009,9 @@ def q_biconnected(spark, sf_dir):
     exactly the singleton classes."""
     from graphit_spark.kernels import biconnected_components
 
-    g = graph(spark, sf_dir, "raw")
-    sparse = g.edges.filter(
-        (F.col("src") + F.col("dst")) % BRIDGE_MOD == 0
-    )
-    sg = LinkGraph(sparse, persist=False)
     return biconnected_components(
-        sg, max_rounds=BRIDGE_ROUNDS, cc_rounds=BICONN_CC
+        _sparse_cut_graph(spark, sf_dir),
+        max_rounds=BRIDGE_ROUNDS, cc_rounds=BICONN_CC,
     )
 
 
@@ -2011,13 +2020,9 @@ def q_articulation(spark, sf_dir):
     biconnected components (kernels/bridges.py::articulation_points)."""
     from graphit_spark.kernels import articulation_points
 
-    g = graph(spark, sf_dir, "raw")
-    sparse = g.edges.filter(
-        (F.col("src") + F.col("dst")) % BRIDGE_MOD == 0
-    )
-    sg = LinkGraph(sparse, persist=False)
     return articulation_points(
-        sg, max_rounds=BRIDGE_ROUNDS, cc_rounds=BICONN_CC
+        _sparse_cut_graph(spark, sf_dir),
+        max_rounds=BRIDGE_ROUNDS, cc_rounds=BICONN_CC,
     )
 
 

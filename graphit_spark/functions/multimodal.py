@@ -1137,7 +1137,7 @@ def image_features(df: DataFrame, bin_col: str = "image") -> DataFrame:
                     raise NotImplementedError("real codec path not wired")
                 else:
                     raise NotImplementedError(
-                        "image decode beyond BMP/PNG/GIF/PNM needs "
+                        "image decode beyond BMP/PNG/GIF/JPEG/PNM needs "
                         "PIL/ffmpeg — not in this container"
                     )
                 mean.append(float(arr.mean()) if arr.size else 0.0)

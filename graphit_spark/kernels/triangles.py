@@ -263,13 +263,18 @@ def scan_statistics(graph: LinkGraph) -> DataFrame:
         "tri_count",
         (F.col("degree") + F.col("tri_count")).alias("scan1"),
     )
+    # moments in DECIMAL(38,0): dev^2 and N*Q reach ~10^24 at 10^8
+    # vertices — far past int64 — and the flag must stay EXACT integer
+    # arithmetic at any scale (DuckDB twin computes the same products in
+    # HUGEINT/int128)
+    dec = "decimal(38,0)"
     stats = per.agg(
-        F.count("*").alias("n"),
-        F.sum("scan1").alias("s"),
-        F.sum(F.col("scan1") * F.col("scan1")).alias("q"),
+        F.count("*").cast(dec).alias("n"),
+        F.sum("scan1").cast(dec).alias("s"),
+        F.sum(F.col("scan1") * F.col("scan1")).cast(dec).alias("q"),
     )
-    dev = F.col("scan1") * F.col("n") - F.col("s")
-    var_term = F.lit(9) * (
+    dev = F.col("scan1").cast(dec) * F.col("n") - F.col("s")
+    var_term = F.lit(9).cast(dec) * (
         F.col("n") * F.col("q") - F.col("s") * F.col("s")
     )
     return per.crossJoin(F.broadcast(stats)).select(

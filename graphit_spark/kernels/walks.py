@@ -714,13 +714,22 @@ def montecarlo_pagerank(
         )
         .transform(fresh_checkpoint)
     )
-    parts = [cur.select(F.col("v").alias("vertex"))]
+    # per-step VISIT COUNTS (V-bounded), not per-step positions: the
+    # frontier checkpoint is released as soon as its successor
+    # materializes, so only one walk-count-sized table is ever pinned —
+    # at V·R walks the retained-positions alternative holds
+    # walk_len+1 frontiers in the block manager simultaneously
+    parts = [
+        cur.groupBy(F.col("v").alias("vertex"))
+        .agg(F.count("*").alias("c"))
+        .transform(fresh_checkpoint)
+    ]
     for t in range(1, walk_len + 1):
         alive = cur.filter(
             _hash_mod(F.col("walk_id"), t, seed + 101, F.lit(20)) < 17
         )
         idx = _hash_mod(F.col("walk_id"), t, seed, F.size("nbrs"))
-        cur = (
+        nxt = (
             alive.join(adj, alive["v"] == adj["src"])
             .select(
                 "walk_id",
@@ -728,11 +737,20 @@ def montecarlo_pagerank(
             )
             .transform(fresh_checkpoint)
         )
-        parts.append(cur.select(F.col("v").alias("vertex")))
+        cur.unpersist()
+        cur = nxt
+        parts.append(
+            cur.groupBy(F.col("v").alias("vertex"))
+            .agg(F.count("*").alias("c"))
+            .transform(fresh_checkpoint)
+        )
+    cur.unpersist()
     visits = parts[0]
     for p in parts[1:]:
         visits = visits.unionByName(p)
-    counts = visits.groupBy("vertex").agg(F.count("*").alias("visits"))
+    counts = visits.groupBy("vertex").agg(
+        F.sum("c").cast("long").alias("visits")
+    )
     out = (
         graph.vertices()
         .join(counts, F.col("id") == F.col("vertex"), "left")

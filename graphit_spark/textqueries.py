@@ -1255,13 +1255,12 @@ def q_feature_prop(spark, sf_dir):
     return S.feature_propagation(emb, sym, rounds=FEATPROP_ROUNDS)
 
 
-def _feature_prop_sql(rounds: int = FEATPROP_ROUNDS) -> str:
-    """Twin of q_feature_prop: same knn + UNION symmetrization CTEs as
-    the topics twin, then each round is an exact integer mean per
-    (vertex, dim) — floor-scaled micro-units, floor(double-division)
-    on both engines, one rounded double only at the end."""
-    sc = S.FEATPROP_SCALE
-    ctes = [
+def _knn_ctes() -> list:
+    """The v/b/kg CTE triplet every k-NN-graph twin shares (knn edges =
+    LSH-bucketed per-vector top-k, the exact mirror of
+    functions/similarity.py::knn_graph) — ONE definition, so a tweak to
+    the bucket join or tie-break cannot desynchronize a twin."""
+    return [
         """v AS (SELECT vec_id, embedding::DOUBLE[] AS ev,
               len(embedding) AS d FROM embeddings)""",
         f"""b AS (
@@ -1278,6 +1277,16 @@ def _feature_prop_sql(rounds: int = FEATPROP_ROUNDS) -> str:
     FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
   ) x WHERE rn <= {KNN_GRAPH_K}
 )""",
+    ]
+
+
+def _feature_prop_sql(rounds: int = FEATPROP_ROUNDS) -> str:
+    """Twin of q_feature_prop: same knn + UNION symmetrization CTEs as
+    the topics twin, then each round is an exact integer mean per
+    (vertex, dim) — floor-scaled micro-units, floor(double-division)
+    on both engines, one rounded double only at the end."""
+    sc = S.FEATPROP_SCALE
+    ctes = _knn_ctes() + [
         "esym AS MATERIALIZED (SELECT src, dst FROM kg "
         "UNION SELECT dst, src FROM kg)",
         f"""q0 AS MATERIALIZED (
@@ -1334,23 +1343,7 @@ def _graph_topk_sql(
     """Twin of q_graph_topk: the shared knn CTE, then each beam round
     unrolled — expand along kg, union, exact cosine, keep top-beam by
     (score desc, id asc); final top-k excludes the self-match."""
-    ctes = [
-        """v AS (SELECT vec_id, embedding::DOUBLE[] AS ev,
-              len(embedding) AS d FROM embeddings)""",
-        f"""b AS (
-  SELECT vec_id, ev,
-         {_SQL_LSH_BUCKET.format(v='v.ev', d='v.d')} AS bucket
-  FROM v
-)""",
-        f"""kg AS MATERIALIZED (
-  SELECT src, dst FROM (
-    SELECT a.vec_id AS src, b.vec_id AS dst,
-           row_number() OVER (PARTITION BY a.vec_id
-                              ORDER BY {_SQL_COS.format(a='a.ev', b='b.ev')} DESC,
-                                       b.vec_id ASC) AS rn
-    FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
-  ) x WHERE rn <= {KNN_GRAPH_K}
-)""",
+    ctes = _knn_ctes() + [
         f"qs AS (SELECT vec_id AS query_id, ev AS qv FROM v WHERE vec_id < {TOPK_QUERIES})",
         "bm0 AS (SELECT query_id, CAST(0 AS BIGINT) AS cid FROM qs)",
     ]
@@ -2922,23 +2915,7 @@ def _semantic_topics_sql(rounds: int = TOPIC_ROUNDS) -> str:
     SQL_KNN_GRAPH, symmetrized by UNION (the kernel's E ∪ Eᵀ dedup),
     then LPA rounds unrolled with the kernel's exact argmax total order
     (count desc, label asc)."""
-    ctes = [
-        """v AS (SELECT vec_id, embedding::DOUBLE[] AS ev,
-              len(embedding) AS d FROM embeddings)""",
-        f"""b AS (
-  SELECT vec_id, ev,
-         {_SQL_LSH_BUCKET.format(v='v.ev', d='v.d')} AS bucket
-  FROM v
-)""",
-        f"""kg AS MATERIALIZED (
-  SELECT src, dst FROM (
-    SELECT a.vec_id AS src, b.vec_id AS dst,
-           row_number() OVER (PARTITION BY a.vec_id
-                              ORDER BY {_SQL_COS.format(a='a.ev', b='b.ev')} DESC,
-                                       b.vec_id ASC) AS rn
-    FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
-  ) x WHERE rn <= {KNN_GRAPH_K}
-)""",
+    ctes = _knn_ctes() + [
         "esym AS MATERIALIZED (SELECT src, dst FROM kg "
         "UNION SELECT dst, src FROM kg)",
         "verts AS (SELECT vec_id AS id FROM embeddings)",

@@ -226,7 +226,7 @@ class TestRealCodecs:
             "doc_id long, image binary",
         )
         with pytest.raises(
-            Exception, match="decode beyond BMP/PNG/GIF/PNM"
+            Exception, match="decode beyond BMP/PNG/GIF/JPEG/PNM"
         ):
             image_features(df).collect()
 
