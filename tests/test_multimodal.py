@@ -605,9 +605,10 @@ class TestAviCodec:
         import pytest as _pytest
 
         raw = bytearray(encode_avi_gray(self._frames(2)))
-        # flip strf biCompression to MJPG's fourcc value
+        # flip strf biCompression to an H.264 fourcc (MJPG now decodes
+        # for real through the JPEG codec — see TestMjpgAvi)
         strf_at = raw.find(b"strf")
-        raw[strf_at + 8 + 16:strf_at + 8 + 20] = b"MJPG"
+        raw[strf_at + 8 + 16:strf_at + 8 + 20] = b"H264"
         with _pytest.raises(NotImplementedError):
             _decode_avi(bytes(raw))
 
