@@ -3848,7 +3848,8 @@ def ppr_push_sql(rounds: int = 12, source: int = PUSH_SOURCE,
     return (
         "WITH " + ",\n".join(ctes)
         + f"""
-SELECT id, p AS ppr_units, r AS r_units, p / 1000000000.0 AS ppr
+SELECT id, CAST(p AS BIGINT) AS ppr_units, CAST(r AS BIGINT) AS r_units,
+       CAST(p AS BIGINT) / 1000000000.0 AS ppr
 FROM s{rounds} WHERE r > 0 ORDER BY id"""
     )
 

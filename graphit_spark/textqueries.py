@@ -104,7 +104,9 @@ def q_inverted_index(spark, sf_dir):
     frequency, for terms above a df floor. The classic index-build
     plan: one explode → distinct (doc, term) → one groupBy(term) with
     sorted collect — term-keyed shuffles only, postings arrays sorted
-    so the output is order-deterministic across engines."""
+    so the output is order-deterministic across engines. Postings are
+    emitted space-joined as a flat string (not array<long>) so a
+    harness that canonicalizes pandas columns can hash the result."""
     docs = load(spark, sf_dir, "documents")
     terms = docs.select(
         "doc_id",
@@ -116,7 +118,9 @@ def q_inverted_index(spark, sf_dir):
         terms.groupBy("term")
         .agg(
             F.count("*").alias("df"),
-            F.sort_array(F.collect_list("doc_id")).alias("postings"),
+            F.array_join(
+                F.sort_array(F.collect_list("doc_id")), " "
+            ).alias("postings"),
         )
         .filter(F.col("df") >= INDEX_MIN_DF)
     )
@@ -3766,7 +3770,7 @@ WITH terms AS MATERIALIZED (
   FROM documents
 )
 SELECT term, CAST(count(*) AS BIGINT) AS df,
-       list(doc_id ORDER BY doc_id) AS postings
+       array_to_string(list(doc_id ORDER BY doc_id), ' ') AS postings
 FROM terms GROUP BY term
 HAVING count(*) >= {INDEX_MIN_DF}
 ORDER BY term
