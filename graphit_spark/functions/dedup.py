@@ -24,6 +24,8 @@ Spark `conv(substr(md5(x),1,8),16,10)` == DuckDB
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 MERSENNE31 = (1 << 31) - 1
@@ -178,12 +180,55 @@ def band_table(
     )
 
 
+LSH_MAX_BUCKET = 5000  # band-bucket occupancy ceiling (hot-band blacklist)
+
+
+def lsh_band_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 4,
+    rows_per_band: int = 2,
+    max_bucket: int = LSH_MAX_BUCKET,
+) -> DataFrame:
+    """(band, bkey, bucket_docs, is_hot) occupancy per LSH band bucket —
+    the observability companion to lsh_candidate_pairs' hot-band cap:
+    pipelines log SUM(bucket_docs) WHERE is_hot as the dropped mass."""
+    occ = (
+        band_table(df, text_col, k, rows_per_band)
+        .groupBy("band", "bkey")
+        .agg(F.count("*").alias("bucket_docs"))
+    )
+    return occ.select(
+        "band", "bkey", "bucket_docs",
+        (F.col("bucket_docs") > max_bucket).alias("is_hot"),
+    )
+
+
 def lsh_candidate_pairs(
-    df: DataFrame, text_col: str = "text", k: int = 4, rows_per_band: int = 2
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 4,
+    rows_per_band: int = 2,
+    max_bucket: int | None = LSH_MAX_BUCKET,
 ) -> DataFrame:
     """(doc_a, doc_b) candidate near-dup pairs: documents sharing any
     LSH band (band = md5 of rows_per_band concatenated minhashes).
-    Bucket join, doc_a < doc_b, distinct."""
+    Bucket join, doc_a < doc_b, distinct.
+
+    Hot-band cap (the 100 TB guard): the band self-join is Σ bucket²
+    over bucket occupancies, so ONE degenerate bucket — a
+    boilerplate-heavy shard putting 10⁵+ near-identical docs behind the
+    same band key — is 10¹⁰ candidate pairs from a single key. Buckets
+    holding more than ``max_bucket`` documents are dropped wholesale
+    before the join (a band key shared by that many documents carries
+    no discriminative signal — the same df-blacklist discipline as
+    source_mirror_pairs' boilerplate drop); near-dup pairs inside a
+    dropped bucket are still found through their other, non-degenerate
+    bands. The cap is never silent: dropped bucket/doc-slot counts are
+    logged eagerly per call, and lsh_band_stats exposes the full
+    occupancy table. ``max_bucket=None`` disables the cap (the
+    uncapped rule is the streaming dedup equivalence contract,
+    streaming/incremental.py)."""
     # one scan of the signatures: every band key comes out of a single
     # explode, and the materialized band table feeds both join sides —
     # the shingle explosion + minhash aggregation run exactly once, not
@@ -192,6 +237,33 @@ def lsh_candidate_pairs(
     allb = band_table(df, text_col, k, rows_per_band).localCheckpoint(
         eager=True
     )
+    if max_bucket is not None:
+        occ = allb.groupBy("band", "bkey").agg(F.count("*").alias("__occ"))
+        # no silent caps: one cheap aggregation over the materialized
+        # band table (scalar collect — driver receives 1 row).
+        dropped = (
+            occ.filter(F.col("__occ") > max_bucket)
+            .agg(
+                F.count("*").alias("hot_buckets"),
+                F.coalesce(F.sum("__occ"), F.lit(0)).alias("dropped_slots"),
+            )
+            .collect()[0]
+        )
+        if dropped["hot_buckets"]:
+            logging.getLogger("graphit_spark.dedup").warning(
+                "lsh_candidate_pairs: dropped %d hot band bucket(s) "
+                "(> %d docs), %d doc-slots excluded from candidate "
+                "generation; see lsh_band_stats for the occupancy table",
+                dropped["hot_buckets"], max_bucket, dropped["dropped_slots"],
+            )
+        # occupancy joins back on the SAME (band, bkey) key as the pair
+        # self-join below — no broadcast of a possibly-large hot list,
+        # and the shuffle partitioning is reused across both joins.
+        allb = (
+            allb.join(occ, ["band", "bkey"])
+            .filter(F.col("__occ") <= max_bucket)
+            .drop("__occ")
+        )
     left = allb.select("band", "bkey", F.col("doc_id").alias("doc_a"))
     right = allb.select("band", "bkey", F.col("doc_id").alias("doc_b"))
     return (

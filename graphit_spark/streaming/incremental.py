@@ -265,7 +265,9 @@ def incremental_lsh_dedup_stream(
     Contract (pinned in tests/test_streaming.py): because ALL arriving
     documents' bands are registered — suppressed ones too — the kept
     set after in-doc_id-order delivery equals the batch rule's keep set
-    exactly: {d : d appears as doc_b in no lsh_candidate_pairs row},
+    exactly: {d : d appears as doc_b in no lsh_candidate_pairs row}
+    (the UNCAPPED rule, max_bucket=None — the batch hot-band cap is a
+    candidate-generation bound, not part of this keep-set contract),
     i.e. batch `dedup_lsh_pairs` + min-id-wins. Under out-of-order
     delivery a doc already emitted cannot be recalled when a lower-id
     bucket-mate arrives later (both ship — the inherent streaming

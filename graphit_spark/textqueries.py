@@ -2365,7 +2365,12 @@ def _lsh_pairs_sql(k: int = MINHASH_K, rows_per_band: int = 2) -> str:
         "WITH " + _SQL_SHINGLES
         + f""",
 sig AS MATERIALIZED (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id),
-bands AS ({' UNION ALL '.join(band_selects)})
+bands_all AS ({' UNION ALL '.join(band_selects)}),
+occ AS (SELECT band, bkey, count(*) AS c FROM bands_all GROUP BY band, bkey),
+bands AS (
+  SELECT b.* FROM bands_all b JOIN occ USING (band, bkey)
+  WHERE occ.c <= {D.LSH_MAX_BUCKET}
+)
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
 WHERE a.doc_id < b.doc_id
@@ -2499,7 +2504,12 @@ def _jaccard_lsh_ctes(
         shingles
         + f""",
 sig AS MATERIALIZED (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id),
-bands AS ({' UNION ALL '.join(band_selects)}),
+bands_all AS ({' UNION ALL '.join(band_selects)}),
+occ AS (SELECT band, bkey, count(*) AS c FROM bands_all GROUP BY band, bkey),
+bands AS (
+  SELECT b.* FROM bands_all b JOIN occ USING (band, bkey)
+  WHERE occ.c <= {D.LSH_MAX_BUCKET}
+),
 pairs AS MATERIALIZED (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey

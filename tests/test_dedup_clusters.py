@@ -241,3 +241,52 @@ def test_train_split_leakage_repair(spark, chain_sf_dir):
     # moved == (raw hash split != cluster split), exactly
     for d, r in rows.items():
         assert r["moved"] == (raw_split(d) != r["split"])
+
+
+class TestHotBandCap:
+    """The 100 TB guard on lsh_candidate_pairs: a degenerate band
+    bucket (here: 300 byte-identical texts, far above the cap) must be
+    blacklisted BEFORE the self-join so candidate generation stays
+    sub-quadratic, while ordinary buckets keep pairing — and the drop
+    is never silent (lsh_band_stats + a logged warning)."""
+
+    @pytest.fixture(scope="class")
+    def degenerate_docs(self, spark):
+        clone = "".join(f"z{i:03d}" for i in range(40))  # 300 copies
+        pair = "".join(f"w{i:03d}" for i in range(40))   # 2 copies
+        rows = [(0, pair), (1, pair)] + [
+            (100 + i, clone) for i in range(300)
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_hot_bucket_is_dropped_others_pair(self, spark, degenerate_docs):
+        capped = D.lsh_candidate_pairs(degenerate_docs, max_bucket=100)
+        assert [(r["doc_a"], r["doc_b"]) for r in capped.collect()] == [(0, 1)]
+
+    def test_uncapped_rule_is_quadratic_in_the_bucket(
+        self, spark, degenerate_docs
+    ):
+        full = D.lsh_candidate_pairs(degenerate_docs, max_bucket=None)
+        # C(300,2) clone pairs + the (0,1) pair — the blow-up the cap
+        # exists to prevent.
+        assert full.count() == 300 * 299 // 2 + 1
+
+    def test_stats_expose_dropped_mass(self, spark, degenerate_docs):
+        stats = D.lsh_band_stats(degenerate_docs, max_bucket=100).collect()
+        hot = [r for r in stats if r["is_hot"]]
+        assert hot and all(r["bucket_docs"] == 300 for r in hot)
+        cold = [r for r in stats if not r["is_hot"]]
+        assert cold and all(r["bucket_docs"] <= 2 for r in cold)
+
+    def test_drop_is_logged(self, spark, degenerate_docs, caplog):
+        import logging
+
+        with caplog.at_level(logging.WARNING, logger="graphit_spark.dedup"):
+            D.lsh_candidate_pairs(degenerate_docs, max_bucket=100).collect()
+        assert any("hot band bucket" in r.message for r in caplog.records)
+
+    def test_default_cap_never_fires_at_test_scale(self, spark):
+        sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+        docs = spark.read.parquet(os.path.join(sf, "documents.parquet"))
+        stats = D.lsh_band_stats(docs)
+        assert stats.filter("is_hot").count() == 0
