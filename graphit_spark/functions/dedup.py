@@ -542,7 +542,10 @@ def source_mirror_pairs(
 
     Returns (source_a, source_b, shared_shingles, containment) for
     every source pair sharing at least one kept shingle, where
-    containment = shared / min(|A|, |B|) over distinct shingle sets.
+    containment = shared / min(|A|, |B|) with sizes measured over the
+    KEPT (non-boilerplate) distinct-shingle sets — numerator and
+    denominator range over the same shingle universe, so a perfect
+    mirror scores 1.0 even on a boilerplate-heavy site.
 
     100 TB plan: one shingle explode collapsed to DISTINCT
     (source, shingle) in-stage (groupBy short keys, map-side partial
@@ -563,14 +566,18 @@ def source_mirror_pairs(
         .select(F.col("doc_id").alias("source"), "shingle")
         .localCheckpoint(eager=True)
     )
-    sizes = sh.groupBy("source").agg(F.count("*").alias("n_shingles"))
     boiler = (
         sh.groupBy("shingle")
         .agg(F.count("*").alias("__ns"))
         .filter(F.col("__ns") > max_sources)
         .select("shingle")
     )
-    kept = sh.join(boiler, "shingle", "left_anti")
+    # consumed three times (sizes + both pair-join sides) — the
+    # anti-join over the checkpointed shingle table runs once.
+    kept = sh.join(boiler, "shingle", "left_anti").localCheckpoint(
+        eager=True
+    )
+    sizes = kept.groupBy("source").agg(F.count("*").alias("n_shingles"))
     a, b = kept.alias("a"), kept.alias("b")
     pairs = (
         a.join(b, "shingle")

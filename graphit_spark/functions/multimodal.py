@@ -496,9 +496,10 @@ def encode_jpeg_gray(arr) -> bytes:
     padded[h:, :w] = a[h - 1:h, :]  # edge-replicate padding
     padded[:, w:] = padded[:, w - 1:w]
     t = _dct_matrix()
-    q = np.zeros(64)
-    q[_ZZ] = np.asarray(_JPEG_QT, np.float64)  # natural-order table
-    qnat = q.reshape(8, 8)
+    # _JPEG_QT is Annex-K in natural row-major order; the DQT segment
+    # below writes it zigzag-reordered per the spec, so encoder and
+    # decoder both quantize with the true Annex-K weighting.
+    qnat = np.asarray(_JPEG_QT, np.float64).reshape(8, 8)
 
     out = bytearray()
     cur, nbits = 0, 0
@@ -548,7 +549,7 @@ def encode_jpeg_gray(arr) -> bytes:
     def seg(marker: int, body: bytes) -> bytes:
         return b"\xff" + bytes([marker]) + (len(body) + 2).to_bytes(2, "big") + body
 
-    dqt = seg(0xDB, bytes([0]) + bytes(_JPEG_QT))
+    dqt = seg(0xDB, bytes([0]) + bytes(_JPEG_QT[i] for i in _ZZ))
     sof = seg(0xC0, bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
               + bytes([1, 1, 0x11, 0]))
     # 255 codes of length 8 + one of length 9: a valid prefix code

@@ -71,6 +71,22 @@ def _ekey(u, v) -> F.Column:
     return F.least(u, v) * F.lit(EKEY_BASE) + F.greatest(u, v)
 
 
+def _check_ekey_domain(graph: LinkGraph, who: str) -> None:
+    """The packed canonical edge key min(u,v)·2³¹ + max(u,v) is only
+    injective while every vertex id < 2³¹; beyond that the packing
+    silently collides and corrupts component labels. Raise instead
+    (the module's raise-rather-than-silently-wrong policy; ids are
+    BIGINT throughout, so web-scale graphs can legitimately exceed
+    this). Relabel ids densely (graph.relabel) to re-enter the domain."""
+    if graph.num_vertices > EKEY_BASE:
+        raise ValueError(
+            f"{who}: max vertex id {graph.num_vertices - 1} >= 2^31 — "
+            "the packed canonical edge key (min·2^31 + max) would "
+            "collide. Densely relabel vertex ids first (e.g. "
+            "LinkGraph.relabel) so ids fit the packing domain."
+        )
+
+
 def _bfs_tree(graph: LinkGraph, max_rounds: int, who: str):
     """(und, sym, depth, parent): canonical undirected edges, both
     directions, BFS depth from each component's min id, and the
@@ -262,6 +278,7 @@ def biconnected_components(
     rounds); cc_rounds bounds the pointer-doubled aux-graph CC (each
     round = one min-label gather + two doubling hops, log convergence,
     asserted converged)."""
+    _check_ekey_domain(graph, "biconnected_components")
     own_cache = graph.ensure_persisted()
     und, sym, depth, parent = _bfs_tree(graph, max_rounds, "biconnected")
 

@@ -272,18 +272,37 @@ def scan_statistics(graph: LinkGraph) -> DataFrame:
         F.count("*").cast(dec).alias("n"),
         F.sum("scan1").cast(dec).alias("s"),
         F.sum(F.col("scan1") * F.col("scan1")).cast(dec).alias("q"),
+        F.max("scan1").cast(dec).alias("m1"),
     )
     dev = F.col("scan1").cast(dec) * F.col("n") - F.col("s")
     var_term = F.lit(9).cast(dec) * (
         F.col("n") * F.col("q") - F.col("s") * F.col("s")
     )
+    # decimal(38,0) products silently overflow to NULL with ANSI off,
+    # which would render is_anomaly 0 while the DuckDB twin's HUGEINT
+    # raises — diverging engines exactly on the extreme hubs the flag
+    # exists for. Guard the magnitude in-plan: with N·max(scan1) <
+    # 3·10^18 every product above stays under 38 digits (dev² ≤
+    # (N·m1)² = 9·10^36; 9·(N·Q − S²) ≤ 9·(N·m1)² = 8.1·10^37), so
+    # raise (the module's raise-rather-than-silently-wrong policy)
+    # when the bound is exceeded instead of emitting a wrong flag.
+    in_domain = F.col("n") * F.col("m1") < F.lit(
+        3_000_000_000_000_000_000
+    ).cast(dec)
+    flag = F.when((dev > 0) & (dev * dev > var_term), 1).otherwise(0)
     return per.crossJoin(F.broadcast(stats)).select(
         "id",
         "degree",
         "tri_count",
         "scan1",
-        F.when((dev > 0) & (dev * dev > var_term), 1)
-        .otherwise(0)
+        F.when(in_domain, flag)
+        .otherwise(
+            F.raise_error(
+                "scan_statistics: N*max(scan1) >= 3e18 — the exact "
+                "decimal(38,0) moment arithmetic would overflow; "
+                "shard the graph or widen the arithmetic"
+            )
+        )
         .cast("int")
         .alias("is_anomaly"),
     )

@@ -714,13 +714,14 @@ WITH sh AS MATERIALIZED (
                       // {D.SHINGLE_STRIDE} + 1, 1))) AS k
        ) g
 ),
-sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n_shingles
-          FROM sh GROUP BY source),
 boiler AS (SELECT shingle FROM sh GROUP BY shingle
            HAVING count(*) > {MIRROR_MAX_SOURCES}),
-kept AS (SELECT s.source, s.shingle FROM sh s
-         WHERE NOT EXISTS (SELECT 1 FROM boiler b
-                           WHERE b.shingle = s.shingle)),
+kept AS MATERIALIZED (
+  SELECT s.source, s.shingle FROM sh s
+  WHERE NOT EXISTS (SELECT 1 FROM boiler b
+                    WHERE b.shingle = s.shingle)),
+sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n_shingles
+          FROM kept GROUP BY source),
 pairs AS (
   SELECT a.source AS source_a, b.source AS source_b,
          CAST(count(*) AS BIGINT) AS shared_shingles

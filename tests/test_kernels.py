@@ -2659,3 +2659,20 @@ class TestBiconnected:
                 (rng.randrange(22), rng.randrange(22)) for _ in range(36)
             ]
             self._run(spark, edges)
+
+
+class TestEkeyDomainGuard:
+    def test_biconnected_raises_beyond_packing_domain(self, spark):
+        """Vertex ids >= 2^31 would silently collide inside the packed
+        canonical edge key — the kernel must raise, not corrupt."""
+        from graphit_spark.kernels.bridges import biconnected_components
+
+        big = 1 << 31
+        g = LinkGraph(
+            spark.createDataFrame(
+                [(0, big), (big, 0)], "src long, dst long"
+            ),
+            persist=False,
+        )
+        with pytest.raises(ValueError, match="2\\^31"):
+            biconnected_components(g)
