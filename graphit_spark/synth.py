@@ -56,3 +56,54 @@ def synth_edges(
     return exploded.select(
         "src", dst.cast("long").alias("dst")
     )
+
+
+# Graph500 / GAPBS RMAT quadrant probabilities (reference:
+# infra_gapbs/generator.h via builder.h:239-241 `-g` — the Kronecker
+# recursion whose self-similar skew stresses partitioning differently
+# from the power-law generator above).
+RMAT_A, RMAT_B, RMAT_C = 0.57, 0.19, 0.19  # D = 1 - A - B - C = 0.05
+
+
+def synth_rmat(
+    spark: SparkSession,
+    scale: int,
+    avg_degree: int = 16,
+    seed: int = 42,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(src, dst) RMAT/Kronecker graph: 2^scale vertices,
+    2^scale * avg_degree edges, Graph500 quadrant probabilities.
+
+    Pure-JVM like synth_edges: spark.range over edge ids, then `scale`
+    levels of quadrant choice, each driven by xxhash64(seed, edge, lvl)
+    reduced to a 30-bit integer and compared against integer thresholds
+    — a compile-time Python loop composing Column expressions, zero
+    Python at execution, no shuffle (each partition emits its own edge
+    id range). Deterministic for a given (scale, avg_degree, seed)."""
+    n_edges = (1 << scale) * avg_degree
+    if num_partitions is None:
+        num_partitions = int(
+            spark.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+    one = 1 << 30
+    t_a = int(RMAT_A * one)
+    t_ab = int((RMAT_A + RMAT_B) * one)
+    t_abc = int((RMAT_A + RMAT_B + RMAT_C) * one)
+
+    src = F.lit(0).cast("long")
+    dst = F.lit(0).cast("long")
+    for lvl in range(scale):
+        r = F.pmod(
+            F.xxhash64(F.lit(seed), F.col("id"), F.lit(lvl)), F.lit(one)
+        )
+        # quadrants (src_bit, dst_bit): A=(0,0) B=(0,1) C=(1,0) D=(1,1)
+        src_bit = F.when(r < t_ab, F.lit(0)).otherwise(F.lit(1))
+        dst_bit = F.when(
+            (r < t_a) | ((r >= t_ab) & (r < t_abc)), F.lit(0)
+        ).otherwise(F.lit(1))
+        src = src + (src_bit.cast("long") * F.lit(1 << lvl))
+        dst = dst + (dst_bit.cast("long") * F.lit(1 << lvl))
+    return spark.range(0, n_edges, numPartitions=num_partitions).select(
+        src.alias("src"), dst.alias("dst")
+    )

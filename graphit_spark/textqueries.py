@@ -4639,7 +4639,77 @@ LIMIT {K}
 """
 
 
+IMG_STATS_MAX_DOC = 400  # deterministic fake-image subset for the gate
+
+
+def q_image_stats(spark, sf_dir):
+    """Driver-checkable multimodal query: generate the deterministic
+    fake-image corpus (attach_fake_images — the mapInPandas blob-fetch
+    path), probe headers (image_metadata) AND decode payloads
+    (image_features), join on doc_id. Every output value is replayable
+    in pure SQL: width/height are modular arithmetic on doc_id and the
+    payload is a fixed LCG, so the DuckDB twin re-derives px stats with
+    a recursive CTE — this moves the multimodal family from local-only
+    evidence to driver-grade without needing binary columns to hash.
+
+    px_mean is EXACT across engines: the payload byte sum stays far
+    below 2^53, numpy's pairwise float64 sum of integers is exact, and
+    both engines perform the same single IEEE division sum/(w*h)."""
+    from graphit_spark.functions import multimodal as M
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < IMG_STATS_MAX_DOC)
+    )
+    imgs = M.attach_fake_images(docs)
+    meta = M.image_metadata(imgs)
+    feats = M.image_features(imgs)
+    return meta.join(feats, "doc_id").select(
+        "doc_id", "width", "height", "format", "px_mean", "px_min", "px_max"
+    )
+
+
+def _image_stats_sql() -> str:
+    """Replays fake_image's generator arithmetic (multimodal.py:
+    _payload/fake_image — LCG h' = (A*h + B) mod 2^31, byte = h mod
+    256) as a recursive CTE; A*h peaks near 5.7e18, inside BIGINT."""
+    from graphit_spark.functions.multimodal import _A, _B, _M
+
+    return f"""
+WITH RECURSIVE ids AS (
+  SELECT doc_id,
+         CAST(16 + doc_id % 48 AS BIGINT) AS w,
+         CAST(16 + (doc_id * 7) % 48 AS BIGINT) AS h,
+         ({_A} * doc_id + {_B}) % {_M} AS h0
+  FROM documents WHERE doc_id < {IMG_STATS_MAX_DOC}
+),
+r AS (
+  SELECT doc_id, CAST(0 AS BIGINT) AS i, h0 AS state,
+         CAST(0 AS BIGINT) AS s, CAST(255 AS BIGINT) AS mn,
+         CAST(0 AS BIGINT) AS mx, w * h AS n
+  FROM ids
+  UNION ALL
+  SELECT doc_id, i + 1,
+         ({_A} * state + {_B}) % {_M},
+         s + (({_A} * state + {_B}) % {_M}) % 256,
+         least(mn, (({_A} * state + {_B}) % {_M}) % 256),
+         greatest(mx, (({_A} * state + {_B}) % {_M}) % 256),
+         n
+  FROM r WHERE i < n
+),
+fin AS (SELECT doc_id, s, mn, mx, n FROM r WHERE i = n)
+SELECT i.doc_id, CAST(i.w AS INT) AS width, CAST(i.h AS INT) AS height,
+       'fakeimg' AS format,
+       CAST(f.s AS DOUBLE) / f.n AS px_mean,
+       CAST(f.mn AS INT) AS px_min, CAST(f.mx AS INT) AS px_max
+FROM ids i JOIN fin f USING (doc_id)
+ORDER BY i.doc_id
+"""
+
+
 TEXT_QUERIES: dict[str, tuple] = {
+    "multimodal_image_stats": (q_image_stats, _image_stats_sql()),
     "corpus_pmi": (q_corpus_pmi, _pmi_sql()),
     "corpus_contrastive_pairs": (q_contrastive_pairs, _contrastive_sql()),
     "doc_token_counts": (q_token_counts, SQL_TOKEN_COUNTS),

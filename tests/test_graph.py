@@ -268,3 +268,42 @@ def test_relabel_worth_it_matches_reference_rule(spark):
     assert relabeled is not g3
     assert relabeled.num_vertices == g3.num_vertices
     assert relabeled.num_edges == g3.num_edges
+
+
+class TestSynthRmat:
+    """RMAT/Kronecker generator (reference infra_gapbs generator.h via
+    builder.h:239-241 `-g`): Graph500 quadrant probabilities, pure-JVM
+    expressions, deterministic per (scale, avg_degree, seed)."""
+
+    def test_shape_determinism_and_skew(self, spark):
+        from pyspark.sql import functions as F
+
+        from graphit_spark.synth import synth_rmat
+
+        e = synth_rmat(spark, 12, avg_degree=8)
+        assert e.count() == (1 << 12) * 8
+        agg = e.agg(
+            F.min("src").alias("mns"), F.max("src").alias("mxs"),
+            F.min("dst").alias("mnd"), F.max("dst").alias("mxd"),
+        ).collect()[0]
+        assert agg["mns"] >= 0 and agg["mxs"] < (1 << 12)
+        assert agg["mnd"] >= 0 and agg["mxd"] < (1 << 12)
+        # self-similar skew: the heaviest in-degree dwarfs the average
+        deg = e.groupBy("dst").count().agg(
+            F.max("count").alias("mx"), F.avg("count").alias("avg")
+        ).collect()[0]
+        assert deg["mx"] > 20 * deg["avg"]
+        # deterministic: identical params -> identical edge multiset
+        h = lambda df: df.agg(  # noqa: E731
+            F.sum(F.hash("src", "dst"))
+        ).collect()[0][0]
+        assert h(e) == h(synth_rmat(spark, 12, avg_degree=8))
+        # seed changes the graph
+        assert h(e) != h(synth_rmat(spark, 12, avg_degree=8, seed=7))
+
+    def test_no_python_in_plan(self, spark):
+        from graphit_spark.synth import synth_rmat
+
+        plan = synth_rmat(spark, 10)._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        assert "Exchange" not in plan  # no shuffle: range -> project
