@@ -43,3 +43,7 @@ def test_bench_deadline_path_emits_json():
     # the deadline actually skipped the tail (and said so)
     assert "k_truss_sf" in d["throughput"]["skipped"]
     assert "k_truss_sf" not in d["queries"]
+    # cold-trial record mirrors the best-of-N table (round-4 contract)
+    assert set(d["queries_cold"]) == set(d["queries"])
+    assert all(d["queries_cold"][k] >= d["queries"][k]
+               for k in d["queries"])
