@@ -236,6 +236,15 @@ def main() -> None:
     spark.catalog.clearCache()
     g = LinkGraph(synth_edges(spark, synth_v), squished=False)
     num_edges = g.num_edges  # also forces edge materialization + cache
+    # warm the per-graph caches the kernel touches on first use (degree
+    # table; one codegen'd superstep) BEFORE the trials, like the
+    # reference harness which times trials only after graph build —
+    # otherwise trial 1 measures one-time materialization (~35 s at 17M
+    # edges), which is what r02/r03's 45-55 s first trials were, not
+    # kernel work. queries_cold still records trial 1, so the warm-up
+    # is visible, not hidden.
+    g.out_degrees().count()
+    pagerank(g, max_iters=1).count()
 
     # optional schedule autotune (reference autotune/graphit_autotuner.py
     # analogue): BENCH_TUNE=1 searches the pruned schedule space on the
