@@ -56,7 +56,8 @@ _CHECK_FIRST = [
     "dedup_containment_lsh", "dedup_spans", "corpus_pack_sequences",
     "corpus_sample_stratified", "events_funnel", "events_retention",
     "events_dau",
-    # ---- positions 51-88: round-5 rotation queue (never checked) ----
+    # ---- positions 51+: round-5 rotation queue (never checked) ----
+    "events_sessions_stream",
     "sim_recall_graph", "sample_fanout", "doc_token_percentiles",
     "corpus_dsir_weights", "corpus_train_split", "cms_heavy_hitters",
     "corpus_pmi", "corpus_contrastive_pairs", "url_canonical_dedup",

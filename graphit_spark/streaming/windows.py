@@ -33,6 +33,11 @@ EVENTS_SCHEMA = T.StructType(
 )
 
 SESSION_GAP_SEC = 1800.0
+# the fold works in exact integer MICROSECONDS (epoch us fits double's
+# 2^53 exactly through 2255; float seconds derived from int64 ns lose
+# sub-us precision on modern epochs and produce Arrow-unsafe
+# non-us-aligned timestamps)
+SESSION_GAP_US = int(SESSION_GAP_SEC * 1_000_000)
 
 
 def read_events_stream(
@@ -69,8 +74,8 @@ def _make_sessionize_fn(with_timeout: bool):
             yield pd.DataFrame(
                 {
                     "user_id": [user],
-                    "start_ts": [pd.Timestamp(start, unit="s")],
-                    "end_ts": [pd.Timestamp(last, unit="s")],
+                    "start_ts": [pd.Timestamp(int(start), unit="us")],
+                    "end_ts": [pd.Timestamp(int(last), unit="us")],
                     "n_events": [n],
                 }
             )
@@ -87,11 +92,11 @@ def _make_sessionize_fn(with_timeout: bool):
             )
             sec = (
                 batch["ts"].to_numpy("datetime64[ns]")[order].astype("int64")
-                / 1e9
-            )
+                // 1000
+            )  # exact epoch microseconds
             brk = np.empty(len(sec), dtype=bool)
-            brk[0] = start is None or sec[0] - last > SESSION_GAP_SEC
-            brk[1:] = np.diff(sec) > SESSION_GAP_SEC
+            brk[0] = start is None or sec[0] - last > SESSION_GAP_US
+            brk[1:] = np.diff(sec) > SESSION_GAP_US
             sid = np.cumsum(brk)  # 0 = continues the carried open session
             # per-session (start, last, n): sec is sorted, so firsts and
             # lasts are the break positions / their predecessors
@@ -111,12 +116,19 @@ def _make_sessionize_fn(with_timeout: bool):
                     sessions[0] = (start, max(last, l0), n + c0)
             closed.extend(sessions[:-1])
             start, last, n = sessions[-1]
-        state.update((start, last, n))
+        # state schema is (double, double, long): numpy int64 us values
+        # must go in as Python floats (exact — epoch us < 2^53) or the
+        # state row serializes as null and the carried session is lost
+        state.update((
+            None if start is None else float(start),
+            None if last is None else float(last),
+            int(n),
+        ))
         if with_timeout:
             # must land strictly past the current watermark or Spark
             # rejects it — a session whose horizon the watermark already
             # passed flushes at the next watermark tick instead
-            horizon = int((last + SESSION_GAP_SEC) * 1000)
+            horizon = int(last + SESSION_GAP_US) // 1000
             state.setTimeoutTimestamp(
                 max(horizon, state.getCurrentWatermarkMs() + 1)
             )
@@ -125,10 +137,10 @@ def _make_sessionize_fn(with_timeout: bool):
                 {
                     "user_id": [user] * len(closed),
                     "start_ts": [
-                        pd.Timestamp(s, unit="s") for s, _, _ in closed
+                        pd.Timestamp(int(s), unit="us") for s, _, _ in closed
                     ],
                     "end_ts": [
-                        pd.Timestamp(e, unit="s") for _, e, _ in closed
+                        pd.Timestamp(int(e), unit="us") for _, e, _ in closed
                     ],
                     "n_events": [c for _, _, c in closed],
                 }

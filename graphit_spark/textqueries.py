@@ -4639,6 +4639,78 @@ LIMIT {K}
 """
 
 
+def q_events_sessions_stream(spark, sf_dir):
+    """Driver surface for the STREAMING engine: replay the events table
+    through the real Structured Streaming sessionizer — file-source
+    readStream → applyInPandasWithState (state store, Arrow state
+    iteration, user-keyed shuffle) → memory sink, Trigger.availableNow.
+
+    Determinism contract: timeout="NoTimeout" means only GAP-CLOSED
+    sessions emit (each user's final open session stays in state when
+    the replay ends), and with no maxFilesPerTrigger the whole table
+    lands in one micro-batch, so the output is exactly the batch
+    session set minus each user's last session — the slice of
+    streaming semantics a SQL twin can replay. The batch-split
+    invariance of the fold itself is pinned separately in
+    tests/test_streaming.py."""
+    import os
+    import tempfile
+    import uuid
+
+    from graphit_spark.streaming.windows import EVENTS_SCHEMA, sessionize
+
+    name = "stream_sessions_" + uuid.uuid4().hex[:8]
+    ck = tempfile.mkdtemp(prefix="graphit_sess_ck_")
+    # the file stream source requires a DIRECTORY; the testdata table is
+    # a single parquet file, so expose it through a temp dir symlink
+    events_path = os.path.abspath(f"{sf_dir}/events.parquet")
+    if os.path.isdir(events_path):
+        src_dir = events_path
+    else:
+        src_dir = tempfile.mkdtemp(prefix="graphit_sess_src_")
+        os.symlink(events_path, os.path.join(src_dir, "events.parquet"))
+    src = spark.readStream.schema(EVENTS_SCHEMA).parquet(src_dir)
+    q = (
+        sessionize(src, timeout="NoTimeout")
+        .writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+SQL_EVENTS_SESSIONS_STREAM = """
+WITH marked AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(epoch(ts)) OVER w IS NULL
+                   OR epoch(ts) - lag(epoch(ts)) OVER w > 1800.0
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts,
+         CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM marked
+),
+agg AS (
+  SELECT user_id, session_id,
+         min(ts) AS start_ts, max(ts) AS end_ts,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM sess GROUP BY user_id, session_id
+)
+SELECT a.user_id, a.start_ts, a.end_ts, a.n_events
+FROM agg a
+WHERE a.session_id < (SELECT max(session_id) FROM agg b
+                      WHERE b.user_id IS NOT DISTINCT FROM a.user_id)
+ORDER BY a.user_id, a.start_ts
+"""
+
+
 IMG_STATS_MAX_DOC = 400  # deterministic fake-image subset for the gate
 
 
@@ -4710,6 +4782,9 @@ ORDER BY i.doc_id
 
 TEXT_QUERIES: dict[str, tuple] = {
     "multimodal_image_stats": (q_image_stats, _image_stats_sql()),
+    "events_sessions_stream": (
+        q_events_sessions_stream, SQL_EVENTS_SESSIONS_STREAM,
+    ),
     "corpus_pmi": (q_corpus_pmi, _pmi_sql()),
     "corpus_contrastive_pairs": (q_contrastive_pairs, _contrastive_sql()),
     "doc_token_counts": (q_token_counts, SQL_TOKEN_COUNTS),

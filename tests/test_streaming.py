@@ -247,17 +247,23 @@ class TestVectorizedFold:
 
     @staticmethod
     def _ref_fold(carried, secs):
+        """Scalar reference in the fold's own exact-integer-microsecond
+        domain (state tuples carry epoch us as floats)."""
         start, last, n = carried if carried else (None, None, 0)
         closed = []
-        for sec in sorted(secs):
+        for us in sorted(int(s * 1e6) for s in secs):
             if start is None:
-                start, last, n = sec, sec, 1
-            elif sec - last > windows.SESSION_GAP_SEC:
-                closed.append((start, last, n))
-                start, last, n = sec, sec, 1
+                start, last, n = us, us, 1
+            elif us - last > windows.SESSION_GAP_US:
+                closed.append((float(start), float(last), n))
+                start, last, n = us, us, 1
             else:
-                last, n = max(last, sec), n + 1
-        return closed, (start, last, n)
+                last, n = max(last, us), n + 1
+        return closed, (
+            None if start is None else float(start),
+            None if last is None else float(last),
+            n,
+        )
 
     def _drive(self, carried, secs, chunk_at=None):
         import pandas as pd
@@ -279,12 +285,13 @@ class TestVectorizedFold:
         for pdf in out:
             for _, r in pdf.iterrows():
                 closed.append(
-                    (r["start_ts"].timestamp(), r["end_ts"].timestamp(),
+                    (r["start_ts"].timestamp() * 1e6,
+                     r["end_ts"].timestamp() * 1e6,
                      int(r["n_events"]))
                 )
         return closed, st._tup
 
-    @pytest.mark.parametrize("carried", [None, (100.0, 200.0, 3)])
+    @pytest.mark.parametrize("carried", [None, (100.0e6, 200.0e6, 3)])
     @pytest.mark.parametrize("chunk_at", [None, 2])
     def test_matches_scalar_reference(self, carried, chunk_at):
         gap = windows.SESSION_GAP_SEC
