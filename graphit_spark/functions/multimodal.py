@@ -1177,6 +1177,22 @@ def attach_fake_audio(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.mapInPandas(gen, schema=base + ", audio binary")
 
 
+def attach_fake_videos(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic binary video column (FAKEVID1: w, h, frames, u8
+    frame payloads) — same mapInPandas batch shape as the image/audio
+    attachers."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            out["video"] = [fake_video(int(i)) for i in pdf[id_col]]
+            yield out
+
+    base = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                     for f in df.schema.fields)
+    return df.mapInPandas(gen, schema=base + ", video binary")
+
+
 def audio_features(df: DataFrame, bin_col: str = "audio") -> DataFrame:
     """Decode + per-clip features: sample rate, duration, RMS level.
     Stub decode over FAKEAUD1 (real formats raise NotImplementedError

@@ -4682,6 +4682,51 @@ def q_events_sessions_stream(spark, sf_dir):
     return spark.table(name)
 
 
+def q_dedup_exact_stream(spark, sf_dir):
+    """Driver surface for STREAMING exact dedup: replay the documents
+    table through the real stateful first-seen filter (file-source
+    readStream → applyInPandasWithState keyed on the content hash →
+    memory sink, availableNow). One micro-batch + min-id-per-batch
+    canonical ⇒ the emitted set is exactly the batch exact-dedup keep
+    set (min doc_id per md5(text)), which the SQL twin replays."""
+    import os
+    import tempfile
+    import uuid
+
+    from graphit_spark.streaming.dedup import dedup_stream
+
+    name = "stream_dedup_" + uuid.uuid4().hex[:8]
+    ck = tempfile.mkdtemp(prefix="graphit_dedup_ck_")
+    docs_path = os.path.abspath(f"{sf_dir}/documents.parquet")
+    if os.path.isdir(docs_path):
+        src_dir = docs_path
+    else:
+        src_dir = tempfile.mkdtemp(prefix="graphit_dedup_src_")
+        os.symlink(docs_path, os.path.join(src_dir, "documents.parquet"))
+    schema = spark.read.parquet(docs_path).schema
+    src = spark.readStream.schema(schema).parquet(src_dir)
+    q = (
+        dedup_stream(src)
+        .writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+SQL_DEDUP_EXACT_STREAM = """
+SELECT md5(text) AS doc_hash,
+       min(doc_id) AS doc_id,
+       CAST(length(text) AS BIGINT) AS text_len
+FROM documents
+GROUP BY md5(text), length(text)
+ORDER BY doc_id
+"""
+
+
 SQL_EVENTS_SESSIONS_STREAM = """
 WITH marked AS (
   SELECT user_id, ts, event_id,
@@ -4780,11 +4825,120 @@ ORDER BY i.doc_id
 """
 
 
+def q_audio_stats(spark, sf_dir):
+    """Driver-checkable audio pipeline: attach_fake_audio (mapInPandas
+    blob loader) → audio_features (decode + per-clip RMS). Exact across
+    engines: sample_rate/n are modular arithmetic on doc_id, the
+    payload is the shared LCG (recursive-CTE replay), duration is one
+    IEEE division of exact small integers, and rms = sqrt(sum(b²)/n)
+    where the square-sum stays far under 2^53 (numpy's pairwise float64
+    sum of integers is exact) and IEEE sqrt is correctly rounded in
+    both engines."""
+    from graphit_spark.functions import multimodal as M
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < IMG_STATS_MAX_DOC)
+    )
+    return M.audio_features(M.attach_fake_audio(docs)).select(
+        "doc_id", "sample_rate", "duration_sec", "rms"
+    )
+
+
+def _audio_stats_sql() -> str:
+    """Replays fake_audio (multimodal.py): rate = 8000 + 4000*(id%3),
+    n = 256 + (id*13)%512, payload = the shared LCG."""
+    from graphit_spark.functions.multimodal import _A, _B, _M
+
+    return f"""
+WITH RECURSIVE ids AS (
+  SELECT doc_id,
+         CAST(8000 + 4000 * (doc_id % 3) AS INT) AS rate,
+         CAST(256 + (doc_id * 13) % 512 AS BIGINT) AS n,
+         ({_A} * doc_id + {_B}) % {_M} AS h0
+  FROM documents WHERE doc_id < {IMG_STATS_MAX_DOC}
+),
+r AS (
+  SELECT doc_id, CAST(0 AS BIGINT) AS i, h0 AS state,
+         CAST(0 AS BIGINT) AS sq, n
+  FROM ids
+  UNION ALL
+  SELECT doc_id, i + 1,
+         ({_A} * state + {_B}) % {_M},
+         sq + ((({_A} * state + {_B}) % {_M}) % 256)
+              * ((({_A} * state + {_B}) % {_M}) % 256),
+         n
+  FROM r WHERE i < n
+),
+fin AS (SELECT doc_id, sq, n FROM r WHERE i = n)
+SELECT i.doc_id, i.rate AS sample_rate,
+       CAST(i.n AS DOUBLE) / i.rate AS duration_sec,
+       sqrt(CAST(f.sq AS DOUBLE) / f.n) AS rms
+FROM ids i JOIN fin f USING (doc_id)
+ORDER BY i.doc_id
+"""
+
+
+VIDEO_STATS_MAX_DOC = 300  # deterministic fake-video subset
+VIDEO_FRAME_EVERY = 2
+
+
+def q_video_frames(spark, sf_dir):
+    """Driver-checkable video pipeline: attach_fake_videos →
+    frame_sample (the Arrow-batch frame explode) joined with
+    image_metadata's container probe — emits one row per SAMPLED frame
+    with the frame's byte size computed JVM-side (F.length), so the
+    twin is pure arithmetic: frames = 4 + id%12, sampled indices
+    0,2,4,…, frame_bytes = w*h."""
+    from graphit_spark.functions import multimodal as M
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < VIDEO_STATS_MAX_DOC)
+    )
+    vids = M.attach_fake_videos(docs)
+    meta = M.image_metadata(vids, bin_col="video").select(
+        "doc_id", "width", "height", "format"
+    )
+    frames = M.frame_sample(vids, every_n=VIDEO_FRAME_EVERY).select(
+        "doc_id", "frame_idx", F.length("frame").alias("frame_bytes")
+    )
+    return frames.join(meta, "doc_id").select(
+        "doc_id", "width", "height", "format", "frame_idx", "frame_bytes"
+    )
+
+
+def _video_frames_sql() -> str:
+    """Replays fake_video's header arithmetic (multimodal.py):
+    w = 8 + id%24, h = 8 + (id*3)%24, frames = 4 + id%12; frame_sample
+    keeps indices 0, every_n, 2·every_n, …"""
+    return f"""
+WITH ids AS (
+  SELECT doc_id,
+         CAST(8 + doc_id % 24 AS INT) AS width,
+         CAST(8 + (doc_id * 3) % 24 AS INT) AS height,
+         CAST(4 + doc_id % 12 AS BIGINT) AS frames
+  FROM documents WHERE doc_id < {VIDEO_STATS_MAX_DOC}
+)
+SELECT doc_id, width, height, 'fakevid' AS format,
+       CAST(g.k AS INT) AS frame_idx,
+       CAST(width AS INT) * height AS frame_bytes
+FROM ids,
+     LATERAL (SELECT unnest(range(0, frames, {VIDEO_FRAME_EVERY})) AS k) g
+ORDER BY doc_id, frame_idx
+"""
+
+
 TEXT_QUERIES: dict[str, tuple] = {
     "multimodal_image_stats": (q_image_stats, _image_stats_sql()),
+    "multimodal_audio_stats": (q_audio_stats, _audio_stats_sql()),
+    "multimodal_video_frames": (q_video_frames, _video_frames_sql()),
     "events_sessions_stream": (
         q_events_sessions_stream, SQL_EVENTS_SESSIONS_STREAM,
     ),
+    "dedup_exact_stream": (q_dedup_exact_stream, SQL_DEDUP_EXACT_STREAM),
     "corpus_pmi": (q_corpus_pmi, _pmi_sql()),
     "corpus_contrastive_pairs": (q_contrastive_pairs, _contrastive_sql()),
     "doc_token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
