@@ -72,3 +72,52 @@ def test_spark_submit_py_files_artifact(tmp_path):
     )
     assert n == report["output_rows"] > 0
     assert n == report["vertices"]
+
+
+@pytest.mark.skipif(
+    not os.path.exists(SPARK_SUBMIT), reason="spark-submit not installed"
+)
+def test_spark_submit_stream_job_artifact(tmp_path):
+    """jobs/run_stream.py over the shipped zip alone: streaming exact
+    dedup drains the sf0.001 documents table (availableNow) and lands
+    the kept set as parquet — the resumable streaming submission path."""
+    job = tmp_path / "run_stream.py"
+    shutil.copy(os.path.join(ROOT, "jobs", "run_stream.py"), job)
+    out_dir = tmp_path / "kept"
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env["PYSPARK_PYTHON"] = sys.executable
+    env["PYSPARK_DRIVER_PYTHON"] = sys.executable
+    res = subprocess.run(
+        [
+            SPARK_SUBMIT,
+            "--master", "local[2]",
+            "--conf", "spark.ui.enabled=false",
+            "--conf", "spark.ui.showConsoleProgress=false",
+            "--py-files", os.path.join(ROOT, "dist", "graphit_spark.zip"),
+            str(job),
+            "--mode", "dedup",
+            "--available-now",
+            "--input", "/root/testdata/sf0.001",
+            "--output", str(out_dir),
+            "--checkpoint", str(tmp_path / "ck"),
+            "--cpus", "2",
+        ],
+        cwd=str(tmp_path),
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert res.returncode == 0, (
+        f"spark-submit failed\nstdout: {res.stdout[-2000:]}\n"
+        f"stderr: {res.stderr[-4000:]}"
+    )
+    con = duckdb.connect()
+    n = con.execute(
+        f"SELECT count(*) FROM '{out_dir}/*.parquet'"
+    ).fetchone()[0]
+    distinct = con.execute(
+        "SELECT count(DISTINCT md5(text)) FROM "
+        "'/root/testdata/sf0.001/documents.parquet'"
+    ).fetchone()[0]
+    assert n == distinct > 0
