@@ -77,13 +77,13 @@ def _check_ekey_domain(graph: LinkGraph, who: str) -> None:
     silently collides and corrupts component labels. Raise instead
     (the module's raise-rather-than-silently-wrong policy; ids are
     BIGINT throughout, so web-scale graphs can legitimately exceed
-    this). Relabel ids densely (graph.relabel) to re-enter the domain."""
+    this). Relabel ids densely (LinkGraph.relabel_by_degree) to re-enter the domain."""
     if graph.num_vertices > EKEY_BASE:
         raise ValueError(
             f"{who}: max vertex id {graph.num_vertices - 1} >= 2^31 — "
             "the packed canonical edge key (min·2^31 + max) would "
             "collide. Densely relabel vertex ids first (e.g. "
-            "LinkGraph.relabel) so ids fit the packing domain."
+            "LinkGraph.relabel_by_degree) so ids fit the packing domain."
         )
 
 

@@ -924,3 +924,35 @@ def test_biconnected_climb_plan_shape(spark):
     assert "BroadcastNestedLoop" not in plan
     und.unpersist()
     sym.unpersist()
+
+
+def test_lsh_hot_band_cap_plan_shape(spark):
+    """The round-4 occupancy guard must not change the join discipline:
+    the capped candidate plan still has no cartesian/nested-loop and no
+    broadcast of the hot-bucket side (the occupancy table joins back on
+    the same (band, bkey) key as the pair self-join, so a degenerate
+    corpus cannot blow up a broadcast)."""
+    from graphit_spark.functions import dedup as D
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    plan = _plan(D.lsh_candidate_pairs(docs, k=4))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    # the occupancy filter is an equi-join on the band key, pre-join
+    assert plan.count("bkey") >= 2
+
+
+def test_multimodal_driver_queries_are_arrow_batched(spark):
+    """The round-4 multimodal driver queries must stay on the Arrow
+    mapInPandas path (no row-at-a-time Python UDFs) and never cartesian."""
+    from graphit_spark.textqueries import (
+        q_audio_stats,
+        q_image_stats,
+        q_video_frames,
+    )
+
+    for q in (q_image_stats, q_audio_stats, q_video_frames):
+        plan = _plan(q(spark, SF_DIR))
+        assert "BatchEvalPython" not in plan  # row-at-a-time UDF marker
+        assert "CartesianProduct" not in plan
+        assert "MapInPandas" in plan
