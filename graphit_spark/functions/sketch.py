@@ -119,6 +119,66 @@ def hll_estimate_from_registers(regs: DataFrame, p: int = HLL_P) -> DataFrame:
     )
 
 
+def hll_grouped(
+    df: DataFrame, key, col: Column, p: int = HLL_P
+) -> DataFrame:
+    """Per-GROUP HyperLogLog: (key, zero_buckets, sum_scaled,
+    est_distinct) — the grouped-sketch primitive a crawl pipeline uses
+    for "distinct contents per host" / "distinct urls per domain"
+    without the exact-distinct shuffle of one row per (key, value).
+
+    100 TB plan: the only shuffle groups on (key, bucket), and the
+    register merge (max) partial-aggregates map-side, so the shuffle
+    carries at most 2^p rows per key per partition regardless of group
+    size. Absent buckets are NEVER materialized (keys × 2^p rows would
+    be 10^10+ at crawl scale): since an absent bucket's term is exactly
+    2^(w+1), the exact integer harmonic sum is
+    sum(present terms) + (m − n_present)·2^(w+1) — computed from the
+    per-key present-bucket aggregate alone. The estimator arithmetic is
+    identical to hll_estimate (same exact-integer sum, same
+    linear-counting branch), so DuckDB twins replay it bit for bit."""
+    m = 1 << p
+    w_width = HASH_BITS - p
+    h = hash60(col)
+    w = F.shiftright(h, p)
+    rho = F.instr(F.lpad(F.bin(w), w_width, "0"), "1")
+    rho = F.when(rho == 0, F.lit(w_width + 1)).otherwise(rho)
+    regs = (
+        df.select(
+            F.col(key) if isinstance(key, str) else key.alias("__key"),
+            (h.bitwiseAND(F.lit(m - 1))).alias("bucket"),
+            rho.cast("long").alias("rho"),
+        )
+        .groupBy(key if isinstance(key, str) else "__key", "bucket")
+        .agg(F.max("rho").alias("reg"))
+    )
+    kcol = key if isinstance(key, str) else "__key"
+    term = F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), CAST({w_width + 1} - reg AS INT))"
+    )
+    per = regs.groupBy(kcol).agg(
+        F.count("*").alias("__present"),
+        F.sum(term).alias("__s_present"),
+    )
+    zero = (F.lit(m) - F.col("__present")).cast("long")
+    sum_scaled = (
+        F.col("__s_present")
+        + zero * F.lit(1 << (w_width + 1)).cast("long")
+    )
+    scale = float(1 << (w_width + 1))
+    raw = F.lit(_alpha_m2(m)) * F.lit(scale) / sum_scaled
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (zero > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zero),
+    ).otherwise(raw)
+    return per.select(
+        F.col(kcol),
+        zero.alias("zero_buckets"),
+        sum_scaled.alias("sum_scaled"),
+        F.round(est, 4).alias("est_distinct"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Bloom filter — broadcastable membership pre-filter
 # ---------------------------------------------------------------------------

@@ -4231,6 +4231,68 @@ GROUP BY p.tok, tk.exact_cnt
 ORDER BY token"""
 
 
+def q_host_content_hll(spark, sf_dir):
+    """Per-host distinct-content estimate via the GROUPED HyperLogLog
+    (sketch.hll_grouped) — the crawl-quality signal "how much distinct
+    text does each source actually serve" without the exact-distinct
+    shuffle. One (source, bucket)-keyed shuffle with map-side register
+    merge; absent buckets are folded into the exact integer sum, never
+    materialized."""
+    from graphit_spark.functions import sketch as K
+
+    return K.hll_grouped(
+        load(spark, sf_dir, "documents"), "source", F.col("text")
+    )
+
+
+def _host_content_hll_sql() -> str:
+    """Grouped twin of _hll_distinct_sql — same hash, same rho, same
+    exact integer harmonic sum with the absent-bucket fold, same
+    estimator arithmetic, per source."""
+    from graphit_spark.functions import sketch as K
+
+    m = 1 << K.HLL_P
+    w = K.HASH_BITS - K.HLL_P
+    w1 = w + 1
+    alpha_m2 = repr(K._alpha_m2(m))
+    scale = float(1 << w1)
+    raw = (f"CAST({alpha_m2} AS DOUBLE) * CAST({scale!r} AS DOUBLE)"
+           " / sum_scaled")
+    return f"""
+WITH h AS (
+  SELECT source, ('0x' || substr(md5(text), 1, 15))::BIGINT AS h
+  FROM documents
+),
+r AS (
+  SELECT source, (h & {m - 1}) AS bucket,
+         CASE WHEN instr(lpad(bin(h >> {K.HLL_P}), {w}, '0'), '1') = 0
+              THEN {w1}
+              ELSE instr(lpad(bin(h >> {K.HLL_P}), {w}, '0'), '1') END AS rho
+  FROM h
+),
+rg AS (SELECT source, bucket, max(rho) AS reg FROM r GROUP BY 1, 2),
+per AS (
+  SELECT source, count(*) AS present,
+         CAST(sum(1::BIGINT << CAST({w1} - reg AS INT)) AS BIGINT) AS s
+  FROM rg GROUP BY source
+),
+fin AS (
+  SELECT source,
+         CAST({m} - present AS BIGINT) AS zero_buckets,
+         CAST(s + ({m} - present) * (1::BIGINT << {w1}) AS BIGINT)
+           AS sum_scaled
+  FROM per
+)
+SELECT source, zero_buckets, sum_scaled,
+       round(CASE WHEN ({raw}) <= CAST({2.5 * m} AS DOUBLE)
+                       AND zero_buckets > 0
+                  THEN CAST({float(m)!r} AS DOUBLE)
+                       * ln(CAST({float(m)!r} AS DOUBLE) / zero_buckets)
+                  ELSE {raw} END, 4) AS est_distinct
+FROM fin ORDER BY source
+"""
+
+
 def _hll_registers_sql() -> str:
     return _hll_sql_parts() + "\nSELECT bucket, reg FROM regs ORDER BY bucket"
 
@@ -5025,6 +5087,7 @@ TEXT_QUERIES: dict[str, tuple] = {
     "sim_graph_topk": (q_graph_topk, _graph_topk_sql()),
     "sim_recall_graph": (q_recall_graph, _recall_graph_sql()),
     "hll_registers": (q_hll_registers, _hll_registers_sql()),
+    "host_content_hll": (q_host_content_hll, _host_content_hll_sql()),
     "hll_distinct": (q_hll_distinct, _hll_distinct_sql()),
     "cms_heavy_hitters": (q_cms_heavy_hitters, _cms_heavy_hitters_sql()),
     # -- documented all-pairs / brute-force baselines: keep LAST --------

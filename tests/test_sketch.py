@@ -154,3 +154,60 @@ class TestCountMin:
         assert all(0 <= r["r"] < K.CMS_D for r in cells)
         assert all(0 <= r["c"] < K.CMS_W for r in cells)
         assert len(cells) <= K.CMS_D * K.CMS_W
+
+
+class TestHllGrouped:
+    """Per-group HyperLogLog (round 4): the grouped-sketch primitive —
+    per-key estimates within the sketch's error, equivalence with the
+    global estimator on each key's slice (absent-bucket fold is exact),
+    and the bounded-shuffle plan property."""
+
+    def _df(self, spark):
+        # 3 hosts with very different distinct-content counts; host b
+        # repeats the same 40 texts many times
+        a = spark.range(3000).select(
+            F.lit("a").alias("source"),
+            F.concat(F.lit("ax"), F.col("id")).alias("text"),
+        )
+        b = spark.range(2000).select(
+            F.lit("b").alias("source"),
+            F.concat(F.lit("bx"), F.pmod(F.col("id"), F.lit(40))).alias("text"),
+        )
+        c = spark.range(300).select(
+            F.lit("c").alias("source"),
+            F.concat(F.lit("cx"), F.col("id")).alias("text"),
+        )
+        return a.union(b).union(c)
+
+    def test_per_group_estimates_within_error(self, spark):
+        rows = {
+            r["source"]: r
+            for r in K.hll_grouped(self._df(spark), "source", F.col("text")).collect()
+        }
+        for src, n in (("a", 3000), ("b", 40), ("c", 300)):
+            est = rows[src]["est_distinct"]
+            assert abs(est - n) / n < 0.26, (src, est)
+
+    def test_equals_global_estimator_per_slice(self, spark):
+        """hll_grouped(key) on the union == hll_estimate on each key's
+        slice: the absent-bucket fold reproduces the materialized-
+        register sum exactly (same sum_scaled, same estimate)."""
+        df = self._df(spark)
+        grouped = {
+            r["source"]: r
+            for r in K.hll_grouped(df, "source", F.col("text")).collect()
+        }
+        for src in ("a", "b", "c"):
+            solo = K.hll_estimate(
+                df.filter(F.col("source") == src), F.col("text")
+            ).collect()[0]
+            assert grouped[src]["sum_scaled"] == solo["sum_scaled"]
+            assert grouped[src]["zero_buckets"] == solo["zero_buckets"]
+            assert grouped[src]["est_distinct"] == solo["est_distinct"]
+
+    def test_shuffle_is_bounded_and_partial(self, spark):
+        plan = (
+            K.hll_grouped(self._df(spark), "source", F.col("text"))
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "partial_max" in plan  # register merge combines map-side
