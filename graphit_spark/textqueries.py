@@ -4293,6 +4293,104 @@ FROM fin ORDER BY source
 """
 
 
+RRF_C = 60  # the standard reciprocal-rank-fusion constant
+HYBRID_K = 10
+
+
+def q_doc_hybrid_topk(spark, sf_dir):
+    """Hybrid retrieval — reciprocal-rank fusion of the two ranking
+    modalities every modern retrieval pipeline combines: lexical
+    set-tf-idf cosine (rare shared vocabulary) and embedding cosine
+    (semantic similarity). RRF(q,d) = Σ_modality 1/(C + rank) over the
+    two k-bounded candidate pools; a doc absent from one pool just
+    contributes that modality's 0.
+
+    Determinism: both input rankings carry exact deterministic total
+    orders; the RRF score is ONE addition of two exact divisions of
+    small integers, rounded — bit-identical across engines. Scale
+    shape: the fusion operates on the k-bounded pool outputs only
+    (never corpus-sized), full-outer equi-join on (query, doc) + one
+    per-query window over ≤ 2k rows."""
+    from pyspark.sql import Window
+
+    lex = T.lexical_topk(
+        load(spark, sf_dir, "documents"),
+        k=LEX_TOPK_K, n_queries=LEX_TOPK_QUERIES,
+    )
+    embt = load(spark, sf_dir, "embeddings")
+    emb = S.brute_force_topk(
+        embt, embt.filter(F.col("vec_id") < TOPK_QUERIES), k=TOPK_K
+    )
+    wl = Window.partitionBy("q_doc").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    lr = (
+        lex.withColumn("lex_rank", F.row_number().over(wl))
+        .select(F.col("q_doc").alias("query_id"), "doc_id", "lex_rank")
+    )
+    we = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("vec_id")
+    )
+    er = (
+        emb.withColumn("emb_rank", F.row_number().over(we))
+        .select("query_id", F.col("vec_id").alias("doc_id"), "emb_rank")
+    )
+    fused = lr.join(er, ["query_id", "doc_id"], "full").select(
+        "query_id",
+        "doc_id",
+        F.round(
+            F.coalesce(F.lit(1.0) / (F.lit(RRF_C) + F.col("lex_rank")),
+                       F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(RRF_C) + F.col("emb_rank")),
+                         F.lit(0.0)),
+            9,
+        ).alias("rrf"),
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf"), F.asc("doc_id")
+    )
+    return (
+        fused.withColumn("rn", F.row_number().over(wf))
+        .filter(F.col("rn") <= HYBRID_K)
+        .select("query_id", "doc_id", "rrf")
+    )
+
+
+def _doc_hybrid_topk_sql() -> str:
+    """Twin: the two modality twins verbatim as CTEs, the same
+    rank derivation, one addition, same rounding."""
+    return f"""
+WITH lex_full AS ({_doc_lexical_topk_sql()}),
+emb_full AS ({SQL_COSINE_TOPK}),
+lr AS (
+  SELECT q_doc AS query_id, doc_id,
+         row_number() OVER (PARTITION BY q_doc
+                            ORDER BY score DESC, doc_id) AS lex_rank
+  FROM lex_full
+),
+er AS (
+  SELECT query_id, vec_id AS doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, vec_id) AS emb_rank
+  FROM emb_full
+),
+fused AS (
+  SELECT coalesce(lr.query_id, er.query_id) AS query_id,
+         coalesce(lr.doc_id, er.doc_id) AS doc_id,
+         round(coalesce(1e0 / ({RRF_C} + lr.lex_rank), 0)
+               + coalesce(1e0 / ({RRF_C} + er.emb_rank), 0), 9) AS rrf
+  FROM lr FULL JOIN er
+    ON lr.query_id = er.query_id AND lr.doc_id = er.doc_id
+)
+SELECT query_id, doc_id, rrf FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY rrf DESC, doc_id) AS rn
+  FROM fused
+) WHERE rn <= {HYBRID_K}
+ORDER BY query_id, rrf DESC, doc_id
+"""
+
+
 def _hll_registers_sql() -> str:
     return _hll_sql_parts() + "\nSELECT bucket, reg FROM regs ORDER BY bucket"
 
@@ -5088,6 +5186,7 @@ TEXT_QUERIES: dict[str, tuple] = {
     "sim_recall_graph": (q_recall_graph, _recall_graph_sql()),
     "hll_registers": (q_hll_registers, _hll_registers_sql()),
     "host_content_hll": (q_host_content_hll, _host_content_hll_sql()),
+    "doc_hybrid_topk": (q_doc_hybrid_topk, _doc_hybrid_topk_sql()),
     "hll_distinct": (q_hll_distinct, _hll_distinct_sql()),
     "cms_heavy_hitters": (q_cms_heavy_hitters, _cms_heavy_hitters_sql()),
     # -- documented all-pairs / brute-force baselines: keep LAST --------
