@@ -238,9 +238,15 @@ def lsh_candidate_pairs(
         eager=True
     )
     if max_bucket is not None:
-        occ = allb.groupBy("band", "bkey").agg(F.count("*").alias("__occ"))
-        # no silent caps: one cheap aggregation over the materialized
-        # band table (scalar collect — driver receives 1 row).
+        # ONE occupancy aggregation serves both the dropped-mass stats
+        # and the filter join below (localCheckpoint: materialized
+        # once, freed with the result)
+        occ = (
+            allb.groupBy("band", "bkey")
+            .agg(F.count("*").alias("__occ"))
+            .localCheckpoint(eager=True)
+        )
+        # no silent caps: scalar collect — driver receives 1 row
         dropped = (
             occ.filter(F.col("__occ") > max_bucket)
             .agg(

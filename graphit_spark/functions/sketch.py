@@ -149,6 +149,11 @@ def hll_grouped(
             (h.bitwiseAND(F.lit(m - 1))).alias("bucket"),
             rho.cast("long").alias("rho"),
         )
+        # NULL values hash to a NULL bucket; hll_registers drops them
+        # via its all-buckets left join, so drop them here too — else
+        # the NULL-bucket row inflates __present while contributing no
+        # term, skewing zero_buckets/sum_scaled for null-bearing groups
+        .filter(F.col("bucket").isNotNull())
         .groupBy(key if isinstance(key, str) else "__key", "bucket")
         .agg(F.max("rho").alias("reg"))
     )

@@ -4261,7 +4261,7 @@ def _host_content_hll_sql() -> str:
     return f"""
 WITH h AS (
   SELECT source, ('0x' || substr(md5(text), 1, 15))::BIGINT AS h
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 ),
 r AS (
   SELECT source, (h & {m - 1}) AS bucket,

@@ -90,23 +90,31 @@ def main() -> None:
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
 
+    # checkpoint root also anchors the single-file symlink dirs below:
+    # the file stream source's seen-files log keys on ABSOLUTE paths,
+    # so the exposed directory must be STABLE across re-submissions or
+    # resume would re-ingest everything through carried state
+    ck = args.checkpoint or os.path.join(args.output, "_checkpoint")
+
     def table_dir(name: str) -> str:
         """The file stream source requires a DIRECTORY; sf-style
         testdata tables are single parquet files, so expose those
-        through a temp-dir symlink."""
+        through a deterministic symlink dir next to the checkpoint
+        (same absolute path on every submission — the resume
+        contract)."""
         sub = os.path.join(args.input, f"{name}.parquet")
         if not os.path.exists(sub):
             return args.input
         if os.path.isdir(sub):
             return sub
-        import tempfile
-
-        d = tempfile.mkdtemp(prefix=f"graphit_stream_{name}_")
-        os.symlink(os.path.abspath(sub), os.path.join(d, f"{name}.parquet"))
+        d = f"{ck}_src_{name}"
+        os.makedirs(d, exist_ok=True)
+        link = os.path.join(d, f"{name}.parquet")
+        if not os.path.lexists(link):
+            os.symlink(os.path.abspath(sub), link)
         return d
 
     if args.mode in ("sessionize", "dedup"):
-        ck = args.checkpoint or os.path.join(args.output, "_checkpoint")
         if args.mode == "sessionize":
             from graphit_spark.streaming.windows import (
                 read_events_stream,

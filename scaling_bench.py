@@ -35,6 +35,7 @@ from __future__ import annotations
 import json
 import math
 import os
+import statistics
 import sys
 import time
 
@@ -116,7 +117,7 @@ def run_pagerank(cores: int, synth_v: int, pr_iters: int) -> dict:
 
     shutil.rmtree(f"/dev/shm/graphit-scale-{cores}", ignore_errors=True)
     best = min(per_iter)
-    med = sorted(per_iter)[len(per_iter) // 2]
+    med = statistics.median(per_iter)
     return {
         "cores": cores,
         "edges": num_edges,
@@ -173,9 +174,9 @@ def main() -> None:
         sum((x - mean_norm) ** 2 for x in norms) / max(1, len(norms) - 1)
     )
     ci_norm = 1.96 * sd_norm / math.sqrt(len(norms))
-    med_norm = sorted(norms)[len(norms) // 2]
+    med_norm = statistics.median(norms)
     mean_raw = sum(raws) / len(raws)
-    med_raw = sorted(raws)[len(raws) // 2]
+    med_raw = statistics.median(raws)
     mean_ceiling = sum(p["ceiling"] for p in pairs) / len(pairs)
 
     low = min((p["low"] for p in pairs), key=lambda r: r["best_iter_sec"])

@@ -211,3 +211,25 @@ class TestHllGrouped:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "partial_max" in plan  # register merge combines map-side
+
+    def test_null_values_are_dropped_like_global(self, spark):
+        """NULL values hash to a NULL bucket; the grouped estimator
+        must drop them exactly as hll_registers' all-buckets join does
+        — the per-slice equivalence contract includes null-bearing
+        groups."""
+        df = self._df(spark).union(
+            spark.createDataFrame(
+                [("a", None), ("c", None), ("c", None)],
+                "source string, text string",
+            )
+        )
+        grouped = {
+            r["source"]: r
+            for r in K.hll_grouped(df, "source", F.col("text")).collect()
+        }
+        for src in ("a", "c"):
+            solo = K.hll_estimate(
+                df.filter(F.col("source") == src), F.col("text")
+            ).collect()[0]
+            assert grouped[src]["sum_scaled"] == solo["sum_scaled"]
+            assert grouped[src]["est_distinct"] == solo["est_distinct"]

@@ -779,7 +779,11 @@ class TestIncrementalLshDedup:
         batch_df = spark.createDataFrame(rows, "doc_id long, text string")
         dup_b = {
             r["doc_b"]
-            for r in lsh_candidate_pairs(batch_df).select("doc_b").collect()
+            # the pinned contract is explicitly the UNCAPPED batch rule
+            # (incremental.py docstring): hot-band capping is a
+            # candidate-generation bound, not part of the keep set
+            for r in lsh_candidate_pairs(batch_df, max_bucket=None)
+            .select("doc_b").collect()
         }
         want = {i for i, _ in rows} - dup_b
         assert streamed == want
