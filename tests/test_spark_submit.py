@@ -121,3 +121,34 @@ def test_spark_submit_stream_job_artifact(tmp_path):
         "'/root/testdata/sf0.001/documents.parquet'"
     ).fetchone()[0]
     assert n == distinct > 0
+
+
+def test_run_stream_resubmission_resumes_not_reingests(tmp_path):
+    """The resume contract the job advertises: submitting the same
+    command twice must NOT re-ingest (the file source's seen-files log
+    keys on absolute paths, so the single-file symlink dir has to be
+    deterministic across submissions)."""
+    out_dir = tmp_path / "kept"
+
+    def submit():
+        res = subprocess.run(
+            [
+                sys.executable, os.path.join(ROOT, "jobs", "run_stream.py"),
+                "--mode", "dedup", "--available-now",
+                "--input", "/root/testdata/sf0.001",
+                "--output", str(out_dir),
+                "--checkpoint", str(tmp_path / "ck"),
+                "--cpus", "2",
+            ],
+            capture_output=True, text=True, timeout=600,
+        )
+        assert res.returncode == 0, res.stderr[-2000:]
+        return (
+            duckdb.connect()
+            .execute(f"SELECT count(*) FROM '{out_dir}/*.parquet'")
+            .fetchone()[0]
+        )
+
+    n1 = submit()
+    n2 = submit()
+    assert n1 == n2 > 0
