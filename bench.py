@@ -339,7 +339,13 @@ def main() -> None:
     # infra_gapbs generator): PR fixed iters on a Graph500-parameter
     # RMAT graph — recursive hub structure, heavier-tailed dst skew
     # than the power-law synth above, exercising the same gather plan
-    # under the reference's own degree distribution.
+    # under the reference's own degree distribution. Expect edges/sec
+    # well below the power-law headline and that is NOT a plan
+    # pathology (measured): at ~4M edges the fixed per-superstep cost
+    # floor dominates (equal-size power-law also drops to ~5M e/s vs
+    # 17M at 17M edges), and RMAT concentrates out-degree so most ids
+    # are dangling sinks — each superstep pays the dangling-mass
+    # aggregate over a far larger sink set (one V-sized agg; scales).
     rmat_on = os.environ.get("BENCH_RMAT", "1") == "1"
     if rmat_on and not budget_left():
         throughput.setdefault("skipped", []).append("pagerank_rmat")
