@@ -59,7 +59,7 @@ _CHECK_FIRST = [
     # ---- positions 51+: round-5 rotation queue (never checked) ----
     "events_sessions_stream", "dedup_exact_stream",
     "multimodal_audio_stats", "multimodal_video_frames",
-    "host_content_hll", "doc_hybrid_topk",
+    "host_content_hll", "doc_hybrid_topk", "partition_quality",
     "sim_recall_graph", "sample_fanout", "doc_token_percentiles",
     "corpus_dsir_weights", "corpus_train_split", "cms_heavy_hitters",
     "corpus_pmi", "corpus_contrastive_pairs", "url_canonical_dedup",

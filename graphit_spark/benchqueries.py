@@ -2515,6 +2515,107 @@ def q_host_locality(spark, sf_dir):
     )
 
 
+PART_QUALITY_K = 8  # partitions for the placement-quality diagnostic
+
+
+def q_partition_quality(spark, sf_dir):
+    """Partition-placement diagnostic — the numbers that decide an edge
+    table's physical layout at crawl scale: for k-way HASH placement
+    (part = id mod k) vs HOST-BLOCKED placement (part = host mod k,
+    all of a host's pages co-located), report the edge-cut fraction
+    (shuffled gather traffic) and the per-partition edge balance
+    (max/mean of src-owned edges — the straggler bound). Host-blocked
+    placement trades balance for locality; this op measures both sides
+    of that trade on the actual graph.
+
+    Scale shape: two broadcastable host-map joins, then per strategy
+    one K-row grouped aggregate + one global aggregate — no shuffle
+    wider than K rows beyond the host joins."""
+    k = PART_QUALITY_K
+    g = graph(spark, sf_dir, "raw")
+    hm = _host_map(spark, sf_dir)
+    e = (
+        g.edges
+        .join(F.broadcast(hm.withColumnRenamed("id", "src")
+                          .withColumnRenamed("group", "src_host")), "src")
+        .join(F.broadcast(hm.withColumnRenamed("id", "dst")
+                          .withColumnRenamed("group", "dst_host")), "dst")
+        .localCheckpoint(eager=True)
+    )
+    out = []
+    for strategy, sp, dp in (
+        ("hash", F.pmod(F.col("src"), F.lit(k)),
+         F.pmod(F.col("dst"), F.lit(k))),
+        ("host_block", F.pmod(F.col("src_host"), F.lit(k)),
+         F.pmod(F.col("dst_host"), F.lit(k))),
+    ):
+        tagged = e.select(sp.alias("sp"), dp.alias("dp"))
+        loads = tagged.groupBy("sp").agg(F.count("*").alias("c"))
+        bal = loads.agg(
+            F.max("c").alias("mx"), F.sum("c").alias("tot"),
+            F.count("*").alias("nparts"),
+        )
+        cut = tagged.agg(
+            F.count("*").alias("n_edges"),
+            F.sum((F.col("sp") != F.col("dp")).cast("long")).alias(
+                "cut_edges"
+            ),
+        )
+        out.append(
+            cut.crossJoin(bal).select(
+                F.lit(strategy).alias("strategy"),
+                "n_edges",
+                "cut_edges",
+                F.round(F.col("cut_edges") / F.col("n_edges"), 6).alias(
+                    "cut_frac"
+                ),
+                F.col("mx").alias("max_part_edges"),
+                F.round(
+                    F.col("mx") * F.col("nparts") / F.col("tot"), 6
+                ).alias("balance_max_over_mean"),
+            )
+        )
+    return out[0].unionByName(out[1])
+
+
+PARTITION_QUALITY_SQL = (
+    "WITH " + _SQL_COMMON.strip()
+    + f""",
+he AS MATERIALIZED (
+  SELECT e.src, e.dst, cs.c_nationkey AS sh, cd.c_nationkey AS dh
+  FROM edges e
+  JOIN customer cs ON e.src = cs.c_custkey
+  JOIN customer cd ON e.dst = cd.c_custkey
+),
+tagged AS (
+  SELECT 'hash' AS strategy, src % {PART_QUALITY_K} AS sp,
+         dst % {PART_QUALITY_K} AS dp FROM he
+  UNION ALL
+  SELECT 'host_block', sh % {PART_QUALITY_K}, dh % {PART_QUALITY_K} FROM he
+),
+loads AS (
+  SELECT strategy, sp, CAST(count(*) AS BIGINT) AS c
+  FROM tagged GROUP BY strategy, sp
+),
+bal AS (
+  SELECT strategy, max(c) AS mx, sum(c) AS tot, count(*) AS nparts
+  FROM loads GROUP BY strategy
+),
+cut AS (
+  SELECT strategy, CAST(count(*) AS BIGINT) AS n_edges,
+         CAST(sum(CASE WHEN sp <> dp THEN 1 ELSE 0 END) AS BIGINT)
+           AS cut_edges
+  FROM tagged GROUP BY strategy
+)
+SELECT c.strategy, c.n_edges, c.cut_edges,
+       round(c.cut_edges * 1e0 / c.n_edges, 6) AS cut_frac,
+       CAST(b.mx AS BIGINT) AS max_part_edges,
+       round(b.mx * b.nparts * 1e0 / b.tot, 6) AS balance_max_over_mean
+FROM cut c JOIN bal b ON c.strategy = b.strategy
+ORDER BY c.strategy"""
+)
+
+
 HOST_LOCALITY_SQL = (
     "WITH " + _SQL_COMMON.strip()
     + """
@@ -6107,6 +6208,7 @@ GRAPH_QUERIES: dict[str, tuple] = {
     "rich_club": (q_rich_club, rich_club_sql()),
     "community_conductance": (q_community_conductance, community_conductance_sql()),
     "host_locality": (q_host_locality, HOST_LOCALITY_SQL),
+    "partition_quality": (q_partition_quality, PARTITION_QUALITY_SQL),
     "host_communities": (q_host_communities, host_communities_sql()),
     "host_simrank": (q_host_simrank, host_simrank_sql()),
     "crawl_budget": (q_crawl_budget, crawl_budget_sql()),
