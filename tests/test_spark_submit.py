@@ -152,3 +152,46 @@ def test_run_stream_resubmission_resumes_not_reingests(tmp_path):
     n1 = submit()
     n2 = submit()
     assert n1 == n2 > 0
+
+
+def test_run_stream_resume_ingests_only_new_files(tmp_path):
+    """True incremental resume: after a drain-and-exit run, append a
+    new file and resubmit — only the NEW documents flow through, and
+    duplicates of already-seen content stay suppressed by the carried
+    state (first-seen contract across submissions)."""
+    import pandas as pd
+
+    in_dir = tmp_path / "docs"
+    in_dir.mkdir()
+    out_dir = tmp_path / "kept"
+    pd.DataFrame(
+        {"doc_id": [0, 1, 2], "text": ["alpha", "beta", "alpha"]}
+    ).to_parquet(in_dir / "a.parquet")
+
+    def submit():
+        res = subprocess.run(
+            [
+                sys.executable, os.path.join(ROOT, "jobs", "run_stream.py"),
+                "--mode", "dedup", "--available-now",
+                "--input", str(in_dir),
+                "--output", str(out_dir),
+                "--checkpoint", str(tmp_path / "ck"),
+                "--cpus", "2",
+            ],
+            capture_output=True, text=True, timeout=600,
+        )
+        assert res.returncode == 0, res.stderr[-2000:]
+        return sorted(
+            r[0] for r in duckdb.connect().execute(
+                f"SELECT doc_id FROM '{out_dir}/*.parquet'"
+            ).fetchall()
+        )
+
+    assert submit() == [0, 1]  # alpha keeps min id, duplicate dropped
+    # new file: one genuinely new text, one duplicate of batch A's
+    pd.DataFrame(
+        {"doc_id": [3, 4], "text": ["beta", "gamma"]}
+    ).to_parquet(in_dir / "b.parquet")
+    # resume ingests ONLY b.parquet; 'beta' is suppressed by carried
+    # state, 'gamma' ships
+    assert submit() == [0, 1, 4]
