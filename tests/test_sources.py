@@ -312,3 +312,19 @@ def test_dist_zip_matches_source_tree():
     )
     stale = [n for n in src if zipped[n] != src[n]]
     assert not stale, f"stale files in dist zip (re-run jobs/package.py): {stale}"
+
+
+def test_gzipped_edge_list_reads_transparently(spark, tmp_path):
+    """Crawl-scale edge dumps ship gzipped; Spark's text source infers
+    the codec from the extension, so .el.gz loads through the same
+    reader — pinned here so a reader rewrite cannot silently drop it."""
+    import gzip
+
+    p = str(tmp_path / "g.el.gz")
+    with gzip.open(p, "wt") as f:
+        f.write("# comment\n0 1\n1 2\n2 0\n")
+    got = sorted(
+        (r["src"], r["dst"])
+        for r in read_edge_list(spark, p).collect()
+    )
+    assert got == [(0, 1), (1, 2), (2, 0)]
