@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -305,12 +306,16 @@ def main() -> None:
     # 1e-6 convergence (L1). The hub-heavy synthetic mixes fast
     # (~10-15 supersteps to 1e-6), so this adds modest wall time.
     if os.environ.get("BENCH_CONVERGE", "1") == "1":
-        # best-of-N like the trials above: convergence is deterministic
-        # (same iteration count and final L1 every run), so the only
-        # thing repeated runs sample is the host's minute-scale capacity
-        # swing — and this is the BASELINE.json headline metric.
+        # N trials (default 5): convergence is deterministic (same
+        # iteration count and final L1 every run), so the only thing
+        # repeated runs sample is the host's minute-scale capacity
+        # swing — and this is the BASELINE.json headline metric. The
+        # HEADLINE is the MEDIAN (robust to a single bad host window,
+        # unlike min which is a lucky-window number and unlike mean
+        # which one 4x outlier drags); min is recorded alongside as
+        # pagerank_converge_best.
         conv_trials = max(
-            1, int(os.environ.get("BENCH_CONVERGE_TRIALS", "2"))
+            1, int(os.environ.get("BENCH_CONVERGE_TRIALS", "5"))
         )
         conv_times = []
         conv: dict = {}
@@ -320,17 +325,22 @@ def main() -> None:
             pagerank(g, tol=1e-6, max_iters=200, metrics_out=conv,
                      **pr_kwargs).count()
             conv_times.append(time.time() - t0)
-        conv_time = min(conv_times)
+        conv_time = statistics.median(conv_times)
         iters = conv.get("iterations", 0)
         times["pagerank_converge_1e6"] = round(conv_time, 3)
         times_cold["pagerank_converge_1e6"] = round(conv_times[0], 3)
         throughput["pagerank_converge_trials"] = [
             round(t, 3) for t in conv_times
         ]
+        throughput["pagerank_converge_headline"] = "median"
+        throughput["pagerank_converge_best"] = round(min(conv_times), 3)
         throughput["pagerank_converge_iterations"] = iters
         throughput["pagerank_converge_final_l1"] = conv.get("final_err")
         throughput["pagerank_converge_edges_per_sec"] = round(
             num_edges * iters / conv_time, 1
+        )
+        throughput["pagerank_converge_edges_per_sec_best"] = round(
+            num_edges * iters / min(conv_times), 1
         )
         throughput["pagerank_iterations_per_hour"] = round(
             3600.0 * iters / conv_time, 1
@@ -342,10 +352,11 @@ def main() -> None:
     # under the reference's own degree distribution. Expect edges/sec
     # well below the power-law headline and that is NOT a plan
     # pathology (measured): at ~4M edges the fixed per-superstep cost
-    # floor dominates (equal-size power-law also drops to ~5M e/s vs
-    # 17M at 17M edges), and RMAT concentrates out-degree so most ids
-    # are dangling sinks — each superstep pays the dangling-mass
-    # aggregate over a far larger sink set (one V-sized agg; scales).
+    # floor dominates — an equal-size power-law graph also drops to
+    # ~5M e/s vs 17M at 17M edges. (pagerank does NO dangling-mass
+    # redistribution, per apps/pagerank.gt and kernels/pagerank.py —
+    # the only V-sized extra anywhere is the tol-path error norm,
+    # which this fixed-iters row never takes.)
     rmat_on = os.environ.get("BENCH_RMAT", "1") == "1"
     if rmat_on and not budget_left():
         throughput.setdefault("skipped", []).append("pagerank_rmat")
@@ -353,15 +364,29 @@ def main() -> None:
         from graphit_spark.synth import synth_rmat
 
         rscale = int(os.environ.get("BENCH_RMAT_SCALE", "18"))
+        # the pagerank_synth discipline: time the BUILD (generate +
+        # materialize + degree/superstep cache warm-up) apart from the
+        # WARM kernel trials, so the row measures the kernel; the
+        # all-in first pass is still visible in queries_cold.
+        t0 = time.time()
         gr = LinkGraph(synth_rmat(spark, rscale), squished=False)
         r_edges = gr.num_edges
-        t0 = time.time()
-        pagerank(gr, max_iters=pr_iters).count()
-        rt = time.time() - t0
+        gr.out_degrees().count()
+        pagerank(gr, max_iters=1).count()
+        rmat_build = time.time() - t0
+        rmat_trials = max(1, int(os.environ.get("BENCH_RMAT_TRIALS", "3")))
+        r_times = []
+        for _ in range(rmat_trials):
+            t0 = time.time()
+            pagerank(gr, max_iters=pr_iters).count()
+            r_times.append(time.time() - t0)
+        rt = min(r_times)
         times["pagerank_rmat"] = round(rt, 3)
-        times_cold["pagerank_rmat"] = round(rt, 3)
+        times_cold["pagerank_rmat"] = round(rmat_build + r_times[0], 3)
         throughput["rmat_scale"] = rscale
         throughput["rmat_edges"] = r_edges
+        throughput["rmat_build_sec"] = round(rmat_build, 3)
+        throughput["pagerank_rmat_trials"] = [round(t, 3) for t in r_times]
         throughput["pagerank_rmat_edges_per_sec"] = round(
             r_edges * pr_iters / rt, 1
         )

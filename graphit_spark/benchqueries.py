@@ -2551,10 +2551,7 @@ def q_partition_quality(spark, sf_dir):
     ):
         tagged = e.select(sp.alias("sp"), dp.alias("dp"))
         loads = tagged.groupBy("sp").agg(F.count("*").alias("c"))
-        bal = loads.agg(
-            F.max("c").alias("mx"), F.sum("c").alias("tot"),
-            F.count("*").alias("nparts"),
-        )
+        bal = loads.agg(F.max("c").alias("mx"), F.sum("c").alias("tot"))
         cut = tagged.agg(
             F.count("*").alias("n_edges"),
             F.sum((F.col("sp") != F.col("dp")).cast("long")).alias(
@@ -2570,8 +2567,12 @@ def q_partition_quality(spark, sf_dir):
                     "cut_frac"
                 ),
                 F.col("mx").alias("max_part_edges"),
+                # mean over ALL k partitions (F.lit(k), not the count of
+                # non-empty ones): a layout that leaves partitions empty
+                # must show the full imbalance it creates, not have it
+                # understated by shrinking the denominator
                 F.round(
-                    F.col("mx") * F.col("nparts") / F.col("tot"), 6
+                    F.col("mx") * F.lit(k) / F.col("tot"), 6
                 ).alias("balance_max_over_mean"),
             )
         )
@@ -2598,7 +2599,7 @@ loads AS (
   FROM tagged GROUP BY strategy, sp
 ),
 bal AS (
-  SELECT strategy, max(c) AS mx, sum(c) AS tot, count(*) AS nparts
+  SELECT strategy, max(c) AS mx, sum(c) AS tot
   FROM loads GROUP BY strategy
 ),
 cut AS (
@@ -2610,7 +2611,7 @@ cut AS (
 SELECT c.strategy, c.n_edges, c.cut_edges,
        round(c.cut_edges * 1e0 / c.n_edges, 6) AS cut_frac,
        CAST(b.mx AS BIGINT) AS max_part_edges,
-       round(b.mx * b.nparts * 1e0 / b.tot, 6) AS balance_max_over_mean
+       round(b.mx * {PART_QUALITY_K} * 1e0 / b.tot, 6) AS balance_max_over_mean
 FROM cut c JOIN bal b ON c.strategy = b.strategy
 ORDER BY c.strategy"""
 )

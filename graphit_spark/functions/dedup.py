@@ -25,8 +25,9 @@ Spark `conv(substr(md5(x),1,8),16,10)` == DuckDB
 from __future__ import annotations
 
 import logging
+import threading
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Observation, functions as F
 
 MERSENNE31 = (1 << 31) - 1
 # deterministic permutation constants (t-th minhash): odd multipliers
@@ -204,6 +205,34 @@ def lsh_band_stats(
     )
 
 
+def _watch_dropped_mass(obs: "Observation", max_bucket: int) -> None:
+    """Log the hot-band drop as soon as the observed plan first runs.
+
+    `Observation.get` blocks until the first action over the observed
+    plan completes, so a daemon thread (one per composed plan; it
+    exits after logging, or never wakes for plans that are composed but
+    never executed) is the collect-free way to keep the no-silent-caps
+    contract: the metrics are computed inside the caller's own action,
+    costing zero extra jobs."""
+
+    def _wait() -> None:
+        try:
+            m = obs.get  # blocks until the plan's first action
+        except Exception:  # session torn down before any action
+            return
+        if m["hot_buckets"]:
+            logging.getLogger("graphit_spark.dedup").warning(
+                "lsh_candidate_pairs: dropped %d hot band bucket(s) "
+                "(> %d docs), %d doc-slots excluded from candidate "
+                "generation; see lsh_band_stats for the occupancy table",
+                m["hot_buckets"], max_bucket, m["dropped_slots"],
+            )
+
+    threading.Thread(
+        target=_wait, daemon=True, name="lsh-dropped-mass"
+    ).start()
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -225,10 +254,14 @@ def lsh_candidate_pairs(
     source_mirror_pairs' boilerplate drop); near-dup pairs inside a
     dropped bucket are still found through their other, non-degenerate
     bands. The cap is never silent: dropped bucket/doc-slot counts are
-    logged eagerly per call, and lsh_band_stats exposes the full
-    occupancy table. ``max_bucket=None`` disables the cap (the
-    uncapped rule is the streaming dedup equivalence contract,
-    streaming/incremental.py)."""
+    measured by an `observe()` node INSIDE the plan (computed for free
+    during whatever action the caller runs — no extra job, no driver
+    collect) and logged the moment that first action completes;
+    lsh_band_stats exposes the full occupancy table. The cap therefore
+    adds ZERO jobs over the uncapped path at composition time (the one
+    eager job either way is the shared band-table checkpoint).
+    ``max_bucket=None`` disables the cap (the uncapped rule is the
+    streaming dedup equivalence contract, streaming/incremental.py)."""
     # one scan of the signatures: every band key comes out of a single
     # explode, and the materialized band table feeds both join sides —
     # the shingle explosion + minhash aggregation run exactly once, not
@@ -238,30 +271,22 @@ def lsh_candidate_pairs(
         eager=True
     )
     if max_bucket is not None:
-        # ONE occupancy aggregation serves both the dropped-mass stats
-        # and the filter join below (localCheckpoint: materialized
-        # once, freed with the result)
-        occ = (
-            allb.groupBy("band", "bkey")
-            .agg(F.count("*").alias("__occ"))
-            .localCheckpoint(eager=True)
+        # ONE occupancy aggregation serves both the dropped-mass
+        # accounting and the filter join below; the accounting rides
+        # the plan as observed metrics instead of a blocking collect.
+        occ = allb.groupBy("band", "bkey").agg(F.count("*").alias("__occ"))
+        hot = F.col("__occ") > max_bucket
+        obs = Observation()
+        occ = occ.observe(
+            obs,
+            F.coalesce(
+                F.sum(F.when(hot, F.lit(1))), F.lit(0)
+            ).alias("hot_buckets"),
+            F.coalesce(
+                F.sum(F.when(hot, F.col("__occ"))), F.lit(0)
+            ).alias("dropped_slots"),
         )
-        # no silent caps: scalar collect — driver receives 1 row
-        dropped = (
-            occ.filter(F.col("__occ") > max_bucket)
-            .agg(
-                F.count("*").alias("hot_buckets"),
-                F.coalesce(F.sum("__occ"), F.lit(0)).alias("dropped_slots"),
-            )
-            .collect()[0]
-        )
-        if dropped["hot_buckets"]:
-            logging.getLogger("graphit_spark.dedup").warning(
-                "lsh_candidate_pairs: dropped %d hot band bucket(s) "
-                "(> %d docs), %d doc-slots excluded from candidate "
-                "generation; see lsh_band_stats for the occupancy table",
-                dropped["hot_buckets"], max_bucket, dropped["dropped_slots"],
-            )
+        _watch_dropped_mass(obs, max_bucket)
         # occupancy joins back on the SAME (band, bkey) key as the pair
         # self-join below — no broadcast of a possibly-large hot list,
         # and the shuffle partitioning is reused across both joins.

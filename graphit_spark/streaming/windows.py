@@ -39,6 +39,27 @@ SESSION_GAP_SEC = 1800.0
 # non-us-aligned timestamps)
 SESSION_GAP_US = int(SESSION_GAP_SEC * 1_000_000)
 
+# State-unit upgrade guard: the fold once carried (start, last) as epoch
+# SECONDS under the very same (double, double, long) state schema; a
+# checkpoint written by that code and resumed here would silently be
+# reinterpreted as microseconds (1.7e9 "us" ≈ 1970), instantly closing
+# the carried session with 1970-era timestamps. Any plausible epoch-us
+# value is ≥ ~1.5e15 (2017+); epoch seconds/millis are ≤ ~2e12 for
+# centuries — so carried values below this floor can only be pre-change
+# state, and we fail loudly instead of emitting garbage.
+_MIN_PLAUSIBLE_STATE_US = 1e12
+
+
+def _check_state_units(last: float) -> None:
+    if last is not None and last < _MIN_PLAUSIBLE_STATE_US:
+        raise ValueError(
+            "sessionize: carried state last=%r is implausibly small for "
+            "epoch MICROSECONDS — this checkpoint was written by the "
+            "pre-microsecond (epoch-seconds) sessionizer. Discard the "
+            "old checkpoint directory and restart the stream; resuming "
+            "would emit 1970-era sessions." % (last,)
+        )
+
 
 def read_events_stream(
     spark: SparkSession, events_dir: str, max_files: int = 4
@@ -70,6 +91,7 @@ def _make_sessionize_fn(with_timeout: bool):
         if state.hasTimedOut:
             # watermark passed the open session's gap horizon: flush it
             start, last, n = state.get
+            _check_state_units(last)
             state.remove()
             yield pd.DataFrame(
                 {
@@ -81,6 +103,7 @@ def _make_sessionize_fn(with_timeout: bool):
             )
             return
         start, last, n = state.get if state.exists else (None, None, 0)
+        _check_state_units(last)
         closed = []
         chunks = [pdf for pdf in pdfs if len(pdf)]
         if chunks:

@@ -4890,8 +4890,12 @@ ORDER BY doc_id
 SQL_EVENTS_SESSIONS_STREAM = """
 WITH marked AS (
   SELECT user_id, ts, event_id,
-         CASE WHEN lag(epoch(ts)) OVER w IS NULL
-                   OR epoch(ts) - lag(epoch(ts)) OVER w > 1800.0
+         -- exact integer microseconds, mirroring the streaming fold's
+         -- SESSION_GAP_US compare: double epoch seconds can differ by
+         -- 1 ulp at the 1800 s boundary for sub-second timestamps and
+         -- flip the break decision across engines
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
               THEN 1 ELSE 0 END AS brk
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

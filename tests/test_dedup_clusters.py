@@ -280,10 +280,49 @@ class TestHotBandCap:
 
     def test_drop_is_logged(self, spark, degenerate_docs, caplog):
         import logging
+        import time
 
+        # the dropped-mass metrics ride the plan as an observe() node
+        # and are logged by a watcher thread once the first action
+        # completes — poll briefly for the asynchronous record
         with caplog.at_level(logging.WARNING, logger="graphit_spark.dedup"):
             D.lsh_candidate_pairs(degenerate_docs, max_bucket=100).collect()
+            deadline = time.monotonic() + 10.0
+            while time.monotonic() < deadline:
+                if any(
+                    "hot band bucket" in r.message for r in caplog.records
+                ):
+                    break
+                time.sleep(0.05)
         assert any("hot band bucket" in r.message for r in caplog.records)
+
+    def test_cap_accounting_is_collect_free(self, spark, degenerate_docs):
+        """The round-5 contract: the hot-band cap's dropped-mass
+        accounting rides the plan as observed metrics — composing the
+        capped plan runs EXACTLY the same (one, shared band-table
+        checkpoint) job as the uncapped plan, no occupancy
+        materialization and no driver collect."""
+        sc = spark.sparkContext
+
+        def jobs(group, fn):
+            sc.setJobGroup(group, "")
+            try:
+                fn()
+            finally:
+                sc.setLocalProperty("spark.jobGroup.id", None)
+            return len(list(sc.statusTracker().getJobIdsForGroup(group)))
+
+        uncapped = jobs(
+            "lsh-probe-uncapped",
+            lambda: D.lsh_candidate_pairs(degenerate_docs, max_bucket=None),
+        )
+        capped = jobs(
+            "lsh-probe-capped",
+            lambda: D.lsh_candidate_pairs(degenerate_docs, max_bucket=100),
+        )
+        # (AQE may split the shared checkpoint into >1 job; the pinned
+        # invariant is that the cap adds ZERO jobs over uncapped)
+        assert capped == uncapped
 
     def test_default_cap_never_fires_at_test_scale(self, spark):
         sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")

@@ -90,9 +90,10 @@ class TestStatefulSessionize:
         import datetime as dt
 
         # epoch offset: rows at/before the stream's initial watermark
-        # (epoch 0) are dropped by the stateful operator — real event
-        # times are always far from 1970
-        base = 1_000_000
+        # (epoch 0) are dropped by the stateful operator, and the
+        # fold's state-units guard rejects pre-2000 carried values —
+        # real event times are always far from 1970
+        base = 1_600_000_000
         data = [
             (eid, uid, dt.datetime.utcfromtimestamp(base + sec), "view", 1.0)
             for eid, uid, sec in rows
@@ -128,8 +129,8 @@ class TestStatefulSessionize:
             assert len(rows) == 1
             r = rows[0]
             assert r["user_id"] == 1 and r["n_events"] == 3
-            assert r["start_ts"].timestamp() == 1_000_000.0
-            assert r["end_ts"].timestamp() == 1_000_100.0
+            assert r["start_ts"].timestamp() == 1_600_000_000.0
+            assert r["end_ts"].timestamp() == 1_600_000_100.0
         finally:
             q.stop()
 
@@ -157,7 +158,7 @@ class TestStatefulSessionize:
             q.processAllAvailable()
             rows = {r["user_id"]: r for r in spark.sql("SELECT * FROM sess_to").collect()}
             assert 1 in rows and rows[1]["n_events"] == 2
-            assert rows[1]["end_ts"].timestamp() == 1_000_010.0
+            assert rows[1]["end_ts"].timestamp() == 1_600_000_010.0
             assert 2 not in rows  # user 2's session is still open
         finally:
             q.stop()
@@ -291,14 +292,20 @@ class TestVectorizedFold:
                 )
         return closed, st._tup
 
-    @pytest.mark.parametrize("carried", [None, (100.0e6, 200.0e6, 3)])
+    BASE_S = 1_600_000_000.0  # 2020-09: past the state-units guard floor
+
+    @pytest.mark.parametrize(
+        "carried",
+        [None, (1_600_000_100.0e6, 1_600_000_200.0e6, 3)],
+    )
     @pytest.mark.parametrize("chunk_at", [None, 2])
     def test_matches_scalar_reference(self, carried, chunk_at):
         gap = windows.SESSION_GAP_SEC
         # out-of-order events spanning: merge-or-close boundary, two
         # mid-batch closes, a singleton, and a trailing open session
-        secs = [200.0 + gap + 1, 250.0, 200.0 + 3 * gap,
-                200.0 + 3 * gap + 5, 200.0 + 10 * gap, 200.0 + 20 * gap]
+        secs = [self.BASE_S + s for s in
+                (200.0 + gap + 1, 250.0, 200.0 + 3 * gap,
+                 200.0 + 3 * gap + 5, 200.0 + 10 * gap, 200.0 + 20 * gap)]
         got_closed, got_open = self._drive(carried, secs, chunk_at)
         exp_closed, exp_open = self._ref_fold(carried, secs)
         assert got_closed == exp_closed
@@ -308,12 +315,36 @@ class TestVectorizedFold:
         import pandas as pd
 
         fn = windows._make_sessionize_fn(False)
-        st = self._FakeState((5.0, 9.0, 2))
+        st = self._FakeState((1.6e15 + 5.0, 1.6e15 + 9.0, 2))
         out = list(fn((7,), iter([pd.DataFrame(
             {"event_id": [], "user_id": [], "ts": pd.Series([], dtype="datetime64[ns]"),
              "event_type": [], "value": []})]), st))
         assert out == []
-        assert st._tup == (5.0, 9.0, 2)
+        assert st._tup == (1.6e15 + 5.0, 1.6e15 + 9.0, 2)
+
+    def test_pre_microsecond_checkpoint_rejected(self):
+        """State-units upgrade guard: a checkpoint written by the old
+        epoch-SECONDS fold (same (double, double, long) schema) must
+        fail loudly on resume, not silently reinterpret seconds as
+        microseconds and emit 1970-era sessions."""
+        import pandas as pd
+
+        fn = windows._make_sessionize_fn(False)
+        # carried last = 1.7e9 — plausible as epoch seconds (2023),
+        # impossible as epoch microseconds (1970-01-20)
+        st = self._FakeState((1.7e9, 1.7e9, 4))
+        batch = pd.DataFrame(
+            {"event_id": [1], "user_id": [7],
+             "ts": [pd.Timestamp(1.7e9 + 60, unit="s")],
+             "event_type": ["e"], "value": [0.0]}
+        )
+        with pytest.raises(ValueError, match="pre-microsecond"):
+            list(fn((7,), iter([batch]), st))
+        # the timeout-flush path reads the same carried state
+        st2 = self._FakeState((1.7e9, 1.7e9, 4))
+        st2.hasTimedOut = True
+        with pytest.raises(ValueError, match="pre-microsecond"):
+            list(fn((7,), iter([]), st2))
 
 
 class TestIncrementalKernels:
