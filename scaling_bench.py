@@ -74,13 +74,15 @@ def capacity_pair_probe(n: int, m) -> dict:
     }
 
 
-def run_pagerank(cores: int, synth_v: int, pr_iters: int) -> dict:
+def run_pagerank(
+    cores: int, synth_v: int, pr_iters: int, graph: str = "powerlaw"
+) -> dict:
     from pyspark.sql import functions as F
 
     from graphit_spark import LinkGraph
     from graphit_spark.kernels import pagerank
     from graphit_spark.session import get_spark, stop_spark
-    from graphit_spark.synth import synth_edges
+    from graphit_spark.synth import synth_edges, synth_rmat
 
     stop_spark()
     spark = get_spark(
@@ -92,7 +94,16 @@ def run_pagerank(cores: int, synth_v: int, pr_iters: int) -> dict:
             "spark.local.dir": f"/dev/shm/graphit-scale-{cores}",
         },
     )
-    g = LinkGraph(synth_edges(spark, synth_v, num_partitions=cores))
+    # graph choice (SCALE_GRAPH): the methodology must not be tuned to
+    # one input — "rmat" runs the identical protocol on the Graph500
+    # Kronecker generator (different size, far heavier dst skew) so the
+    # capacity-normalized efficiency is evidenced on two graph shapes.
+    if graph == "rmat":
+        scale = int(os.environ.get("SCALE_RMAT_SCALE", "18"))
+        edges_df = synth_rmat(spark, scale, num_partitions=cores)
+    else:
+        edges_df = synth_edges(spark, synth_v, num_partitions=cores)
+    g = LinkGraph(edges_df)
     num_edges = g.num_edges  # materialize + cache before timing
 
     # partition-balance evidence on the gather stage's shuffle key
@@ -138,13 +149,14 @@ def main() -> None:
     synth_v = int(os.environ.get("BENCH_SYNTH_V", "2000000"))
     pr_iters = int(os.environ.get("BENCH_PR_ITERS", "5"))
     n_pairs = int(os.environ.get("SCALE_PAIRS", "10"))
+    graph = os.environ.get("SCALE_GRAPH", "powerlaw")
 
     probe_m = np.random.rand(1200, 1200)
     pairs = []
     for i in range(n_pairs):
         cap = capacity_pair_probe(n, probe_m)
-        lo = run_pagerank(n, synth_v, pr_iters)
-        hi = run_pagerank(4 * n, synth_v, pr_iters)
+        lo = run_pagerank(n, synth_v, pr_iters, graph)
+        hi = run_pagerank(4 * n, synth_v, pr_iters, graph)
         eff_raw = round(lo["best_iter_sec"] / (4 * hi["best_iter_sec"]), 3)
         ceiling = cap["cap_ratio"] / 4
         pairs.append(
@@ -184,6 +196,7 @@ def main() -> None:
 
     result = {
         "metric": "pagerank_scaling_efficiency_N_to_4N",
+        "graph": graph,
         "N": n,
         "n_pairs": len(pairs),
         "efficiency_norm_mean": round(mean_norm, 3),
@@ -224,6 +237,7 @@ def main() -> None:
     hist_entry = {
         "date": _time.strftime("%Y-%m-%d"),
         "commit": commit,
+        "graph": graph,
         "N": n,
         "edges": low["edges"],
         "n_pairs": len(pairs),
@@ -243,9 +257,12 @@ def main() -> None:
             if line:
                 history.append(json.loads(line))
     hist_rows = "\n".join(
-        "| {date} | {commit} | {em} | {eb} | {hc} | {lo} / {hi} |".format(
+        "| {date} | {commit} | {gr} | {em} | {eb} | {hc} | {lo} / {hi} |".format(
             date=h.get("date", "?"),
             commit=h.get("commit") or "?",
+            gr="{} ({:,}e)".format(
+                h.get("graph", "powerlaw"), h["edges"]
+            ) if h.get("edges") else h.get("graph", "powerlaw"),
             em=h.get("efficiency_norm_mean")
             or h.get("efficiency_median", "?"),
             eb=h.get("efficiency_raw_median")
@@ -266,6 +283,18 @@ def main() -> None:
         )
         for p in pairs
     )
+    if graph == "rmat":
+        job_desc = (
+            f"Graph500 RMAT/Kronecker graph (scale "
+            f"{os.environ.get('SCALE_RMAT_SCALE', '18')}), "
+            f"{low['edges']:,} edges, recursive hub skew"
+        )
+    else:
+        job_desc = (
+            f"synthetic power-law graph, {synth_v:,} vertices, "
+            f"{low['edges']:,} squished edges, 30% of links into the "
+            f"hub set"
+        )
     meets = mean_norm - ci_norm >= 0.8
     raw_verdict = (
         "met" if med_raw >= 0.8 else
@@ -292,8 +321,7 @@ target: the job extracts {extract_verdict}
 throughput from added threads as the host's own capacity grows.
 
 Job: one PageRank superstep (join + groupBy-sum + rank update +
-checkpoint), synthetic power-law graph, {synth_v:,} vertices,
-{low['edges']:,} squished edges, 30% of links into the hub set.
+checkpoint), {job_desc}.
 Identical job at two parallelism levels (the sandbox stand-in for N vs
 4N executors); shuffle on tmpfs. Each pair = capacity probe at N and
 4N threads, then local[{n}] run, then local[{4 * n}] run, back to
@@ -343,14 +371,15 @@ Capacity on this host swings 4-5x minute to minute, so the run-to-run
 distribution is the host-variance measurement (columns before
 2026-08-21 used the older median/best estimators):
 
-| date | commit | eff (norm mean / legacy median) | eff (raw median / legacy best) | host ceiling / legacy eff.cores | best iter sec N / 4N |
-|---|---|---|---|---|---|
+| date | commit | graph (edges) | eff (norm mean / legacy median) | eff (raw median / legacy best) | host ceiling / legacy eff.cores | best iter sec N / 4N |
+|---|---|---|---|---|---|---|
 {hist_rows}
 
 Raw JSON: `{json.dumps(result)}`
 
 Regenerate: `python scaling_bench.py` (env: SCALE_N, BENCH_SYNTH_V,
-BENCH_PR_ITERS, SCALE_PAIRS). Per-round harness: `python bench.py`.
+BENCH_PR_ITERS, SCALE_PAIRS, SCALE_GRAPH=powerlaw|rmat,
+SCALE_RMAT_SCALE). Per-round harness: `python bench.py`.
 """
         )
 
