@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import logging
 import threading
+import time
 
 from pyspark.sql import Column, DataFrame, Observation, functions as F
 
@@ -205,21 +206,43 @@ def lsh_band_stats(
     )
 
 
+#: how long a dropped-mass watcher keeps polling for the plan's first
+#: action before giving up (a composed-but-never-executed plan runs no
+#: data, so there is no drop to report — the watcher just expires)
+_WATCH_DEADLINE_SEC = 3600.0
+
+
 def _watch_dropped_mass(obs: "Observation", max_bucket: int) -> None:
     """Log the hot-band drop as soon as the observed plan first runs.
 
-    `Observation.get` blocks until the first action over the observed
-    plan completes, so a daemon thread (one per composed plan; it
-    exits after logging, or never wakes for plans that are composed but
-    never executed) is the collect-free way to keep the no-silent-caps
-    contract: the metrics are computed inside the caller's own action,
-    costing zero extra jobs."""
+    The metrics are computed inside the caller's own action (zero extra
+    jobs); a daemon thread POLLS the JVM-side `getRowOrEmpty` (each
+    probe a short-lived py4j call) rather than parking in the blocking
+    `Observation.get` — a blocked `get` pins one py4j gateway
+    connection per composed plan, which a caller composing many plans
+    without executing them would leak. The watcher backs off to
+    5-second probes and expires after _WATCH_DEADLINE_SEC; a plan that
+    never runs moves no data, so its silence is correct, not a missed
+    warning."""
 
     def _wait() -> None:
+        deadline = time.monotonic() + _WATCH_DEADLINE_SEC
+        interval = 0.25
         try:
-            m = obs.get  # blocks until the plan's first action
-        except Exception:  # session torn down before any action
-            return
+            jo = obs._jo  # set by observe() before the thread starts
+            while time.monotonic() < deadline:
+                if jo.getRowOrEmpty().isDefined():
+                    break
+                time.sleep(interval)
+                interval = min(interval * 1.5, 5.0)
+            else:
+                return  # plan never ran: nothing dropped, nothing to log
+            m = obs.get  # metrics are ready — returns immediately
+        except Exception:  # session torn down / private API moved
+            try:
+                m = obs.get
+            except Exception:
+                return
         if m["hot_buckets"]:
             logging.getLogger("graphit_spark.dedup").warning(
                 "lsh_candidate_pairs: dropped %d hot band bucket(s) "
@@ -261,7 +284,15 @@ def lsh_candidate_pairs(
     adds ZERO jobs over the uncapped path at composition time (the one
     eager job either way is the shared band-table checkpoint).
     ``max_bucket=None`` disables the cap (the uncapped rule is the
-    streaming dedup equivalence contract, streaming/incremental.py)."""
+    streaming dedup equivalence contract, streaming/incremental.py).
+
+    Trade-off (deliberate): the occupancy aggregate is no longer
+    materialized, so the self-join planner duplicates it on both join
+    sides — one extra groupBy-count over the already-checkpointed band
+    table per action (AQE can reuse the identical shuffle stage at
+    runtime). That bounded recompute buys a composition path with zero
+    jobs and zero driver collects; the pair self-join itself dominates
+    any execution."""
     # one scan of the signatures: every band key comes out of a single
     # explode, and the materialized band table feeds both join sides —
     # the shingle explosion + minhash aggregation run exactly once, not

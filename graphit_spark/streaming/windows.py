@@ -43,11 +43,13 @@ SESSION_GAP_US = int(SESSION_GAP_SEC * 1_000_000)
 # SECONDS under the very same (double, double, long) state schema; a
 # checkpoint written by that code and resumed here would silently be
 # reinterpreted as microseconds (1.7e9 "us" ≈ 1970), instantly closing
-# the carried session with 1970-era timestamps. Any plausible epoch-us
-# value is ≥ ~1.5e15 (2017+); epoch seconds/millis are ≤ ~2e12 for
-# centuries — so carried values below this floor can only be pre-change
-# state, and we fail loudly instead of emitting garbage.
-_MIN_PLAUSIBLE_STATE_US = 1e12
+# the carried session with 1970-era timestamps. The floor separates the
+# unit domains: epoch seconds stay ≤ ~4e9 and epoch MILLIseconds ≤
+# ~4e12 for this century, while any epoch-us value from 1973-03 onward
+# is ≥ 1e14 (real event times are ≥ ~1.5e15, i.e. 2017+) — so carried
+# values below 1e14 can only be a pre-change checkpoint (or a future
+# unit regression), and we fail loudly instead of emitting garbage.
+_MIN_PLAUSIBLE_STATE_US = 1e14
 
 
 def _check_state_units(last: float) -> None:

@@ -103,24 +103,32 @@ def test_check_first_names_all_resolve():
     # whose last green row dates to r02.
     import glob
     import json
+    import re
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     checked = set()
     last_round = {}
-    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r0*.json"))):
-        rnd = int(path[-7:-5])
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1))
         with open(path) as fh:
             for q in json.load(fh):
                 checked.add(q)
-                last_round[q] = rnd
+                last_round[q] = max(rnd, last_round.get(q, 0))
     never = [n for n in names if n not in checked]
     window = names[:50]
-    if never:  # once r05 records the window, `never` empties and the
-        # backfill-position assertion below still pins the rotation
+    if never:
+        # pre-window state: the never-checked queries must lead, and
+        # the backfill slots after them must be the stalest evidence
         assert window[: len(never[:45])] == never[:45], (
             "window must lead with the never-driver-checked queries"
         )
-    for backfill in window[45:]:
-        assert last_round.get(backfill, 5) <= 2 or backfill in never, (
-            f"backfill slot {backfill} should be oldest-evidence (r02)"
-        )
+        oldest = min(v for v in last_round.values())
+        for backfill in window[len(never[:45]):]:
+            assert last_round[backfill] == oldest, (
+                f"backfill slot {backfill} should carry the oldest "
+                f"evidence (r{oldest:02d})"
+            )
+    # once the driver records the window (`never` empties), the ordering
+    # has served its purpose and the next rotation re-pins it — no
+    # assertion should then hold the old window in place

@@ -345,6 +345,12 @@ class TestVectorizedFold:
         st2.hasTimedOut = True
         with pytest.raises(ValueError, match="pre-microsecond"):
             list(fn((7,), iter([]), st2))
+        # epoch MILLIseconds (a different bad-unit regression) must be
+        # caught too: 1.7e12 ms = 2023, but as us it is 1989 — below
+        # any real event time this engine will ever carry
+        st3 = self._FakeState((1.7e12, 1.7e12, 4))
+        with pytest.raises(ValueError, match="pre-microsecond"):
+            list(fn((7,), iter([batch]), st3))
 
 
 class TestIncrementalKernels:
