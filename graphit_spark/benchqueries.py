@@ -2232,7 +2232,13 @@ def q_adjacency(spark, sf_dir):
 
 
 KCORE_K = 15
-KCORE_ROUNDS = 12
+# 2x the measured sf0.1 from-scratch peel depth (12): round 5 found
+# the old value of 12 had ZERO margin at sf0.1 — the k=15 cascade
+# needs exactly 12 rounds there, and one more testdata-drift level
+# would have truncated the oracle (the ENGINE peels to fixpoint and
+# was verified exact against a pure-Python peel; only the unrolled
+# SQL twin has a round budget)
+KCORE_ROUNDS = 24
 
 
 def kcore_sql(k: int = KCORE_K, rounds: int = KCORE_ROUNDS) -> str:
@@ -2260,8 +2266,13 @@ def q_kcore(spark, sf_dir):
     return k_core(graph(spark, sf_dir, "raw"), KCORE_K)
 
 
-CORE_KMAX = 32  # 2x the observed max coreness at oracle sf (15)
-CORE_ROUNDS = 10  # 2x the observed incremental sync-peel depth (6)
+CORE_KMAX = 32  # 2x the observed max coreness (15 at sf0.01 AND sf0.1)
+# 2x the measured sf0.1 incremental peel depth (12, at k=15): the old
+# value of 10 truncated the oracle's k=15 cascade at sf0.1 and
+# overstated one vertex's coreness (engine said 14, truncated twin
+# said 15; a pure-Python exact peel confirmed 14 — the engine peels
+# to fixpoint and needs no budget)
+CORE_ROUNDS = 24
 
 
 def core_numbers_sql(kmax: int = CORE_KMAX, rounds: int = CORE_ROUNDS) -> str:

@@ -45,7 +45,10 @@ from pyspark.sql import DataFrame, functions as F
 
 from graphit_spark.graph import LinkGraph
 from graphit_spark.plans.state import fresh_checkpoint
-from graphit_spark.kernels.scc import strongly_connected_components
+from graphit_spark.kernels.scc import (
+    _JUMP_FROM,
+    strongly_connected_components,
+)
 from graphit_spark.plans.traversal import choose_direction
 
 
@@ -59,40 +62,107 @@ def _reachable(
 ) -> DataFrame:
     """All vertex ids reachable from `seeds` along directed `edges`,
     seeds included. Returns a localCheckpointed single-column ``id``
-    DataFrame the caller must unpersist. Raises if the fixpoint does
-    not empty its frontier within max_iters (an incomplete reach set
-    would silently misclassify TUBE/TENDRIL vertices)."""
+    DataFrame the caller must unpersist.
+
+    Min-KEY label propagation with pointer-jump shortcutting (the
+    cc_lp_pj.gt doubling trick, same as the SCC fixpoint): every
+    vertex starts labeled with its own key — ``id - num_verts`` for
+    seeds (all seed keys sort below all plain ids, so a seed ancestor
+    always wins the min the moment any path delivers it), ``id``
+    otherwise — and each round (a) folds the min label along edges,
+    (b) jumps lab(v) min= lab(vertex(lab(v))): lab(v)=key(u) witnesses
+    u ->* v and lab(u)=key(w) witnesses w ->* u, so the composition is
+    a real path. reach = {v : lab(v) < 0} at the fixpoint. A depth-d
+    reach typically converges in O(log d) rounds (plain frontier BFS
+    paid d — the round-5 sf0.1 bowtie chains overflowed a 100-round
+    budget exactly that way); a pointer whose vertex never learns a
+    seed key degrades that hop to the BFS rate, never below it.
+    Raises if labels still move after max_iters rounds (an incomplete
+    reach set would silently misclassify TUBE/TENDRIL vertices)."""
     avg_deg = max(num_edges / max(num_verts, 1), 1.0)
-    reached = seeds.select("id").transform(fresh_checkpoint)
-    frontier = reached
-    fsize = seed_count
-    for _ in range(max_iters):
+    key = F.when(
+        F.col("seed").isNotNull(), F.col("id") - F.lit(num_verts)
+    ).otherwise(F.col("id"))
+    # label universe: seeds plus every edge target (a vertex with no
+    # in-edges and no seed mark can neither be reached nor ever carry
+    # a seed key, so dropping it loses nothing)
+    univ = (
+        edges.select(F.col("dst").alias("id"))
+        .distinct()
+        .unionByName(seeds.select("id"))
+        .distinct()
+    )
+    state = (
+        univ.join(seeds.select("id", F.lit(1).alias("seed")), "id", "left")
+        .select("id", key.alias("lab"))
+        .transform(fresh_checkpoint)
+    )
+    front = state
+    fsize = num_verts  # first round: everyone sends
+    for rnd in range(max_iters):
+        direction = choose_direction(fsize, int(fsize * avg_deg), num_edges)
+        src_labels = state.select(
+            F.col("id").alias("src"), F.col("lab").alias("slab")
+        )
+        if direction == "sparse":
+            fr = front.select(F.col("id").alias("src"))
+            active = edges.join(F.broadcast(fr), "src", "left_semi")
+            src_labels = F.broadcast(src_labels.join(F.broadcast(fr), "src"))
+        else:
+            active = edges
+        cand = (
+            active.join(src_labels, "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("slab").alias("cand"))
+        )
+        gath = state.join(cand, "id", "left").select(
+            "id",
+            F.col("lab").alias("olab"),
+            F.least("lab", F.coalesce("cand", "lab")).alias("lab"),
+        )
+        # pointer jump: vertex(lab) = lab + num_verts when lab is a
+        # seed key, lab otherwise; seeds' own labels are already
+        # minimal, so jumping through them is a no-op by construction.
+        # The jump side carries only the rows this round's gather
+        # improved (the jump is an accelerator — completeness rests on
+        # the gather), so the join side shrinks with the frontier; and
+        # like the SCC fixpoint, jumps only engage past _JUMP_FROM
+        # rounds, so shallow reaches never pay the extra join.
+        if rnd >= _JUMP_FROM:
+            jmp = gath.filter(F.col("lab") < F.col("olab")).select(
+                F.col("id").alias("jid"), F.col("lab").alias("jlab")
+            )
+            vertex_of = F.when(
+                F.col("lab") < 0, F.col("lab") + F.lit(num_verts)
+            ).otherwise(F.col("lab"))
+            new_state = (
+                gath.join(jmp, vertex_of == jmp["jid"], "left")
+                .select(
+                    "id",
+                    "olab",
+                    F.least(
+                        F.col("lab"), F.coalesce("jlab", F.col("lab"))
+                    ).alias("lab"),
+                )
+                .transform(fresh_checkpoint)
+            )
+        else:
+            new_state = gath.transform(fresh_checkpoint)
+        changed = new_state.filter(F.col("lab") < F.col("olab"))
+        fsize = changed.count()
+        if front is not state:
+            front.unpersist()
+        state.unpersist()
+        state = new_state.select("id", "lab")
+        front = new_state.filter(F.col("lab") < F.col("olab")).select("id")
         if fsize == 0:
+            reached = (
+                state.filter(F.col("lab") < 0)
+                .select("id")
+                .transform(fresh_checkpoint)
+            )
+            new_state.unpersist()
             return reached
-        direction = choose_direction(
-            fsize, int(fsize * avg_deg), num_edges
-        )
-        fr = frontier.select(F.col("id").alias("src"))
-        active = edges.join(
-            F.broadcast(fr) if direction == "sparse" else fr,
-            "src",
-            "left_semi",
-        )
-        new = (
-            active.select(F.col("dst").alias("id"))
-            .distinct()
-            .join(reached, "id", "left_anti")
-            .transform(fresh_checkpoint)
-        )
-        fsize = new.count()
-        if fsize == 0:
-            new.unpersist()
-            return reached
-        grown = reached.unionByName(new).transform(fresh_checkpoint)
-        if frontier is not reached:
-            frontier.unpersist()
-        reached.unpersist()
-        reached, frontier = grown, new
     raise RuntimeError(
         f"reachability fixpoint did not converge within {max_iters} "
         "rounds — raise max_iters above the graph's directed diameter"
