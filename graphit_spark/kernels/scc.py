@@ -212,21 +212,42 @@ def strongly_connected_components(
     label shortcutting (pointer jumps — O(log d) rounds on depth-d
     residuals), so max_prop=100 is a safety net, not a tuning dial.
 
-    The outer peel needs no size-based budget: every converged round
-    assigns at least the residual's minimum-id vertex's SCC (its flab
-    and blab are both itself), so progress per round is guaranteed and
-    the loop terminates within n rounds; a round that assigns nothing
-    raises (it would mean a broken fixpoint, not a deep graph). On
-    condensation-DAGs deeper than they are wide (adversarial chains),
-    outer rounds scale with the chain of "locally minimal" SCCs —
-    max_outer stays available as an explicit cap for callers that
-    would rather fail fast than pay O(depth) rounds."""
+    The outer peel is the FW-BW divide-and-conquer flattened into BSP:
+    survivors refine a partition key with their (flab, blab) pair —
+    every SCC has constant labels at the converged fixpoint, so it
+    lies entirely inside one class — and the next fixpoint runs over
+    intra-class edges only, peeling from every class at once. Deep
+    condensation chains (the plain peel's O(depth) wall) shatter into
+    singleton classes after one refinement and finish in 2-3 outer
+    rounds. The peel needs no size-based budget: every class's
+    converged round assigns at least its minimum-id vertex's SCC (its
+    flab and blab are both itself), so progress per round is
+    guaranteed; a round that assigns nothing raises (a broken
+    fixpoint, not a deep graph). max_outer stays available as an
+    explicit fail-fast cap."""
     own_cache = graph.ensure_persisted()
-    verts = graph.vertices().select("id").transform(fresh_checkpoint)
+    # verts carries a PARTITION KEY alongside each id: the classic
+    # FW-BW divide-and-conquer, flattened into BSP. After a fixpoint,
+    # every SCC has constant (flab, blab) and therefore lies entirely
+    # inside one (pk, flab, blab) class — so the survivors' pk is
+    # refined with the label pair and the next round's fixpoint runs
+    # over INTRA-CLASS edges only, peeling one-or-more SCCs from EVERY
+    # class simultaneously. A depth-d condensation chain that the
+    # plain peel walked in d outer rounds (one "locally minimal" SCC
+    # per round — the round-5 sf0.1 bowtie paid ~150) splits into
+    # singleton classes after one refinement and finishes in 2-3. A
+    # 64-bit hash collision merging two classes costs rounds, never
+    # correctness (a merged class still contains only whole SCCs).
+    verts = (
+        graph.vertices()
+        .select("id", F.lit(0).cast("long").alias("pk"))
+        .transform(fresh_checkpoint)
+    )
     edges = graph.edges.select("src", "dst").transform(fresh_checkpoint)
     n_active = graph.num_vertices
     assigned_parts: list[DataFrame] = []
     outer = 0
+    first = True
     while n_active > 0:
         num_edges = edges.count()
         if num_edges == 0:
@@ -243,11 +264,46 @@ def strongly_connected_components(
                 f"({n_active} vertices unassigned)"
             )
         big_v = n_active > 500_000
-        tedges = edges.select(
+        if first:
+            # single class — the unrestricted residual IS the class
+            cedges, num_cedges = edges, num_edges
+        else:
+            cedges = (
+                edges.join(
+                    verts.select(
+                        F.col("id").alias("src"), F.col("pk").alias("pks")
+                    ),
+                    "src",
+                )
+                .join(
+                    verts.select(
+                        F.col("id").alias("dst"), F.col("pk").alias("pkd")
+                    ),
+                    "dst",
+                )
+                .filter(F.col("pks") == F.col("pkd"))
+                .select("src", "dst")
+                .transform(fresh_checkpoint)
+            )
+            num_cedges = cedges.count()
+        if num_cedges == 0:
+            # no intra-class edges anywhere: every remaining vertex is
+            # a trivial SCC (an SCC never spans classes)
+            assigned_parts.append(
+                verts.select("id", F.col("id").alias("scc"))
+            )
+            if cedges is not edges:
+                cedges.unpersist()
+            verts.unpersist()
+            verts = None
+            n_active = 0
+            break
+        tedges = cedges.select(
             F.col("dst").alias("src"), F.col("src").alias("dst")
         )
         labs, converged = _fw_bw_fixpoint(
-            edges, tedges, verts, num_edges, n_active, big_v, max_prop
+            cedges, tedges, verts.select("id"), num_cedges, n_active,
+            big_v, max_prop,
         )
         if not converged:
             labs.unpersist()
@@ -262,9 +318,14 @@ def strongly_connected_components(
             .transform(fresh_checkpoint)
         )
         assigned_parts.append(matched)
-        new_verts = verts.join(
-            matched.select("id"), "id", "left_anti"
-        ).transform(fresh_checkpoint)
+        new_verts = (
+            verts.join(labs, "id")
+            .join(matched.select("id"), "id", "left_anti")
+            .select(
+                "id", F.xxhash64("pk", "flab", "blab").alias("pk")
+            )
+            .transform(fresh_checkpoint)
+        )
         new_edges = (
             edges.join(
                 new_verts.select(F.col("id").alias("src")), "src", "left_semi"
@@ -275,20 +336,23 @@ def strongly_connected_components(
             .select("src", "dst")
             .transform(fresh_checkpoint)
         )
+        if cedges is not edges:
+            cedges.unpersist()
         for df in (verts, edges, labs):
             df.unpersist()
         verts, edges = new_verts, new_edges
         prev_active = n_active
         n_active = verts.count()
         if n_active == prev_active:
-            # a converged fixpoint always matches the residual's
-            # min-id SCC, so zero progress means a broken fixpoint,
-            # never a deep graph — fail instead of spinning
+            # every class's converged fixpoint matches at least the
+            # class-minimum's SCC, so zero progress means a broken
+            # fixpoint, never a deep graph — fail instead of spinning
             raise RuntimeError(
                 "SCC peel made no progress in a converged round "
                 f"({n_active} vertices unassigned)"
             )
         outer += 1
+        first = False
     if edges is not None:
         edges.unpersist()
     if verts is not None:
